@@ -1,0 +1,196 @@
+"""Cleaning operators — the reference's ``clean_data`` (app.py:104-137)
+re-expressed as lazy DataFrame transformations.
+
+Reference semantics, in order:
+  O7  drop rows with any missing value              (app.py:108-112)
+  O9  per numeric column, drop rows where
+      ``col < -900 OR col > 10000``                 (app.py:115-120)
+  O10 motion only: values outside [q01, q99] are
+      replaced with the column median (rows kept);
+      the median is computed BEFORE replacement,
+      i.e. including the outliers                   (app.py:122-131)
+  O11 global ascending sort by timestamp            (app.py:133-135)
+
+Scale notes:
+  - The reference filters each column in sequence, materializing an
+    intermediate per column. Here the chained filters collapse into one
+    conjunctive predicate (Catalyst ``CombineFilters``) that is pushed
+    into the parquet scan.
+  - The reference recounts rows after every step for its report
+    (app.py:110, 117, 128). Naively that is one Spark job per count;
+    ``cleaning_report`` instead computes every count in a single
+    conditional-aggregation pass over the input.
+  - Quantiles are exact (``F.percentile`` — linear interpolation, the
+    same definition as pandas' default and DuckDB ``quantile_cont``),
+    computed for all clamp columns in ONE aggregation job.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Reference constants (app.py:116, 125-126)
+SENTINEL_LOW = -900.0
+SENTINEL_HIGH = 10000.0
+CLAMP_LOW_Q = 0.01
+CLAMP_HIGH_Q = 0.99
+
+# Motion spike-smoothing column set — accel_z deliberately excluded
+# because gravity keeps it near 9.8 (app.py:123).
+MOTION_CLAMP_COLS = ["accel_x", "accel_y", "gyro_x", "gyro_y", "gyro_z"]
+
+
+def numeric_columns(df: DataFrame) -> list[str]:
+    """Runtime numeric-column discovery — mirror of
+    ``select_dtypes(include=[np.number])`` (app.py:114)."""
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, T.NumericType)]
+
+
+def drop_missing(df: DataFrame) -> DataFrame:
+    """O7 — ``dropna()`` (app.py:109): remove rows with >=1 NULL."""
+    return df.na.drop("any")
+
+
+def sentinel_filter(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    low: float = SENTINEL_LOW,
+    high: float = SENTINEL_HIGH,
+) -> DataFrame:
+    """O9 — sentinel/range predicate (app.py:115-120).
+
+    The reference loops per column, dropping ``col < -900 OR col >
+    10000`` (strict inequalities: exactly -900 / 10000 survive). The
+    sequential per-column filters are equivalent to one conjunctive
+    predicate; written as chained ``.filter`` so Catalyst fuses and
+    pushes them into the scan.
+    """
+    cols = cols if cols is not None else numeric_columns(df)
+    out = df
+    for c in cols:
+        out = out.filter(~((F.col(c) < low) | (F.col(c) > high)))
+    return out
+
+
+def clamp_outliers(
+    df: DataFrame,
+    cols: list[str],
+    low_q: float = CLAMP_LOW_Q,
+    high_q: float = CLAMP_HIGH_Q,
+) -> DataFrame:
+    """O10 — quantile spike smoothing (app.py:122-131).
+
+    Values outside [q_low, q_high] are replaced with the column median;
+    rows are kept. Parity trap honored: the median is computed over the
+    column INCLUDING the outliers (app.py:130 runs before replacement).
+
+    All 3 x len(cols) exact percentiles are computed in a single
+    aggregation job (one shuffle-free partial-agg pass), then applied as
+    a codegen'd ``CASE WHEN`` projection — no second scan of the data
+    per column, no Python in the hot path.
+    """
+    if not cols:
+        return df
+    aggs = []
+    for c in cols:
+        aggs.append(
+            F.percentile(F.col(c), F.array(F.lit(low_q), F.lit(0.5), F.lit(high_q))).alias(c)
+        )
+    row = df.agg(*aggs).first()
+    out = df
+    for c in cols:
+        q_lo, med, q_hi = row[c]
+        out = out.withColumn(
+            c,
+            F.when(
+                (F.col(c) < F.lit(q_lo)) | (F.col(c) > F.lit(q_hi)), F.lit(med)
+            ).otherwise(F.col(c)),
+        )
+    return out
+
+
+def sort_by_time(df: DataFrame, on: str = "timestamp") -> DataFrame:
+    """O11 — global ascending sort (app.py:133-135).
+
+    Range-partitioned ``SortExec`` in Spark: each partition sorts
+    locally after a range shuffle, so the sort scales horizontally
+    instead of funnelling through one node.
+    """
+    return df.orderBy(on)
+
+
+@dataclass
+class CleanResult:
+    """``(cleaned, cleaning_report)`` return shape of app.py:137."""
+
+    df: DataFrame
+    report: list[str] = field(default_factory=list)
+
+
+def cleaning_report_counts(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    low: float = SENTINEL_LOW,
+    high: float = SENTINEL_HIGH,
+) -> DataFrame:
+    """Single-pass conditional aggregation producing every count the
+    reference's report prints (app.py:110-120) — one job instead of one
+    job per column.
+
+    Columns: total rows, rows with any NULL, and per input column the
+    count of out-of-range values among non-null rows.
+    """
+    cols = cols if cols is not None else numeric_columns(df)
+    any_null = None
+    for f_ in df.schema.fields:
+        cond = F.col(f_.name).isNull()
+        any_null = cond if any_null is None else (any_null | cond)
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(any_null, 1).otherwise(0)).alias("n_with_null"),
+    ]
+    for c in cols:
+        aggs.append(
+            F.sum(
+                F.when((F.col(c) < low) | (F.col(c) > high), 1).otherwise(0)
+            ).alias(f"n_outlier_{c}")
+        )
+    return df.agg(*aggs)
+
+
+def clean(
+    df: DataFrame,
+    sensor_type: str = "camera",
+    timestamp_col: str = "timestamp",
+    clamp_cols: list[str] | None = None,
+    collect_report: bool = True,
+) -> CleanResult:
+    """Full ``clean_data`` pipeline (app.py:104-137), lazily composed.
+
+    ``sensor_type='motion'`` additionally applies the O10 quantile clamp
+    (app.py:122), to ``clamp_cols`` (default: the reference's motion
+    channel set intersected with the frame's columns).
+    """
+    report: list[str] = []
+    if collect_report:
+        counts = cleaning_report_counts(df).first()
+        report.append(f"rows_in={counts['n_rows']}")
+        report.append(f"rows_with_missing={counts['n_with_null']}")
+        for k in counts.asDict():
+            if k.startswith("n_outlier_") and counts[k]:
+                report.append(f"{k}={counts[k]}")
+
+    out = drop_missing(df)
+    out = sentinel_filter(out)
+    if sensor_type == "motion":
+        cols = clamp_cols
+        if cols is None:
+            cols = [c for c in MOTION_CLAMP_COLS if c in out.columns]
+        out = clamp_outliers(out, cols)
+    if timestamp_col in out.columns:
+        out = sort_by_time(out, timestamp_col)
+    return CleanResult(out, report)

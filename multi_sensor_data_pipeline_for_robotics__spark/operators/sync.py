@@ -1,0 +1,343 @@
+"""Temporal synchronization — the reference's ``synchronize_sensors``
+(app.py:140-198) re-expressed as distributed, shuffle-conscious Spark
+plans.
+
+Reference semantics:
+  O12 overlap window: ``start = max(min ts)``, ``end = min(max ts)``
+      across the two dense sensors                       (app.py:155-156)
+  O13 uniform grid ``date_range(start, end, freq=33ms)`` (app.py:160-162)
+  O14 as-of alignment ``reindex(grid, method=pad|backfill|nearest)``
+                                                         (app.py:164-165)
+  O15 prefix columns, assemble wide table                (app.py:167-176)
+  O16 each log event maps to its NEAREST grid point; if |Δt| < 100 ms
+      set ``event_<TYPE>`` = 1 (set, not summed)         (app.py:178-191)
+  O17 drop rows with any NULL                            (app.py:193)
+
+Scale design (the reference is O(|log|·|grid|) interpreted Python):
+  - ``time_grid`` uses ``spark.range(n)`` + timestamp arithmetic — the
+    grid is born distributed. (``F.sequence`` would build one giant
+    array on a single row: fine for 500 points, fatal for the 10^8-point
+    grids a 100 TB run implies.)
+  - ``asof_align`` is the union-tag + window trick, made horizontally
+    scalable by time-bucketing: rows are hash-free range-bucketed on
+    time, each bucket fills independently under a window, and a tiny
+    per-bucket "carry" table (num_buckets rows, broadcast) transports
+    the last observation across bucket boundaries. No single-partition
+    global window, no O(n·m) loop — one range shuffle per sensor.
+  - ``map_events`` exploits grid uniformity: the nearest grid point of
+    an event is closed-form integer arithmetic on microseconds — a pure
+    narrow projection (no join, no shuffle) followed by one aggregation.
+    This replaces the reference's O(n·m) loop entirely.
+
+Pandas-parity corners honored:
+  - ``pad``/``backfill`` include exact-timestamp matches.
+  - ``nearest`` ties at the exact midpoint resolve to the LATER
+    observation — pandas ``_get_nearest_indexer`` uses strict ``<`` on
+    the pad-side distance for monotonic increasing indexes (app.py:164).
+  - Event tolerance is strict ``<`` (app.py:185); collisions of equal
+    event types on one grid point still yield 1 (assignment semantics,
+    app.py:189).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+GRID_STEP_MS = 33  # app.py:160-161
+EVENT_TOLERANCE_MS = 100  # app.py:185
+DEFAULT_NUM_BUCKETS = 128
+
+
+def _us(ts: dt.datetime) -> int:
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=dt.timezone.utc)
+    return int(ts.timestamp() * 1_000_000)
+
+
+def overlap_window(
+    a: DataFrame, b: DataFrame, on: str = "timestamp"
+) -> tuple[dt.datetime | None, dt.datetime | None]:
+    """O12 (app.py:155-156): latest start / earliest end of two sensors.
+
+    Two tiny partial-aggregations unioned into one job — scalars only
+    ever cross the driver boundary.
+    """
+    row = (
+        a.agg(F.min(on).alias("lo"), F.max(on).alias("hi"))
+        .unionByName(b.agg(F.min(on).alias("lo"), F.max(on).alias("hi")))
+        .agg(F.max("lo").alias("start"), F.min("hi").alias("end"))
+        .first()
+    )
+    return row["start"], row["end"]
+
+
+def time_grid(
+    spark: SparkSession,
+    start: dt.datetime,
+    end: dt.datetime,
+    step_ms: int = GRID_STEP_MS,
+) -> DataFrame:
+    """O13 (app.py:160-162): uniform timestamp grid ``[start, end]``.
+
+    Distributed from birth: ``spark.range(n)`` partitions the index
+    space across executors; each row is ``start + i*step``. Matches
+    ``pd.date_range(start, end, freq)`` (last point <= end).
+    """
+    step_us = step_ms * 1000
+    n = (_us(end) - _us(start)) // step_us + 1 if end >= start else 0
+    return spark.range(max(n, 0)).select(
+        F.timestamp_micros(F.lit(_us(start)) + F.col("id") * step_us).alias("timestamp")
+    )
+
+
+def _bucketize(col: Column, lo_us: int, bucket_us: int) -> Column:
+    return ((F.unix_micros(col) - F.lit(lo_us)) / F.lit(bucket_us)).cast("long")
+
+
+def asof_align(
+    grid: DataFrame,
+    sensor: DataFrame,
+    on: str = "timestamp",
+    method: str = "pad",
+    value_cols: list[str] | None = None,
+    prefix: str = "",
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> DataFrame:
+    """O14 (app.py:164-165): align ``sensor`` onto ``grid`` timestamps.
+
+    method='pad'      last observation at or before the grid point (LOCF)
+    method='backfill' first observation at or after the grid point
+    method='nearest'  closer of the two; exact-midpoint tie -> later
+
+    Implementation: union-tag + per-time-bucket window + broadcast
+    cross-bucket carry (see module docstring). Output: one row per grid
+    timestamp with ``{prefix}{col}`` value columns plus
+    ``{prefix}__matched_ts`` (the matched observation time; NULL when no
+    observation exists on that side).
+    """
+    if method == "nearest":
+        pad = asof_align(grid, sensor, on, "pad", value_cols, "__p_", num_buckets)
+        bf = asof_align(grid, sensor, on, "backfill", value_cols, "__b_", num_buckets)
+        vcols = value_cols or [c for c in sensor.columns if c != on]
+        joined = pad.join(bf, on)
+        g_us = F.unix_micros(F.col(on))
+        p_ts, b_ts = F.col("__p___matched_ts"), F.col("__b___matched_ts")
+        # pandas `_get_nearest_indexer` on a monotonic increasing index
+        # uses `operator.lt`: the pad side wins only when STRICTLY
+        # closer; an exact-midpoint tie resolves to the LATER observation
+        use_pad = p_ts.isNotNull() & (
+            b_ts.isNull()
+            | ((g_us - F.unix_micros(p_ts)) < (F.unix_micros(b_ts) - g_us))
+        )
+        out_cols = [F.col(on)]
+        for c in vcols + ["__matched_ts"]:
+            out_cols.append(
+                F.when(use_pad, F.col(f"__p_{c}"))
+                .otherwise(F.col(f"__b_{c}"))
+                .alias(f"{prefix}{c}")
+            )
+        return joined.select(*out_cols)
+
+    if method not in ("pad", "backfill"):
+        raise ValueError(f"unknown as-of method: {method}")
+
+    vcols = value_cols or [c for c in sensor.columns if c != on]
+    payload = F.struct(
+        F.col(on).alias("__matched_ts"), *[F.col(c) for c in vcols]
+    ).alias("__p")
+    s = sensor.select(F.col(on).alias("__t"), payload, F.lit(0).alias("__tag"))
+    payload_type = s.schema["__p"].dataType
+    g = grid.select(
+        F.col(on).alias("__t"),
+        F.lit(None).cast(payload_type).alias("__p"),
+        F.lit(1).alias("__tag"),
+    )
+    u = s.unionByName(g)
+
+    # Range-bucket the time axis. Bounds come from one tiny agg job.
+    lo, hi = u.agg(F.min("__t"), F.max("__t")).first()
+    if lo is None:
+        empty = [F.col(on)] + [
+            F.lit(None).cast(sensor.schema[c].dataType).alias(f"{prefix}{c}") for c in vcols
+        ] + [F.lit(None).cast("timestamp").alias(f"{prefix}__matched_ts")]
+        return grid.select(*empty).limit(0)
+    lo_us, hi_us = _us(lo), _us(hi)
+    bucket_us = max(1, (hi_us - lo_us) // num_buckets + 1)
+    u = u.withColumn("__b", _bucketize(F.col("__t"), lo_us, bucket_us))
+    sb = s.withColumn("__b", _bucketize(F.col("__t"), lo_us, bucket_us))
+
+    spark = grid.sparkSession
+    spine = spark.range(num_buckets + 1).select(F.col("id").alias("__b"))
+
+    if method == "pad":
+        # In-bucket fill: at equal ts the sensor row (tag 0) sorts before
+        # the grid row, so an exact-timestamp observation is picked up.
+        w_fill = (
+            W.partitionBy("__b")
+            .orderBy(F.col("__t").asc(), F.col("__tag").asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        fill = F.last("__p", ignorenulls=True)
+        per_bucket = sb.groupBy("__b").agg(F.max_by("__p", F.col("__t")).alias("__edge"))
+        w_carry = W.orderBy("__b").rowsBetween(W.unboundedPreceding, -1)
+    else:  # backfill
+        # Grid row (tag 1) sorts before the sensor row at equal ts, so
+        # first() looking forward still sees the exact-timestamp match.
+        w_fill = (
+            W.partitionBy("__b")
+            .orderBy(F.col("__t").asc(), F.col("__tag").desc())
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        fill = F.first("__p", ignorenulls=True)
+        per_bucket = sb.groupBy("__b").agg(F.min_by("__p", F.col("__t")).alias("__edge"))
+        w_carry = W.orderBy("__b").rowsBetween(1, W.unboundedFollowing)
+
+    # Cross-bucket carry: num_buckets rows -> single-partition window is
+    # trivially cheap; result is broadcast back onto the data.
+    carry_fn = F.last if method == "pad" else F.first
+    carry = (
+        spine.join(per_bucket, "__b", "left")
+        .withColumn("__carry", carry_fn("__edge", ignorenulls=True).over(w_carry))
+        .select("__b", "__carry")
+    )
+
+    aligned = (
+        u.withColumn("__f", fill.over(w_fill))
+        .filter(F.col("__tag") == 1)
+        .join(F.broadcast(carry), "__b", "left")
+        .withColumn("__p2", F.coalesce("__f", "__carry"))
+    )
+    out_cols = [F.col("__t").alias(on)] + [
+        F.col(f"__p2.{c}").alias(f"{prefix}{c}") for c in vcols
+    ] + [F.col("__p2.__matched_ts").alias(f"{prefix}__matched_ts")]
+    return aligned.select(*out_cols)
+
+
+def nearest_grid_ts(
+    ts: Column, start_us: int, step_us: int, n_grid: int
+) -> Column:
+    """Closed-form nearest grid point for a UNIFORM grid (O16 core).
+
+    ``idx = (2*delta + step - 1) div (2*step)`` rounds to nearest with
+    exact-midpoint ties going DOWN (pandas ``argmin`` tie-break,
+    app.py:183-184), clamped to the grid range. Pure integer arithmetic
+    — a narrow projection, no join.
+    """
+    delta = F.unix_micros(ts) - F.lit(start_us)
+    idx = F.floor((2 * delta + step_us - 1) / F.lit(2 * step_us))
+    idx = F.least(F.greatest(idx, F.lit(0)), F.lit(n_grid - 1))
+    return F.timestamp_micros(F.lit(start_us) + idx * step_us)
+
+
+def map_events(
+    log: DataFrame,
+    start: dt.datetime,
+    end: dt.datetime,
+    step_ms: int = GRID_STEP_MS,
+    tolerance_ms: int = EVENT_TOLERANCE_MS,
+    on: str = "timestamp",
+    type_col: str = "event_type",
+    event_types: list[str] | None = None,
+) -> DataFrame:
+    """O16 (app.py:178-191): one-hot event columns on grid timestamps.
+
+    Each event is assigned its nearest grid point arithmetically (no
+    shuffle), kept if strictly within tolerance, then one aggregation
+    produces ``event_<TYPE>`` 0/1 columns via MAX — duplicate events of
+    one type on a grid point still yield 1 (assignment semantics,
+    app.py:189).
+
+    ``event_types``: fixed pivot list -> stable schema, no distinct-scan
+    job. When None, observed types are discovered (extra job, reference
+    behavior of lazily-created columns, app.py:186-188).
+    """
+    step_us, tol_us = step_ms * 1000, tolerance_ms * 1000
+    start_us = _us(start)
+    n = (_us(end) - start_us) // step_us + 1 if end >= start else 0
+    if n <= 0:
+        raise ValueError("empty grid")
+    matched = log.select(
+        nearest_grid_ts(F.col(on), start_us, step_us, n).alias(on),
+        F.col(type_col),
+        F.col(on).alias("__ev_ts"),
+    ).filter(
+        F.abs(F.unix_micros(F.col(on)) - F.unix_micros(F.col("__ev_ts"))) < tol_us
+    )
+    if event_types is None:
+        event_types = [
+            r[0]
+            for r in log.select(type_col).distinct().orderBy(type_col).collect()
+        ]
+    aggs = [
+        F.max(F.when(F.col(type_col) == t, 1).otherwise(0)).alias(f"event_{t}")
+        for t in event_types
+    ]
+    return matched.groupBy(on).agg(*aggs)
+
+
+@dataclass
+class SyncResult:
+    """``(synchronized | None, report)`` shape of app.py:198."""
+
+    df: DataFrame | None
+    report: list[str] = field(default_factory=list)
+
+
+def synchronize(
+    camera: DataFrame,
+    motion: DataFrame,
+    log: DataFrame | None = None,
+    method: str = "nearest",
+    on: str = "timestamp",
+    step_ms: int = GRID_STEP_MS,
+    tolerance_ms: int = EVENT_TOLERANCE_MS,
+    event_types: list[str] | None = None,
+    camera_cols: list[str] | None = None,
+    motion_cols: list[str] | None = None,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    drop_missing_rows: bool = True,
+) -> SyncResult:
+    """Full ``synchronize_sensors`` (app.py:140-198): overlap window ->
+    uniform grid -> as-of align both sensors -> prefixed wide table ->
+    one-hot events -> drop incomplete rows.
+
+    The two aligned sensors and the event one-hots all key on the same
+    grid timestamp; joins between them are co-partitioned on that key.
+    """
+    report: list[str] = []
+    if camera is None or motion is None:
+        return SyncResult(None, ["error: camera and motion data required"])
+
+    start, end = overlap_window(camera, motion, on)
+    if start is None or end is None or start > end:
+        return SyncResult(None, ["error: no overlapping time window"])
+    report.append(f"window_start={start.isoformat()}")
+    report.append(f"window_end={end.isoformat()}")
+
+    spark = camera.sparkSession
+    grid = time_grid(spark, start, end, step_ms)
+
+    cam = asof_align(
+        grid, camera, on, method, camera_cols, prefix="camera_", num_buckets=num_buckets
+    ).drop("camera___matched_ts")
+    mot = asof_align(
+        grid, motion, on, method, motion_cols, prefix="motion_", num_buckets=num_buckets
+    ).drop("motion___matched_ts")
+    wide = cam.join(mot, on)
+
+    if log is not None:
+        oneh = map_events(
+            log, start, end, step_ms, tolerance_ms, on, event_types=event_types
+        )
+        wide = wide.join(oneh, on, "left")
+        event_cols = [c for c in oneh.columns if c != on]
+        wide = wide.na.fill(0, subset=event_cols)
+
+    if drop_missing_rows:
+        wide = wide.na.drop("any")  # app.py:193
+    return SyncResult(wide.orderBy(on), report)

@@ -1,0 +1,59 @@
+"""Parquet table loaders for the driver test data.
+
+Reference parity: the reference keeps its three sensor tables in
+Streamlit session state (``app.py:19-26``); here tables are lazy
+DataFrames over parquet — columnar scans get predicate pushdown and
+column pruning from Catalyst for free, and ``register_views`` exposes
+them to ``spark.sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table.
+
+    The driver's ``events.parquet`` stores ``ts`` as parquet
+    TIMESTAMP(NANOS), which Spark's vectorized reader rejects
+    (PARQUET_TYPE_ILLEGAL). We read nanos as raw int64
+    (``spark.sql.legacy.parquet.nanosAsLong``, a runtime SQL conf) and
+    truncate to a µs TimestampType — the same ns→µs truncation DuckDB
+    applies, so oracle comparisons agree. The conversion is a
+    scan-level projection; all downstream operators see TimestampType.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for f in df.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000)))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (reference's session-state
+    analog, app.py:19-26) and return the DataFrames."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

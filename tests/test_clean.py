@@ -1,0 +1,80 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from multi_sensor_data_pipeline_for_robotics__spark.operators import clean as C
+from tests._pandas_reference import clean_pd, make_camera, make_motion
+
+
+def _to_spark(spark, pdf):
+    return spark.createDataFrame(pdf)
+
+
+def _sorted(pdf, by="timestamp"):
+    return pdf.sort_values(by).reset_index(drop=True)
+
+
+def test_drop_missing_matches_pandas(spark):
+    pdf = make_camera()
+    got = C.drop_missing(_to_spark(spark, pdf)).toPandas()
+    want = pdf.dropna()
+    assert len(got) == len(want)
+
+
+def test_sentinel_filter_strict_bounds(spark):
+    pdf = pd.DataFrame(
+        {"timestamp": pd.date_range("2024-01-01", periods=6, freq="1s"),
+         "v": [-900.0, -900.01, -999.0, 10000.0, 10000.01, 5.0]}
+    )
+    got = C.sentinel_filter(_to_spark(spark, pdf)).toPandas()
+    # strict inequalities: -900 and 10000 survive (app.py:116)
+    assert sorted(got["v"].tolist()) == [-900.0, 5.0, 10000.0]
+
+
+def test_clean_camera_matches_pandas(spark):
+    pdf = make_camera()
+    got = C.clean(_to_spark(spark, pdf), "camera", collect_report=False).df.toPandas()
+    want = clean_pd(pdf, "camera")
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        _sorted(got), _sorted(want), check_dtype=False, rtol=1e-12
+    )
+
+
+def test_clean_motion_quantile_clamp_matches_pandas(spark):
+    pdf = make_motion()
+    got = C.clean(_to_spark(spark, pdf), "motion", collect_report=False).df.toPandas()
+    want = clean_pd(pdf, "motion")
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        _sorted(got), _sorted(want), check_dtype=False, rtol=1e-9
+    )
+
+
+def test_clean_report_counts_single_pass(spark):
+    pdf = make_camera()
+    res = C.clean(_to_spark(spark, pdf), "camera", collect_report=True)
+    assert any(r.startswith("rows_in=500") for r in res.report)
+    n_nan = pdf["object_x"].isna().sum()
+    assert f"rows_with_missing={n_nan}" in res.report
+
+
+def test_clamp_median_includes_outliers(spark):
+    # median computed BEFORE replacement (app.py:130)
+    vals = [1.0, 2.0, 3.0, 4.0, 1000.0]
+    pdf = pd.DataFrame({"v": vals})
+    got = C.clamp_outliers(_to_spark(spark, pdf), ["v"]).toPandas()["v"]
+    s = pd.Series(vals)
+    q1, q99, med = s.quantile(0.01), s.quantile(0.99), s.median()
+    want = s.where(~((s < q1) | (s > q99)), med)
+    assert np.allclose(sorted(got), sorted(want))
+
+
+def test_numeric_columns_discovery(spark):
+    pdf = make_camera()
+    df = _to_spark(spark, pdf)
+    cols = C.numeric_columns(df)
+    assert "timestamp" not in cols
+    assert set(cols) == {"frame_id", "object_x", "object_y", "object_size", "confidence"}

@@ -1,0 +1,170 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from multi_sensor_data_pipeline_for_robotics__spark.operators import sync as S
+from tests._pandas_reference import (
+    clean_pd,
+    make_camera,
+    make_log,
+    make_motion,
+    synchronize_pd,
+)
+
+
+def _sorted(pdf, by="timestamp"):
+    return pdf.sort_values(by).reset_index(drop=True)
+
+
+def test_time_grid_matches_date_range(spark):
+    start = dt.datetime(2024, 1, 1)
+    end = dt.datetime(2024, 1, 1, 0, 0, 10)
+    got = S.time_grid(spark, start, end, 33).toPandas()["timestamp"]
+    want = pd.date_range(start, end, freq="33ms")
+    assert len(got) == len(want)
+    assert list(got.sort_values()) == list(want)
+
+
+def test_overlap_window(spark):
+    cam = spark.createDataFrame(make_camera())
+    mot = spark.createDataFrame(make_motion())
+    start, end = S.overlap_window(cam, mot)
+    # motion starts +50ms after camera; camera spans ~16.6s, motion ~12s
+    assert start == dt.datetime(2024, 1, 1, 0, 0, 0, 50000)
+    assert end < dt.datetime(2024, 1, 1, 0, 0, 13)
+
+
+@pytest.mark.parametrize("method", ["pad", "backfill", "nearest"])
+def test_asof_align_matches_pandas_reindex(spark, method):
+    pdf = clean_pd(make_camera(), "camera")
+    sensor = spark.createDataFrame(pdf)
+    start, end = pdf["timestamp"].iloc[0], pdf["timestamp"].iloc[-1]
+    grid = S.time_grid(spark, start.to_pydatetime(), end.to_pydatetime(), 33)
+    got = (
+        S.asof_align(grid, sensor, method=method, num_buckets=7)
+        .drop("__matched_ts")
+        .toPandas()
+    )
+    gridx = pd.date_range(start, end, freq="33ms")
+    want = pdf.set_index("timestamp").reindex(gridx, method=method)
+    want.insert(0, "timestamp", gridx)
+    want = want.reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        _sorted(got)[want.columns], _sorted(want), check_dtype=False, rtol=1e-12
+    )
+
+
+def test_asof_pad_exact_match_and_edges(spark):
+    sensor = spark.createDataFrame(
+        pd.DataFrame(
+            {"timestamp": pd.to_datetime(["2024-01-01 00:00:01", "2024-01-01 00:00:03"]),
+             "v": [10.0, 30.0]}
+        )
+    )
+    grid = spark.createDataFrame(
+        pd.DataFrame({"timestamp": pd.to_datetime(
+            ["2024-01-01 00:00:00", "2024-01-01 00:00:01", "2024-01-01 00:00:02",
+             "2024-01-01 00:00:03", "2024-01-01 00:00:04"])})
+    )
+    got = S.asof_align(grid, sensor, method="pad", num_buckets=3).toPandas()
+    got = _sorted(got)
+    assert got["v"].tolist()[0] != got["v"].tolist()[0] or np.isnan(got["v"][0])  # before first -> null
+    assert got["v"].tolist()[1:] == [10.0, 10.0, 30.0, 30.0]
+
+
+def test_asof_nearest_midpoint_tie_matches_pandas(spark):
+    pdf = pd.DataFrame(
+        {"timestamp": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:00:02"]),
+         "v": [1.0, 2.0]}
+    )
+    sensor = spark.createDataFrame(pdf)
+    gridx = pd.to_datetime(["2024-01-01 00:00:01"])
+    grid = spark.createDataFrame(pd.DataFrame({"timestamp": gridx}))
+    got = S.asof_align(grid, sensor, method="nearest", num_buckets=2).toPandas()
+    want = pdf.set_index("timestamp").reindex(gridx, method="nearest")
+    # pandas (monotonic index) resolves exact-midpoint ties to the LATER obs
+    assert got["v"].tolist() == want["v"].tolist() == [2.0]
+
+
+def test_map_events_tolerance_strict(spark):
+    start = dt.datetime(2024, 1, 1)
+    end = dt.datetime(2024, 1, 1, 0, 0, 10)
+    log = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "timestamp": pd.to_datetime(
+                    [
+                        "2024-01-01 00:00:01.000",   # on grid point? 1s/33ms -> nearest
+                        "2024-01-01 00:00:05.100",   # 100ms past 5.049 grid pt? within tol of nearest
+                        "2024-01-01 00:00:20.000",   # far beyond grid end -> clamped, out of tol
+                    ]
+                ),
+                "event_type": ["A", "B", "A"],
+            }
+        )
+    )
+    got = S.map_events(log, start, end, step_ms=33, tolerance_ms=100).toPandas()
+    # the far event must be excluded; both in-range events mapped once
+    assert got[[c for c in got.columns if c.startswith("event_")]].to_numpy().sum() == 2
+
+
+def test_map_events_duplicate_same_type_yields_one(spark):
+    start = dt.datetime(2024, 1, 1)
+    end = dt.datetime(2024, 1, 1, 0, 0, 1)
+    log = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "timestamp": pd.to_datetime(
+                    ["2024-01-01 00:00:00.500", "2024-01-01 00:00:00.501"]
+                ),
+                "event_type": ["A", "A"],
+            }
+        )
+    )
+    got = S.map_events(log, start, end, step_ms=500, tolerance_ms=100).toPandas()
+    assert got["event_A"].max() == 1
+    assert got["event_A"].sum() == 1
+
+
+@pytest.mark.parametrize("method", ["pad", "nearest"])
+def test_full_synchronize_matches_pandas(spark, method):
+    cam_p = clean_pd(make_camera(), "camera")
+    mot_p = clean_pd(make_motion(), "motion")
+    log_p = make_log()
+    want = synchronize_pd(cam_p, mot_p, log_p, method=method)
+
+    res = S.synchronize(
+        spark.createDataFrame(cam_p),
+        spark.createDataFrame(mot_p),
+        spark.createDataFrame(log_p),
+        method=method,
+        num_buckets=13,
+    )
+    got = res.df.toPandas()
+    # pandas reference creates event cols only when observed; ours pivots
+    # observed types too (discovered) — align column sets
+    ev_got = {c for c in got.columns if c.startswith("event_")}
+    ev_want = {c for c in want.columns if c.startswith("event_")}
+    assert ev_want <= ev_got
+    for c in ev_got - ev_want:
+        assert got[c].sum() == 0
+        got = got.drop(columns=[c])
+    assert len(got) == len(want)
+    got = _sorted(got)[want.columns]
+    pd.testing.assert_frame_equal(got, _sorted(want), check_dtype=False, rtol=1e-9)
+
+
+def test_synchronize_disjoint_windows_errors(spark):
+    cam = spark.createDataFrame(
+        pd.DataFrame({"timestamp": pd.to_datetime(["2024-01-01"]), "v": [1.0]})
+    )
+    mot = spark.createDataFrame(
+        pd.DataFrame({"timestamp": pd.to_datetime(["2025-01-01"]), "w": [1.0]})
+    )
+    res = S.synchronize(cam, mot, None)
+    assert res.df is None
+    assert any("no overlapping" in r for r in res.report)
