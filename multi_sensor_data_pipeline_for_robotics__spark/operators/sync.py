@@ -229,7 +229,12 @@ def nearest_grid_ts(
     — a narrow projection, no join.
     """
     delta = F.unix_micros(ts) - F.lit(start_us)
-    idx = F.floor((2 * delta + step_us - 1) / F.lit(2 * step_us))
+    num = 2 * delta + F.lit(step_us - 1)
+    den = F.lit(2 * step_us)
+    # exact integer floor-division: subtract the long modulo first so the
+    # double divide is of an exact multiple (safe for any µs span,
+    # unlike floor(double/double) which can flip at boundaries)
+    idx = ((num - num % den) / den).cast("long")
     idx = F.least(F.greatest(idx, F.lit(0)), F.lit(n_grid - 1))
     return F.timestamp_micros(F.lit(start_us) + idx * step_us)
 

@@ -1,0 +1,205 @@
+"""Analytics operators — the reference's whole-table statistics
+(SURVEY §2.4) plus group-by/join analytics the rebuild adds for scale
+work.
+
+Reference parity:
+  O19 row count                      len(df)            app.py:108 etc.
+  O20 pairwise Pearson correlation   df.corr()          app.py:416-423
+  O21 summary statistics             df.describe()      app.py:464-468
+  O24 quantile scalars               quantile(q)        app.py:125-130
+  O25 min/max scalars                index min/max      app.py:155-156
+
+Scale notes:
+  - ``corr_matrix`` computes all pairs in ONE aggregation job
+    (k*(k-1)/2 ``F.corr`` expressions -> single partial-agg pass, no
+    shuffle of the data, scalars only to the driver) instead of one job
+    per pair.
+  - ``summary_stats`` uses exact percentiles (``F.percentile``, linear
+    interpolation — pandas/DuckDB-compatible) computed alongside the
+    moments in the same single pass per column set.
+  - Floating-point note: cross-engine double aggregation differs in the
+    last ulp because summation order differs; ``round_to`` (default 6
+    decimal digits) makes results comparable with the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from multi_sensor_data_pipeline_for_robotics__spark.operators.clean import numeric_columns
+
+
+def row_count(df: DataFrame) -> int:
+    """O19 — ``len(df)``."""
+    return df.count()
+
+
+def minmax(df: DataFrame, col: str) -> DataFrame:
+    """O25 — min/max scalars of one column, one partial-agg job."""
+    return df.agg(F.min(col).alias("min_" + col), F.max(col).alias("max_" + col))
+
+
+def corr_matrix(
+    df: DataFrame, cols: list[str] | None = None, round_to: int | None = 6
+) -> DataFrame:
+    """O20 (app.py:416-423) — tidy pairwise Pearson correlation.
+
+    Output: one row per unordered column pair ``(col_a, col_b, corr)``,
+    ``col_a < col_b`` lexicographically... computed as a single
+    aggregation: every ``F.corr`` pair is a partial aggregate over one
+    scan, so the data is read once and never shuffled (scalar results
+    only). The k x k matrix shape is a driver-side pivot of this tidy
+    frame if a caller wants it.
+    """
+    cols = cols or numeric_columns(df)
+    pairs = list(combinations(sorted(cols), 2))
+    aggs = [F.corr(a, b).alias(f"{a}__{b}") for a, b in pairs]
+    row = df.agg(*aggs)
+    stacked = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("col_a"),
+                        F.lit(b).alias("col_b"),
+                        F.col(f"{a}__{b}").alias("corr"),
+                    )
+                    for a, b in pairs
+                ]
+            )
+        ).alias("r")
+    ).select("r.col_a", "r.col_b", "r.corr")
+    if round_to is not None:
+        stacked = stacked.withColumn("corr", F.round("corr", round_to))
+    return stacked
+
+
+def summary_stats(
+    df: DataFrame, cols: list[str] | None = None, round_to: int | None = 6
+) -> DataFrame:
+    """O21 (app.py:464-468) — ``describe()`` with EXACT percentiles.
+
+    One row per column: count, mean, stddev (sample), min, 25%, 50%,
+    75%, max. ``df.summary()`` uses approximate percentiles; for oracle
+    parity we use ``F.percentile`` (exact, linear interpolation) — all
+    columns' stats in a single aggregation job.
+
+    Determinism: mean and stddev are derived from EXACT decimal sums
+    (sum x, sum x²) so the result is independent of partitioning and
+    engine summation order — double-sum results differ in the last ulps
+    between runs, which matters when the output is hash-compared.
+    """
+    cols = cols or numeric_columns(df)
+    dec = "decimal(38,12)"
+    aggs = []
+    for c in cols:
+        x = F.col(c)
+        aggs += [
+            F.count(c).alias(f"{c}__count"),
+            F.sum(x.cast(dec)).alias(f"{c}__sum"),
+            F.sum((x * x).cast(dec)).alias(f"{c}__sumsq"),
+            F.min(c).alias(f"{c}__min"),
+            F.percentile(x, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias(
+                f"{c}__q"
+            ),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    row = df.agg(*aggs)
+    structs = []
+    for c in cols:
+        n = F.col(f"{c}__count").cast("double")
+        s = F.col(f"{c}__sum").cast("double")
+        ss = F.col(f"{c}__sumsq").cast("double")
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__count").cast("long").alias("count"),
+                (s / n).alias("mean"),
+                F.sqrt((ss - s * s / n) / (n - 1)).alias("stddev"),
+                F.col(f"{c}__min").cast("double").alias("min"),
+                F.col(f"{c}__q")[0].cast("double").alias("p25"),
+                F.col(f"{c}__q")[1].cast("double").alias("p50"),
+                F.col(f"{c}__q")[2].cast("double").alias("p75"),
+                F.col(f"{c}__max").cast("double").alias("max"),
+            )
+        )
+    out = row.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+    if round_to is not None:
+        for c in ["mean", "stddev", "min", "p25", "p50", "p75", "max"]:
+            out = out.withColumn(c, F.round(c, round_to))
+    return out
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (beyond-reference group-by agg).
+
+    Money aggregates go through DECIMAL so sums are exact and
+    order-independent — double summation order differs between engines
+    and between Spark partitionings of the SAME data, so decimal is the
+    scale-safe choice for auditable money totals.
+    """
+    dec = "decimal(30,6)"
+    li = lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+    agged = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(dec)).alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast(dec)).alias("sum_base_price"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
+        ).alias("sum_disc_price"),
+        F.sum(
+            (
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).cast(dec)
+        ).alias("sum_charge"),
+        F.sum(F.col("l_discount").cast(dec)).alias("__sum_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    # means derive from the exact decimal sums -> engine/partitioning
+    # independent (see summary_stats note)
+    return (
+        agged.withColumn(
+            "avg_qty", F.round(F.col("sum_qty").cast("double") / F.col("count_order"), 6)
+        )
+        .withColumn(
+            "avg_price",
+            F.round(F.col("sum_base_price").cast("double") / F.col("count_order"), 6),
+        )
+        .withColumn(
+            "avg_disc",
+            F.round(F.col("__sum_disc").cast("double") / F.col("count_order"), 6),
+        )
+        .drop("__sum_disc")
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def top_revenue_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3-shaped join+agg+top-k (beyond-reference).
+
+    The customer dimension is broadcast (small side); lineitem→orders is
+    the one real shuffle. Deterministic top-k: revenue DESC then key ASC.
+    """
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    dec = "decimal(30,6)"
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
+            ).alias("revenue")
+        )
+    )
+    return joined.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc()).limit(k)

@@ -42,7 +42,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for f in df.schema.fields:
         if f.name == "ts" and isinstance(f.dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000)))
+            # integral `div`, NOT `/`: ns-since-epoch (~1.7e18) exceeds
+            # double's 2^53 integer range, so floor(ts/1000.0) is off by
+            # up to ~256 µs
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
