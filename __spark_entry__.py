@@ -27,9 +27,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from multi_sensor_data_pipeline_for_robotics__spark.functions import text as TX
 from multi_sensor_data_pipeline_for_robotics__spark.operators import clean as C
+from multi_sensor_data_pipeline_for_robotics__spark.operators import dedup as D
+from multi_sensor_data_pipeline_for_robotics__spark.operators import multimodal as MM
+from multi_sensor_data_pipeline_for_robotics__spark.operators import similarity as SIM
 from multi_sensor_data_pipeline_for_robotics__spark.operators import sync as S
 from multi_sensor_data_pipeline_for_robotics__spark.plans import analytics as A
+from multi_sensor_data_pipeline_for_robotics__spark.sources import datagen as DG
 from multi_sensor_data_pipeline_for_robotics__spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -184,7 +189,7 @@ def _q_o11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = C.sort_by_time(_events(spark, sf_dir), "ts")
     w = W.orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    return df.select("event_id", F.row_number().over(w).alias("rn"))
+    return df.select("event_id", F.row_number().over(w).cast("long").alias("rn"))
 
 
 def _q_o12(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -312,6 +317,98 @@ def _q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline extension queries
+# ---------------------------------------------------------------------------
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=1, threshold=0.5
+    )
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), num_hashes=32, bands=8, threshold=0.5
+    )
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=8)
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        TX.n_tokens(toks).cast("long").alias("n_tokens"),
+        TX.n_distinct_tokens(toks).cast("long").alias("n_distinct_tokens"),
+        F.round(TX.avg_token_len(toks), 6).alias("avg_token_len"),
+        TX.stopword_count(toks).cast("long").alias("n_stopwords"),
+        F.round(TX.stopword_ratio(toks), 6).alias("stopword_ratio"),
+    )
+
+
+def _q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    return docs.select("doc_id", "lang", TX.lang_id(toks).alias("predicted_lang"))
+
+
+def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.fingerprint(TX.tokens(F.col("text"))).alias("fingerprint")
+    )
+
+
+def _q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.cosine_topk(emb, qs, k=5).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+def _q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+def _q_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.lsh_neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+def _q_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivf_topk(emb, qs, k=5, nlist=16, nprobe=4)
+
+
+def _q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.extract_features(MM.attach_fake_media(docs), decoder="fake")
+
+
+def _q_gen_camera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DG.generate_camera(spark)
+
+
+def _q_gen_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DG.generate_motion(spark)
+
+
+def _q_gen_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DG.generate_log(spark)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o7_drop_missing": _q_o7,
@@ -334,6 +431,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_orders": _q_q3,
         "join_enrich_events": _q_join_enrich,
         "props_json_extract": _q_props_json,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "text_token_stats": _q_text_stats,
+        "text_langid": _q_text_langid,
+        "text_fingerprint": _q_text_fingerprint,
+        "embed_cosine_topk": _q_embed_topk,
+        "embed_neardup_pairs": _q_embed_neardup,
+        "embed_neardup_lsh": _q_embed_lsh,
+        "embed_ivf_topk": _q_embed_ivf,
+        "mm_feature_extract": _q_mm_features,
+        "gen_camera": _q_gen_camera,
+        "gen_motion": _q_gen_motion,
+        "gen_log": _q_gen_log,
     }
 
 
@@ -533,5 +645,99 @@ SELECT CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) % 7 AS bucket,
        max(CAST(regexp_extract(props, '([0-9]+)', 1) AS INT)) AS max_k
 FROM events
 GROUP BY 1
+"""
+
+    # ---- LLM-data extension oracles (deterministic ops only; the
+    # hash-based ops — minhash/simhash/LSH/IVF — are Spark-seeded
+    # approximations and get the driver's rows-only check) ----
+
+    o["dedup_exact"] = """
+SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+    o["dedup_ngram_jaccard"] = """
+WITH s AS (
+    SELECT doc_id AS doc, unnest(list_distinct(string_split(text, ' '))) AS shingle
+    FROM documents
+),
+sz AS (SELECT doc, count(*) AS sz FROM s GROUP BY doc),
+i AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+    FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter / (x.sz + y.sz - inter), 6) AS jaccard
+FROM i JOIN sz x ON x.doc = i.doc_a JOIN sz y ON y.doc = i.doc_b
+WHERE round(inter / (x.sz + y.sz - inter), 6) >= 0.5
+"""
+
+    _sw = "('the', 'a', 'and', 'of', 'is')"
+    o["text_token_stats"] = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct_tokens,
+       round(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+             / len(toks), 6) AS avg_token_len,
+       len(list_filter(toks, x -> x IN {_sw})) AS n_stopwords,
+       round(len(list_filter(toks, x -> x IN {_sw})) / len(toks), 6) AS stopword_ratio
+FROM t
+"""
+
+    _markers = {
+        "de": "('der', 'die', 'das', 'und', 'nicht')",
+        "en": "('the', 'a', 'and', 'of', 'is')",
+        "es": "('el', 'la', 'los', 'que', 'y')",
+        "fr": "('le', 'la', 'les', 'et', 'est')",
+        "zh": "('de', 'shi', 'le', 'bu', 'wo')",
+    }
+    score_cols = ",\n       ".join(
+        f"len(list_filter(toks, x -> x IN {m})) AS s_{lang}"
+        for lang, m in _markers.items()
+    )
+    o["text_langid"] = f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, lang,
+       {score_cols}
+      FROM t)
+SELECT doc_id, lang,
+       CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+            WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+            WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+            WHEN s_fr >= s_zh THEN 'fr'
+            ELSE 'zh' END AS predicted_lang
+FROM s
+"""
+
+    o["text_fingerprint"] = """
+SELECT doc_id,
+       list_aggregate(
+           list_transform(string_split(text, ' '),
+               (t, i) -> (31 * length(t) + ascii(substring(t, 1, 1))) * ((i % 13) + 1)),
+           'sum') % 1000000007 AS fingerprint
+FROM documents
+"""
+
+    o["embed_cosine_topk"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+    SELECT q.query_id, e.vec_id AS cand_id,
+           round(list_cosine_similarity(e.v, q.qv), 6) AS cosine
+    FROM e, q WHERE e.vec_id != q.query_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
+      FROM scored)
+SELECT query_id, cand_id, cosine, rank FROM r WHERE rank <= 5
+"""
+
+    o["embed_neardup_pairs"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
 """
     return o

@@ -1,0 +1,275 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact, n-gram Jaccard similarity join, MinHash+LSH, SimHash.
+
+Scale design:
+  - Exact dedup groups on a 256-bit content hash, not the document
+    body — the shuffle moves 32 bytes + ids per row instead of full
+    texts. (100 TB of text → ~3 TB of hashes.)
+  - The Jaccard similarity join is an inverted-index (explode + shingle
+    equi-join) plan — the standard "document-token join" — never an
+    all-pairs cross join. Cost is sum of squared shingle document-
+    frequencies; a ``max_shingle_df`` knob drops ubiquitous shingles
+    (stopword storms) for the approximate-at-scale variant.
+  - MinHash signatures use ``xxhash64(token, seed)`` per permutation —
+    computed in one projection over exploded tokens, aggregated with
+    ``min`` per (doc, seed); LSH banding turns candidate generation
+    into an equi-join on (band, band-signature). No pairwise loops
+    anywhere.
+  - SimHash packs a 64-bit signature via per-bit majority vote and
+    finds Hamming-ball candidates by the block trick: distance ≤ k
+    pairs must agree on ≥1 of k+1 signature blocks → equi-join per
+    block.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from multi_sensor_data_pipeline_for_robotics__spark.functions.text import tokens
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups keyed by sha256(text): representative =
+    min id, plus copy count. Collision-free in practice (2^-128)."""
+    h = F.sha2(F.col(text_col), 256)
+    return (
+        df.select(h.alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingles(toks, n: int = 3):
+    """Distinct n-token shingles (space-joined) of a token array."""
+    if n == 1:
+        return F.array_distinct(toks)
+    # slide an n-window: positions 0..size-n (0-based transform index)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 1,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """All document pairs with n-gram-shingle Jaccard >= threshold.
+
+    Inverted-index plan: explode distinct shingles → self-equi-join on
+    shingle → per-pair intersection counts → |A∪B| = |A|+|B|-|A∩B|.
+    ``max_shingle_df`` (scale knob) drops shingles appearing in more
+    than that many documents before the join — approximate but removes
+    the quadratic blowup of ubiquitous shingles.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(tokens(F.col(text_col)), n)).alias("shingle"),
+    )
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, round_to) if round_to else jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 1,
+) -> DataFrame:
+    """MinHash signature per document: for each of ``num_hashes``
+    seeded xxhash64 "permutations", the min hash over the shingle set.
+    One explode + one groupBy — signature entries land in an array
+    ordered by seed."""
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(tokens(F.col(text_col)), shingle_n)).alias("shingle"),
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("doc").agg(*mins)
+    return agg.select(
+        "doc", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding over MinHash signatures,
+    scored by estimated Jaccard (matching signature fraction).
+
+    rows/band = num_hashes/bands; a pair collides if any band's slice
+    matches exactly (equi-join on (band, hash(slice))). Estimated
+    Jaccard filters candidates; exact verification can follow with
+    ``ngram_jaccard_pairs`` semantics on the candidate set.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, text_col, id_col, shingle_n)
+    banded = sig.select(
+        "doc",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[F.col("signature")[bi * r + j] for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "signature", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda m: m,
+            )
+        ).cast("double")
+        / num_hashes
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def _bit_vote(h, bit: int):
+    return F.aggregate(
+        h,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.when(F.shiftright(x, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    )
+
+
+def simhash64(toks) -> "F.Column":
+    """64-bit SimHash of a token array: per-bit majority vote of token
+    xxhash64 bits, packed to one long (bit 63 lands in the sign bit via
+    shiftleft). Pure bit arithmetic, no UDF."""
+    h = F.transform(toks, lambda t: F.xxhash64(t))
+    out = F.lit(0).cast("long")
+    for bit in range(64):
+        vote_bit = F.when(_bit_vote(h, bit) > 0, F.lit(1)).otherwise(F.lit(0))
+        out = out.bitwiseOR(F.shiftleft(vote_bit.cast("long"), bit))
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance <= max_hamming via the block
+    trick: split the 64-bit signature into max_hamming+1 blocks; any
+    pair within distance k must match exactly on >= 1 block → one
+    equi-join per block, unioned, distinct, then exact distance filter.
+    """
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    sig = df.select(F.col(id_col).alias("doc"), simhash64(tokens(F.col(text_col))).alias("sig"))
+    blocks = sig.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("block"),
+                        F.shiftright(F.col("sig"), bi * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for bi in range(nblocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "sig", "bb.block", "bb.key")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", dist)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,91 @@
+"""Multimodal column plumbing: treat image/audio/video payloads as
+opaque ``binary`` columns with typed metadata, processed by
+Arrow-batched ``mapInPandas`` stages.
+
+The container has no image/audio codecs, so the actual decode is
+STUBBED: ``decoder="fake"`` is a deterministic byte-level feature
+extractor (real Spark plumbing — schema, batching, partitioning — with
+fake pixels), and ``decoder="pil"``/``"ffmpeg"`` raise
+``NotImplementedError`` at the point the real library would be called.
+Everything around the decode — the batch iterator, the output schema,
+the partition-parallel execution — is production-shaped.
+
+Scale notes: payloads never pass through the driver; ``mapInPandas``
+streams Arrow record batches per partition, so memory is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` x mean payload size.
+Repartition upstream by a size-balanced key when payloads are skewed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, media binary, media_kind string, media_meta string"
+)
+
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, checksum long, head_bytes array<int>"
+)
+
+
+def attach_fake_media(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Build a media table from a text table: the UTF-8 payload stands
+    in for an encoded image. Schema matches what a real ingest (e.g.
+    ``spark.read.format('binaryFile')``) would produce."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "utf-8").alias("media"),
+        F.lit("image/fake").alias("media_kind"),
+        F.to_json(F.struct(F.length(F.col(text_col)).alias("n_chars"))).alias(
+            "media_meta"
+        ),
+    )
+
+
+def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic byte-level 'decode': length, additive checksum,
+    first-4-byte head. Stands in for decode→resize→feature-extract."""
+    out = pd.DataFrame()
+    out["doc_id"] = pdf["doc_id"]
+    payloads = pdf["media"].apply(bytes)
+    out["n_bytes"] = payloads.apply(len).astype("int64")
+    out["checksum"] = payloads.apply(lambda b: sum(b) % 2_147_483_647).astype("int64")
+    out["head_bytes"] = payloads.apply(lambda b: [int(x) for x in b[:4]])
+    return out
+
+
+def extract_features(
+    media: DataFrame, decoder: str = "fake", batch_size_hint: int | None = None
+) -> DataFrame:
+    """Arrow-batched feature extraction over a binary media column.
+
+    ``decoder='fake'`` → deterministic byte features (testable without
+    codecs). ``'pil'``/``'ffmpeg'`` → the real implementations would
+    decode pixels / sample frames here; they raise until the codec libs
+    are available.
+    """
+    if decoder == "fake":
+        decode = _fake_decode_batch
+    elif decoder in ("pil", "ffmpeg"):
+        def decode(pdf: pd.DataFrame) -> pd.DataFrame:
+            raise NotImplementedError(
+                f"decoder={decoder!r}: real codec not present in this "
+                "environment; plumbing is identical to decoder='fake'"
+            )
+    else:
+        raise ValueError(f"unknown decoder: {decoder}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield decode(pdf)
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -1,0 +1,223 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Three tiers, trading exactness for scale:
+  - ``cosine_topk``      exact brute force — broadcast the (small) query
+                         set against the corpus; one scan, no corpus
+                         shuffle; per-query top-k via window.
+  - ``neardup_pairs``    exact all-pairs >= threshold — quadratic;
+                         correctness baseline and oracle target.
+  - ``lsh_neardup_pairs`` random-hyperplane (sign) LSH — candidate
+                         pairs from band equi-joins, verified with the
+                         exact cosine; approximate recall, linear-ish
+                         cost. The scale path for 100 TB corpora.
+  - ``ivf_topk``         inverted-file ANN: partition the corpus by
+                         nearest coarse centroid, probe the closest
+                         ``nprobe`` lists per query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from multi_sensor_data_pipeline_for_robotics__spark.functions.vector import cosine, dot, l2_norm, to_double
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries``: (query_id, embedding). The query side is broadcast, so
+    the corpus is scanned once with no shuffle; ranking shuffles only
+    (query, candidate, sim) triples. Deterministic order: rounded sim
+    DESC, then candidate id ASC.
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    sim = F.round(cosine(F.col("cand_vec"), F.col("query_vec")), round_to)
+    scored = (
+        e.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+        .withColumn("cosine", sim)
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+def neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact embedding near-duplicate pairs: cosine >= threshold,
+    ``id_a < id_b``. All-pairs — use ``lsh_neardup_pairs`` at scale."""
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), round_to)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def _sign_signature(vec, planes: list[list[float]]):
+    """Packed sign bits of <vec, plane_i> as one long per 64 planes."""
+    bits = []
+    for p in planes:
+        proj = dot(to_double(vec), F.array(*[F.lit(float(x)) for x in p]))
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
+    packed = F.lit(0).cast("long")
+    for i, b in enumerate(bits):
+        packed = packed + b.cast("long") * (1 << i)
+    return packed
+
+
+def lsh_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    bands: int = 8,
+    band_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 7,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate near-dup pairs: random-hyperplane LSH candidates
+    verified with exact cosine.
+
+    Each band hashes ``band_bits`` hyperplane signs; candidates are
+    pairs agreeing on all bits of >= 1 band (equi-join per band). The
+    deterministic seed makes runs reproducible. Recall < 1 by design —
+    that is the trade for join-instead-of-cross-product at scale.
+    """
+    planes = _hyperplanes(dim, bands * band_bits, seed)
+    sig_cols = []
+    for bi in range(bands):
+        band_planes = planes[bi * band_bits : (bi + 1) * band_bits]
+        sig_cols.append(
+            F.struct(
+                F.lit(bi).alias("band"),
+                _sign_signature(F.col(vec_col), band_planes).alias("bucket"),
+            )
+        )
+    banded = embeddings.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).alias("vec"),
+        F.explode(F.array(*sig_cols)).alias("bb"),
+    ).select("doc", "vec", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.vec").alias("va"),
+            F.col("b.vec").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = F.round(cosine(F.col("va"), F.col("vb")), round_to)
+    return (
+        cand.withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Inverted-file ANN: coarse-quantize the corpus to its nearest
+    centroid (here: the first ``nlist`` corpus vectors as deterministic
+    coarse centroids — a k-means fit would slot in identically), then
+    each query scans only its ``nprobe`` nearest lists.
+
+    Scale shape: corpus assignment is one broadcast-join scan;
+    candidate scoring touches ~nprobe/nlist of the corpus per query.
+    """
+    cents = (
+        embeddings.orderBy(id_col)
+        .limit(nlist)
+        .select(
+            F.monotonically_increasing_id().alias("__tmp"),
+            F.col(id_col).alias("cent_src"),
+            F.col(vec_col).alias("cent_vec"),
+        )
+    )
+    # stable centroid ids 0..nlist-1 by source id order
+    wc = W.orderBy("cent_src")
+    cents = cents.select(
+        (F.row_number().over(wc) - 1).alias("cent_id"), "cent_vec"
+    )
+
+    def nearest_lists(df, vcol, out, n):
+        scored = df.join(F.broadcast(cents), how="cross").withColumn(
+            "__sim", cosine(F.col(vcol), F.col("cent_vec"))
+        )
+        w = W.partitionBy(*[c for c in df.columns if c != vcol][:1]).orderBy(
+            F.col("__sim").desc(), F.col("cent_id").asc()
+        )
+        return (
+            scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= n)
+            .select(*df.columns, F.col("cent_id").alias(out))
+        )
+
+    e = embeddings.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec"))
+    assigned = nearest_lists(e, "cand_vec", "list_id", 1)
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
+    probes = nearest_lists(q, "query_vec", "list_id", nprobe)
+
+    sim = F.round(cosine(F.col("cand_vec"), F.col("query_vec")), round_to)
+    scored = (
+        assigned.join(probes, "list_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cosine", sim)
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+        .dropDuplicates(["query_id", "cand_id"])
+    )

@@ -1,0 +1,79 @@
+"""CSV/parquet sources and sinks (O4-O6, app.py:225-235, 441-443).
+
+The reference reads uploaded CSVs with inferred schemas and exports the
+synchronized table as a single CSV. Here:
+  - explicit ``StructType`` schemas are preferred (inference = an extra
+    full scan + surprise types at scale); ``infer=True`` keeps parity
+    with the reference's behavior when schemas are unknown.
+  - the default sink is partitioned parquet (columnar, splittable);
+    ``write_csv_single`` reproduces the reference's one-file export and
+    is explicitly marked as the non-scalable path (coalesce(1) funnels
+    every row through one task).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+CAMERA_SCHEMA = T.StructType(
+    [
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("frame_id", T.LongType()),
+        T.StructField("object_x", T.DoubleType()),
+        T.StructField("object_y", T.DoubleType()),
+        T.StructField("object_size", T.DoubleType()),
+        T.StructField("confidence", T.DoubleType()),
+    ]
+)
+
+MOTION_SCHEMA = T.StructType(
+    [T.StructField("timestamp", T.TimestampType())]
+    + [
+        T.StructField(c, T.DoubleType())
+        for c in ["accel_x", "accel_y", "accel_z", "gyro_x", "gyro_y", "gyro_z"]
+    ]
+)
+
+LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("joint_1", T.DoubleType()),
+        T.StructField("joint_2", T.DoubleType()),
+        T.StructField("joint_3", T.DoubleType()),
+        T.StructField("gripper_force", T.DoubleType()),
+    ]
+)
+
+SENSOR_SCHEMAS = {"camera": CAMERA_SCHEMA, "motion": MOTION_SCHEMA, "log": LOG_SCHEMA}
+
+
+def read_sensor_csv(
+    spark: SparkSession, path: str, sensor_type: str | None = None, infer: bool = False
+) -> DataFrame:
+    """O4 — CSV scan with explicit schema when the sensor type is known
+    (app.py:225-235 infer for parity via ``infer=True``)."""
+    reader = spark.read.option("header", True)
+    if sensor_type in SENSOR_SCHEMAS and not infer:
+        reader = reader.schema(SENSOR_SCHEMAS[sensor_type])
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Scalable sink: partitioned parquet."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv_single(df: DataFrame, path: str) -> None:
+    """O5 — single-file CSV export (app.py:441-443 parity).
+
+    ``coalesce(1)`` routes everything through one task — correct for
+    the reference's interactive export, wrong for bulk data; use
+    ``write_parquet`` for anything large."""
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)

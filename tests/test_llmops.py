@@ -1,0 +1,171 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from multi_sensor_data_pipeline_for_robotics__spark.operators import dedup as D
+from multi_sensor_data_pipeline_for_robotics__spark.operators import multimodal as MM
+from multi_sensor_data_pipeline_for_robotics__spark.operators import similarity as SIM
+from multi_sensor_data_pipeline_for_robotics__spark.functions import text as TX
+from multi_sensor_data_pipeline_for_robotics__spark.sources import datagen as DG
+from multi_sensor_data_pipeline_for_robotics__spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": [
+                    "the quick brown fox jumps",
+                    "the quick brown fox jumps",  # exact dup of 1
+                    "the quick brown fox leaps",  # near dup of 1 (4/6 tokens)
+                    "completely different words here now",
+                    "the quick brown fox jumps high",  # superset of 1
+                ],
+            }
+        )
+    )
+
+
+def test_dedup_exact_groups(spark, docs):
+    got = D.dedup_exact(docs).orderBy("doc_id").toPandas()
+    assert got["n_copies"].tolist() == [2, 1, 1, 1]
+    assert got["doc_id"].tolist() == [1, 3, 4, 5]
+
+
+def test_ngram_jaccard_matches_manual(spark, docs):
+    got = D.ngram_jaccard_pairs(docs, n=1, threshold=0.0, round_to=6).toPandas()
+    got = got.set_index(["doc_a", "doc_b"])["jaccard"]
+    # docs 1 and 2 identical -> 1.0
+    assert got.loc[(1, 2)] == 1.0
+    # 1 vs 3: tokens {the,quick,brown,fox,jumps} vs {...leaps}: inter 4, union 6
+    assert abs(got.loc[(1, 3)] - 4 / 6) < 1e-6  # output rounded to 6 dp
+    # 1 vs 5: inter 5, union 6
+    assert abs(got.loc[(1, 5)] - 5 / 6) < 1e-6
+    # disjoint pair absent (threshold 0 keeps only pairs sharing >=1 shingle)
+    assert (1, 4) not in got.index
+
+
+def test_shingles_trigram(spark, docs):
+    out = docs.select(
+        D.shingles(TX.tokens(F.col("text")), 3).alias("sh")
+    ).first()["sh"]
+    assert "the quick brown" in out
+    assert "quick brown fox" in out
+
+
+def test_minhash_estimates_jaccard(spark, docs):
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.0)
+    got = pairs.toPandas().set_index(["doc_a", "doc_b"])["est_jaccard"]
+    # identical docs must collide in every band with estimate 1.0
+    assert got.loc[(1, 2)] == 1.0
+    # near-dup estimate should be in the right ballpark (64 hashes)
+    if (1, 3) in got.index:
+        assert 0.3 < got.loc[(1, 3)] < 1.0
+
+
+def test_simhash_identical_distance_zero(spark, docs):
+    pairs = D.simhash_pairs(docs, max_hamming=10).toPandas()
+    row = pairs[(pairs.doc_a == 1) & (pairs.doc_b == 2)]
+    assert len(row) == 1 and row["hamming"].iloc[0] == 0
+
+
+def test_cosine_topk_matches_numpy(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = SIM.cosine_topk(emb, qs, k=3, round_to=9).toPandas()
+
+    pdf = emb.toPandas()
+    mat = np.array([np.array(v, dtype=np.float64) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for q in range(3):
+        qi = np.where(ids == q)[0][0]
+        sims = mat_n @ mat_n[qi]
+        order = [
+            i for i in np.argsort(-np.round(sims, 9), kind="stable") if ids[i] != q
+        ][:3]
+        want_ids = [int(ids[i]) for i in order]
+        got_ids = got[got.query_id == q].sort_values("rank")["cand_id"].tolist()
+        assert got_ids == want_ids, f"query {q}"
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = SIM.cosine_topk(emb, qs, k=5).toPandas()
+    approx = SIM.ivf_topk(emb, qs, k=5, nlist=8, nprobe=4).toPandas()
+    exact_set = set(map(tuple, exact[["query_id", "cand_id"]].to_numpy()))
+    approx_set = set(map(tuple, approx[["query_id", "cand_id"]].to_numpy()))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_lsh_neardup_subset_of_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = SIM.neardup_pairs(emb, threshold=0.3).toPandas()
+    # many narrow bands -> high collision probability for this sim level
+    lsh = SIM.lsh_neardup_pairs(emb, threshold=0.3, bands=16, band_bits=4).toPandas()
+    exact_set = set(map(tuple, exact[["id_a", "id_b"]].to_numpy()))
+    lsh_set = set(map(tuple, lsh[["id_a", "id_b"]].to_numpy()))
+    assert lsh_set <= exact_set  # verification step guarantees precision 1.0
+    if exact_set:
+        assert len(lsh_set) / len(exact_set) > 0.5  # recall at this config
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["the cat and the hat is of red"]})
+    )
+    row = df.select(
+        TX.n_tokens(TX.tokens(F.col("text"))).alias("n"),
+        TX.n_distinct_tokens(TX.tokens(F.col("text"))).alias("nd"),
+        TX.stopword_count(TX.tokens(F.col("text"))).alias("sw"),
+        TX.lang_id(TX.tokens(F.col("text"))).alias("lang"),
+        TX.fingerprint(TX.tokens(F.col("text"))).alias("fp"),
+    ).first()
+    assert row["n"] == 8
+    assert row["nd"] == 7  # 'the' twice
+    assert row["sw"] == 5  # the, and, the, is, of
+    assert row["lang"] == "en"
+    assert isinstance(row["fp"], int)
+
+
+def test_multimodal_fake_decode_matches_python(spark, docs):
+    media = MM.attach_fake_media(docs)
+    feats = MM.extract_features(media, decoder="fake").orderBy("doc_id").toPandas()
+    texts = docs.orderBy("doc_id").toPandas()["text"]
+    for i, t in enumerate(texts):
+        b = t.encode()
+        assert feats["n_bytes"].iloc[i] == len(b)
+        assert feats["checksum"].iloc[i] == sum(b) % 2_147_483_647
+        assert list(feats["head_bytes"].iloc[i]) == [int(x) for x in b[:4]]
+
+
+def test_multimodal_real_decoder_stubbed(spark, docs):
+    media = MM.attach_fake_media(docs)
+    with pytest.raises(Exception):  # NotImplementedError surfaces via py4j
+        MM.extract_features(media, decoder="pil").collect()
+
+
+def test_datagen_shapes(spark):
+    cam = DG.generate_camera(spark, n=200).toPandas()
+    assert len(cam) == 200
+    assert cam["object_x"].isna().sum() > 0  # noise injected
+    assert (cam["object_y"] == -999.0).sum() >= 0
+    assert cam["confidence"].between(0, 1).all()
+    mot = DG.generate_motion(spark, n=300).toPandas()
+    assert len(mot) == 300
+    assert 9.0 < mot["accel_z"].mean() < 10.5  # gravity offset
+    log = DG.generate_log(spark, n=50).toPandas()
+    assert len(log) == 50
+    assert set(log["event_type"]) <= set(DG.EVENT_TYPES)
+    assert log["timestamp"].is_monotonic_increasing
