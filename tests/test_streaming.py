@@ -1,0 +1,86 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from multi_sensor_data_pipeline_for_robotics__spark.sources.tables import load_table
+from multi_sensor_data_pipeline_for_robotics__spark.streaming import sync_stream as SS
+
+
+@pytest.fixture(scope="module")
+def events_path(sf_dir):
+    return sf_dir
+
+
+def test_windowed_align_matches_batch(spark, sf_dir, events_path):
+    stream = SS.read_events_stream(spark, events_path)
+    aligned = SS.windowed_sensor_align(
+        stream.filter(F.col("event_type") == "click"), step_ms=3_600_000
+    )
+    SS.run_to_memory(aligned, "aligned_out", "complete")
+    got = spark.sql("SELECT * FROM aligned_out").toPandas()
+
+    batch = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    want = (
+        batch.groupBy(F.window("ts", "3600000 milliseconds").alias("win"))
+        .agg(
+            F.max_by("value", "ts").alias("value"),
+            F.max("ts").alias("matched_ts"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .select(F.col("win.start").alias("timestamp"), "value", "matched_ts", "n_obs")
+        .toPandas()
+    )
+    got = got.sort_values("timestamp").reset_index(drop=True)
+    want = want.sort_values("timestamp").reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["value"] == want["value"]).all()
+    assert (got["n_obs"] == want["n_obs"]).all()
+
+
+def test_event_onehot_stream_matches_batch_operator(spark, sf_dir, events_path):
+    from multi_sensor_data_pipeline_for_robotics__spark.operators import sync as S
+
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = (
+        ev.agg(F.min("ts"), F.max("ts")).first()[0],
+        ev.agg(F.min("ts"), F.max("ts")).first()[1],
+    )
+    step_ms, tol_ms = 60_000, 30_000
+    n_grid = (int(hi.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+              - int(lo.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)) // (step_ms * 1000) + 1
+
+    stream = SS.read_events_stream(spark, events_path)
+    oneh = SS.event_onehot_stream(
+        stream, lo, n_grid, step_ms, tol_ms,
+        event_types=["click", "error", "purchase", "signup", "view"],
+    )
+    SS.run_to_memory(oneh, "onehot_out", "complete")
+    got = spark.sql("SELECT * FROM onehot_out").toPandas()
+
+    want = S.map_events(
+        ev.select(F.col("ts").alias("timestamp"), "event_type"),
+        lo, hi, step_ms, tol_ms,
+        event_types=["click", "error", "purchase", "signup", "view"],
+    ).toPandas()
+    got = got.sort_values("timestamp").reset_index(drop=True)
+    want = want.sort_values("timestamp").reset_index(drop=True)
+    assert len(got) == len(want)
+    for c in [c for c in want.columns if c.startswith("event_")]:
+        assert (got[c] == want[c]).all(), c
+
+
+def test_foreach_batch_parquet_sink(spark, events_path, tmp_path):
+    stream = SS.read_events_stream(spark, events_path)
+    q = SS.sync_to_parquet(
+        stream.filter(F.col("event_type") == "view"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        step_ms=3_600_000,
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() > 0
+    assert set(out.columns) == {"timestamp", "value", "matched_ts", "n_obs"}
