@@ -325,14 +325,21 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # trigram shingles: the synthetic corpus has a ~31-token vocabulary,
+    # so unigram Jaccard is degenerate (nearly all pairs ~1.0 → O(n^2)
+    # output); 3-gram shingles discriminate real near-dups
     return D.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), n=1, threshold=0.5
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
     )
 
 
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), num_hashes=32, bands=8, threshold=0.5
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=32,
+        bands=8,
+        threshold=0.5,
+        shingle_n=3,
     )
 
 
@@ -657,9 +664,13 @@ FROM documents GROUP BY 1
 """
 
     o["dedup_ngram_jaccard"] = """
-WITH s AS (
-    SELECT doc_id AS doc, unnest(list_distinct(string_split(text, ' '))) AS shingle
-    FROM documents
+WITH t AS (SELECT doc_id AS doc, string_split(text, ' ') AS toks FROM documents),
+s AS (
+    SELECT doc, unnest(list_distinct(
+        list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    )) AS shingle
+    FROM t
 ),
 sz AS (SELECT doc, count(*) AS sz FROM s GROUP BY doc),
 i AS (
