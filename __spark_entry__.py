@@ -344,7 +344,9 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=8)
+    # max_hamming=3: at 8 the tiny shared vocabulary makes most pairs
+    # "near" (degenerate quadratic output on this corpus)
+    return D.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
 
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

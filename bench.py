@@ -50,10 +50,21 @@ def main() -> None:
 
     qs = entrymod.queries()
 
-    # warm up the JVM + parquet footers with a trivial action
+    # warm up the JVM + parquet footers with a trivial action, and the
+    # Python worker pool (first pandas_udf stage pays ~3s of per-core
+    # worker spawn + pandas import otherwise)
+    from pyspark.sql.functions import col, pandas_udf
+
     from multi_sensor_data_pipeline_for_robotics__spark.sources.tables import load_table
 
     load_table(spark, sf_dir, "lineitem").count()
+
+    @pandas_udf("long")
+    def _noop(x):
+        return x
+
+    cores = spark.sparkContext.defaultParallelism
+    spark.range(cores * 4, numPartitions=cores).select(_noop(col("id"))).count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

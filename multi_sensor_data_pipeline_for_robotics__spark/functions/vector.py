@@ -34,3 +34,28 @@ def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity in double precision: dot/(|a|*|b|)."""
     ad, bd = to_double(a), to_double(b)
     return dot(ad, bd) / (l2_norm(ad) * l2_norm(bd))
+
+
+def cosine_batch(a: Column, b: Column) -> Column:
+    """Arrow-vectorized cosine for HIGH-VOLUME pair verification.
+
+    The ``aggregate``/``zip_with`` expression in :func:`cosine` is exact
+    left-fold (DuckDB-parity) but interpreted per element; over millions
+    of candidate pairs a numpy batch is ~5-10x faster. Summation order
+    differs (pairwise vs sequential) — differences are O(1e-15), so use
+    this on paths whose consumers round or threshold, keep :func:`cosine`
+    where bit-parity with the sequential-fold oracle matters.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(xa, xb):
+        A = np.stack(xa.to_numpy()).astype(np.float64)
+        B = np.stack(xb.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / den)
+
+    return _cos(a, b)

@@ -23,7 +23,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from multi_sensor_data_pipeline_for_robotics__spark.functions.vector import cosine, dot, l2_norm, to_double
+from multi_sensor_data_pipeline_for_robotics__spark.functions.vector import (
+    cosine,
+    cosine_batch,
+    dot,
+    l2_norm,
+    to_double,
+)
+from multi_sensor_data_pipeline_for_robotics__spark.sources.tables import ensure_parallelism
 
 
 def cosine_topk(
@@ -70,7 +77,9 @@ def neardup_pairs(
 ) -> DataFrame:
     """Exact embedding near-duplicate pairs: cosine >= threshold,
     ``id_a < id_b``. All-pairs — use ``lsh_neardup_pairs`` at scale."""
-    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    a = ensure_parallelism(embeddings).select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
     b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     sim = F.round(cosine(F.col("va"), F.col("vb")), round_to)
     return (
@@ -86,16 +95,32 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def _sign_signature(vec, planes: list[list[float]]):
-    """Packed sign bits of <vec, plane_i> as one long per 64 planes."""
-    bits = []
-    for p in planes:
-        proj = dot(to_double(vec), F.array(*[F.lit(float(x)) for x in p]))
-        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
-    packed = F.lit(0).cast("long")
-    for i, b in enumerate(bits):
-        packed = packed + b.cast("long") * (1 << i)
-    return packed
+def _band_buckets_udf(planes: list[list[float]], bands: int, band_bits: int):
+    """Arrow-vectorized Pandas UDF: all band buckets of a vector batch in
+    one numpy matmul.
+
+    Expressing (bands*band_bits) hyperplane projections as Catalyst
+    ``aggregate``/``zip_with`` expressions builds a per-row expression
+    tree of thousands of nodes — codegen-hostile and ~10x slower. One
+    ``X @ P.T`` over an Arrow batch is the vectorized fast path; the
+    plane matrix ships once per executor in the closure (bands*bits*dim
+    doubles — a few KB, never a shuffle).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64)  # (bands*band_bits, dim)
+    weights = (1 << np.arange(band_bits, dtype=np.int64))  # pack bits LSB-first
+
+    @pandas_udf("array<long>")
+    def buckets(vecs):
+        import pandas as pd
+
+        X = np.stack(vecs.to_numpy())  # (n, dim)
+        signs = (X.astype(np.float64) @ P.T) >= 0  # (n, bands*bits)
+        B = signs.reshape(len(X), -1, len(weights)) @ weights  # (n, bands)
+        return pd.Series(list(B))
+
+    return buckets
 
 
 def lsh_neardup_pairs(
@@ -118,20 +143,14 @@ def lsh_neardup_pairs(
     that is the trade for join-instead-of-cross-product at scale.
     """
     planes = _hyperplanes(dim, bands * band_bits, seed)
-    sig_cols = []
-    for bi in range(bands):
-        band_planes = planes[bi * band_bits : (bi + 1) * band_bits]
-        sig_cols.append(
-            F.struct(
-                F.lit(bi).alias("band"),
-                _sign_signature(F.col(vec_col), band_planes).alias("bucket"),
-            )
-        )
-    banded = embeddings.select(
+    buckets = _band_buckets_udf(planes, bands, band_bits)
+    # Candidate generation moves only (id, band, bucket) triples — the
+    # vectors are re-attached by id AFTER pair dedup, so the wide shuffle
+    # of the band join never carries embedding payloads.
+    banded = ensure_parallelism(embeddings).select(
         F.col(id_col).alias("doc"),
-        F.col(vec_col).alias("vec"),
-        F.explode(F.array(*sig_cols)).alias("bb"),
-    ).select("doc", "vec", "bb.band", "bb.bucket")
+        F.posexplode(buckets(F.col(vec_col))).alias("band", "bucket"),
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -140,17 +159,16 @@ def lsh_neardup_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
-            F.col("a.vec").alias("va"),
-            F.col("b.vec").alias("vb"),
-        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sim = F.round(cosine(F.col("va"), F.col("vb")), round_to)
+    ea = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    eb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    sim = F.round(cosine_batch(F.col("va"), F.col("vb")), round_to)
     return (
-        cand.withColumn("cosine", sim)
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cosine", sim)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -95,8 +95,12 @@ def time_grid(
     )
 
 
-def _bucketize(col: Column, lo_us: int, bucket_us: int) -> Column:
-    return ((F.unix_micros(col) - F.lit(lo_us)) / F.lit(bucket_us)).cast("long")
+def _bucketize(col: Column, lo_us: int, bucket_us: int, num_buckets: int) -> Column:
+    # clamp: rows outside the declared bounds (possible when caller-
+    # provided bounds cover only the grid window) fold into the edge
+    # buckets — ordering within a bucket still drives the fill
+    b = ((F.unix_micros(col) - F.lit(lo_us)) / F.lit(bucket_us)).cast("long")
+    return F.least(F.greatest(b, F.lit(0)), F.lit(num_buckets))
 
 
 def asof_align(
@@ -107,6 +111,7 @@ def asof_align(
     value_cols: list[str] | None = None,
     prefix: str = "",
     num_buckets: int = DEFAULT_NUM_BUCKETS,
+    bounds: tuple[dt.datetime, dt.datetime] | None = None,
 ) -> DataFrame:
     """O14 (app.py:164-165): align ``sensor`` onto ``grid`` timestamps.
 
@@ -119,10 +124,15 @@ def asof_align(
     timestamp with ``{prefix}{col}`` value columns plus
     ``{prefix}__matched_ts`` (the matched observation time; NULL when no
     observation exists on that side).
+
+    ``bounds``: known (lo, hi) covering the grid — skips the bounds-
+    discovery job (callers like ``synchronize`` already hold the window
+    scalars). Need not cover the sensor: out-of-range rows clamp into
+    edge buckets.
     """
     if method == "nearest":
-        pad = asof_align(grid, sensor, on, "pad", value_cols, "__p_", num_buckets)
-        bf = asof_align(grid, sensor, on, "backfill", value_cols, "__b_", num_buckets)
+        pad = asof_align(grid, sensor, on, "pad", value_cols, "__p_", num_buckets, bounds)
+        bf = asof_align(grid, sensor, on, "backfill", value_cols, "__b_", num_buckets, bounds)
         vcols = value_cols or [c for c in sensor.columns if c != on]
         joined = pad.join(bf, on)
         g_us = F.unix_micros(F.col(on))
@@ -159,8 +169,9 @@ def asof_align(
     )
     u = s.unionByName(g)
 
-    # Range-bucket the time axis. Bounds come from one tiny agg job.
-    lo, hi = u.agg(F.min("__t"), F.max("__t")).first()
+    # Range-bucket the time axis. Bounds come from the caller when known
+    # (no job), else from one tiny agg job.
+    lo, hi = bounds if bounds is not None else u.agg(F.min("__t"), F.max("__t")).first()
     if lo is None:
         empty = [F.col(on)] + [
             F.lit(None).cast(sensor.schema[c].dataType).alias(f"{prefix}{c}") for c in vcols
@@ -168,8 +179,8 @@ def asof_align(
         return grid.select(*empty).limit(0)
     lo_us, hi_us = _us(lo), _us(hi)
     bucket_us = max(1, (hi_us - lo_us) // num_buckets + 1)
-    u = u.withColumn("__b", _bucketize(F.col("__t"), lo_us, bucket_us))
-    sb = s.withColumn("__b", _bucketize(F.col("__t"), lo_us, bucket_us))
+    u = u.withColumn("__b", _bucketize(F.col("__t"), lo_us, bucket_us, num_buckets))
+    sb = s.withColumn("__b", _bucketize(F.col("__t"), lo_us, bucket_us, num_buckets))
 
     spark = grid.sparkSession
     spine = spark.range(num_buckets + 1).select(F.col("id").alias("__b"))
@@ -328,10 +339,12 @@ def synchronize(
     grid = time_grid(spark, start, end, step_ms)
 
     cam = asof_align(
-        grid, camera, on, method, camera_cols, prefix="camera_", num_buckets=num_buckets
+        grid, camera, on, method, camera_cols, prefix="camera_",
+        num_buckets=num_buckets, bounds=(start, end),
     ).drop("camera___matched_ts")
     mot = asof_align(
-        grid, motion, on, method, motion_cols, prefix="motion_", num_buckets=num_buckets
+        grid, motion, on, method, motion_cols, prefix="motion_",
+        num_buckets=num_buckets, bounds=(start, end),
     ).drop("motion___matched_ts")
     wide = cam.join(mot, on)
 

@@ -49,6 +49,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Widen a narrow input before a compute-heavy stage.
+
+    Small single-file parquet inputs (one row group) scan as ONE task, so
+    downstream Pandas-UDF / join stages serialize on one core. If the
+    input has fewer partitions than the session's parallelism, round-robin
+    repartition it — the shuffle moves only the narrow input once, and the
+    expensive stage then runs on every core. On a real cluster where scans
+    already produce >= cores partitions this is a no-op (no shuffle).
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
