@@ -233,6 +233,19 @@ def _q_o16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_o17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pad-align the (later-starting) error series onto the full events
+    # grid: rows before its first observation are NULL -> dropped (O17)
+    ev = _events(spark, sf_dir)
+    lo, hi = _grid_bounds(ev, "ts")
+    ser = _series(spark, sf_dir, "error", "v")
+    grid = S.time_grid(spark, lo, hi, GRID_STEP_MS)
+    al = S.asof_align(grid, ser, method="pad", bounds=(lo, hi))
+    return C.drop_missing(
+        al.select("timestamp", "v", F.col("__matched_ts").alias("matched_ts"))
+    )
+
+
 def _q_o19(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for t in ["events", "lineitem", "orders", "customer", "documents", "embeddings"]:
@@ -248,6 +261,21 @@ def _q_o20(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_o21(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return A.summary_stats(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+def _q_o22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = []
+    for t in ["events", "lineitem", "documents"]:
+        df = load_table(spark, sf_dir, t)
+        rows.append((t, df.count(), len(df.columns)))
+    return spark.createDataFrame(
+        rows, "table_name string, n_rows long, n_columns long"
+    )
+
+
+def _q_o23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic preview: explicit total order before limit
+    return _events(spark, sf_dir).orderBy("event_id").limit(10)
 
 
 def _q_o24(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -362,6 +390,21 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    flags = TX.quality_flags(toks, F.col("text"))
+    return docs.select(
+        "doc_id",
+        flags["n_tokens"].cast("long").alias("n_tokens"),
+        F.round(flags["avg_token_len"], 6).alias("avg_token_len"),
+        F.round(flags["stopword_ratio"], 6).alias("stopword_ratio"),
+        flags["ok_length"].alias("ok_length"),
+        flags["ok_token_len"].alias("ok_token_len"),
+        flags["ok_stopwords"].alias("ok_stopwords"),
+    )
+
+
 def _q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = TX.tokens(F.col("text"))
@@ -410,6 +453,27 @@ def _q_gen_camera(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DG.generate_camera(spark)
 
 
+def _q_gen_camera_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # noise-free trajectory: engine-independent, oracle-checkable (O1)
+    return DG.generate_camera(spark, noise=False).select(
+        "timestamp",
+        "frame_id",
+        F.round("object_x", 6).alias("object_x"),
+        F.round("object_y", 6).alias("object_y"),
+        F.round("object_size", 6).alias("object_size"),
+    )
+
+
+def _q_gen_motion_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = DG.generate_motion(spark, noise=False)
+    # + 0.0 AFTER the round: collapses IEEE -0.0 (sin of a last-ulp-
+    # negative arg) to +0.0 so both engines present one zero
+    return m.select(
+        "timestamp",
+        *[(F.round(c, 6) + 0.0).alias(c) for c in m.columns if c != "timestamp"],
+    )
+
+
 def _q_gen_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DG.generate_motion(spark)
 
@@ -431,7 +495,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o14_asof_nearest": _asof_query("nearest"),
         "o15_sync_wide": _sync_wide,
         "o16_event_onehot": _q_o16,
+        "o17_postsync_dropna": _q_o17,
         "o19_table_counts": _q_o19,
+        "o22_size_metrics": _q_o22,
+        "o23_preview": _q_o23,
         "o20_corr_matrix": _q_o20,
         "o21_summary_stats": _q_o21,
         "o24_quantiles": _q_o24,
@@ -445,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "text_token_stats": _q_text_stats,
+        "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "embed_cosine_topk": _q_embed_topk,
@@ -453,7 +521,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf_topk": _q_embed_ivf,
         "mm_feature_extract": _q_mm_features,
         "gen_camera": _q_gen_camera,
+        "gen_camera_trajectory": _q_gen_camera_det,
         "gen_motion": _q_gen_motion,
+        "gen_motion_trajectory": _q_gen_motion_det,
         "gen_log": _q_gen_log,
     }
 
@@ -565,6 +635,25 @@ SELECT make_timestamp(su + idx * {step_us}) AS timestamp,
 FROM m
 WHERE abs((su + idx * {step_us}) - tu) < {tol_us}
 GROUP BY 1
+"""
+
+    o["o17_postsync_dropna"] = f"""
+WITH s AS ({_series_sql('error', 'v')}),
+b AS (SELECT min(ts) AS lo, max(ts) AS hi FROM events),
+g AS ({grid15})
+SELECT g.timestamp, s.v, s.timestamp AS matched_ts
+FROM g ASOF LEFT JOIN s ON s.timestamp <= g.timestamp
+WHERE s.v IS NOT NULL AND s.timestamp IS NOT NULL
+"""
+
+    o["o22_size_metrics"] = """
+SELECT 'events' AS table_name, count(*) AS n_rows, 6 AS n_columns FROM events
+UNION ALL SELECT 'lineitem', count(*), 11 FROM lineitem
+UNION ALL SELECT 'documents', count(*), 5 FROM documents
+"""
+
+    o["o23_preview"] = """
+SELECT * FROM events ORDER BY event_id LIMIT 10
 """
 
     o["o19_table_counts"] = """
@@ -697,6 +786,46 @@ SELECT doc_id,
        len(list_filter(toks, x -> x IN {_sw})) AS n_stopwords,
        round(len(list_filter(toks, x -> x IN {_sw})) / len(toks), 6) AS stopword_ratio
 FROM t
+"""
+
+    o["text_quality"] = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+               / len(toks) AS atl,
+           len(list_filter(toks, x -> x IN {_sw})) / CAST(len(toks) AS DOUBLE) AS swr
+    FROM t
+)
+SELECT doc_id, n_tokens,
+       round(atl, 6) AS avg_token_len,
+       round(swr, 6) AS stopword_ratio,
+       (n_tokens >= 10 AND n_tokens <= 100000) AS ok_length,
+       (atl >= 2.0 AND atl <= 12.0) AS ok_token_len,
+       swr > 0.0 AS ok_stopwords
+FROM s
+"""
+
+    cam_epoch_us = 1704067200000000  # 2024-01-01T00:00:00Z (datagen._EPOCH)
+    o["gen_camera_trajectory"] = f"""
+SELECT make_timestamp({cam_epoch_us} + k * 33333) AS timestamp,
+       k AS frame_id,
+       round(sin(k * (4 * pi() / 500)) * 100 + 200, 6) AS object_x,
+       round(cos(k * (4 * pi() / 500)) * 80 + 150, 6) AS object_y,
+       round(abs(sin(k * (2 * pi() / 500))) * 50 + 20, 6) AS object_size
+FROM (SELECT unnest(range(500)) AS k)
+"""
+
+    o["gen_motion_trajectory"] = f"""
+SELECT make_timestamp({cam_epoch_us + 50_000} + k * 20000) AS timestamp,
+       round(sin(k * (6 * pi() / 600)), 6) + 0.0 AS accel_x,
+       round(cos(k * (6 * pi() / 600)), 6) + 0.0 AS accel_y,
+       round(sin(k * (3 * pi() / 600)) * 0.5 + 9.8, 6) + 0.0 AS accel_z,
+       round(sin(k * (4 * pi() / 600)) * 2, 6) + 0.0 AS gyro_x,
+       round(cos(k * (4 * pi() / 600)) * 2, 6) + 0.0 AS gyro_y,
+       round(sin(k * (2 * pi() / 600)), 6) + 0.0 AS gyro_z
+FROM (SELECT unnest(range(600)) AS k)
 """
 
     _markers = {

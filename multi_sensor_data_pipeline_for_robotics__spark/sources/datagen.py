@@ -45,16 +45,26 @@ def generate_camera(
     start: dt.datetime | None = None,
     freq_hz: float = 30.0,
     seed: int = 42,
+    noise: bool = True,
 ) -> DataFrame:
     """O1 (app.py:29-52): 30 Hz object tracking with sin/cos trajectory,
     clipped-normal confidence, 5% NaN noise in object_x and -999
-    sentinels in object_y for half of those rows."""
+    sentinels in object_y for half of those rows.
+
+    ``noise=False`` yields the pure deterministic trajectory (no NaN /
+    sentinel injection, confidence pinned to its 0.9 center) — engine-
+    independent, used for cross-engine generator parity checks."""
     start = start or _EPOCH
     step_us = int(1_000_000 / freq_hz)
     t = F.col("id") * (4 * math.pi / n)  # phase sweep like linspace(0, 4π)
     t2 = F.col("id") * (2 * math.pi / n)
-    noisy = F.rand(seed + 1) < 0.05
+    noisy = (F.rand(seed + 1) < 0.05) if noise else F.lit(False)
     sentinel = noisy & (F.rand(seed + 2) < 0.5)
+    conf = (
+        F.least(F.greatest(F.randn(seed) * 0.1 + 0.9, F.lit(0.0)), F.lit(1.0))
+        if noise
+        else F.lit(0.9)
+    )
     return spark.range(n).select(
         F.timestamp_micros(F.lit(_us(start)) + F.col("id") * step_us).alias("timestamp"),
         F.col("id").alias("frame_id"),
@@ -63,9 +73,7 @@ def generate_camera(
         .alias("object_x"),
         F.when(sentinel, F.lit(-999.0)).otherwise(F.cos(t) * 80 + 150).alias("object_y"),
         (F.abs(F.sin(t2)) * 50 + 20).alias("object_size"),
-        F.least(F.greatest(F.randn(seed) * 0.1 + 0.9, F.lit(0.0)), F.lit(1.0)).alias(
-            "confidence"
-        ),
+        conf.alias("confidence"),
     )
 
 
@@ -75,25 +83,33 @@ def generate_motion(
     start: dt.datetime | None = None,
     freq_hz: float = 50.0,
     seed: int = 43,
+    noise: bool = True,
 ) -> DataFrame:
     """O2 (app.py:55-79): 50 Hz IMU starting +50 ms, gravity-offset
-    accel_z, ~10/n of rows get x10 accel_x spikes."""
+    accel_z, ~10/n of rows get x10 accel_x spikes.
+
+    ``noise=False``: pure sinusoids, no spikes — for cross-engine
+    generator parity checks."""
     start = (start or _EPOCH) + dt.timedelta(milliseconds=50)
     step_us = int(1_000_000 / freq_hz)
     p6 = F.col("id") * (6 * math.pi / n)
     p4 = F.col("id") * (4 * math.pi / n)
     p3 = F.col("id") * (3 * math.pi / n)
     p2 = F.col("id") * (2 * math.pi / n)
-    spike = F.rand(seed + 1) < (10.0 / n)
-    ax = F.sin(p6) + F.randn(seed) * 0.1
+    spike = (F.rand(seed + 1) < (10.0 / n)) if noise else F.lit(False)
+
+    def jitter(s: int, scale: float):
+        return (F.randn(s) * scale) if noise else F.lit(0.0)
+
+    ax = F.sin(p6) + jitter(seed, 0.1)
     return spark.range(n).select(
         F.timestamp_micros(F.lit(_us(start)) + F.col("id") * step_us).alias("timestamp"),
         F.when(spike, ax * 10).otherwise(ax).alias("accel_x"),
-        (F.cos(p6) + F.randn(seed + 2) * 0.1).alias("accel_y"),
-        (F.sin(p3) * 0.5 + 9.8 + F.randn(seed + 3) * 0.05).alias("accel_z"),
-        (F.sin(p4) * 2 + F.randn(seed + 4) * 0.2).alias("gyro_x"),
-        (F.cos(p4) * 2 + F.randn(seed + 5) * 0.2).alias("gyro_y"),
-        (F.sin(p2) + F.randn(seed + 6) * 0.15).alias("gyro_z"),
+        (F.cos(p6) + jitter(seed + 2, 0.1)).alias("accel_y"),
+        (F.sin(p3) * 0.5 + 9.8 + jitter(seed + 3, 0.05)).alias("accel_z"),
+        (F.sin(p4) * 2 + jitter(seed + 4, 0.2)).alias("gyro_x"),
+        (F.cos(p4) * 2 + jitter(seed + 5, 0.2)).alias("gyro_y"),
+        (F.sin(p2) + jitter(seed + 6, 0.15)).alias("gyro_z"),
     )
 
 

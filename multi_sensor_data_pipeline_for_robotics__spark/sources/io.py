@@ -48,13 +48,18 @@ LOG_SCHEMA = T.StructType(
 
 SENSOR_SCHEMAS = {"camera": CAMERA_SCHEMA, "motion": MOTION_SCHEMA, "log": LOG_SCHEMA}
 
+# Spark's CSV default truncates timestamps to milliseconds; sensor grids
+# are µs-resolution (33333 µs camera steps), so sink and scan pin a
+# microsecond format to make the round trip lossless.
+CSV_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
 
 def read_sensor_csv(
     spark: SparkSession, path: str, sensor_type: str | None = None, infer: bool = False
 ) -> DataFrame:
     """O4 — CSV scan with explicit schema when the sensor type is known
     (app.py:225-235 infer for parity via ``infer=True``)."""
-    reader = spark.read.option("header", True)
+    reader = spark.read.option("header", True).option("timestampFormat", CSV_TS_FORMAT)
     if sensor_type in SENSOR_SCHEMAS and not infer:
         reader = reader.schema(SENSOR_SCHEMAS[sensor_type])
     else:
@@ -76,4 +81,10 @@ def write_csv_single(df: DataFrame, path: str) -> None:
     ``coalesce(1)`` routes everything through one task — correct for
     the reference's interactive export, wrong for bulk data; use
     ``write_parquet`` for anything large."""
-    df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+    (
+        df.coalesce(1)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("timestampFormat", CSV_TS_FORMAT)
+        .csv(path)
+    )
