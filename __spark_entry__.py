@@ -335,6 +335,23 @@ def _q_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.running_totals(load_table(spark, sf_dir, "orders"), k_customers=100)
+
+
+def _q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.revenue_rollup(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def _q_top_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.top_per_group(_events(spark, sf_dir), k=3)
+
+
 def _q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     k = F.regexp_extract(F.col("props"), r"([0-9]+)", 1).cast("int")
@@ -371,6 +388,12 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return D.connected_components(pairs, nodes=docs)
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_hamming=3: at 8 the tiny shared vocabulary makes most pairs
     # "near" (degenerate quadratic output on this corpus)
@@ -387,6 +410,17 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(TX.avg_token_len(toks), 6).alias("avg_token_len"),
         TX.stopword_count(toks).cast("long").alias("n_stopwords"),
         F.round(TX.stopword_ratio(toks), 6).alias("stopword_ratio"),
+    )
+
+
+def _q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BPE-ish pre-tokenization over the punctuation-rich JSON props
+    ev = _events(spark, sf_dir)
+    toks = TX.tokens_regex(F.col("props"))
+    return ev.select(
+        "event_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
     )
 
 
@@ -505,13 +539,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o25_minmax_ts": _q_o25,
         "q1_pricing_summary": _q_q1,
         "q3_top_orders": _q_q3,
+        "q_window_running": _q_window_running,
+        "q_rollup_revenue": _q_rollup_revenue,
+        "q_top_per_group": _q_top_per_group,
         "join_enrich_events": _q_join_enrich,
         "props_json_extract": _q_props_json,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_components": _q_dedup_components,
         "dedup_simhash": _q_dedup_simhash,
         "text_token_stats": _q_text_stats,
+        "text_bpe_tokens": _q_text_bpe_tokens,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
@@ -729,6 +768,44 @@ ORDER BY revenue DESC, o_orderkey ASC
 LIMIT 10
 """
 
+    o["q_window_running"] = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       row_number() OVER w AS order_seq,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6)))
+                  OVER (w ROWS UNBOUNDED PRECEDING) AS DOUBLE), 4)
+           AS running_revenue
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+    o["q_rollup_revenue"] = """
+SELECT r_name, n_name,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 4) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+    o["q_top_per_group"] = """
+SELECT event_type, event_id, round(value, 6) AS value,
+       row_number() OVER (PARTITION BY event_type
+                          ORDER BY value DESC, event_id ASC) AS rank
+FROM events
+QUALIFY rank <= 3
+"""
+
+    o["text_bpe_tokens"] = r"""
+SELECT event_id,
+       len(regexp_extract_all(lower(props), '[a-z0-9]+|[^a-z0-9\s]')) AS n_tokens,
+       len(list_distinct(regexp_extract_all(lower(props), '[a-z0-9]+|[^a-z0-9\s]')))
+           AS n_distinct_tokens
+FROM events
+"""
+
     o["join_enrich_events"] = """
 SELECT c_mktsegment, event_type, count(*) AS n,
        round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 4) AS sum_value
@@ -773,6 +850,42 @@ SELECT doc_a, doc_b,
        round(inter / (x.sz + y.sz - inter), 6) AS jaccard
 FROM i JOIN sz x ON x.doc = i.doc_a JOIN sz y ON y.doc = i.doc_b
 WHERE round(inter / (x.sz + y.sz - inter), 6) >= 0.5
+"""
+
+    # transitive-closure CC oracle over the same trigram-Jaccard edges;
+    # min reachable id == the engine's min-label-propagation fixpoint
+    o["dedup_components"] = """
+WITH RECURSIVE
+t AS (SELECT doc_id AS doc, string_split(text, ' ') AS toks FROM documents),
+s AS (
+    SELECT doc, unnest(list_distinct(
+        list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    )) AS shingle
+    FROM t
+),
+sz AS (SELECT doc, count(*) AS sz FROM s GROUP BY doc),
+i AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+    FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM i JOIN sz x ON x.doc = i.doc_a JOIN sz y ON y.doc = i.doc_b
+    WHERE round(inter / (x.sz + y.sz - inter), 6) >= 0.5
+),
+sym AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT sym.src, reach.r FROM sym JOIN reach ON reach.id = sym.dst
+)
+SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
 """
 
     _sw = "('the', 'a', 'and', 'of', 'is')"

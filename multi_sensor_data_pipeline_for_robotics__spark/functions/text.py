@@ -31,6 +31,19 @@ def tokens(col: Column | str, pattern: str = " ") -> Column:
     return F.split(F.col(col) if isinstance(col, str) else col, pattern)
 
 
+BPE_ISH_PATTERN = r"[a-z0-9]+|[^a-z0-9\s]"
+
+
+def tokens_regex(col: Column | str, pattern: str = BPE_ISH_PATTERN) -> Column:
+    """BPE-ish regex tokenization: lowercase alnum runs plus every
+    punctuation byte as its own token — the pre-tokenization split most
+    BPE vocabularies assume. The default pattern is valid in both Java
+    regex (Spark) and RE2 (DuckDB/others), so counts are
+    oracle-comparable."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(pattern), 0)
+
+
 def n_tokens(toks: Column) -> Column:
     return F.size(toks)
 

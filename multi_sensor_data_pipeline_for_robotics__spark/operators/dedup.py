@@ -252,6 +252,55 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    node_id: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph →
+    ``(doc_id, component)`` with component = min doc id in the group.
+
+    Min-label propagation: each round every node takes the min label
+    among itself and its neighbors; converges in O(graph diameter)
+    rounds (near-dup clusters are shallow — a handful of rounds).
+    Each round is one equi-join + one groupBy; ``localCheckpoint``
+    truncates the growing lineage so round N doesn't replan rounds
+    1..N-1. At billion-edge scale swap in the large-star/small-star
+    alternation (same join primitives, fewer rounds on skewed graphs).
+
+    ``nodes``: full node set (singletons get their own component); when
+    None, inferred from the edge endpoints only.
+    """
+    e = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    if nodes is None:
+        ids = sym.select(F.col("src").alias("id")).distinct()
+    else:
+        ids = nodes.select(F.col(node_id).alias("id"))
+    labels = ids.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.dst == labels.id)
+            .select(F.col("src").alias("id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(nbr).groupBy("id").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
+    return labels.select(F.col("id").alias(node_id), F.col("label").alias("component"))
+
+
 def _bit_vote(h, bit: int):
     return F.aggregate(
         h,

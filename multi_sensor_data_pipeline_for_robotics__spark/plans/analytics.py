@@ -178,6 +178,94 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFram
     )
 
 
+def running_totals(
+    orders: DataFrame, k_customers: int | None = None, round_to: int = 4
+) -> DataFrame:
+    """Windowed running revenue per customer (beyond-reference window
+    analytics): orders ranked by date within each customer, with the
+    cumulative total up to and including each order.
+
+    One shuffle on the partition key; windows evaluate partition-local
+    after a sort — no global sort, no driver loop. Cumulative sums run
+    in DECIMAL so the running value is exact under any partitioning.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    out = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.row_number().over(w).cast("long").alias("order_seq"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("double"),
+            round_to,
+        ).alias("running_revenue"),
+    )
+    if k_customers is not None:
+        out = out.filter(F.col("o_custkey") < k_customers)
+    return out
+
+
+def revenue_rollup(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    round_to: int = 4,
+) -> DataFrame:
+    """ROLLUP revenue by (region, nation) with subtotal and grand-total
+    rows (beyond-reference grouping-set analytics).
+
+    The dimension chain customer→nation→region is broadcast (tiny);
+    orders shuffles once on the grouping keys. The rollup is one pass —
+    Catalyst expands grouping sets without re-scanning the fact table.
+    """
+    dims = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    joined = orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double"),
+                round_to,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def top_per_group(
+    events: DataFrame, k: int = 3, round_to: int = 6
+) -> DataFrame:
+    """Top-k rows per group via ranked window (beyond-reference):
+    highest-value events per event type, deterministic tie-break on id."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        events.select(
+            "event_type",
+            "event_id",
+            F.round("value", round_to).alias("value"),
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
 def top_revenue_orders(
     customer: DataFrame,
     orders: DataFrame,

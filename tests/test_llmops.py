@@ -169,3 +169,29 @@ def test_datagen_shapes(spark):
     assert len(log) == 50
     assert set(log["event_type"]) <= set(DG.EVENT_TYPES)
     assert log["timestamp"].is_monotonic_increasing
+
+
+def test_connected_components_chains_and_singletons(spark):
+    # chain 1-2-3 (transitive), pair 10-11, singletons 20, 21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 20, 21]], "doc_id long"
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in D.connected_components(edges, nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 21}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a path graph needs ~diameter rounds; make sure iteration converges
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    got = D.connected_components(edges).collect()
+    assert {r["component"] for r in got} == {0}
+    assert len(got) == n + 1

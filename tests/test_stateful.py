@@ -1,0 +1,87 @@
+"""Stateful streaming LOCF: state must carry across micro-batches and
+match the batch ``lag()`` result on the same data."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from multi_sensor_data_pipeline_for_robotics__spark.streaming.stateful import (
+    LOCF_OUTPUT_SCHEMA,
+    locf_enrich,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _mk_rows(n, keys=("a", "b")):
+    rows = []
+    for i in range(n):
+        for k in keys:
+            rows.append((k, T0 + dt.timedelta(seconds=i * 2 + (0 if k == "a" else 1)), float(i * 10 + ord(k))))
+    return rows
+
+
+def test_locf_state_carries_across_microbatches(spark, tmp_path):
+    rows = _mk_rows(10)
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    # two files = two micro-batches (maxFilesPerTrigger=1)
+    half = T0 + dt.timedelta(seconds=9)
+    src = str(tmp_path / "stream_src")
+    df.filter(F.col("ts") <= half).coalesce(1).write.mode("append").parquet(src)
+    df.filter(F.col("ts") > half).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = locf_enrich(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("locf_test")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["key"], r["ts"]): (r["prev_ts"], r["prev_value"])
+        for r in spark.table("locf_test").collect()
+    }
+    assert len(got) == len(rows)
+
+    # batch oracle: lag() per key over the full data
+    w = W.partitionBy("event_type").orderBy("ts")
+    expected = df.select(
+        "event_type",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.lag("value").over(w).alias("prev_value"),
+    ).collect()
+    for r in expected:
+        pts, pv = got[(r["event_type"], r["ts"])]
+        assert pts == r["prev_ts"], (r, pts)
+        if r["prev_value"] is None:
+            assert pv is None or pv != pv  # None or NaN for the first row
+        else:
+            assert abs(pv - r["prev_value"]) < 1e-12
+
+
+def test_locf_schema(spark):
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(
+            F.lit("k").alias("event_type"),
+            F.col("timestamp").alias("ts"),
+            F.col("value").cast("double"),
+        )
+    )
+    out = locf_enrich(stream)
+    assert out.isStreaming
+    assert out.schema.simpleString() == (
+        "struct<" + LOCF_OUTPUT_SCHEMA.replace(", ", ",").replace(" ", ":") + ">"
+    )
