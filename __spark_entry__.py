@@ -219,6 +219,19 @@ def _asof_query(method: str):
     return q
 
 
+def _q_o14_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pad with merge_asof-style tolerance: matches staler than 10 min
+    # are nulled (grid step is 15 min, so sparse stretches null out)
+    ev = _events(spark, sf_dir)
+    lo, hi = _grid_bounds(ev, "ts")
+    ser = _series(spark, sf_dir, "error", "v")
+    grid = S.time_grid(spark, lo, hi, GRID_STEP_MS)
+    out = S.asof_align(
+        grid, ser, method="pad", bounds=(lo, hi), tolerance_ms=600_000
+    )
+    return out.select("timestamp", "v", F.col("__matched_ts").alias("matched_ts"))
+
+
 def _q_o16(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     lo, hi = _grid_bounds(ev, "ts")
@@ -527,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o14_asof_pad": _asof_query("pad"),
         "o14_asof_backfill": _asof_query("backfill"),
         "o14_asof_nearest": _asof_query("nearest"),
+        "o14_asof_tolerance": _q_o14_tol,
         "o15_sync_wide": _sync_wide,
         "o16_event_onehot": _q_o16,
         "o17_postsync_dropna": _q_o17,
@@ -650,6 +664,20 @@ SELECT p.timestamp,
                  (epoch_us(p.timestamp) - epoch_us(pts)) < (epoch_us(bts) - epoch_us(p.timestamp)))
             THEN pts ELSE bts END AS matched_ts
 FROM p JOIN bf ON p.timestamp = bf.timestamp
+"""
+
+    o["o14_asof_tolerance"] = f"""
+WITH s AS ({_series_sql('error', 'v')}),
+b AS (SELECT min(ts) AS lo, max(ts) AS hi FROM events),
+g AS ({grid15})
+SELECT g.timestamp,
+       CASE WHEN s.timestamp IS NOT NULL
+                 AND epoch_us(g.timestamp) - epoch_us(s.timestamp) <= {600_000 * 1000}
+            THEN s.v END AS v,
+       CASE WHEN s.timestamp IS NOT NULL
+                 AND epoch_us(g.timestamp) - epoch_us(s.timestamp) <= {600_000 * 1000}
+            THEN s.timestamp END AS matched_ts
+FROM g ASOF LEFT JOIN s ON s.timestamp <= g.timestamp
 """
 
     o["o15_sync_wide"] = _SYNC_WIDE_SQL

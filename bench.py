@@ -31,11 +31,14 @@ HEADLINE = [
     "o21_summary_stats",
     "q1_pricing_summary",
     "q3_top_orders",
+    "q_window_running",
+    "q_rollup_revenue",
     "join_enrich_events",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "text_token_stats",
+    "text_bpe_tokens",
     "embed_cosine_topk",
     "embed_neardup_lsh",
 ]

@@ -275,7 +275,12 @@ def connected_components(
     None, inferred from the edge endpoints only.
     """
     e = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # materialize the edge set ONCE — without this every round re-runs
+    # the (possibly expensive) upstream pair-generation plan; at cluster
+    # scale use reliable checkpointing / a persisted table instead
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
     if nodes is None:
         ids = sym.select(F.col("src").alias("id")).distinct()
     else:
@@ -286,16 +291,18 @@ def connected_components(
             sym.join(labels, sym.dst == labels.id)
             .select(F.col("src").alias("id"), "label")
         )
-        new_labels = (
-            labels.unionByName(nbr).groupBy("id").agg(F.min("label").alias("label"))
-        ).localCheckpoint(eager=True)
-        n_changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+        # one checkpointed round result carries (new label, old label) so
+        # the convergence count re-reads the materialized rows instead of
+        # re-running the round's join
+        merged = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .join(labels.withColumnRenamed("label", "__old"), "id")
+            .localCheckpoint(eager=True)
         )
-        labels = new_labels
+        n_changed = merged.filter(F.col("label") != F.col("__old")).count()
+        labels = merged.select("id", "label")
         if n_changed == 0:
             break
     return labels.select(F.col("id").alias(node_id), F.col("label").alias("component"))

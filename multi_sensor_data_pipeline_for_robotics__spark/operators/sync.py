@@ -112,6 +112,7 @@ def asof_align(
     prefix: str = "",
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     bounds: tuple[dt.datetime, dt.datetime] | None = None,
+    tolerance_ms: int | None = None,
 ) -> DataFrame:
     """O14 (app.py:164-165): align ``sensor`` onto ``grid`` timestamps.
 
@@ -129,6 +130,10 @@ def asof_align(
     discovery job (callers like ``synchronize`` already hold the window
     scalars). Need not cover the sensor: out-of-range rows clamp into
     edge buckets.
+
+    ``tolerance_ms``: pandas ``reindex``/``merge_asof`` tolerance — a
+    match farther than this from the grid point is nulled out (a cheap
+    post-projection; the align itself is unchanged).
     """
     if method == "nearest":
         pad = asof_align(grid, sensor, on, "pad", value_cols, "__p_", num_buckets, bounds)
@@ -151,7 +156,9 @@ def asof_align(
                 .otherwise(F.col(f"__b_{c}"))
                 .alias(f"{prefix}{c}")
             )
-        return joined.select(*out_cols)
+        return _apply_tolerance(
+            joined.select(*out_cols), on, vcols, prefix, tolerance_ms
+        )
 
     if method not in ("pad", "backfill"):
         raise ValueError(f"unknown as-of method: {method}")
@@ -226,7 +233,31 @@ def asof_align(
     out_cols = [F.col("__t").alias(on)] + [
         F.col(f"__p2.{c}").alias(f"{prefix}{c}") for c in vcols
     ] + [F.col("__p2.__matched_ts").alias(f"{prefix}__matched_ts")]
-    return aligned.select(*out_cols)
+    return _apply_tolerance(
+        aligned.select(*out_cols), on, vcols, prefix, tolerance_ms
+    )
+
+
+def _apply_tolerance(
+    df: DataFrame,
+    on: str,
+    vcols: list[str],
+    prefix: str,
+    tolerance_ms: int | None,
+) -> DataFrame:
+    """Null out matches farther than the tolerance from the grid point
+    (narrow projection — no extra shuffle)."""
+    if tolerance_ms is None:
+        return df
+    m = F.col(f"{prefix}__matched_ts")
+    within = m.isNotNull() & (
+        F.abs(F.unix_micros(F.col(on)) - F.unix_micros(m)) <= tolerance_ms * 1000
+    )
+    out = df
+    for c in [*vcols, "__matched_ts"]:
+        col = f"{prefix}{c}"
+        out = out.withColumn(col, F.when(within, F.col(col)))
+    return out
 
 
 def nearest_grid_ts(
