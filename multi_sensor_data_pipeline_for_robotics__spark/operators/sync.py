@@ -260,6 +260,56 @@ def _apply_tolerance(
     return out
 
 
+def reduce_to_grid_cells(
+    sensor: DataFrame,
+    start_us: int,
+    step_us: int,
+    n_grid: int,
+    method: str,
+    on: str = "timestamp",
+) -> DataFrame:
+    """Shrink a sensor to the observations that can possibly win an
+    as-of match against a UNIFORM grid — at most one row per grid cell.
+
+    Cell geometry is method-specific so boundary observations survive:
+      pad      ceil-cells ``(g_{k-1}, g_k]`` — the latest obs of cell k
+               is ≤ g_k, and every grid point's true match is the max of
+               some ceil-cell at or before it;
+      backfill floor-cells ``[g_k, g_{k+1})`` — keep the earliest;
+      nearest  union of both candidate sets (an obs may appear twice —
+               harmless for as-of semantics, no dedup shuffle needed).
+    Observations outside the grid clamp into edge cells. One groupBy
+    over the sensor replaces pushing every raw row through the align
+    window — the align input drops from O(|sensor|) to
+    O(min(|sensor|, n_grid)), the big win when downsampling a high-rate
+    sensor onto a coarse grid.
+    """
+    if method not in ("pad", "backfill", "nearest"):
+        raise ValueError(f"unknown as-of method: {method}")
+    delta = F.unix_micros(F.col(on)) - F.lit(start_us)
+    fdiv = (delta - ((delta % step_us) + step_us) % step_us) / step_us  # floor div
+    floor_cell = F.least(F.greatest(fdiv.cast("long"), F.lit(-1)), F.lit(n_grid))
+    cdiv = -(((-delta) - (((-delta) % step_us) + step_us) % step_us) / step_us)
+    ceil_cell = F.least(F.greatest(cdiv.cast("long"), F.lit(-1)), F.lit(n_grid))
+    payload = F.struct(F.col(on), *[F.col(c) for c in sensor.columns if c != on])
+
+    parts = []
+    if method in ("pad", "nearest"):
+        parts.append(
+            sensor.withColumn("__cell", ceil_cell)
+            .groupBy("__cell")
+            .agg(F.max_by(payload, F.col(on)).alias("__r"))
+        )
+    if method in ("backfill", "nearest"):
+        parts.append(
+            sensor.withColumn("__cell", floor_cell)
+            .groupBy("__cell")
+            .agg(F.min_by(payload, F.col(on)).alias("__r"))
+        )
+    reps = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    return reps.select(*[F.col(f"__r.{c}") for c in sensor.columns])
+
+
 def nearest_grid_ts(
     ts: Column, start_us: int, step_us: int, n_grid: int
 ) -> Column:
@@ -348,6 +398,7 @@ def synchronize(
     motion_cols: list[str] | None = None,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     drop_missing_rows: bool = True,
+    reduce_cells: bool = False,
 ) -> SyncResult:
     """Full ``synchronize_sensors`` (app.py:140-198): overlap window ->
     uniform grid -> as-of align both sensors -> prefixed wide table ->
@@ -369,12 +420,25 @@ def synchronize(
     spark = camera.sparkSession
     grid = time_grid(spark, start, end, step_ms)
 
+    # reduce_cells: pre-shrink each sensor to its per-cell as-of
+    # candidates (<= ~1 row per grid cell). The reduction is a map-side-
+    # combinable groupBy, so it wins when |sensor| >> n_grid (high-rate
+    # sensor onto a coarse grid — the 100 TB shape); at |sensor| ~ n_grid
+    # the extra shuffle just adds latency, hence opt-in.
+    camera_r, motion_r = camera, motion
+    if reduce_cells:
+        step_us = step_ms * 1000
+        start_us = _us(start)
+        n_grid = (_us(end) - start_us) // step_us + 1
+        camera_r = reduce_to_grid_cells(camera, start_us, step_us, n_grid, method, on)
+        motion_r = reduce_to_grid_cells(motion, start_us, step_us, n_grid, method, on)
+
     cam = asof_align(
-        grid, camera, on, method, camera_cols, prefix="camera_",
+        grid, camera_r, on, method, camera_cols, prefix="camera_",
         num_buckets=num_buckets, bounds=(start, end),
     ).drop("camera___matched_ts")
     mot = asof_align(
-        grid, motion, on, method, motion_cols, prefix="motion_",
+        grid, motion_r, on, method, motion_cols, prefix="motion_",
         num_buckets=num_buckets, bounds=(start, end),
     ).drop("motion___matched_ts")
     wide = cam.join(mot, on)

@@ -168,3 +168,39 @@ def test_synchronize_disjoint_windows_errors(spark):
     res = S.synchronize(cam, mot, None)
     assert res.df is None
     assert any("no overlapping" in r for r in res.report)
+
+
+@pytest.mark.parametrize("method", ["pad", "backfill", "nearest"])
+def test_reduce_cells_path_equivalent(spark, method):
+    """synchronize(reduce_cells=True) must produce exactly the full-path
+    result — per-cell candidate reduction is a pure optimization."""
+    cam = spark.createDataFrame(clean_pd(make_camera(), "camera"))
+    mot = spark.createDataFrame(clean_pd(make_motion(), "motion"))
+    log = spark.createDataFrame(make_log()[["timestamp", "event_type"]])
+    kw = dict(method=method, step_ms=33, tolerance_ms=100)
+    full = S.synchronize(cam, mot, log, **kw).df.toPandas()
+    red = S.synchronize(cam, mot, log, reduce_cells=True, **kw).df.toPandas()
+    a = _sorted(full).reset_index(drop=True)
+    b = _sorted(red).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.parametrize("method", ["pad", "backfill", "nearest"])
+def test_reduce_to_grid_cells_boundary_obs_survive(spark, method):
+    """An observation exactly on a grid boundary must stay an as-of
+    candidate even when later/earlier observations share its cell."""
+    t0 = dt.datetime(2024, 1, 1)
+    step_ms = 100
+    rows = [
+        (t0 + dt.timedelta(milliseconds=ms), float(ms))
+        for ms in [0, 100, 130, 170, 200, 330, 400]
+    ]
+    sensor = spark.createDataFrame(rows, "timestamp timestamp, x double")
+    grid = S.time_grid(spark, t0, t0 + dt.timedelta(milliseconds=400), step_ms)
+    full = S.asof_align(grid, sensor, method=method).toPandas()
+    red_in = S.reduce_to_grid_cells(
+        sensor, int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6),
+        step_ms * 1000, 5, method,
+    )
+    red = S.asof_align(grid, red_in, method=method).toPandas()
+    pd.testing.assert_frame_equal(_sorted(full), _sorted(red))
