@@ -103,6 +103,10 @@ def clamp_outliers(
     row = df.agg(*aggs).first()
     out = df
     for c in cols:
+        if row[c] is None:
+            # empty or all-NULL column: no quantiles -> nothing to clamp
+            # (pandas parity: NaN bounds make both comparisons False)
+            continue
         q_lo, med, q_hi = row[c]
         out = out.withColumn(
             c,
