@@ -310,6 +310,167 @@ def reduce_to_grid_cells(
     return reps.select(*[F.col(f"__r.{c}") for c in sensor.columns])
 
 
+def asof_align_multi(
+    grid: DataFrame,
+    sensors: dict[str, DataFrame],
+    on: str = "timestamp",
+    method: str = "pad",
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    bounds: tuple[dt.datetime, dt.datetime] | None = None,
+) -> DataFrame:
+    """Align SEVERAL sensors onto one grid in a single union + window
+    pass (pad/backfill; nearest = one pad pass + one backfill pass
+    joined on the grid key).
+
+    vs. calling :func:`asof_align` per sensor: one shuffle instead of
+    N, one window fill with N ``last()``/``first()`` expressions instead
+    of N window stages, and NO grid-key join between the aligned
+    sensors — the wide row is born assembled. ``sensors`` maps an output
+    prefix to its DataFrame; value columns are everything but ``on``.
+    """
+    if method == "nearest":
+        pad = asof_align_multi(grid, sensors, on, "pad", num_buckets, bounds)
+        bf = asof_align_multi(grid, sensors, on, "backfill", num_buckets, bounds)
+        g_us = F.unix_micros(F.col(on))
+        out_cols = [F.col(on)]
+        joined = pad.join(
+            bf.select(
+                F.col(on), *[F.col(c).alias(f"__b_{c}") for c in bf.columns if c != on]
+            ),
+            on,
+        )
+        for prefix, sensor in sensors.items():
+            vcols = [c for c in sensor.columns if c != on]
+            p_ts = F.col(f"{prefix}__matched_ts")
+            b_ts = F.col(f"__b_{prefix}__matched_ts")
+            use_pad = p_ts.isNotNull() & (
+                b_ts.isNull()
+                | ((g_us - F.unix_micros(p_ts)) < (F.unix_micros(b_ts) - g_us))
+            )
+            for c in vcols + ["__matched_ts"]:
+                out_cols.append(
+                    F.when(use_pad, F.col(f"{prefix}{c}"))
+                    .otherwise(F.col(f"__b_{prefix}{c}"))
+                    .alias(f"{prefix}{c}")
+                )
+        return joined.select(*out_cols)
+
+    if method not in ("pad", "backfill"):
+        raise ValueError(f"unknown as-of method: {method}")
+
+    prefixes = list(sensors)
+    payloads = {}
+    tagged = []
+    for i, prefix in enumerate(prefixes):
+        sensor = sensors[prefix]
+        vcols = [c for c in sensor.columns if c != on]
+        payloads[prefix] = (
+            vcols,
+            F.struct(F.col(on).alias("__matched_ts"), *[F.col(c) for c in vcols]),
+        )
+    # one unioned stream: each row carries ONE sensor's payload struct
+    # (others NULL) + the grid rows with all payloads NULL
+    def row_for(df, which: int | None):
+        cols = [F.col(on).alias("__t")]
+        for j, prefix in enumerate(prefixes):
+            vcols, payload = payloads[prefix]
+            if which == j:
+                cols.append(payload.alias(f"__p{j}"))
+            else:
+                cols.append(F.lit(None).alias(f"__p{j}"))
+        cols.append(F.lit(1 if which is None else 0).alias("__tag"))
+        return df.select(*cols)
+
+    parts = [row_for(sensors[p], i) for i, p in enumerate(prefixes)]
+    # align NULL payload types across the union: build each part with
+    # explicit casts to the sensor's struct type
+    typed_parts = []
+    for i, part in enumerate(parts):
+        cols = [F.col("__t")]
+        for j, prefix in enumerate(prefixes):
+            t = parts[j].schema[f"__p{j}"].dataType
+            cols.append(F.col(f"__p{j}").cast(t).alias(f"__p{j}"))
+        cols.append(F.col("__tag"))
+        typed_parts.append(part.select(*cols))
+    gpart = row_for(grid, None)
+    gcols = [F.col("__t")]
+    for j in range(len(prefixes)):
+        t = parts[j].schema[f"__p{j}"].dataType
+        gcols.append(F.col(f"__p{j}").cast(t).alias(f"__p{j}"))
+    gcols.append(F.col("__tag"))
+    u = typed_parts[0]
+    for p in typed_parts[1:]:
+        u = u.unionByName(p)
+    u = u.unionByName(gpart.select(*gcols))
+
+    lo, hi = bounds if bounds is not None else u.agg(F.min("__t"), F.max("__t")).first()
+    lo_us, hi_us = _us(lo), _us(hi)
+    bucket_us = max(1, (hi_us - lo_us) // num_buckets + 1)
+    u = u.withColumn("__b", _bucketize(F.col("__t"), lo_us, bucket_us, num_buckets))
+
+    if method == "pad":
+        w_fill = (
+            W.partitionBy("__b")
+            .orderBy(F.col("__t").asc(), F.col("__tag").asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        fill, pick, w_carry = (
+            F.last,
+            F.max_by,
+            W.orderBy("__b").rowsBetween(W.unboundedPreceding, -1),
+        )
+    else:
+        w_fill = (
+            W.partitionBy("__b")
+            .orderBy(F.col("__t").asc(), F.col("__tag").desc())
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        fill, pick, w_carry = (
+            F.first,
+            F.min_by,
+            W.orderBy("__b").rowsBetween(1, W.unboundedFollowing),
+        )
+
+    # one tiny per-bucket edge table covering every sensor's payload
+    edge_aggs = []
+    for j, prefix in enumerate(prefixes):
+        edge_aggs.append(
+            pick(F.col(f"__p{j}"), F.when(F.col(f"__p{j}").isNotNull(), F.col("__t")))
+            .alias(f"__e{j}")
+        )
+    per_bucket = u.filter(F.col("__tag") == 0).groupBy("__b").agg(*edge_aggs)
+    spark = grid.sparkSession
+    spine = spark.range(num_buckets + 1).select(F.col("id").alias("__b"))
+    carry_fn = F.last if method == "pad" else F.first
+    carry = spine.join(per_bucket, "__b", "left").select(
+        "__b",
+        *[
+            carry_fn(f"__e{j}", ignorenulls=True).over(w_carry).alias(f"__c{j}")
+            for j in range(len(prefixes))
+        ],
+    )
+
+    filled = u.select(
+        "__t",
+        "__tag",
+        "__b",
+        *[
+            fill(f"__p{j}", ignorenulls=True).over(w_fill).alias(f"__f{j}")
+            for j in range(len(prefixes))
+        ],
+    ).filter(F.col("__tag") == 1)
+    joined = filled.join(F.broadcast(carry), "__b", "left")
+
+    out_cols = [F.col("__t").alias(on)]
+    for j, prefix in enumerate(prefixes):
+        vcols, _ = payloads[prefix]
+        p2 = F.coalesce(F.col(f"__f{j}"), F.col(f"__c{j}"))
+        for c in vcols:
+            out_cols.append(p2[c].alias(f"{prefix}{c}"))
+        out_cols.append(p2["__matched_ts"].alias(f"{prefix}__matched_ts"))
+    return joined.select(*out_cols)
+
+
 def nearest_grid_ts(
     ts: Column, start_us: int, step_us: int, n_grid: int
 ) -> Column:
@@ -433,15 +594,20 @@ def synchronize(
         camera_r = reduce_to_grid_cells(camera, start_us, step_us, n_grid, method, on)
         motion_r = reduce_to_grid_cells(motion, start_us, step_us, n_grid, method, on)
 
-    cam = asof_align(
-        grid, camera_r, on, method, camera_cols, prefix="camera_",
-        num_buckets=num_buckets, bounds=(start, end),
-    ).drop("camera___matched_ts")
-    mot = asof_align(
-        grid, motion_r, on, method, motion_cols, prefix="motion_",
-        num_buckets=num_buckets, bounds=(start, end),
-    ).drop("motion___matched_ts")
-    wide = cam.join(mot, on)
+    if camera_cols:
+        camera_r = camera_r.select(on, *camera_cols)
+    if motion_cols:
+        motion_r = motion_r.select(on, *motion_cols)
+    # both sensors align in ONE union+window pass; the wide row is born
+    # assembled (no grid-key join between aligned sensors)
+    wide = asof_align_multi(
+        grid,
+        {"camera_": camera_r, "motion_": motion_r},
+        on,
+        method,
+        num_buckets=num_buckets,
+        bounds=(start, end),
+    ).drop("camera___matched_ts", "motion___matched_ts")
 
     if log is not None:
         oneh = map_events(
