@@ -365,6 +365,23 @@ def _q_top_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.top_per_group(_events(spark, sf_dir), k=3)
 
 
+def _q_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # native JSON parsing (from_json with a declared schema), vs the
+    # regexp fallback of props_json_extract
+    ev = _events(spark, sf_dir)
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        ev.select(k.alias("k"), "value")
+        .groupBy((F.col("k") % 10).alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(30,6)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+    )
+
+
 def _q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     k = F.regexp_extract(F.col("props"), r"([0-9]+)", 1).cast("int")
@@ -558,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_per_group": _q_top_per_group,
         "join_enrich_events": _q_join_enrich,
         "props_json_extract": _q_props_json,
+        "props_json_typed": _q_props_typed,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -850,9 +868,58 @@ FROM events
 GROUP BY 1
 """
 
-    # ---- LLM-data extension oracles (deterministic ops only; the
-    # hash-based ops — minhash/simhash/LSH/IVF — are Spark-seeded
-    # approximations and get the driver's rows-only check) ----
+    o["props_json_typed"] = """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS decile,
+       count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 4) AS sum_value
+FROM events
+GROUP BY 1
+"""
+
+    # ---- LLM-data extension oracles (deterministic ops; the seeded
+    # hash-based ops — minhash/simhash/hyperplane-LSH — stay rows-only.
+    # IVF uses deterministic first-N centroids, so it IS oracle-able.) ----
+    o["embed_ivf_topk"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, v AS cv
+    FROM e QUALIFY row_number() OVER (ORDER BY vec_id) <= 16
+),
+assigned AS (
+    SELECT vec_id AS cand_id, v AS cand_vec, cent_id AS list_id
+    FROM (
+        SELECT e.vec_id, e.v, cents.cent_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, cents.cv) DESC,
+                            cents.cent_id ASC) AS rk
+        FROM e, cents
+    ) WHERE rk = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+probes AS (
+    SELECT query_id, qv, cent_id AS list_id
+    FROM (
+        SELECT q.query_id, q.qv, cents.cent_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(q.qv, cents.cv) DESC,
+                            cents.cent_id ASC) AS rk
+        FROM q, cents
+    ) WHERE rk <= 4
+),
+scored AS (
+    SELECT p.query_id, a.cand_id,
+           round(list_cosine_similarity(a.cand_vec, p.qv), 6) AS cosine
+    FROM assigned a JOIN probes p ON a.list_id = p.list_id
+    WHERE a.cand_id != p.query_id
+)
+SELECT query_id, cand_id, cosine, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
 
     o["dedup_exact"] = """
 SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS n_copies
