@@ -418,6 +418,16 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs_portable(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=16,
+        bands=4,
+        threshold=0.5,
+        shingle_n=3,
+    )
+
+
 def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
@@ -579,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_minhash_portable": _q_dedup_minhash_portable,
         "dedup_components": _q_dedup_components,
         "dedup_simhash": _q_dedup_simhash,
         "text_token_stats": _q_text_stats,
@@ -866,6 +877,59 @@ SELECT CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) % 7 AS bucket,
        max(CAST(regexp_extract(props, '([0-9]+)', 1) AS INT)) AS max_k
 FROM events
 GROUP BY 1
+"""
+
+    # portable MinHash oracle: same sha256-based Carter-Wegman family as
+    # minhash_lsh_pairs_portable, generated from shared constants
+    _NH, _NB = 16, 4
+    _R = _NH // _NB
+    _P, _MASK = 2147483629, 0x7FFFFFFF
+    _min_exprs = ",\n           ".join(
+        f"min(({2 * i + 1} * b + {7919 * i}) % {_P}) AS h{i}" for i in range(_NH)
+    )
+
+    def _fold(bi: int) -> str:
+        acc = "0"
+        for j in range(_R):
+            acc = f"((({acc}) * 31 + h{bi * _R + j}) & {_MASK})"
+        return acc
+
+    _hcols = ", ".join(f"h{i}" for i in range(_NH))
+    _bands_sql = "\n    UNION ALL\n    ".join(
+        f"SELECT doc, {_hcols}, {bi} AS band, {_fold(bi)} AS bucket FROM sig"
+        for bi in range(_NB)
+    )
+    _match_sum = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(_NH)
+    )
+    o["dedup_minhash_portable"] = f"""
+WITH t AS (SELECT doc_id AS doc, string_split(text, ' ') AS toks FROM documents),
+s AS (
+    SELECT doc, unnest(list_distinct(
+        list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    )) AS shingle
+    FROM t
+),
+hb AS (
+    SELECT doc, CAST(('0x' || substr(sha256(shingle), 1, 7)) AS BIGINT) AS b
+    FROM s
+),
+sig AS (
+    SELECT doc,
+           {_min_exprs}
+    FROM hb GROUP BY doc
+),
+banded AS (
+    {_bands_sql}
+)
+SELECT doc_a, doc_b, est_jaccard FROM (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+           ({_match_sum}) / {float(_NH)} AS est_jaccard
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+)
+WHERE est_jaccard >= 0.5
 """
 
     o["props_json_typed"] = """

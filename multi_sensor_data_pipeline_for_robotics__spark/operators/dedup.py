@@ -252,6 +252,93 @@ def minhash_lsh_pairs(
     )
 
 
+MINHASH_PRIME = 2147483629  # largest prime below 2^31
+_MH_MASK = 0x7FFFFFFF
+
+
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash+LSH with a CROSS-ENGINE-DETERMINISTIC hash family, so the
+    full pipeline is oracle-checkable (unlike the xxhash64 fast path).
+
+    Base hash: first 28 bits of sha256(shingle) — computable identically
+    in any engine with sha256 + hex parsing. Permutations: the classic
+    Carter-Wegman family ``h_i = (a_i*base + b_i) mod p`` with fixed
+    odd ``a_i``; all arithmetic stays within 63 bits (28-bit base x
+    31-bit a), so plain BIGINT math reproduces bit-for-bit everywhere.
+    Band buckets fold the r signature values with ``(acc*31+v) & 2^31-1``.
+    Estimated Jaccard = matching-signature fraction (an exact multiple
+    of 1/num_hashes — no float divergence).
+
+    Slower than :func:`minhash_lsh_pairs` (sha256 + Catalyst shingle
+    expressions); use for verification, the xxhash64 path for scale.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sh = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(tokens(F.col(text_col)), shingle_n)).alias("shingle"),
+    )
+    base = F.conv(F.substring(F.sha2(F.col("shingle"), 256), 1, 7), 16, 10).cast(
+        "long"
+    )
+    mins = [
+        F.min((F.lit(2 * i + 1) * base + F.lit(7919 * i)) % MINHASH_PRIME).alias(
+            f"h{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc").agg(*mins)
+
+    def band_bucket(bi: int):
+        acc = F.lit(0).cast("long")
+        for j in range(r):
+            acc = (acc * 31 + F.col(f"h{bi * r + j}")).bitwiseAND(F.lit(_MH_MASK))
+        return acc
+
+    banded = sig.select(
+        "doc",
+        *[F.col(f"h{i}") for i in range(num_hashes)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"), band_bucket(bi).alias("bucket")
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", *[f"h{i}" for i in range(num_hashes)], "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    matches = sum(
+        F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            (matches.cast("double") / num_hashes).alias("est_jaccard"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return cand.filter(F.col("est_jaccard") >= threshold)
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,

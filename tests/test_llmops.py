@@ -195,3 +195,24 @@ def test_connected_components_long_chain_converges(spark):
     got = D.connected_components(edges).collect()
     assert {r["component"] for r in got} == {0}
     assert len(got) == n + 1
+
+
+def test_minhash_portable_agrees_with_fast_path(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    fast = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_pairs(
+            docs, num_hashes=32, bands=8, threshold=0.5, shingle_n=3
+        ).collect()
+    }
+    portable = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_pairs_portable(
+            docs, num_hashes=16, bands=4, threshold=0.5, shingle_n=3
+        ).collect()
+    }
+    # different hash families, same underlying similarity: the two
+    # candidate sets must agree on the bulk of pairs
+    assert fast and portable
+    inter = fast & portable
+    assert len(inter) >= 0.5 * min(len(fast), len(portable))
