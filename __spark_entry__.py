@@ -440,6 +440,14 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def _q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_pairs(
+        load_table(spark, sf_dir, "documents"),
+        max_hamming=3,
+        hash_family="portable",
+    )
+
+
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = TX.tokens(F.col("text"))
@@ -592,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_portable": _q_dedup_minhash_portable,
         "dedup_components": _q_dedup_components,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_portable": _q_dedup_simhash_portable,
         "text_token_stats": _q_text_stats,
         "text_bpe_tokens": _q_text_bpe_tokens,
         "text_quality": _q_text_quality,
@@ -930,6 +939,45 @@ SELECT doc_a, doc_b, est_jaccard FROM (
     JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
 )
 WHERE est_jaccard >= 0.5
+"""
+
+    # portable SimHash oracle: 60-bit sha256-prefix token hash, per-bit
+    # majority vote, 4x15-bit block candidate join, exact Hamming filter
+    _SW, _K = 60, 3
+    _BW = _SW // (_K + 1)
+    _vote_exprs = ",\n           ".join(
+        f"sum(CASE WHEN (b >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(_SW)
+    )
+    _sig_expr = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END)"
+        for j in range(_SW)
+    )
+    _blk_sql = "\n    UNION ALL\n    ".join(
+        f"SELECT doc, sig, {bi} AS block, (sig >> {bi * _BW}) & {(1 << _BW) - 1} AS key FROM sig"
+        for bi in range(_K + 1)
+    )
+    o["dedup_simhash_portable"] = f"""
+WITH tok AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS t FROM documents),
+h AS (
+    SELECT doc, CAST(('0x' || substr(sha256(t), 1, 15)) AS BIGINT) AS b FROM tok
+),
+v AS (
+    SELECT doc,
+           {_vote_exprs}
+    FROM h GROUP BY doc
+),
+sig AS (SELECT doc, {_sig_expr} AS sig FROM v),
+blocks AS (
+    {_blk_sql}
+)
+SELECT doc_a, doc_b, hamming FROM (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+           bit_count(xor(a.sig, b.sig)) AS hamming
+    FROM blocks a
+    JOIN blocks b ON a.block = b.block AND a.key = b.key AND a.doc < b.doc
+)
+WHERE hamming <= {_K}
 """
 
     o["props_json_typed"] = """

@@ -416,22 +416,61 @@ def simhash64(toks) -> "F.Column":
     return out
 
 
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
+) -> tuple[DataFrame, int]:
+    """``(signatures, width)``: per-doc SimHash by explode + ONE groupBy
+    with `width` conditional-sum aggregates — fully codegen'd, unlike
+    the per-row higher-order fold of :func:`simhash64` (interpreted,
+    ~1 ms/doc). Token multiplicity weights votes (same as simhash64).
+
+    hash_family='xxhash64': 64-bit JVM hash (fast path).
+    hash_family='portable': 60-bit sha256-prefix hash reproducible in
+    any engine — the oracle-checkable variant.
+    """
+    tok = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("t")
+    )
+    if hash_family == "portable":
+        width = 60
+        h = F.conv(F.substring(F.sha2(F.col("t"), 256), 1, 15), 16, 10).cast("long")
+    elif hash_family == "xxhash64":
+        width = 64
+        h = F.xxhash64(F.col("t"))
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family}")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(width)
+    ]
+    agg = tok.groupBy("doc").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for j in range(width):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        sig = sig.bitwiseOR(F.shiftleft(bit, j))  # bit 63 -> sign bit, as in simhash64
+    return agg.select("doc", sig.alias("sig")), width
+
+
 def simhash_pairs(
     df: DataFrame,
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance <= max_hamming via the block
-    trick: split the 64-bit signature into max_hamming+1 blocks; any
-    pair within distance k must match exactly on >= 1 block → one
-    equi-join per block, unioned, distinct, then exact distance filter.
+    trick: split the signature into max_hamming+1 blocks; any pair
+    within distance k must match exactly on >= 1 block → one equi-join
+    per block, unioned, distinct, then exact distance filter.
     """
     nblocks = max_hamming + 1
-    width = 64 // nblocks
-    sig = ensure_parallelism(df).select(
-        F.col(id_col).alias("doc"), simhash64(tokens(F.col(text_col))).alias("sig")
-    )
+    sig, sigwidth = simhash_signatures(df, text_col, id_col, hash_family)
+    width = sigwidth // nblocks
     blocks = sig.select(
         "doc",
         "sig",
