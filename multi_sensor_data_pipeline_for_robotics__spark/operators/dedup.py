@@ -131,6 +131,10 @@ def ngram_jaccard_pairs(
     sh = arr.select(
         "doc", F.size("__arr").alias("sz"), F.explode("__arr").alias("sh")
     )
+    # the self-join consumes postings twice; materialize them once so the
+    # Arrow shingle stage runs once (and AQE sees real sizes). At cluster
+    # scale this is a persisted/checkpointed intermediate table.
+    sh = sh.localCheckpoint(eager=False)
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("sh")
