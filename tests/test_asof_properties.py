@@ -1,0 +1,105 @@
+"""Property tests (SURVEY §5.2 #3) for the as-of align invariants:
+
+  pad      ∀ grid point g: matched ts <= g, and no sensor ts in (matched, g]
+  backfill ∀ g: matched ts >= g, and no sensor ts in [g, matched)
+  nearest  ∀ g: |matched - g| is minimal over all sensor ts
+  tolerance⇒ no match with |Δ| > tolerance
+
+Hypothesis drives randomized sensor timestamp sets; examples are kept
+small because every example is a Spark round trip.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from multi_sensor_data_pipeline_for_robotics__spark.operators import sync as S
+
+T0 = dt.datetime(2024, 1, 1)
+STEP_MS = 100
+N_GRID = 8
+GRID = [T0 + dt.timedelta(milliseconds=STEP_MS * i) for i in range(N_GRID)]
+
+sensor_ts_sets = st.lists(
+    st.integers(min_value=-250, max_value=N_GRID * STEP_MS + 250),
+    min_size=1,
+    max_size=12,
+    unique=True,
+)
+
+_spark = None
+
+
+def _get_spark():
+    global _spark
+    if _spark is None:
+        from multi_sensor_data_pipeline_for_robotics__spark import get_session
+
+        _spark = get_session(app_name="msdp_tests", shuffle_partitions=8)
+    return _spark
+
+
+def _align(ms_offsets, method, tolerance_ms=None):
+    spark = _get_spark()
+    rows = [
+        (T0 + dt.timedelta(milliseconds=ms), float(ms)) for ms in sorted(ms_offsets)
+    ]
+    sensor = spark.createDataFrame(rows, "timestamp timestamp, x double")
+    grid = S.time_grid(spark, GRID[0], GRID[-1], STEP_MS)
+    out = S.asof_align(grid, sensor, method=method, tolerance_ms=tolerance_ms)
+    return {
+        r["timestamp"]: (r["__matched_ts"], r["x"]) for r in out.collect()
+    }, [r[0] for r in rows]
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ms=sensor_ts_sets)
+def test_pad_invariants(ms):
+    got, sensor_ts = _align(ms, "pad")
+    assert set(got) == set(GRID)
+    for g, (matched, _) in got.items():
+        earlier = [t for t in sensor_ts if t <= g]
+        if not earlier:
+            assert matched is None
+        else:
+            assert matched == max(earlier)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ms=sensor_ts_sets)
+def test_backfill_invariants(ms):
+    got, sensor_ts = _align(ms, "backfill")
+    for g, (matched, _) in got.items():
+        later = [t for t in sensor_ts if t >= g]
+        if not later:
+            assert matched is None
+        else:
+            assert matched == min(later)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ms=sensor_ts_sets)
+def test_nearest_minimal_distance_late_tiebreak(ms):
+    got, sensor_ts = _align(ms, "nearest")
+    for g, (matched, _) in got.items():
+        assert matched is not None  # some observation always exists
+        best = min(abs((t - g).total_seconds()) for t in sensor_ts)
+        assert abs((matched - g).total_seconds()) == pytest.approx(best)
+        # exact midpoint tie resolves to the LATER observation
+        ties = [t for t in sensor_ts if abs((t - g).total_seconds()) == pytest.approx(best)]
+        if len(ties) > 1:
+            assert matched == max(ties)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ms=sensor_ts_sets, tol=st.integers(min_value=0, max_value=300))
+def test_tolerance_nulls_stale_matches(ms, tol):
+    got, _ = _align(ms, "nearest", tolerance_ms=tol)
+    for g, (matched, x) in got.items():
+        if matched is not None:
+            assert abs((matched - g).total_seconds()) * 1000 <= tol
+            assert x is not None
