@@ -56,22 +56,46 @@ def corr_matrix(
     """
     cols = cols or numeric_columns(df)
     pairs = list(combinations(sorted(cols), 2))
-    aggs = [F.corr(a, b).alias(f"{a}__{b}") for a, b in pairs]
+    # Pearson from exact decimal sums with try_divide: a zero-variance
+    # column yields NULL (like DuckDB/pandas) instead of the
+    # DIVIDE_BY_ZERO error Spark's builtin corr raises under ANSI mode;
+    # pairwise-complete rows only (pandas .corr() semantics)
+    dec = "decimal(38,12)"
+    aggs = []
+    for a, b in pairs:
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        xa, yb = F.when(both, F.col(a)), F.when(both, F.col(b))
+        k = f"{a}__{b}"
+        aggs += [
+            F.count(F.when(both, 1)).alias(f"{k}__n"),
+            F.sum(xa.cast(dec)).alias(f"{k}__sx"),
+            F.sum(yb.cast(dec)).alias(f"{k}__sy"),
+            F.sum((xa * xa).cast(dec)).alias(f"{k}__sxx"),
+            F.sum((yb * yb).cast(dec)).alias(f"{k}__syy"),
+            F.sum((xa * yb).cast(dec)).alias(f"{k}__sxy"),
+        ]
     row = df.agg(*aggs)
-    stacked = row.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(a).alias("col_a"),
-                        F.lit(b).alias("col_b"),
-                        F.col(f"{a}__{b}").alias("corr"),
-                    )
-                    for a, b in pairs
-                ]
+    structs = []
+    for a, b in pairs:
+        k = f"{a}__{b}"
+        n = F.col(f"{k}__n").cast("double")
+        sx = F.col(f"{k}__sx").cast("double")
+        sy = F.col(f"{k}__sy").cast("double")
+        sxx = F.col(f"{k}__sxx").cast("double")
+        syy = F.col(f"{k}__syy").cast("double")
+        sxy = F.col(f"{k}__sxy").cast("double")
+        corr = F.try_divide(
+            n * sxy - sx * sy,
+            F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy),
+        )
+        structs.append(
+            F.struct(
+                F.lit(a).alias("col_a"), F.lit(b).alias("col_b"), corr.alias("corr")
             )
-        ).alias("r")
-    ).select("r.col_a", "r.col_b", "r.corr")
+        )
+    stacked = row.select(F.explode(F.array(*structs)).alias("r")).select(
+        "r.col_a", "r.col_b", "r.corr"
+    )
     if round_to is not None:
         stacked = stacked.withColumn("corr", F.round("corr", round_to))
     return stacked

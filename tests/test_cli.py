@@ -1,0 +1,43 @@
+"""End-to-end CLI drive: gen -> clean -> sync -> stats, in-process."""
+
+from __future__ import annotations
+
+from multi_sensor_data_pipeline_for_robotics__spark.__main__ import main
+
+
+def test_cli_full_pipeline(spark, tmp_path, capsys):
+    base = str(tmp_path)
+    assert main(["gen", "--out", f"{base}/raw", "--n-camera", "120",
+                 "--n-motion", "150", "--n-log", "40"], spark) == 0
+    assert main(["clean", "--input", f"{base}/raw/camera",
+                 "--sensor-type", "camera", "--out", f"{base}/cam"], spark) == 0
+    assert main(["clean", "--input", f"{base}/raw/motion",
+                 "--sensor-type", "motion", "--out", f"{base}/mot"], spark) == 0
+    assert main(["sync", "--camera", f"{base}/cam", "--motion", f"{base}/mot",
+                 "--log", f"{base}/raw/log", "--method", "nearest",
+                 "--out", f"{base}/synced"], spark) == 0
+    synced = spark.read.parquet(f"{base}/synced")
+    assert synced.count() > 0
+    assert any(c.startswith("camera_") for c in synced.columns)
+    assert any(c.startswith("motion_") for c in synced.columns)
+    assert any(c.startswith("event_") for c in synced.columns)
+    assert main(["stats", "--input", f"{base}/synced"], spark) == 0
+    out = capsys.readouterr().out
+    assert "window_start" in out and "stddev" in out
+
+
+def test_cli_sync_disjoint_errors(spark, tmp_path):
+    import datetime as dt
+
+    base = str(tmp_path)
+    a = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), 1.0)], "timestamp timestamp, x double"
+    )
+    b = spark.createDataFrame(
+        [(dt.datetime(2025, 1, 1), 2.0)], "timestamp timestamp, y double"
+    )
+    a.write.parquet(f"{base}/a")
+    b.write.parquet(f"{base}/b")
+    rc = main(["sync", "--camera", f"{base}/a", "--motion", f"{base}/b",
+               "--out", f"{base}/out"], spark)
+    assert rc == 1
