@@ -531,6 +531,13 @@ def _q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_features(MM.attach_fake_media(docs), decoder="fake")
 
 
+def _q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.sample_frames(
+        MM.attach_fake_media(docs), frame_bytes=32, stride=2, decoder="fake"
+    )
+
+
 def _q_gen_camera(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DG.generate_camera(spark)
 
@@ -611,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup_lsh": _q_embed_lsh,
         "embed_ivf_topk": _q_embed_ivf,
         "mm_feature_extract": _q_mm_features,
+        "mm_frame_sample": _q_mm_frames,
         "gen_camera": _q_gen_camera,
         "gen_camera_trajectory": _q_gen_camera_det,
         "gen_motion": _q_gen_motion,
@@ -1180,6 +1188,23 @@ SELECT doc_id,
                (t, i) -> (31 * length(t) + ascii(substring(t, 1, 1))) * ((i % 13) + 1)),
            'sum') % 1000000007 AS fingerprint
 FROM documents
+"""
+
+    # media payload is utf-8 of `text` (pure ASCII corpus), so the fake
+    # frame decode is reproducible from character codes
+    o["mm_frame_sample"] = """
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+f AS (
+    SELECT doc_id, text, n,
+           unnest(range(0, CAST(ceil(n / 32.0) AS BIGINT), 2)) AS frame_idx
+    FROM d
+)
+SELECT doc_id, frame_idx,
+       list_aggregate(
+           list_transform(range(frame_idx * 32 + 1, least((frame_idx + 1) * 32, n) + 1),
+                          i -> ascii(substr(text, CAST(i AS INT), 1))),
+           'sum') % 2147483647 AS frame_checksum
+FROM f
 """
 
     o["embed_cosine_topk"] = """

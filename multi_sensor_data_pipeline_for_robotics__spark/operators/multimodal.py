@@ -62,6 +62,52 @@ def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_checksum long"
+
+
+def sample_frames(
+    media: DataFrame,
+    frame_bytes: int = 32,
+    stride: int = 2,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Frame sampling over a binary "video" column: the payload is cut
+    into ``frame_bytes`` chunks and every ``stride``-th chunk is kept,
+    emitting one row per sampled frame (long format — frames explode
+    across partitions, no driver involvement).
+
+    ``decoder='fake'`` computes a deterministic per-frame byte checksum
+    (additive mod 2^31) in place of real pixel decoding; ``'ffmpeg'``
+    raises until the codec exists. The Arrow batching, long-format
+    output shape and partition parallelism are exactly what the real
+    decoder would use.
+    """
+    if decoder == "ffmpeg":
+        def decode(pdf: pd.DataFrame) -> pd.DataFrame:
+            raise NotImplementedError("decoder='ffmpeg': codec not present")
+    elif decoder == "fake":
+        def decode(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = {"doc_id": [], "frame_idx": [], "frame_checksum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                b = bytes(payload)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for fi in range(0, n_frames, stride):
+                    chunk = b[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(fi)
+                    out["frame_checksum"].append(sum(chunk) % 2_147_483_647)
+            return pd.DataFrame(out)
+    else:
+        raise ValueError(f"unknown decoder: {decoder}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield decode(pdf)
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def extract_features(
     media: DataFrame, decoder: str = "fake", batch_size_hint: int | None = None
 ) -> DataFrame:

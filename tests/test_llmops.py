@@ -216,3 +216,19 @@ def test_minhash_portable_agrees_with_fast_path(spark, sf_dir):
     assert fast and portable
     inter = fast & portable
     assert len(inter) >= 0.5 * min(len(fast), len(portable))
+
+
+def test_sample_frames_matches_python(spark, docs):
+    media = MM.attach_fake_media(docs)
+    got = {
+        (r["doc_id"], r["frame_idx"]): r["frame_checksum"]
+        for r in MM.sample_frames(media, frame_bytes=8, stride=2).collect()
+    }
+    for row in docs.collect():
+        b = row["text"].encode()
+        n_frames = (len(b) + 7) // 8
+        for fi in range(0, n_frames, 2):
+            want = sum(b[fi * 8 : (fi + 1) * 8]) % 2_147_483_647
+            assert got[(row["doc_id"], fi)] == want
+    with pytest.raises(Exception, match="NotImplementedError|codec not present"):
+        MM.sample_frames(media, decoder="ffmpeg").collect()
