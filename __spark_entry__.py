@@ -418,6 +418,18 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the scale knob: shingles seen in > max_shingle_df docs are dropped
+    # before the join (stopword-storm control); deterministic, so the
+    # approximate variant is still oracle-checkable
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        n=3,
+        threshold=0.5,
+        max_shingle_df=8,
+    )
+
+
 def _q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs_portable(
         load_table(spark, sf_dir, "documents"),
@@ -603,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_json_typed": _q_props_typed,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "dedup_jaccard_capped": _q_dedup_jaccard_capped,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_minhash_portable": _q_dedup_minhash_portable,
         "dedup_components": _q_dedup_components,
@@ -1059,6 +1072,34 @@ sz AS (SELECT doc, count(*) AS sz FROM s GROUP BY doc),
 i AS (
     SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
     FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter / (x.sz + y.sz - inter), 6) AS jaccard
+FROM i JOIN sz x ON x.doc = i.doc_a JOIN sz y ON y.doc = i.doc_b
+WHERE round(inter / (x.sz + y.sz - inter), 6) >= 0.5
+"""
+
+    # capped variant: intersections count only shingles with df <= 8;
+    # set sizes stay FULL (mirrors ngram_jaccard_pairs' max_shingle_df)
+    o["dedup_jaccard_capped"] = """
+WITH t AS (SELECT doc_id AS doc, string_split(text, ' ') AS toks FROM documents),
+s AS (
+    SELECT doc, unnest(list_distinct(
+        list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    )) AS shingle
+    FROM t
+),
+sz AS (SELECT doc, count(*) AS sz FROM s GROUP BY doc),
+kept AS (
+    SELECT * FROM s WHERE shingle IN (
+        SELECT shingle FROM s GROUP BY shingle HAVING count(*) <= 8
+    )
+),
+i AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+    FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc < b.doc
     GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,

@@ -56,34 +56,36 @@ def corr_matrix(
     """
     cols = cols or numeric_columns(df)
     pairs = list(combinations(sorted(cols), 2))
-    # Pearson from exact decimal sums with try_divide: a zero-variance
-    # column yields NULL (like DuckDB/pandas) instead of the
-    # DIVIDE_BY_ZERO error Spark's builtin corr raises under ANSI mode;
-    # pairwise-complete rows only (pandas .corr() semantics)
-    dec = "decimal(38,12)"
+    # Pearson from moment sums with try_divide: a zero-variance column
+    # yields NULL (like DuckDB/pandas) instead of the DIVIDE_BY_ZERO
+    # error Spark's builtin corr raises under ANSI mode; pairwise-
+    # complete rows only (pandas .corr() semantics). Double sums — the
+    # builtin corr is equally order-dependent, and decimal moment sums
+    # cost ~15x (BigDecimal per row); round_to absorbs the ulps.
     aggs = []
     for a, b in pairs:
         both = F.col(a).isNotNull() & F.col(b).isNotNull()
-        xa, yb = F.when(both, F.col(a)), F.when(both, F.col(b))
+        xa = F.when(both, F.col(a)).cast("double")
+        yb = F.when(both, F.col(b)).cast("double")
         k = f"{a}__{b}"
         aggs += [
             F.count(F.when(both, 1)).alias(f"{k}__n"),
-            F.sum(xa.cast(dec)).alias(f"{k}__sx"),
-            F.sum(yb.cast(dec)).alias(f"{k}__sy"),
-            F.sum((xa * xa).cast(dec)).alias(f"{k}__sxx"),
-            F.sum((yb * yb).cast(dec)).alias(f"{k}__syy"),
-            F.sum((xa * yb).cast(dec)).alias(f"{k}__sxy"),
+            F.sum(xa).alias(f"{k}__sx"),
+            F.sum(yb).alias(f"{k}__sy"),
+            F.sum(xa * xa).alias(f"{k}__sxx"),
+            F.sum(yb * yb).alias(f"{k}__syy"),
+            F.sum(xa * yb).alias(f"{k}__sxy"),
         ]
     row = df.agg(*aggs)
     structs = []
     for a, b in pairs:
         k = f"{a}__{b}"
         n = F.col(f"{k}__n").cast("double")
-        sx = F.col(f"{k}__sx").cast("double")
-        sy = F.col(f"{k}__sy").cast("double")
-        sxx = F.col(f"{k}__sxx").cast("double")
-        syy = F.col(f"{k}__syy").cast("double")
-        sxy = F.col(f"{k}__sxy").cast("double")
+        sx = F.col(f"{k}__sx")
+        sy = F.col(f"{k}__sy")
+        sxx = F.col(f"{k}__sxx")
+        syy = F.col(f"{k}__syy")
+        sxy = F.col(f"{k}__sxy")
         corr = F.try_divide(
             n * sxy - sx * sy,
             F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy),
