@@ -365,6 +365,29 @@ def _q_top_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.top_per_group(_events(spark, sf_dir), k=3)
 
 
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # range join: all events inside the 5-minute window following each
+    # error event, aggregated per error (bucketized equi-join plan, not
+    # a nested-loop join)
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.rangejoin import interval_join
+
+    ev = _events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("hi"),
+    )
+    joined = interval_join(
+        ev.select("event_id", "ts", "value"), errors, bucket_ms=300_000
+    )
+    return joined.groupBy("error_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double"), 4
+        ).alias("sum_value"),
+    )
+
+
 def _q_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # native JSON parsing (from_json with a declared schema), vs the
     # regexp fallback of props_json_extract
@@ -613,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_enrich_events": _q_join_enrich,
         "props_json_extract": _q_props_json,
         "props_json_typed": _q_props_typed,
+        "q_interval_join": _q_interval_join,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_jaccard_capped": _q_dedup_jaccard_capped,
@@ -999,6 +1023,16 @@ SELECT doc_a, doc_b, hamming FROM (
     JOIN blocks b ON a.block = b.block AND a.key = b.key AND a.doc < b.doc
 )
 WHERE hamming <= {_K}
+"""
+
+    o["q_interval_join"] = """
+SELECT e2.event_id AS error_id, count(*) AS n_events,
+       round(CAST(sum(CAST(e1.value AS DECIMAL(30,6))) AS DOUBLE), 4) AS sum_value
+FROM events e1
+JOIN events e2 ON e2.event_type = 'error'
+              AND e1.ts >= e2.ts
+              AND e1.ts <= e2.ts + INTERVAL 5 MINUTE
+GROUP BY 1
 """
 
     o["props_json_typed"] = """
