@@ -365,6 +365,10 @@ def _q_top_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.top_per_group(_events(spark, sf_dir), k=3)
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.sessionize(_events(spark, sf_dir), gap_minutes=30)
+
+
 def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # range join: all events inside the 5-minute window following each
     # error event, aggregated per error (bucketized equi-join plan, not
@@ -637,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_json_extract": _q_props_json,
         "props_json_typed": _q_props_typed,
         "q_interval_join": _q_interval_join,
+        "q_sessionize": _q_sessionize,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_jaccard_capped": _q_dedup_jaccard_capped,
@@ -1023,6 +1028,27 @@ SELECT doc_a, doc_b, hamming FROM (
     JOIN blocks b ON a.block = b.block AND a.key = b.key AND a.doc < b.doc
 )
 WHERE hamming <= {_K}
+"""
+
+    o["q_sessionize"] = """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS boundary
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+numbered AS (
+    SELECT user_id, ts,
+           sum(boundary) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM flagged
+)
+SELECT user_id, session_seq,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_seq
 """
 
     o["q_interval_join"] = """

@@ -292,6 +292,46 @@ def top_per_group(
     )
 
 
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessionization (beyond-reference): events of one user
+    separated by more than ``gap_minutes`` start a new session.
+
+    The classic two-window plan: a boundary flag from ``lag`` then a
+    cumulative sum to number sessions — ONE shuffle on the user key,
+    both windows reuse the same partitioning (no second exchange).
+    Output: one row per session with span and event count.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(user_col).orderBy(ts_col)
+    gap_us = gap_minutes * 60 * 1_000_000
+    boundary = (
+        F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w))
+        > gap_us
+    )
+    numbered = events.select(
+        user_col,
+        ts_col,
+        F.sum(F.when(boundary, 1).otherwise(0))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_seq"),
+    )
+    return (
+        numbered.groupBy(user_col, "session_seq")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn("session_seq", F.col("session_seq").cast("long"))
+    )
+
+
 def top_revenue_orders(
     customer: DataFrame,
     orders: DataFrame,
