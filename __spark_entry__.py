@@ -1292,7 +1292,19 @@ FROM documents
 """
 
     # media payload is utf-8 of `text` (pure ASCII corpus), so the fake
-    # frame decode is reproducible from character codes
+    # decoders are reproducible from character codes
+    o["mm_feature_extract"] = """
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents)
+SELECT doc_id,
+       n AS n_bytes,
+       list_aggregate(list_transform(range(1, n + 1),
+                      i -> ascii(substr(text, CAST(i AS INT), 1))), 'sum')
+           % 2147483647 AS checksum,
+       list_transform(range(1, least(4, n) + 1),
+                      i -> ascii(substr(text, CAST(i AS INT), 1))) AS head_bytes
+FROM d
+"""
+
     o["mm_frame_sample"] = """
 WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
 f AS (
