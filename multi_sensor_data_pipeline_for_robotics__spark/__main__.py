@@ -21,10 +21,15 @@ import sys
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _read(spark: SparkSession, path: str, sensor_type: str | None = None) -> DataFrame:
+def _read(
+    spark: SparkSession,
+    path: str,
+    sensor_type: str | None = None,
+    fmt: str = "parquet",
+) -> DataFrame:
     from multi_sensor_data_pipeline_for_robotics__spark.sources.io import read_sensor_csv
 
-    if path.endswith(".csv") or path.endswith("_csv"):
+    if fmt == "csv" or path.endswith(".csv"):
         return read_sensor_csv(spark, path, sensor_type)
     return spark.read.parquet(path)
 
@@ -51,7 +56,7 @@ def cmd_gen(spark: SparkSession, a: argparse.Namespace) -> int:
 def cmd_clean(spark: SparkSession, a: argparse.Namespace) -> int:
     from multi_sensor_data_pipeline_for_robotics__spark.operators.clean import clean
 
-    res = clean(_read(spark, a.input, a.sensor_type), a.sensor_type)
+    res = clean(_read(spark, a.input, a.sensor_type, a.format), a.sensor_type)
     for line in res.report:
         print(line)
     _write(res.df, a.out, a.format)
@@ -62,9 +67,9 @@ def cmd_sync(spark: SparkSession, a: argparse.Namespace) -> int:
     from multi_sensor_data_pipeline_for_robotics__spark.operators.sync import synchronize
 
     res = synchronize(
-        _read(spark, a.camera, "camera"),
-        _read(spark, a.motion, "motion"),
-        _read(spark, a.log, "log") if a.log else None,
+        _read(spark, a.camera, "camera", a.format),
+        _read(spark, a.motion, "motion", a.format),
+        _read(spark, a.log, "log", a.format) if a.log else None,
         method=a.method,
         step_ms=a.step_ms,
         tolerance_ms=a.tolerance_ms,
@@ -84,7 +89,7 @@ def cmd_stats(spark: SparkSession, a: argparse.Namespace) -> int:
         summary_stats,
     )
 
-    df = _read(spark, a.input)
+    df = _read(spark, a.input, None, a.format)
     summary_stats(df).show(truncate=False)
     corr_matrix(df).show(truncate=False)
     return 0

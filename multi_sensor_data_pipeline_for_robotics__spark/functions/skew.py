@@ -77,6 +77,10 @@ def salted_join(
     replicate ``n_salts``-fold, and a fact key is hot enough to swamp a
     reducer. Columns of both inputs are preserved (join key once).
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        # right/full would null-extend or duplicate the REPLICATED dim
+        # side n_salts times for unmatched rows — semantically wrong
+        raise ValueError("salted_join supports how='inner' or 'left' only")
     dim_rep = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

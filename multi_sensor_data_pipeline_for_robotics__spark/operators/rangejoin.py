@@ -44,6 +44,10 @@ def interval_join(
     the longest interval. Output: all event columns + all interval
     columns (names must not collide, except none are shared).
     """
+    if how != "inner":
+        # outer variants would need the containment predicate inside the
+        # join condition (the post-filter drops null-extended rows)
+        raise ValueError("interval_join supports how='inner' only")
     if bucket_ms is None:
         row = intervals.agg(
             F.max(F.unix_micros(F.col(hi)) - F.unix_micros(F.col(lo))).alias("m")

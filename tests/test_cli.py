@@ -41,3 +41,17 @@ def test_cli_sync_disjoint_errors(spark, tmp_path):
     rc = main(["sync", "--camera", f"{base}/a", "--motion", f"{base}/b",
                "--out", f"{base}/out"], spark)
     assert rc == 1
+
+
+def test_cli_csv_format_roundtrip(spark, tmp_path):
+    base = str(tmp_path)
+    assert main(["--format", "csv", "gen", "--out", f"{base}/raw",
+                 "--n-camera", "60", "--n-motion", "80", "--n-log", "20"], spark) == 0
+    assert main(["--format", "csv", "clean", "--input", f"{base}/raw/camera",
+                 "--sensor-type", "camera", "--out", f"{base}/cam"], spark) == 0
+    assert main(["--format", "csv", "sync", "--camera", f"{base}/cam",
+                 "--motion", f"{base}/raw/motion", "--log", f"{base}/raw/log",
+                 "--out", f"{base}/synced"], spark) == 0
+    from multi_sensor_data_pipeline_for_robotics__spark.sources.io import read_sensor_csv
+    synced = read_sensor_csv(spark, f"{base}/synced", sensor_type=None)
+    assert synced.count() > 0

@@ -56,3 +56,10 @@ def test_interval_join_no_nested_loop(spark):
         .toString()
     )
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_interval_join_rejects_outer(spark):
+    events, intervals = _fixture(spark)
+    import pytest
+    with pytest.raises(ValueError):
+        interval_join(events, intervals, how="left")

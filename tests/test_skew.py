@@ -84,3 +84,9 @@ def test_salted_join_matches_direct(spark, skewed):
     for key in d:
         assert d[key][0] == s[key][0]
         assert abs(d[key][1] - s[key][1]) < 1e-6
+
+
+def test_salted_join_rejects_right_outer(spark, skewed):
+    dim = spark.createDataFrame([("hot", "H")], "k string, label string")
+    with pytest.raises(ValueError):
+        salted_join(skewed, dim, "k", how="right")
