@@ -570,6 +570,15 @@ def _q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_features(MM.attach_fake_media(docs), decoder="fake")
 
 
+def _q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    resized = MM.resize_media(MM.attach_fake_media(docs), target_bytes=64)
+    # summarize the binary for the cross-engine hash (blob layouts differ)
+    return MM.extract_features(resized, decoder="fake").select(
+        "doc_id", "n_bytes", "checksum"
+    )
+
+
 def _q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return MM.sample_frames(
@@ -661,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf_topk": _q_embed_ivf,
         "mm_feature_extract": _q_mm_features,
         "mm_frame_sample": _q_mm_frames,
+        "mm_resize": _q_mm_resize,
         "gen_camera": _q_gen_camera,
         "gen_camera_trajectory": _q_gen_camera_det,
         "gen_motion": _q_gen_motion,
@@ -1302,6 +1312,17 @@ SELECT doc_id,
            % 2147483647 AS checksum,
        list_transform(range(1, least(4, n) + 1),
                       i -> ascii(substr(text, CAST(i AS INT), 1))) AS head_bytes
+FROM d
+"""
+
+    o["mm_resize"] = """
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents)
+SELECT doc_id,
+       64 AS n_bytes,
+       list_aggregate(
+           list_transform(range(0, 64),
+               k -> ascii(substr(text, CAST((k * n) // 64 + 1 AS INT), 1))),
+           'sum') % 2147483647 AS checksum
 FROM d
 """
 

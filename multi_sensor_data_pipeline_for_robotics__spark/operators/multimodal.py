@@ -108,6 +108,46 @@ def sample_frames(
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id long, media binary, n_bytes_out long"
+
+
+def resize_media(
+    media: DataFrame, target_bytes: int = 64, decoder: str = "fake"
+) -> DataFrame:
+    """Resize stub: deterministic nearest-neighbor downsample of the
+    payload to ``target_bytes`` (byte k of the output is byte
+    ``k*n // target`` of the input) — the byte-level stand-in for image
+    resampling. Real decoders raise until codecs exist; the
+    ``mapInPandas`` batching and binary-out schema are the production
+    shape.
+    """
+    if decoder != "fake":
+        def decode(pdf: pd.DataFrame) -> pd.DataFrame:
+            raise NotImplementedError(f"decoder={decoder!r}: codec not present")
+    else:
+        def decode(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = {"doc_id": [], "media": [], "n_bytes_out": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                b = bytes(payload)
+                n = len(b)
+                resized = (
+                    bytes(b[(k * n) // target_bytes] for k in range(target_bytes))
+                    if n
+                    else b""
+                )
+                out["doc_id"].append(doc_id)
+                out["media"].append(resized)
+                out["n_bytes_out"].append(len(resized))
+            return pd.DataFrame(out)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield decode(pdf)
+
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
 def extract_features(
     media: DataFrame, decoder: str = "fake", batch_size_hint: int | None = None
 ) -> DataFrame:

@@ -232,3 +232,12 @@ def test_sample_frames_matches_python(spark, docs):
             assert got[(row["doc_id"], fi)] == want
     with pytest.raises(Exception, match="NotImplementedError|codec not present"):
         MM.sample_frames(media, decoder="ffmpeg").collect()
+
+
+def test_resize_media_matches_python(spark, docs):
+    media = MM.attach_fake_media(docs)
+    got = {r["doc_id"]: bytes(r["media"]) for r in MM.resize_media(media, 16).collect()}
+    for row in docs.collect():
+        b = row["text"].encode()
+        want = bytes(b[(k * len(b)) // 16] for k in range(16))
+        assert got[row["doc_id"]] == want
