@@ -365,6 +365,32 @@ def _q_top_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.top_per_group(_events(spark, sf_dir), k=3)
 
 
+def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import hash_sample
+
+    return hash_sample(
+        _events(spark, sf_dir).select("event_id", "event_type", "value"),
+        key="event_id",
+        rate=0.10,
+    )
+
+
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import hash_split
+
+    split = hash_split(
+        _events(spark, sf_dir),
+        key="event_id",
+        weights={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double"), 4
+        ).alias("sum_value"),
+    )
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.sessionize(_events(spark, sf_dir), gap_minutes=30)
 
@@ -651,6 +677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_json_typed": _q_props_typed,
         "q_interval_join": _q_interval_join,
         "q_sessionize": _q_sessionize,
+        "sample_hash_10pct": _q_hash_sample,
+        "split_train_val_test": _q_hash_split,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_jaccard_capped": _q_dedup_jaccard_capped,
@@ -1038,6 +1066,27 @@ SELECT doc_a, doc_b, hamming FROM (
     JOIN blocks b ON a.block = b.block AND a.key = b.key AND a.doc < b.doc
 )
 WHERE hamming <= {_K}
+"""
+
+    # hash-mod sampling: bucket = sha256-prefix % 10000, same family as
+    # the portable minhash/sampling code (engine-portable determinism)
+    _BUCKET = (
+        "CAST(('0x' || substr(sha256(CAST(event_id AS VARCHAR)), 1, 7)) AS BIGINT)"
+        " % 10000"
+    )
+    o["sample_hash_10pct"] = f"""
+SELECT event_id, event_type, value FROM events
+WHERE {_BUCKET} < 1000
+"""
+
+    o["split_train_val_test"] = f"""
+SELECT CASE WHEN {_BUCKET} < 8000 THEN 'train'
+            WHEN {_BUCKET} < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 4) AS sum_value
+FROM events
+GROUP BY 1
 """
 
     o["q_sessionize"] = """

@@ -1,0 +1,49 @@
+"""Hash sampling: partitioning-independent, disjoint splits, stable
+membership as split weights grow."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+    hash_sample,
+    hash_split,
+)
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(20_000).select(F.col("id").alias("key"))
+
+
+def test_hash_sample_rate_and_partition_independence(spark, ids):
+    s1 = set(r["key"] for r in hash_sample(ids, "key", 0.2).collect())
+    assert 0.17 < len(s1) / 20_000 < 0.23
+    # different physical partitioning -> identical sample
+    s2 = set(
+        r["key"] for r in hash_sample(ids.repartition(7), "key", 0.2).collect()
+    )
+    assert s1 == s2
+
+
+def test_hash_split_disjoint_and_stable(spark, ids):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = hash_split(ids, "key", w).collect()
+    assert len(got) == 20_000  # weights sum to 1 -> nothing dropped
+    by_split = {}
+    for r in got:
+        by_split.setdefault(r["split"], set()).add(r["key"])
+    assert 0.77 < len(by_split["train"]) / 20_000 < 0.83
+    assert not (by_split["train"] & by_split["val"])
+    assert not (by_split["val"] & by_split["test"])
+    # growing the train share keeps existing train members (cumulative
+    # bucket edges): stability under re-splitting
+    bigger = hash_split(ids, "key", {"train": 0.9, "val": 0.1})
+    train2 = {r["key"] for r in bigger.collect() if r["split"] == "train"}
+    assert by_split["train"] <= train2
+
+
+def test_hash_split_rejects_overweight(spark, ids):
+    with pytest.raises(ValueError):
+        hash_split(ids, "key", {"a": 0.9, "b": 0.2})
