@@ -138,6 +138,64 @@ def run_to_memory(
     q.stop()
 
 
+def sync_wide_to_parquet(
+    events_stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    camera_type: str = "click",
+    motion_type: str = "view",
+    log_types: tuple[str, ...] = ("error", "signup"),
+    method: str = "pad",
+    step_ms: int = 60_000,
+    tolerance_ms: int = 120_000,
+) -> "object":
+    """Full flagship pipeline as a stream: each micro-batch is split
+    into camera/motion/log frames and pushed through the BATCH
+    ``synchronize`` operator, appending the synchronized wide table to
+    parquet. One implementation serves both execution modes — the
+    foreachBatch boundary is where Structured Streaming hands a bounded
+    DataFrame back to the batch planner.
+
+    Note the per-batch window: alignment is computed within each
+    micro-batch's overlap (bounded state, replayable via checkpointed
+    batch ids). Cross-batch carry of the last observation is the
+    ``stateful.locf_enrich`` primitive; compose it upstream when
+    batches are too fine for self-contained windows.
+    """
+    from pyspark.sql import functions as F
+
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.sync import synchronize
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        cam = (
+            df.filter(F.col("event_type") == camera_type)
+            .groupBy(F.col("ts").alias("timestamp"))
+            .agg(F.max("value").alias("x"))
+        )
+        mot = (
+            df.filter(F.col("event_type") == motion_type)
+            .groupBy(F.col("ts").alias("timestamp"))
+            .agg(F.max("value").alias("y"))
+        )
+        log = df.filter(F.col("event_type").isin(*log_types)).select(
+            F.col("ts").alias("timestamp"), "event_type"
+        )
+        res = synchronize(
+            cam, mot, log, method=method, step_ms=step_ms,
+            tolerance_ms=tolerance_ms, event_types=list(log_types),
+        )
+        if res.df is not None:
+            res.df.write.mode("append").parquet(out_path)
+
+    return (
+        events_stream.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def sync_to_parquet(
     cam_stream: DataFrame,
     out_path: str,

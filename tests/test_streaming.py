@@ -84,3 +84,38 @@ def test_foreach_batch_parquet_sink(spark, events_path, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out"))
     assert out.count() > 0
     assert set(out.columns) == {"timestamp", "value", "matched_ts", "n_obs"}
+
+
+def test_sync_wide_stream_matches_batch(spark, sf_dir, events_path, tmp_path):
+    """The streaming wide-table (single micro-batch) must equal the
+    batch synchronize on the same events."""
+    stream = SS.read_events_stream(spark, events_path)
+    q = SS.sync_wide_to_parquet(
+        stream, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.count() > 0
+    assert {"camera_x", "motion_y", "event_error", "event_signup"} <= set(got.columns)
+
+    # batch reference on the same data (single batch -> same window)
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.sync import synchronize
+
+    ev = load_table(spark, sf_dir, "events")
+    cam = ev.filter(F.col("event_type") == "click").groupBy(
+        F.col("ts").alias("timestamp")
+    ).agg(F.max("value").alias("x"))
+    mot = ev.filter(F.col("event_type") == "view").groupBy(
+        F.col("ts").alias("timestamp")
+    ).agg(F.max("value").alias("y"))
+    log = ev.filter(F.col("event_type").isin("error", "signup")).select(
+        F.col("ts").alias("timestamp"), "event_type"
+    )
+    want = synchronize(
+        cam, mot, log, method="pad", step_ms=60_000, tolerance_ms=120_000,
+        event_types=["error", "signup"],
+    ).df
+    g = {tuple(r) for r in got.select(sorted(got.columns)).collect()}
+    w = {tuple(r) for r in want.select(sorted(want.columns)).collect()}
+    assert g == w
