@@ -348,6 +348,21 @@ def _q_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.local_supplier_revenue(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def _q_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.revenue_forecast_delta(load_table(spark, sf_dir, "lineitem"))
+
+
 def _q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.running_totals(load_table(spark, sf_dir, "orders"), k_customers=100)
 
@@ -669,6 +684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o25_minmax_ts": _q_o25,
         "q1_pricing_summary": _q_q1,
         "q3_top_orders": _q_q3,
+        "q5_local_supplier": _q_q5,
+        "q6_forecast_delta": _q_q6,
         "q_window_running": _q_window_running,
         "q_rollup_revenue": _q_rollup_revenue,
         "q_top_per_group": _q_top_per_group,
@@ -920,6 +937,30 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY o_orderkey, o_orderdate
 ORDER BY revenue DESC, o_orderkey ASC
 LIMIT 10
+"""
+
+    o["q5_local_supplier"] = """
+SELECT n_name,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 4) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+    o["q6_forecast_delta"] = """
+SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE), 4) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
 """
 
     o["q_window_running"] = """

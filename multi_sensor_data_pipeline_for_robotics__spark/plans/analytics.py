@@ -292,6 +292,92 @@ def top_per_group(
     )
 
 
+def local_supplier_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5-shaped six-table join: revenue per nation where customer
+    and supplier are co-national, one region, one order-date year.
+
+    Join tree: region→nation→supplier are broadcast dimensions; the
+    fact-side shuffles are lineitem⋈orders and the customer equi-join
+    with the co-nationality predicate folded into the join condition so
+    no post-join filter rescans.
+    """
+    dec = "decimal(30,6)"
+    dims = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == region_name)),
+                    nation.n_regionkey == region.r_regionkey,
+                )
+            ),
+            supplier.s_nationkey == nation.n_nationkey,
+        ).select("s_suppkey", "s_nationkey", "n_name")
+    )
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    joined = (
+        lineitem.join(F.broadcast(dims), lineitem.l_suppkey == dims.s_suppkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(
+            customer,
+            (F.col("o_custkey") == customer.c_custkey)
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
+                ).cast("double"),
+                4,
+            ).alias("revenue")
+        )
+    )
+
+
+def revenue_forecast_delta(
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6-shaped whole-scan filter + single aggregate — every
+    predicate pushes into the parquet scan (DataFilters), the agg is one
+    partial-combine pass with zero shuffle of row data."""
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        & (F.col("l_discount") >= disc_lo)
+        & (F.col("l_discount") <= disc_hi)
+        & (F.col("l_quantity") < max_qty)
+    )
+    return li.agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(30,6)")
+            ).cast("double"),
+            4,
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap_minutes: int = 30,
