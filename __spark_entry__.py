@@ -552,6 +552,19 @@ def _q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus vocabulary with document frequency — one explode + one
+    # groupBy (map-side combinable), deterministic full output
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+    )
+    return tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+
+
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = TX.tokens(F.col("text"))
@@ -706,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_portable": _q_dedup_simhash_portable,
         "text_token_stats": _q_text_stats,
         "text_bpe_tokens": _q_text_bpe_tokens,
+        "text_vocab": _q_text_vocab,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
@@ -1302,6 +1316,12 @@ reach(id, r) AS (
     SELECT sym.src, reach.r FROM sym JOIN reach ON reach.id = sym.dst
 )
 SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+"""
+
+    o["text_vocab"] = """
+SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
 """
 
     _sw = "('the', 'a', 'and', 'of', 'is')"

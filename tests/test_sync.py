@@ -204,3 +204,36 @@ def test_reduce_to_grid_cells_boundary_obs_survive(spark, method):
     )
     red = S.asof_align(grid, red_in, method=method).toPandas()
     pd.testing.assert_frame_equal(_sorted(full), _sorted(red))
+
+
+@pytest.mark.parametrize("method", ["pad", "backfill", "nearest"])
+def test_asof_align_multi_three_sensors(spark, method):
+    """asof_align_multi with N>2 sensors must equal N independent
+    asof_align calls joined on the grid key."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def _mk(offsets, col):
+        rows = [
+            (t0 + dt.timedelta(milliseconds=ms), float(ms)) for ms in offsets
+        ]
+        return spark.createDataFrame(rows, f"timestamp timestamp, {col} double")
+
+    a = _mk([0, 150, 420], "x")
+    b = _mk([60, 230, 360, 500], "y")
+    c = _mk([10, 490], "z")
+    grid = S.time_grid(spark, t0, t0 + dt.timedelta(milliseconds=500), 100)
+
+    multi = S.asof_align_multi(
+        grid, {"a_": a, "b_": b, "c_": c}, method=method
+    ).toPandas()
+    single = None
+    for prefix, df in [("a_", a), ("b_", b), ("c_", c)]:
+        al = S.asof_align(grid, df, method=method, prefix=prefix)
+        single = al if single is None else single.join(al, "timestamp")
+    single = single.toPandas()
+    cols = sorted(multi.columns)
+    pd.testing.assert_frame_equal(
+        _sorted(multi)[cols], _sorted(single)[cols]
+    )
