@@ -552,6 +552,18 @@ def _q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # context chunking: 20-token windows, stride 15 (5-token overlap)
+    docs = load_table(spark, sf_dir, "documents")
+    ch = TX.chunks(TX.tokens(F.col("text")), chunk_tokens=20, stride=15)
+    return docs.select("doc_id", F.explode(ch).alias("c")).select(
+        "doc_id",
+        F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
+        "c.chunk_text",
+        F.col("c.n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
 def _q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus vocabulary with document frequency — one explode + one
     # groupBy (map-side combinable), deterministic full output
@@ -720,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _q_text_stats,
         "text_bpe_tokens": _q_text_bpe_tokens,
         "text_vocab": _q_text_vocab,
+        "text_chunks": _q_text_chunks,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
@@ -1316,6 +1329,20 @@ reach(id, r) AS (
     SELECT sym.src, reach.r FROM sym JOIN reach ON reach.id = sym.dst
 )
 SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+"""
+
+    o["text_chunks"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+    SELECT doc_id, toks, len(toks) AS n,
+           unnest(range(0, greatest(len(toks) - 1, 0) + 1, 15)) AS start
+    FROM t
+)
+SELECT doc_id,
+       start // 15 AS chunk_idx,
+       array_to_string(toks[start + 1 : least(start + 20, n)], ' ') AS chunk_text,
+       least(n - start, 20) AS n_tokens
+FROM s
 """
 
     o["text_vocab"] = """

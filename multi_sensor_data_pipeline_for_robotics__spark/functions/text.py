@@ -110,6 +110,31 @@ def lang_id(toks: Column) -> Column:
     return best[1]
 
 
+def chunks(toks: Column, chunk_tokens: int, stride: int) -> Column:
+    """Overlapping fixed-size token windows — the context-chunking
+    primitive for training/RAG pipelines.
+
+    Returns an array of structs ``(chunk_idx, chunk_text, n_tokens)``;
+    window k starts at token ``k*stride`` (0-based) and spans up to
+    ``chunk_tokens`` tokens (the tail window may be shorter). Pure
+    Column expressions — explode downstream to get one row per chunk,
+    which distributes chunks across partitions with no Python.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+    )
+    return F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens)).alias("chunk_text"),
+            F.least(F.size(toks) - s, F.lit(chunk_tokens)).alias("n_tokens"),
+        ),
+    )
+
+
 def fingerprint(toks: Column, modulus: int = 1_000_000_007) -> Column:
     """Deterministic position-weighted token fingerprint.
 

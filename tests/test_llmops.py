@@ -241,3 +241,21 @@ def test_resize_media_matches_python(spark, docs):
         b = row["text"].encode()
         want = bytes(b[(k * len(b)) // 16] for k in range(16))
         assert got[row["doc_id"]] == want
+
+
+def test_chunks_overlap_and_tail(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": [" ".join(f"t{i}" for i in range(10))]})
+    )
+    out = df.select(
+        F.explode(TX.chunks(TX.tokens(F.col("text")), 4, 3)).alias("c")
+    ).select("c.*").collect()
+    got = [(r["chunk_idx"], r["chunk_text"], r["n_tokens"]) for r in out]
+    assert got == [
+        (0, "t0 t1 t2 t3", 4),
+        (1, "t3 t4 t5 t6", 4),
+        (2, "t6 t7 t8 t9", 4),
+        (3, "t9", 1),
+    ]
+    with pytest.raises(ValueError):
+        TX.chunks(TX.tokens(F.col("text")), 0, 3)
