@@ -18,6 +18,7 @@ Carried-through (unmodified) doubles are compared bit-exact.
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -653,7 +654,18 @@ def _q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_gen_camera(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DG.generate_camera(spark)
+    # noisy generator is fully oracle-able: the counter-based sha256 PRNG
+    # (datagen.uniform01/normal01) replays bit-identically in DuckDB;
+    # floats rounded to 6 for cross-engine transcendental-ulp tolerance
+    cam = DG.generate_camera(spark)
+    return cam.select(
+        "timestamp",
+        "frame_id",
+        F.round("object_x", 6).alias("object_x"),
+        F.round("object_y", 6).alias("object_y"),
+        F.round("object_size", 6).alias("object_size"),
+        F.round("confidence", 6).alias("confidence"),
+    )
 
 
 def _q_gen_camera_det(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -678,11 +690,23 @@ def _q_gen_motion_det(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_gen_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DG.generate_motion(spark)
+    m = DG.generate_motion(spark)
+    return m.select(
+        "timestamp",
+        *[(F.round(c, 6) + 0.0).alias(c) for c in m.columns if c != "timestamp"],
+    )
 
 
 def _q_gen_log(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DG.generate_log(spark)
+    log = DG.generate_log(spark)
+    return log.select(
+        "timestamp",
+        "event_type",
+        *[
+            F.round(c, 6).alias(c)
+            for c in ("joint_1", "joint_2", "joint_3", "gripper_force")
+        ],
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1167,8 +1191,8 @@ WITH flagged AS (
 ),
 numbered AS (
     SELECT user_id, ts,
-           sum(boundary) OVER (PARTITION BY user_id ORDER BY ts
-                               ROWS UNBOUNDED PRECEDING) AS session_seq
+           CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
     FROM flagged
 )
 SELECT user_id, session_seq,
@@ -1384,6 +1408,97 @@ FROM s
 """
 
     cam_epoch_us = 1704067200000000  # 2024-01-01T00:00:00Z (datagen._EPOCH)
+
+    # -- noisy generators: replay datagen's counter-based sha256 PRNG --
+    # uniform01(seed, stream) == top-60-bits(sha256("seed:stream:id")) / 2^60
+    def _U(seed: int, stream: int) -> str:
+        return (
+            f"(CAST(('0x' || substr(sha256('{seed}:{stream}:' || "
+            f"CAST(id AS VARCHAR)), 1, 15)) AS BIGINT)"
+            " / CAST(1152921504606846976 AS DOUBLE))"
+        )
+
+    def _N(seed: int, stream: int) -> str:
+        # Box–Muller twin of datagen.normal01
+        u1, u2 = _U(seed, 2 * stream), _U(seed, 2 * stream + 1)
+        return f"(sqrt(ln(1.0 - {u1}) * -2.0) * cos({u2} * {2 * math.pi!r}))"
+
+    o["gen_camera"] = f"""
+WITH u AS (
+    SELECT id,
+           {_U(42, 100)} AS u_noisy,
+           {_U(42, 101)} AS u_sent,
+           {_N(42, 0)} AS z_conf
+    FROM (SELECT unnest(range(500)) AS id)
+)
+SELECT make_timestamp({cam_epoch_us} + id * 33333) AS timestamp,
+       id AS frame_id,
+       CASE WHEN u_noisy < 0.05 THEN NULL
+            ELSE round(sin(id * (4 * pi() / 500)) * 100 + 200, 6) END AS object_x,
+       CASE WHEN u_noisy < 0.05 AND u_sent < 0.5 THEN -999.0
+            ELSE round(cos(id * (4 * pi() / 500)) * 80 + 150, 6) END AS object_y,
+       round(abs(sin(id * (2 * pi() / 500))) * 50 + 20, 6) AS object_size,
+       round(least(greatest(z_conf * 0.1 + 0.9, 0.0), 1.0), 6) AS confidence
+FROM u
+"""
+
+    _mot_cols = []
+    for i, (expr, scale) in enumerate(
+        [
+            ("sin(id * (6 * pi() / 600))", 0.1),  # accel_x (spike applied below)
+            ("cos(id * (6 * pi() / 600))", 0.1),
+            ("sin(id * (3 * pi() / 600)) * 0.5 + 9.8", 0.05),
+            ("sin(id * (4 * pi() / 600)) * 2", 0.2),
+            ("cos(id * (4 * pi() / 600)) * 2", 0.2),
+            ("sin(id * (2 * pi() / 600))", 0.15),
+        ]
+    ):
+        _mot_cols.append(f"({expr} + {_N(43, i)} * {scale})")
+    o["gen_motion"] = f"""
+WITH u AS (
+    SELECT id,
+           {_U(43, 100)} < (CAST(10 AS DOUBLE) / 600) AS spike,
+           {_mot_cols[0]} AS ax,
+           {_mot_cols[1]} AS ay, {_mot_cols[2]} AS az,
+           {_mot_cols[3]} AS gx, {_mot_cols[4]} AS gy, {_mot_cols[5]} AS gz
+    FROM (SELECT unnest(range(600)) AS id)
+)
+SELECT make_timestamp({cam_epoch_us + 50_000} + id * 20000) AS timestamp,
+       round(CASE WHEN spike THEN ax * 10 ELSE ax END, 6) + 0.0 AS accel_x,
+       round(ay, 6) + 0.0 AS accel_y,
+       round(az, 6) + 0.0 AS accel_z,
+       round(gx, 6) + 0.0 AS gyro_x,
+       round(gy, 6) + 0.0 AS gyro_y,
+       round(gz, 6) + 0.0 AS gyro_z
+FROM u
+"""
+
+    # inverse-CDF thresholds accumulated in Python floats — embed the
+    # exact doubles so the bucketing matches Spark's accumulated literals
+    _cum, _thresholds = 0.0, []
+    for _p in [0.15, 0.15, 0.3, 0.2, 0.1, 0.05, 0.05]:
+        _cum += _p
+        _thresholds.append(_cum)
+    _etypes = [
+        "GRIPPER_OPEN", "GRIPPER_CLOSE", "ARM_MOVE", "SENSOR_READ",
+        "CALIBRATION", "ERROR", "WARNING",
+    ]
+    _cases = "\n            ".join(
+        f"WHEN {_U(44, 1)} < {t!r} THEN '{e}'"
+        for t, e in zip(_thresholds[:-1], _etypes[:-1])
+    )
+    o["gen_log"] = f"""
+SELECT make_timestamp({cam_epoch_us - 100_000}
+           + CAST(floor({_U(44, 0)} * 16000000.0) AS BIGINT)) AS timestamp,
+       CASE {_cases}
+            ELSE 'WARNING' END AS event_type,
+       round({_U(44, 2)} * 360 - 180, 6) AS joint_1,
+       round({_U(44, 3)} * 180 - 90, 6) AS joint_2,
+       round({_U(44, 4)} * 360 - 180, 6) AS joint_3,
+       round({_U(44, 5)} * 100, 6) AS gripper_force
+FROM (SELECT unnest(range(100)) AS id)
+"""
+
     o["gen_camera_trajectory"] = f"""
 SELECT make_timestamp({cam_epoch_us} + k * 33333) AS timestamp,
        k AS frame_id,
@@ -1431,10 +1546,10 @@ FROM s
 
     o["text_fingerprint"] = """
 SELECT doc_id,
-       list_aggregate(
+       CAST(list_aggregate(
            list_transform(string_split(text, ' '),
                (t, i) -> (31 * length(t) + ascii(substring(t, 1, 1))) * ((i % 13) + 1)),
-           'sum') % 1000000007 AS fingerprint
+           'sum') % 1000000007 AS BIGINT) AS fingerprint
 FROM documents
 """
 
@@ -1444,9 +1559,9 @@ FROM documents
 WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents)
 SELECT doc_id,
        n AS n_bytes,
-       list_aggregate(list_transform(range(1, n + 1),
+       CAST(list_aggregate(list_transform(range(1, n + 1),
                       i -> ascii(substr(text, CAST(i AS INT), 1))), 'sum')
-           % 2147483647 AS checksum,
+           % 2147483647 AS BIGINT) AS checksum,
        list_transform(range(1, least(4, n) + 1),
                       i -> ascii(substr(text, CAST(i AS INT), 1))) AS head_bytes
 FROM d
@@ -1456,10 +1571,10 @@ FROM d
 WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents)
 SELECT doc_id,
        64 AS n_bytes,
-       list_aggregate(
+       CAST(list_aggregate(
            list_transform(range(0, 64),
                k -> ascii(substr(text, CAST((k * n) // 64 + 1 AS INT), 1))),
-           'sum') % 2147483647 AS checksum
+           'sum') % 2147483647 AS BIGINT) AS checksum
 FROM d
 """
 
@@ -1471,10 +1586,10 @@ f AS (
     FROM d
 )
 SELECT doc_id, frame_idx,
-       list_aggregate(
+       CAST(list_aggregate(
            list_transform(range(frame_idx * 32 + 1, least((frame_idx + 1) * 32, n) + 1),
                           i -> ascii(substr(text, CAST(i AS INT), 1))),
-           'sum') % 2147483647 AS frame_checksum
+           'sum') % 2147483647 AS BIGINT) AS frame_checksum
 FROM f
 """
 

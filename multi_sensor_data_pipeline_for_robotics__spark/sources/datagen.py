@@ -6,9 +6,15 @@ generators are ``spark.range(n)`` projections — the row space is
 partitioned across executors from birth, so n can be 10^10 without a
 driver bottleneck. Values follow the reference's *distributions*
 (sinusoid trajectories + seeded noise, app.py:42-45, 66-71, 95-98);
-bit-level parity with numpy's MT19937 stream is explicitly NOT a goal —
-Spark's ``rand``/``randn`` are seeded and deterministic per (seed,
-partition, row) which is what reproducibility at scale actually needs.
+bit-level parity with numpy's MT19937 stream is explicitly NOT a goal.
+
+Randomness is a counter-based PRNG: uniform draws are the top 60 bits
+of ``sha256(f"{seed}:{stream}:{row_id}")``, normals come from those via
+Box–Muller. Unlike ``F.rand(seed)`` — whose stream is a function of the
+*physical partition index*, so a repartition or AQE re-plan changes the
+data — this depends only on the logical row id: the generated dataset
+is bit-identical under any partitioning, any cluster size, and any
+engine with sha256 (the DuckDB oracle replays it exactly).
 """
 
 from __future__ import annotations
@@ -39,6 +45,41 @@ def _us(ts: dt.datetime) -> int:
     return int(ts.timestamp() * 1_000_000)
 
 
+_TWO60 = float(1 << 60)
+
+
+def uniform01(seed: int, stream: int, id_col: str = "id"):
+    """Counter-based uniform draw in [0, 1): top 60 bits of
+    ``sha256(f"{seed}:{stream}:{id}")`` divided by 2^60.
+
+    Partition-independent (depends only on the logical row id, not the
+    physical partition like ``F.rand``), so generated data is stable
+    under repartitioning/AQE — and reproducible in any engine with
+    sha256. DuckDB twin::
+
+        CAST(('0x' || substr(sha256('<seed>:<stream>:' ||
+             CAST(id AS VARCHAR)), 1, 15)) AS BIGINT)
+            / 1152921504606846976.0
+    """
+    h = F.sha2(
+        F.concat_ws(
+            ":", F.lit(str(seed)), F.lit(str(stream)), F.col(id_col).cast("string")
+        ),
+        256,
+    )
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("double") / F.lit(_TWO60)
+
+
+def normal01(seed: int, stream: int, id_col: str = "id"):
+    """Standard normal via Box–Muller over two :func:`uniform01` streams.
+
+    ``z = sqrt(-2 ln(1-u1)) * cos(2π u2)`` — `1-u1` keeps the log
+    argument in (0, 1]. Same closed form replays in the DuckDB oracle."""
+    u1 = uniform01(seed, 2 * stream, id_col)
+    u2 = uniform01(seed, 2 * stream + 1, id_col)
+    return F.sqrt(F.log(F.lit(1.0) - u1) * -2.0) * F.cos(u2 * (2 * math.pi))
+
+
 def generate_camera(
     spark: SparkSession,
     n: int = 500,
@@ -58,10 +99,10 @@ def generate_camera(
     step_us = int(1_000_000 / freq_hz)
     t = F.col("id") * (4 * math.pi / n)  # phase sweep like linspace(0, 4π)
     t2 = F.col("id") * (2 * math.pi / n)
-    noisy = (F.rand(seed + 1) < 0.05) if noise else F.lit(False)
-    sentinel = noisy & (F.rand(seed + 2) < 0.5)
+    noisy = (uniform01(seed, 100) < 0.05) if noise else F.lit(False)
+    sentinel = noisy & (uniform01(seed, 101) < 0.5)
     conf = (
-        F.least(F.greatest(F.randn(seed) * 0.1 + 0.9, F.lit(0.0)), F.lit(1.0))
+        F.least(F.greatest(normal01(seed, 0) * 0.1 + 0.9, F.lit(0.0)), F.lit(1.0))
         if noise
         else F.lit(0.9)
     )
@@ -96,20 +137,20 @@ def generate_motion(
     p4 = F.col("id") * (4 * math.pi / n)
     p3 = F.col("id") * (3 * math.pi / n)
     p2 = F.col("id") * (2 * math.pi / n)
-    spike = (F.rand(seed + 1) < (10.0 / n)) if noise else F.lit(False)
+    spike = (uniform01(seed, 100) < (10.0 / n)) if noise else F.lit(False)
 
-    def jitter(s: int, scale: float):
-        return (F.randn(s) * scale) if noise else F.lit(0.0)
+    def jitter(stream: int, scale: float):
+        return (normal01(seed, stream) * scale) if noise else F.lit(0.0)
 
-    ax = F.sin(p6) + jitter(seed, 0.1)
+    ax = F.sin(p6) + jitter(0, 0.1)
     return spark.range(n).select(
         F.timestamp_micros(F.lit(_us(start)) + F.col("id") * step_us).alias("timestamp"),
         F.when(spike, ax * 10).otherwise(ax).alias("accel_x"),
-        (F.cos(p6) + jitter(seed + 2, 0.1)).alias("accel_y"),
-        (F.sin(p3) * 0.5 + 9.8 + jitter(seed + 3, 0.05)).alias("accel_z"),
-        (F.sin(p4) * 2 + jitter(seed + 4, 0.2)).alias("gyro_x"),
-        (F.cos(p4) * 2 + jitter(seed + 5, 0.2)).alias("gyro_y"),
-        (F.sin(p2) + jitter(seed + 6, 0.15)).alias("gyro_z"),
+        (F.cos(p6) + jitter(1, 0.1)).alias("accel_y"),
+        (F.sin(p3) * 0.5 + 9.8 + jitter(2, 0.05)).alias("accel_z"),
+        (F.sin(p4) * 2 + jitter(3, 0.2)).alias("gyro_x"),
+        (F.cos(p4) * 2 + jitter(4, 0.2)).alias("gyro_y"),
+        (F.sin(p2) + jitter(5, 0.15)).alias("gyro_z"),
     )
 
 
@@ -124,7 +165,7 @@ def generate_log(
     categorical event types via inverse-CDF bucketing of uniform draws
     (the distributed form of ``np.random.choice(p=...)``)."""
     start = (start or _EPOCH) - dt.timedelta(milliseconds=100)
-    u = F.rand(seed + 1)
+    u = uniform01(seed, 1)
     cum = 0.0
     expr = None
     for etype, p in zip(EVENT_TYPES, EVENT_PROBS):
@@ -136,13 +177,14 @@ def generate_log(
         spark.range(n)
         .select(
             F.timestamp_micros(
-                F.lit(_us(start)) + (F.rand(seed) * span_s * 1_000_000).cast("long")
+                F.lit(_us(start))
+                + F.floor(uniform01(seed, 0) * (span_s * 1_000_000)).cast("long")
             ).alias("timestamp"),
             expr.alias("event_type"),
-            (F.rand(seed + 2) * 360 - 180).alias("joint_1"),
-            (F.rand(seed + 3) * 180 - 90).alias("joint_2"),
-            (F.rand(seed + 4) * 360 - 180).alias("joint_3"),
-            (F.rand(seed + 5) * 100).alias("gripper_force"),
+            (uniform01(seed, 2) * 360 - 180).alias("joint_1"),
+            (uniform01(seed, 3) * 180 - 90).alias("joint_2"),
+            (uniform01(seed, 4) * 360 - 180).alias("joint_3"),
+            (uniform01(seed, 5) * 100).alias("gripper_force"),
         )
         .orderBy("timestamp")
     )
