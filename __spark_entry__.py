@@ -110,8 +110,10 @@ def _sync_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("ts").alias("timestamp"), "event_type")
     )
     res = S.synchronize(
-        C.clean(cam, "camera", collect_report=False).df,
-        C.clean(mot, "motion", clamp_cols=[], collect_report=False).df,
+        # sort=False: synchronize re-keys onto the grid, so clean's O11
+        # range shuffle (+ its range-partitioner sampling job) is elided
+        C.clean(cam, "camera", collect_report=False, sort=False).df,
+        C.clean(mot, "motion", clamp_cols=[], collect_report=False, sort=False).df,
         log,
         method="pad",
         step_ms=GRID_STEP_MS,

@@ -60,7 +60,8 @@ def main() -> None:
 
     from multi_sensor_data_pipeline_for_robotics__spark.sources.tables import load_table
 
-    load_table(spark, sf_dir, "lineitem").count()
+    for t in ("lineitem", "events", "documents", "embeddings"):
+        load_table(spark, sf_dir, t).count()
 
     @pandas_udf("long")
     def _noop(x):

@@ -172,12 +172,19 @@ def clean(
     timestamp_col: str = "timestamp",
     clamp_cols: list[str] | None = None,
     collect_report: bool = True,
+    sort: bool = True,
 ) -> CleanResult:
     """Full ``clean_data`` pipeline (app.py:104-137), lazily composed.
 
     ``sensor_type='motion'`` additionally applies the O10 quantile clamp
     (app.py:122), to ``clamp_cols`` (default: the reference's motion
     channel set intersected with the frame's columns).
+
+    ``sort=False`` elides the O11 global sort — semantics-preserving
+    when the consumer imposes its own ordering (``synchronize`` re-keys
+    every row onto the grid), and it saves a range-partitioner sampling
+    job plus a full range shuffle per sensor that the as-of bucket
+    shuffle would immediately destroy.
     """
     report: list[str] = []
     if collect_report:
@@ -195,6 +202,6 @@ def clean(
         if cols is None:
             cols = [c for c in MOTION_CLAMP_COLS if c in out.columns]
         out = clamp_outliers(out, cols)
-    if timestamp_col in out.columns:
+    if sort and timestamp_col in out.columns:
         out = sort_by_time(out, timestamp_col)
     return CleanResult(out, report)

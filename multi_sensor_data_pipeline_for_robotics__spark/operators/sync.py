@@ -136,29 +136,20 @@ def asof_align(
     post-projection; the align itself is unchanged).
     """
     if method == "nearest":
-        pad = asof_align(grid, sensor, on, "pad", value_cols, "__p_", num_buckets, bounds)
-        bf = asof_align(grid, sensor, on, "backfill", value_cols, "__b_", num_buckets, bounds)
+        # fused single-pass nearest (pandas `_get_nearest_indexer`
+        # strict-< semantics live in asof_align_multi): one bucketed
+        # sort yields both directional fills — no pad + backfill pass,
+        # no grid-key join
         vcols = value_cols or [c for c in sensor.columns if c != on]
-        joined = pad.join(bf, on)
-        g_us = F.unix_micros(F.col(on))
-        p_ts, b_ts = F.col("__p___matched_ts"), F.col("__b___matched_ts")
-        # pandas `_get_nearest_indexer` on a monotonic increasing index
-        # uses `operator.lt`: the pad side wins only when STRICTLY
-        # closer; an exact-midpoint tie resolves to the LATER observation
-        use_pad = p_ts.isNotNull() & (
-            b_ts.isNull()
-            | ((g_us - F.unix_micros(p_ts)) < (F.unix_micros(b_ts) - g_us))
+        aligned = asof_align_multi(
+            grid,
+            {prefix: sensor.select(on, *vcols)},
+            on,
+            "nearest",
+            num_buckets=num_buckets,
+            bounds=bounds,
         )
-        out_cols = [F.col(on)]
-        for c in vcols + ["__matched_ts"]:
-            out_cols.append(
-                F.when(use_pad, F.col(f"__p_{c}"))
-                .otherwise(F.col(f"__b_{c}"))
-                .alias(f"{prefix}{c}")
-            )
-        return _apply_tolerance(
-            joined.select(*out_cols), on, vcols, prefix, tolerance_ms
-        )
+        return _apply_tolerance(aligned, on, vcols, prefix, tolerance_ms)
 
     if method not in ("pad", "backfill"):
         raise ValueError(f"unknown as-of method: {method}")
@@ -319,152 +310,145 @@ def asof_align_multi(
     bounds: tuple[dt.datetime, dt.datetime] | None = None,
 ) -> DataFrame:
     """Align SEVERAL sensors onto one grid in a single union + window
-    pass (pad/backfill; nearest = one pad pass + one backfill pass
-    joined on the grid key).
+    pass — for ALL methods, including ``nearest``.
 
     vs. calling :func:`asof_align` per sensor: one shuffle instead of
     N, one window fill with N ``last()``/``first()`` expressions instead
     of N window stages, and NO grid-key join between the aligned
     sensors — the wide row is born assembled. ``sensors`` maps an output
     prefix to its DataFrame; value columns are everything but ``on``.
-    """
-    if method == "nearest":
-        pad = asof_align_multi(grid, sensors, on, "pad", num_buckets, bounds)
-        bf = asof_align_multi(grid, sensors, on, "backfill", num_buckets, bounds)
-        g_us = F.unix_micros(F.col(on))
-        out_cols = [F.col(on)]
-        joined = pad.join(
-            bf.select(
-                F.col(on), *[F.col(c).alias(f"__b_{c}") for c in bf.columns if c != on]
-            ),
-            on,
-        )
-        for prefix, sensor in sensors.items():
-            vcols = [c for c in sensor.columns if c != on]
-            p_ts = F.col(f"{prefix}__matched_ts")
-            b_ts = F.col(f"__b_{prefix}__matched_ts")
-            use_pad = p_ts.isNotNull() & (
-                b_ts.isNull()
-                | ((g_us - F.unix_micros(p_ts)) < (F.unix_micros(b_ts) - g_us))
-            )
-            for c in vcols + ["__matched_ts"]:
-                out_cols.append(
-                    F.when(use_pad, F.col(f"{prefix}{c}"))
-                    .otherwise(F.col(f"__b_{prefix}{c}"))
-                    .alias(f"{prefix}{c}")
-                )
-        return joined.select(*out_cols)
 
-    if method not in ("pad", "backfill"):
+    ``nearest`` is fused: both directional fills are window frames over
+    ONE bucketed sort (``last`` looking back, ``first`` looking
+    forward), so it costs one shuffle — not a pad pass + a backfill
+    pass + a grid-key join. The sort tie-breaks sensor-before-grid at
+    equal timestamps; the backward frame therefore owns exact matches
+    (distance 0 always wins the strict-``<`` pad-vs-backfill race, so
+    the forward frame never needs to see them).
+    """
+    if method not in ("pad", "backfill", "nearest"):
         raise ValueError(f"unknown as-of method: {method}")
 
     prefixes = list(sensors)
     payloads = {}
-    tagged = []
-    for i, prefix in enumerate(prefixes):
+    parts = []
+    for j, prefix in enumerate(prefixes):
         sensor = sensors[prefix]
         vcols = [c for c in sensor.columns if c != on]
-        payloads[prefix] = (
-            vcols,
-            F.struct(F.col(on).alias("__matched_ts"), *[F.col(c) for c in vcols]),
+        payload = F.struct(
+            F.col(on).alias("__matched_ts"), *[F.col(c) for c in vcols]
         )
-    # one unioned stream: each row carries ONE sensor's payload struct
-    # (others NULL) + the grid rows with all payloads NULL
-    def row_for(df, which: int | None):
-        cols = [F.col(on).alias("__t")]
-        for j, prefix in enumerate(prefixes):
-            vcols, payload = payloads[prefix]
-            if which == j:
-                cols.append(payload.alias(f"__p{j}"))
-            else:
-                cols.append(F.lit(None).alias(f"__p{j}"))
-        cols.append(F.lit(1 if which is None else 0).alias("__tag"))
-        return df.select(*cols)
-
-    parts = [row_for(sensors[p], i) for i, p in enumerate(prefixes)]
-    # align NULL payload types across the union: build each part with
-    # explicit casts to the sensor's struct type
-    typed_parts = []
-    for i, part in enumerate(parts):
-        cols = [F.col("__t")]
-        for j, prefix in enumerate(prefixes):
-            t = parts[j].schema[f"__p{j}"].dataType
-            cols.append(F.col(f"__p{j}").cast(t).alias(f"__p{j}"))
-        cols.append(F.col("__tag"))
-        typed_parts.append(part.select(*cols))
-    gpart = row_for(grid, None)
-    gcols = [F.col("__t")]
-    for j in range(len(prefixes)):
-        t = parts[j].schema[f"__p{j}"].dataType
-        gcols.append(F.col(f"__p{j}").cast(t).alias(f"__p{j}"))
-    gcols.append(F.col("__tag"))
-    u = typed_parts[0]
-    for p in typed_parts[1:]:
-        u = u.unionByName(p)
-    u = u.unionByName(gpart.select(*gcols))
+        payloads[prefix] = (vcols, payload)
+        parts.append(
+            sensor.select(
+                F.col(on).alias("__t"),
+                payload.alias(f"__p{j}"),
+                F.lit(0).alias("__tag"),
+            )
+        )
+    # one unioned stream: each row carries ONE sensor's payload struct;
+    # unionByName(allowMissingColumns) fills the other sensors' payloads
+    # (and the grid rows' payloads) with typed NULLs — no per-part cast
+    # matrix, the expression tree stays O(sensors), not O(sensors^2)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p, allowMissingColumns=True)
+    u = u.unionByName(
+        grid.select(F.col(on).alias("__t"), F.lit(1).alias("__tag")),
+        allowMissingColumns=True,
+    )
 
     lo, hi = bounds if bounds is not None else u.agg(F.min("__t"), F.max("__t")).first()
+    if lo is None:  # empty grid AND empty sensors
+        out = [F.col(on)]
+        for prefix in prefixes:
+            sensor = sensors[prefix]
+            for c in payloads[prefix][0]:
+                out.append(
+                    F.lit(None).cast(sensor.schema[c].dataType).alias(f"{prefix}{c}")
+                )
+            out.append(F.lit(None).cast("timestamp").alias(f"{prefix}__matched_ts"))
+        return grid.select(*out).limit(0)
     lo_us, hi_us = _us(lo), _us(hi)
     bucket_us = max(1, (hi_us - lo_us) // num_buckets + 1)
     u = u.withColumn("__b", _bucketize(F.col("__t"), lo_us, bucket_us, num_buckets))
 
-    if method == "pad":
-        w_fill = (
-            W.partitionBy("__b")
-            .orderBy(F.col("__t").asc(), F.col("__tag").asc())
-            .rowsBetween(W.unboundedPreceding, W.currentRow)
-        )
-        fill, pick, w_carry = (
-            F.last,
-            F.max_by,
-            W.orderBy("__b").rowsBetween(W.unboundedPreceding, -1),
-        )
-    else:
-        w_fill = (
-            W.partitionBy("__b")
-            .orderBy(F.col("__t").asc(), F.col("__tag").desc())
-            .rowsBetween(W.currentRow, W.unboundedFollowing)
-        )
-        fill, pick, w_carry = (
-            F.first,
-            F.min_by,
-            W.orderBy("__b").rowsBetween(1, W.unboundedFollowing),
-        )
+    # Both directional window frames share ONE partitioning + sort:
+    # (t asc, tag asc) puts a sensor row before a grid row at equal t,
+    # so the backward frame includes exact-timestamp matches. The
+    # forward frame starts at the grid row (whose own payload is NULL)
+    # and only sees strictly-later sensor rows — which is exactly what
+    # pure backfill must NOT do, hence its tag-desc sort below.
+    w_pad = (
+        W.partitionBy("__b")
+        .orderBy(F.col("__t").asc(), F.col("__tag").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_bf_same_sort = (
+        W.partitionBy("__b")
+        .orderBy(F.col("__t").asc(), F.col("__tag").asc())
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    w_bf = (
+        W.partitionBy("__b")
+        .orderBy(F.col("__t").asc(), F.col("__tag").desc())
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    w_carry_pad = W.orderBy("__b").rowsBetween(W.unboundedPreceding, -1)
+    w_carry_bf = W.orderBy("__b").rowsBetween(1, W.unboundedFollowing)
 
-    # one tiny per-bucket edge table covering every sensor's payload
-    edge_aggs = []
-    for j, prefix in enumerate(prefixes):
-        edge_aggs.append(
-            pick(F.col(f"__p{j}"), F.when(F.col(f"__p{j}").isNotNull(), F.col("__t")))
-            .alias(f"__e{j}")
-        )
+    # per-bucket edge observations (tiny: <= num_buckets+1 rows after a
+    # map-side-combinable agg), windowed into cross-bucket carries and
+    # broadcast back onto the grid rows
+    need_pad = method in ("pad", "nearest")
+    need_bf = method in ("backfill", "nearest")
+    edge_aggs, carry_cols, fill_cols = [], [], []
+    for j in range(len(prefixes)):
+        pj = F.col(f"__p{j}")
+        ts_if_obs = F.when(pj.isNotNull(), F.col("__t"))
+        if need_pad:
+            edge_aggs.append(F.max_by(pj, ts_if_obs).alias(f"__emax{j}"))
+            carry_cols.append(
+                F.last(f"__emax{j}", ignorenulls=True).over(w_carry_pad).alias(f"__cp{j}")
+            )
+            fill_cols.append(
+                F.last(f"__p{j}", ignorenulls=True).over(w_pad).alias(f"__fp{j}")
+            )
+        if need_bf:
+            edge_aggs.append(F.min_by(pj, ts_if_obs).alias(f"__emin{j}"))
+            carry_cols.append(
+                F.first(f"__emin{j}", ignorenulls=True).over(w_carry_bf).alias(f"__cb{j}")
+            )
+            fill_cols.append(
+                F.first(f"__p{j}", ignorenulls=True)
+                .over(w_bf_same_sort if method == "nearest" else w_bf)
+                .alias(f"__fb{j}")
+            )
     per_bucket = u.filter(F.col("__tag") == 0).groupBy("__b").agg(*edge_aggs)
     spark = grid.sparkSession
     spine = spark.range(num_buckets + 1).select(F.col("id").alias("__b"))
-    carry_fn = F.last if method == "pad" else F.first
-    carry = spine.join(per_bucket, "__b", "left").select(
-        "__b",
-        *[
-            carry_fn(f"__e{j}", ignorenulls=True).over(w_carry).alias(f"__c{j}")
-            for j in range(len(prefixes))
-        ],
-    )
+    carry = spine.join(per_bucket, "__b", "left").select("__b", *carry_cols)
 
-    filled = u.select(
-        "__t",
-        "__tag",
-        "__b",
-        *[
-            fill(f"__p{j}", ignorenulls=True).over(w_fill).alias(f"__f{j}")
-            for j in range(len(prefixes))
-        ],
-    ).filter(F.col("__tag") == 1)
+    filled = u.select("__t", "__tag", "__b", *fill_cols).filter(F.col("__tag") == 1)
     joined = filled.join(F.broadcast(carry), "__b", "left")
 
+    g_us = F.unix_micros(F.col("__t"))
     out_cols = [F.col("__t").alias(on)]
     for j, prefix in enumerate(prefixes):
         vcols, _ = payloads[prefix]
-        p2 = F.coalesce(F.col(f"__f{j}"), F.col(f"__c{j}"))
+        if method == "pad":
+            p2 = F.coalesce(F.col(f"__fp{j}"), F.col(f"__cp{j}"))
+        elif method == "backfill":
+            p2 = F.coalesce(F.col(f"__fb{j}"), F.col(f"__cb{j}"))
+        else:  # nearest: strict-< race, exact-midpoint tie -> later obs
+            pp = F.coalesce(F.col(f"__fp{j}"), F.col(f"__cp{j}"))
+            bp = F.coalesce(F.col(f"__fb{j}"), F.col(f"__cb{j}"))
+            p_ts, b_ts = pp["__matched_ts"], bp["__matched_ts"]
+            use_pad = p_ts.isNotNull() & (
+                b_ts.isNull()
+                | ((g_us - F.unix_micros(p_ts)) < (F.unix_micros(b_ts) - g_us))
+            )
+            p2 = F.when(use_pad, pp).otherwise(bp)
         for c in vcols:
             out_cols.append(p2[c].alias(f"{prefix}{c}"))
         out_cols.append(p2["__matched_ts"].alias(f"{prefix}__matched_ts"))
