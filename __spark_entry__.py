@@ -262,11 +262,27 @@ def _q_o17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _table_counts(spark: SparkSession, sf_dir: str, tables: list[str]) -> DataFrame:
+    """One unioned aggregate over N tables — a single Spark job when
+    collected (parquet row-group counts, no data read), not a driver
+    loop of N ``.count()`` actions."""
+    parts = [
+        load_table(spark, sf_dir, t)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit(t).alias("table_name"), "n_rows")
+        for t in tables
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _q_o19(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rows = []
-    for t in ["events", "lineitem", "orders", "customer", "documents", "embeddings"]:
-        rows.append((t, load_table(spark, sf_dir, t).count()))
-    return spark.createDataFrame(rows, "table_name string, n_rows long")
+    return _table_counts(
+        spark, sf_dir,
+        ["events", "lineitem", "orders", "customer", "documents", "embeddings"],
+    )
 
 
 def _q_o20(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,13 +296,25 @@ def _q_o21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_o22(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rows = []
-    for t in ["events", "lineitem", "documents"]:
-        df = load_table(spark, sf_dir, t)
-        rows.append((t, df.count(), len(df.columns)))
-    return spark.createDataFrame(
-        rows, "table_name string, n_rows long, n_columns long"
-    )
+    # n_columns comes from the schema (driver-side, free); n_rows from
+    # one unioned count aggregate — a single job, like _q_o19
+    tables = ["events", "lineitem", "documents"]
+    parts = [
+        load_table(spark, sf_dir, t)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.lit(t).alias("table_name"),
+            "n_rows",
+            F.lit(len(load_table(spark, sf_dir, t).columns))
+            .cast("long")
+            .alias("n_columns"),
+        )
+        for t in tables
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _q_o23(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -474,12 +502,21 @@ def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trigram shingles: the synthetic corpus has a ~31-token vocabulary,
     # so unigram Jaccard is degenerate (nearly all pairs ~1.0 → O(n^2)
     # output); 3-gram shingles discriminate real near-dups
+    # max_shingle_df=None: the EXPLICIT exact variant (the library
+    # default caps shingle document-frequency for 100 TB safety;
+    # dedup_jaccard_capped below exercises that path)
     return D.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5,
+        max_shingle_df=None,
     )
 
 
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELIBERATELY UN-ORACLED (driver shows err=no_oracle): the scale
+    path hashes with engine-seeded xxhash64, which no other engine
+    reproduces bit-for-bit. ``dedup_minhash_portable`` is the
+    hash-checked twin (sha256 Carter-Wegman family, oracle-green); this
+    entry's rows-only check still guards schema and non-emptiness."""
     return D.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"),
         num_hashes=32,
@@ -513,13 +550,18 @@ def _q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=None)
     return D.connected_components(pairs, nodes=docs)
 
 
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # max_hamming=3: at 8 the tiny shared vocabulary makes most pairs
-    # "near" (degenerate quadratic output on this corpus)
+    """DELIBERATELY UN-ORACLED (driver shows err=no_oracle): the fast
+    path's 64-bit simhash uses engine-seeded xxhash64 token hashes.
+    ``dedup_simhash_portable`` is the oracle-green sha256 twin; this
+    rows-only entry exists to exercise the production hash family.
+
+    max_hamming=3: at 8 the tiny shared vocabulary makes most pairs
+    "near" (degenerate quadratic output on this corpus)."""
     return D.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
 
 
@@ -632,6 +674,19 @@ def _q_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return SIM.ivf_topk(emb, qs, k=5, nlist=16, nprobe=4)
+
+
+def _q_embed_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELIBERATELY UN-ORACLED (rows-only): 2 spherical-k-means Lloyd
+    rounds train the coarse quantizer — float means aren't bit-stable
+    across engines, so no SQL oracle; ``embed_ivf_topk`` (same plan,
+    deterministic first-N centroids) is the hash-checked twin, and
+    tests/test_similarity.py reports trained-vs-exact recall@5."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivf_topk(emb, qs, k=5, nlist=16, nprobe=4, train_iters=2)
 
 
 def _q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -766,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup_pairs": _q_embed_neardup,
         "embed_neardup_lsh": _q_embed_lsh,
         "embed_ivf_topk": _q_embed_ivf,
+        "embed_ivf_topk_trained": _q_embed_ivf_trained,
         "mm_feature_extract": _q_mm_features,
         "mm_frame_sample": _q_mm_frames,
         "mm_resize": _q_mm_resize,

@@ -104,22 +104,30 @@ def shingle_hashes(text_col, n: int = 3):
     return _hashes(text_col)
 
 
+DEFAULT_MAX_SHINGLE_DF = 10_000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 1,
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
     round_to: int | None = 6,
 ) -> DataFrame:
     """All document pairs with n-gram-shingle Jaccard >= threshold.
 
     Inverted-index plan: explode distinct shingles → self-equi-join on
     shingle → per-pair intersection counts → |A∪B| = |A|+|B|-|A∩B|.
-    ``max_shingle_df`` (scale knob) drops shingles appearing in more
-    than that many documents before the join — approximate but removes
-    the quadratic blowup of ubiquitous shingles.
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    documents before the join — approximate but removes the O(df²)
+    candidate blowup of ubiquitous shingles. The join cost is Σ df² over
+    surviving shingles, so an uncapped run on a web-scale corpus is a
+    stopword storm; the cap is therefore ON by default (a shingle shared
+    by >10k docs carries no near-dup signal). Pass
+    ``max_shingle_df=None`` explicitly for the exact small-corpus
+    variant.
     """
     # One Arrow-batched projection builds the distinct shingle-hash
     # array; postings carry (doc, |set|, hash) so set sizes travel with

@@ -174,6 +174,70 @@ def lsh_neardup_pairs(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    nlist: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical k-means coarse quantizer for :func:`ivf_topk`.
+
+    Deterministic init (the first ``nlist`` corpus vectors by id — no
+    RNG, so runs are reproducible), then ``iters`` Lloyd rounds:
+
+      assign:  one broadcast-centroid scan of the corpus, nearest by
+               cosine (spherical variant — IVF probes by cosine, so the
+               quantizer must optimize the same metric);
+      update:  per-dimension means via ``posexplode → groupBy(cent,pos)
+               → avg`` — hash aggregation partially combines map-side,
+               so the shuffle carries only nlist×dim partials per input
+               partition, never the vectors; the nlist×dim result (a few
+               KB) is collected to the driver and re-broadcast.
+
+    Empty clusters keep their previous centroid. At 100 TB you'd fit on
+    a ``.sample()`` of the corpus — assignment cost dominates and the
+    quantizer needs only ~100×nlist training points; pass that sample as
+    ``embeddings`` here.
+    """
+    spark = embeddings.sparkSession
+    init = (
+        embeddings.orderBy(id_col).limit(nlist).select(F.col(vec_col).alias("v")).collect()
+    )
+    cents = np.asarray([r["v"] for r in init], dtype=np.float64)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    corpus = embeddings.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            "cent_id int, cent_vec array<double>",
+        )
+        w = W.partitionBy("__id").orderBy(F.col("__sim").desc(), F.col("cent_id").asc())
+        assigned = (
+            corpus.join(F.broadcast(cdf), how="cross")
+            .withColumn("__sim", cosine(F.col("__v"), F.col("cent_vec")))
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+        )
+        means = (
+            assigned.select("cent_id", F.posexplode("__v").alias("pos", "val"))
+            .groupBy("cent_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new = cents.copy()
+        acc: dict[int, dict[int, float]] = {}
+        for r in means:
+            acc.setdefault(r["cent_id"], {})[r["pos"]] = r["m"]
+        for ci, dims in acc.items():
+            v = np.asarray([dims[p] for p in sorted(dims)], dtype=np.float64)
+            n = np.linalg.norm(v)
+            if n > 1e-12:
+                new[ci] = v / n
+        cents = new
+    return [[float(x) for x in c] for c in cents]
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -184,29 +248,39 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     round_to: int = 6,
+    train_iters: int = 0,
 ) -> DataFrame:
     """Inverted-file ANN: coarse-quantize the corpus to its nearest
-    centroid (here: the first ``nlist`` corpus vectors as deterministic
-    coarse centroids — a k-means fit would slot in identically), then
-    each query scans only its ``nprobe`` nearest lists.
+    centroid, then each query scans only its ``nprobe`` nearest lists.
+
+    ``train_iters=0`` (default) uses the first ``nlist`` corpus vectors
+    as deterministic coarse centroids — fully reproducible in any
+    engine, hence the oracle-checked path. ``train_iters>0`` runs that
+    many spherical-k-means Lloyd rounds (:func:`kmeans_centroids`) from
+    the same init — better-balanced lists / higher recall, identical
+    plan shape afterwards.
 
     Scale shape: corpus assignment is one broadcast-join scan;
     candidate scoring touches ~nprobe/nlist of the corpus per query.
     """
-    cents = (
-        embeddings.orderBy(id_col)
-        .limit(nlist)
-        .select(
-            F.monotonically_increasing_id().alias("__tmp"),
-            F.col(id_col).alias("cent_src"),
-            F.col(vec_col).alias("cent_vec"),
+    spark = embeddings.sparkSession
+    if train_iters > 0:
+        trained = kmeans_centroids(embeddings, nlist, train_iters, id_col, vec_col)
+        cents = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(trained)],
+            "cent_id int, cent_vec array<double>",
         )
-    )
-    # stable centroid ids 0..nlist-1 by source id order
-    wc = W.orderBy("cent_src")
-    cents = cents.select(
-        (F.row_number().over(wc) - 1).alias("cent_id"), "cent_vec"
-    )
+    else:
+        cents = (
+            embeddings.orderBy(id_col)
+            .limit(nlist)
+            .select(F.col(id_col).alias("cent_src"), F.col(vec_col).alias("cent_vec"))
+        )
+        # stable centroid ids 0..nlist-1 by source id order
+        wc = W.orderBy("cent_src")
+        cents = cents.select(
+            (F.row_number().over(wc) - 1).alias("cent_id"), "cent_vec"
+        )
 
     def nearest_lists(df, vcol, out, n):
         scored = df.join(F.broadcast(cents), how="cross").withColumn(

@@ -306,10 +306,13 @@ def local_supplier_revenue(
     """TPC-H Q5-shaped six-table join: revenue per nation where customer
     and supplier are co-national, one region, one order-date year.
 
-    Join tree: region→nation→supplier are broadcast dimensions; the
-    fact-side shuffles are lineitem⋈orders and the customer equi-join
-    with the co-nationality predicate folded into the join condition so
-    no post-join filter rescans.
+    Join tree: region→nation are broadcast dimensions (fixed 5/25
+    rows); supplier⋈dims is NOT hinted — supplier grows with SF, so the
+    choice is left to Catalyst/AQE, which broadcasts while it fits and
+    falls back to shuffle join beyond the threshold. The fact-side
+    shuffles are lineitem⋈orders and the customer equi-join with the
+    co-nationality predicate folded into the join condition so no
+    post-join filter rescans.
     """
     dec = "decimal(30,6)"
     dims = (
@@ -328,7 +331,7 @@ def local_supplier_revenue(
         & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
     ).select("o_orderkey", "o_custkey")
     joined = (
-        lineitem.join(F.broadcast(dims), lineitem.l_suppkey == dims.s_suppkey)
+        lineitem.join(dims, lineitem.l_suppkey == dims.s_suppkey)
         .join(o, F.col("l_orderkey") == o.o_orderkey)
         .join(
             customer,

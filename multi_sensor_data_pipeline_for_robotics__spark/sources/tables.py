@@ -9,6 +9,8 @@ them to ``spark.sql``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -61,9 +63,39 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    n = _estimated_scan_partitions(df)
+    if n is None:
+        # non-file / remote-FS source: fall back to the precise probe.
+        # (df.rdd forces full physical planning — the file-stat estimate
+        # above avoids that cost for the common local-parquet case.)
+        n = df.rdd.getNumPartitions()
+    if n < target:
         return df.repartition(target)
     return df
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int | None:
+    """Cheap lower-bound estimate of scan partitions for local files:
+    max(#files, total_bytes / 128MB-split). Returns None when the plan
+    has no file scan or the files aren't locally stat-able."""
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        p = urlparse(f)
+        if p.scheme not in ("", "file"):
+            return None
+        try:
+            total += os.path.getsize(unquote(p.path))
+        except OSError:
+            return None
+    return max(len(files), total // (128 << 20) + 1)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -64,3 +64,28 @@ def test_parquet_partitioned_sink(spark, tmp_path):
     one = back.filter(F.col("event_type") == "ARM_MOVE")
     plan = one.queryExecution if False else one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or one.count() <= 30
+
+
+def test_foreign_csv_through_clean(spark, tmp_path):
+    """Schema-inferred FOREIGN CSV (columns the library has never seen)
+    flows through clean()'s runtime numeric-column discovery end-to-end
+    (O8, app.py:114 select_dtypes parity): unexpected numeric columns
+    participate in O7/O9, string columns pass through untouched."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.clean import clean
+
+    p = tmp_path / "foreign"
+    p.mkdir()
+    (p / "part.csv").write_text(
+        "timestamp,widget_temp,flux_ratio,label\n"
+        "2024-01-01T00:00:03.000000Z,21.5,0.9,ok\n"       # survives (sorted last)
+        "2024-01-01T00:00:01.000000Z,-950.0,0.5,low\n"    # O9: widget_temp < -900
+        "2024-01-01T00:00:02.000000Z,22.0,,nan\n"         # O7: NULL flux_ratio
+        "2024-01-01T00:00:00.500000Z,23.0,12000.5,hi\n"   # O9: flux_ratio > 10000
+        "2024-01-01T00:00:00.000000Z,19.0,1.1,ok\n"       # survives (sorted first)
+    )
+    df = read_sensor_csv(spark, str(p), sensor_type=None, infer=True)
+    res = clean(df, sensor_type="unknown")
+    rows = res.df.collect()
+    assert [r["label"] for r in rows] == ["ok", "ok"]          # sorted by time
+    assert [r["widget_temp"] for r in rows] == [19.0, 21.5]
+    assert any("rows_with_missing=1" in line for line in res.report)

@@ -109,6 +109,31 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
 
 
+def test_ivf_trained_recall_vs_exact(spark, sf_dir):
+    """Lloyd-trained quantizer (train_iters>0): recall@5 vs exact
+    cosine_topk, reported and floored. Trained lists are better
+    balanced, so recall should at least hold against the untrained
+    first-N quantizer at the same nlist/nprobe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = SIM.cosine_topk(emb, qs, k=5).toPandas()
+    exact_set = set(map(tuple, exact[["query_id", "cand_id"]].to_numpy()))
+
+    def recall(df):
+        s = set(map(tuple, df[["query_id", "cand_id"]].to_numpy()))
+        return len(exact_set & s) / len(exact_set)
+
+    r0 = recall(SIM.ivf_topk(emb, qs, k=5, nlist=8, nprobe=4).toPandas())
+    r2 = recall(
+        SIM.ivf_topk(emb, qs, k=5, nlist=8, nprobe=4, train_iters=2).toPandas()
+    )
+    print(f"ivf recall@5: untrained={r0:.3f} trained={r2:.3f}")
+    assert r2 >= 0.5, f"trained IVF recall too low: {r2}"
+    assert r2 >= r0 - 0.2  # training must not collapse recall
+
+
 def test_lsh_neardup_subset_of_exact(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     exact = SIM.neardup_pairs(emb, threshold=0.3).toPandas()
