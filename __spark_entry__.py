@@ -119,6 +119,10 @@ def _sync_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         step_ms=GRID_STEP_MS,
         tolerance_ms=SYNC_TOL_MS,
         event_types=LOG_TYPES,
+        # the 100 TB shape: sensors outnumber grid cells, so pre-reduce
+        # each sensor to its per-cell as-of candidate before the union
+        # window (map-side-combinable; crushes the window-stage input)
+        reduce_cells=True,
     )
     return res.df
 
