@@ -32,6 +32,7 @@ from multi_sensor_data_pipeline_for_robotics__spark.functions import text as TX
 from multi_sensor_data_pipeline_for_robotics__spark.operators import clean as C
 from multi_sensor_data_pipeline_for_robotics__spark.operators import dedup as D
 from multi_sensor_data_pipeline_for_robotics__spark.operators import multimodal as MM
+from multi_sensor_data_pipeline_for_robotics__spark.operators import pack as PK
 from multi_sensor_data_pipeline_for_robotics__spark.operators import similarity as SIM
 from multi_sensor_data_pipeline_for_robotics__spark.operators import sync as S
 from multi_sensor_data_pipeline_for_robotics__spark.plans import analytics as A
@@ -654,6 +655,21 @@ def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # concat-and-chunk packing into 512-token training sequences;
+    # distributed two-phase prefix sum, no single-partition window
+    return PK.pack_sequences(load_table(spark, sf_dir, "documents"), seq_len=512)
+
+
+def _q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # benchmark-leakage screen: every 20th doc plays the eval set,
+    # the rest the training corpus; 5-gram overlap per eval doc
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    tr = docs.filter(F.col("doc_id") % 20 != 0)
+    return D.ngram_contamination(tr, ev, n=5)
+
+
 def _q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5).select(
@@ -821,6 +837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
+        "text_pack_sequences": _q_text_pack,
+        "text_contamination": _q_text_contamination,
         "embed_cosine_topk": _q_embed_topk,
         "embed_neardup_pairs": _q_embed_neardup,
         "embed_neardup_lsh": _q_embed_lsh,
@@ -1613,6 +1631,51 @@ SELECT doc_id,
                (t, i) -> (31 * length(t) + ascii(substring(t, 1, 1))) * ((i % 13) + 1)),
            'sum') % 1000000007 AS BIGINT) AS fingerprint
 FROM documents
+"""
+
+    # concat-and-chunk packing: window sum() yields HUGEINT in DuckDB —
+    # every derived output is CAST to BIGINT (driver hash is type-aware)
+    o["text_pack_sequences"] = """
+WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+c AS (
+    SELECT doc_id, n,
+           CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e0
+    FROM t
+),
+s AS (
+    SELECT doc_id, e0, e0 - n AS s0,
+           unnest(range((e0 - n) // 512, (e0 - 1) // 512 + 1)) AS seq_id
+    FROM c
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id,
+       doc_id,
+       CAST(greatest(s0, seq_id * 512) - s0 AS BIGINT) AS tok_from,
+       CAST(least(e0, (seq_id + 1) * 512) - greatest(s0, seq_id * 512) AS BIGINT) AS n_toks
+FROM s
+"""
+
+    o["text_contamination"] = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        list_transform(range(1, len(toks) - 3),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                 || toks[i+3] || ' ' || toks[i+4])
+    )) AS sh
+    FROM tok
+),
+ev AS (SELECT * FROM sh WHERE doc_id % 20 = 0),
+tr AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 != 0),
+tot AS (SELECT doc_id, count(*) AS n_ngrams FROM ev GROUP BY doc_id),
+hit AS (
+    SELECT doc_id, count(*) AS n_contaminated
+    FROM ev WHERE sh IN (SELECT sh FROM tr)
+    GROUP BY doc_id
+)
+SELECT tot.doc_id, tot.n_ngrams,
+       coalesce(hit.n_contaminated, 0) AS n_contaminated,
+       round(coalesce(hit.n_contaminated, 0) / tot.n_ngrams, 6) AS contaminated_frac
+FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
 """
 
     # media payload is utf-8 of `text` (pure ASCII corpus), so the fake

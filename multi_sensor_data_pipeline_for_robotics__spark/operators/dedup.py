@@ -522,3 +522,56 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/eval contamination check: per eval document, what fraction
+    of its distinct n-gram shingles also appears ANYWHERE in the
+    training corpus (the standard benchmark-leakage screen for LLM
+    training sets — e.g. the 13-gram overlap checks used for GPT-style
+    dataset decontamination; n is a knob because this synthetic corpus
+    has short docs).
+
+    Plan shape (never pairwise): the train side is reduced to its
+    DISTINCT shingle set (map-side-combinable dedup — the quadratic
+    doc×doc blowup of a pair join never exists), eval shingles
+    LEFT SEMI join against it (Spark builds/partitions only the shingle
+    key, no payload), then one groupBy(eval doc) counts matches.
+    Output: ``(doc_id, n_ngrams, n_contaminated, contaminated_frac)``
+    per eval doc, including 0-overlap docs.
+
+    At 100 TB the semi-join shuffles shingle keys only; for repeated
+    screening you'd persist the train shingle set bucketed by shingle.
+    """
+    ev = eval_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(tokens(F.col(text_col)), n)).alias("sh"),
+    )
+    tr = (
+        train.select(F.explode(shingles(tokens(F.col(text_col)), n)).alias("sh"))
+        .distinct()
+    )
+    totals = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    hits = (
+        ev.join(tr, "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .na.fill(0, ["n_contaminated"])
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_ngrams"), 6).alias(
+                "contaminated_frac"
+            ),
+        )
+    )
