@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from multi_sensor_data_pipeline_for_robotics__spark.functions import text as TX
+from multi_sensor_data_pipeline_for_robotics__spark.functions import vector as V
+from multi_sensor_data_pipeline_for_robotics__spark.operators import embedding as EMB
 from multi_sensor_data_pipeline_for_robotics__spark.operators import clean as C
 from multi_sensor_data_pipeline_for_robotics__spark.operators import dedup as D
 from multi_sensor_data_pipeline_for_robotics__spark.operators import multimodal as MM
@@ -696,6 +698,41 @@ def _q_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, qs, k=5, nlist=16, nprobe=4)
 
 
+def _q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # unit-normalized embeddings, rounded for cross-engine float parity;
+    # sequential-fold norm matches DuckDB list_aggregate order
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.transform(V.l2_normalize(F.col("embedding")), lambda x: F.round(x, 6)).alias(
+            "unit"
+        ),
+    )
+
+
+def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # symmetric int8 quantization; q exposed as array<int> so both
+    # engines compare identical logical types
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = V.quantize_int8(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.round(qs["scale"], 9).alias("scale"),
+        F.transform(qs["q"], lambda x: x.cast("int")).alias("q"),
+    )
+
+
+def _q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELIBERATELY UN-ORACLED (rows-only): eigenvectors of the
+    covariance are sign/order-fixed here but float partial-sum order
+    across partitions is not bit-stable between engines. Invariants
+    (orthonormal components, variance ordering, reconstruction) are
+    pytest-checked in tests/test_embedding.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = EMB.pca_fit(emb, n_components=8)
+    return EMB.pca_project(emb, model).select("vec_id", "pca")
+
+
 def _q_embed_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELIBERATELY UN-ORACLED (rows-only): 2 spherical-k-means Lloyd
     rounds train the coarse quantizer — float means aren't bit-stable
@@ -844,6 +881,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup_lsh": _q_embed_lsh,
         "embed_ivf_topk": _q_embed_ivf,
         "embed_ivf_topk_trained": _q_embed_ivf_trained,
+        "embed_normalize": _q_embed_normalize,
+        "embed_quantize": _q_embed_quantize,
+        "embed_pca_project": _q_embed_pca,
         "mm_feature_extract": _q_mm_features,
         "mm_frame_sample": _q_mm_frames,
         "mm_resize": _q_mm_resize,
@@ -1303,6 +1343,28 @@ GROUP BY 1
     # ---- LLM-data extension oracles (deterministic ops; the seeded
     # hash-based ops — minhash/simhash/hyperplane-LSH — stay rows-only.
     # IVF uses deterministic first-N centroids, so it IS oracle-able.) ----
+    o["embed_normalize"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id,
+       list_transform(v, x -> round(
+           x / greatest(sqrt(list_aggregate(list_transform(v, y -> y * y), 'sum')),
+                        1e-12), 6)) AS unit
+FROM e
+"""
+
+    o["embed_quantize"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+    SELECT vec_id, v,
+           greatest(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 1e-12)
+               / 127.0 AS scale
+    FROM e
+)
+SELECT vec_id, round(scale, 9) AS scale,
+       list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) AS q
+FROM s
+"""
+
     o["embed_ivf_topk"] = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cents AS (

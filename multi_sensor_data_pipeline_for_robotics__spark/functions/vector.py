@@ -59,3 +59,32 @@ def cosine_batch(a: Column, b: Column) -> Column:
         return pd.Series(num / den)
 
     return _cos(a, b)
+
+
+def l2_normalize(v: Column, eps: float = 1e-12) -> Column:
+    """Unit-normalize a vector column (double math); zero vectors map to
+    zeros instead of NaN."""
+    vd = to_double(v)
+    n = F.greatest(l2_norm(vd), F.lit(eps))
+    return F.transform(vd, lambda x: x / n)
+
+
+def quantize_int8(v: Column, eps: float = 1e-12) -> Column:
+    """Symmetric per-vector int8 quantization (the standard embedding
+    compression for ANN serving): scale = max|x|/127, q = round(x/scale).
+
+    Returns a struct ``(scale double, q array<tinyint>)`` — 4x smaller
+    than float32 storage; recover with ``dequantize_int8``. Banker's
+    rounding (F.round HALF_UP vs numpy HALF_EVEN) is avoided by using
+    floor(x+0.5) explicitly, which every engine reproduces.
+    """
+    vd = to_double(v)
+    amax = F.aggregate(vd, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+    scale = F.greatest(amax, F.lit(eps)) / F.lit(127.0)
+    q = F.transform(vd, lambda x: F.floor(x / scale + F.lit(0.5)).cast("tinyint"))
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def dequantize_int8(qs: Column) -> Column:
+    """Inverse of :func:`quantize_int8`: ``q * scale`` as array<double>."""
+    return F.transform(qs["q"], lambda x: x.cast("double") * qs["scale"])

@@ -1,0 +1,81 @@
+"""Distributed PCA + vector function invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from multi_sensor_data_pipeline_for_robotics__spark.functions import vector as V
+from multi_sensor_data_pipeline_for_robotics__spark.operators import embedding as EMB
+from multi_sensor_data_pipeline_for_robotics__spark.sources.tables import load_table
+
+
+def test_pca_matches_numpy(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = EMB.pca_fit(emb, n_components=4)
+    C = np.asarray(model["components"])
+    ev = np.asarray(model["explained_variance"])
+
+    # components orthonormal, variances descending and non-negative
+    assert np.allclose(C @ C.T, np.eye(4), atol=1e-8)
+    assert (np.diff(ev) <= 1e-9).all() and (ev >= -1e-9).all()
+
+    # exact numpy replica on the collected matrix
+    X = np.stack(
+        emb.select("embedding").toPandas()["embedding"].to_numpy()
+    ).astype(np.float64)
+    cov = np.cov(X, rowvar=False, bias=True)
+    w = np.sort(np.linalg.eigvalsh(cov))[::-1][:4]
+    assert np.allclose(ev, w, rtol=1e-8)
+
+    # projection reproduces (X - mean) @ C.T
+    got = (
+        EMB.pca_project(emb, model, round_to=None)
+        .orderBy("vec_id")
+        .select("pca")
+        .toPandas()["pca"]
+    )
+    Y = np.stack(got.to_numpy())
+    pdf = emb.select("vec_id", "embedding").orderBy("vec_id").toPandas()
+    Xo = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    want = (Xo - np.asarray(model["mean"])) @ np.asarray(model["components"]).T
+    assert np.allclose(Y, want, atol=1e-8)
+
+
+def test_quantize_roundtrip(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [0, 1, 2],
+                "embedding": [
+                    [1.0, -2.0, 0.5, 127.0],
+                    [0.0, 0.0, 0.0, 0.0],  # zero vector: no NaN/overflow
+                    [-0.003, 0.001, 0.002, -0.001],
+                ],
+            }
+        )
+    )
+    qs = V.quantize_int8(F.col("embedding"))
+    out = (
+        df.select("vec_id", qs.alias("qs"), V.dequantize_int8(qs).alias("back"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    for r in out:
+        orig = {0: [1.0, -2.0, 0.5, 127.0], 1: [0.0] * 4, 2: [-0.003, 0.001, 0.002, -0.001]}[
+            r["vec_id"]
+        ]
+        scale = r["qs"]["scale"]
+        assert all(-127 <= q <= 127 for q in r["qs"]["q"])
+        # reconstruction error bounded by scale/2 per coordinate
+        assert all(abs(b - o) <= scale / 2 + 1e-12 for b, o in zip(r["back"], orig))
+
+
+def test_l2_normalize_unit_norm(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    norms = (
+        emb.select(V.l2_norm(V.l2_normalize(F.col("embedding"))).alias("n"))
+        .toPandas()["n"]
+    )
+    assert np.allclose(norms, 1.0, atol=1e-9)
