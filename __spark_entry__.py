@@ -229,6 +229,17 @@ def _asof_query(method: str):
     return q
 
 
+def _q_o14_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # linear time-interpolation between the surrounding observations
+    # (beyond-reference method; value col becomes double, rounded for
+    # cross-engine float parity)
+    cam = _series(spark, sf_dir, CAMERA_TYPE, "x")
+    lo, hi = _grid_bounds(cam)
+    grid = S.time_grid(spark, lo, hi, GRID_STEP_MS)
+    out = S.asof_align(grid, cam, method="interp")
+    return out.select("timestamp", F.round("x", 6).alias("x"))
+
+
 def _q_o14_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pad with merge_asof-style tolerance: matches staler than 10 min
     # are nulled (grid step is 15 min, so sparse stretches null out)
@@ -835,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o14_asof_backfill": _asof_query("backfill"),
         "o14_asof_nearest": _asof_query("nearest"),
         "o14_asof_tolerance": _q_o14_tol,
+        "o14_asof_interp": _q_o14_interp,
         "o15_sync_wide": _sync_wide,
         "o16_event_onehot": _q_o16,
         "o17_postsync_dropna": _q_o17,
@@ -977,6 +989,25 @@ SELECT p.timestamp,
        CASE WHEN pts IS NOT NULL AND (bts IS NULL OR
                  (epoch_us(p.timestamp) - epoch_us(pts)) < (epoch_us(bts) - epoch_us(p.timestamp)))
             THEN pts ELSE bts END AS matched_ts
+FROM p JOIN bf ON p.timestamp = bf.timestamp
+"""
+
+    # interp: backward side may match exactly (<=); forward side must be
+    # STRICTLY later (the engine's backward frame owns exact matches)
+    o["o14_asof_interp"] = f"""
+{asof_base},
+p AS (SELECT g.timestamp, cam.x AS px, cam.timestamp AS pts
+      FROM g ASOF LEFT JOIN cam ON cam.timestamp <= g.timestamp),
+bf AS (SELECT g.timestamp, cam.x AS bx, cam.timestamp AS bts
+       FROM g ASOF LEFT JOIN cam ON cam.timestamp > g.timestamp)
+SELECT p.timestamp,
+       round(CASE
+           WHEN pts IS NULL THEN bx
+           WHEN bts IS NULL THEN px
+           ELSE px + (bx - px)
+                * (epoch_us(p.timestamp) - epoch_us(pts))
+                / CAST(epoch_us(bts) - epoch_us(pts) AS DOUBLE)
+       END, 6) AS x
 FROM p JOIN bf ON p.timestamp = bf.timestamp
 """
 

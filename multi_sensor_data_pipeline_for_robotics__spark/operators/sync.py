@@ -119,6 +119,8 @@ def asof_align(
     method='pad'      last observation at or before the grid point (LOCF)
     method='backfill' first observation at or after the grid point
     method='nearest'  closer of the two; exact-midpoint tie -> later
+    method='interp'   linear time-interpolation between the two
+                      (value columns become DOUBLE)
 
     Implementation: union-tag + per-time-bucket window + broadcast
     cross-bucket carry (see module docstring). Output: one row per grid
@@ -135,17 +137,17 @@ def asof_align(
     match farther than this from the grid point is nulled out (a cheap
     post-projection; the align itself is unchanged).
     """
-    if method == "nearest":
-        # fused single-pass nearest (pandas `_get_nearest_indexer`
-        # strict-< semantics live in asof_align_multi): one bucketed
-        # sort yields both directional fills — no pad + backfill pass,
-        # no grid-key join
+    if method in ("nearest", "interp"):
+        # fused single-pass two-directional fill (pandas
+        # `_get_nearest_indexer` strict-< semantics live in
+        # asof_align_multi): one bucketed sort yields both directional
+        # fills — no pad + backfill pass, no grid-key join
         vcols = value_cols or [c for c in sensor.columns if c != on]
         aligned = asof_align_multi(
             grid,
             {prefix: sensor.select(on, *vcols)},
             on,
-            "nearest",
+            method,
             num_buckets=num_buckets,
             bounds=bounds,
         )
@@ -267,15 +269,16 @@ def reduce_to_grid_cells(
                is ≤ g_k, and every grid point's true match is the max of
                some ceil-cell at or before it;
       backfill floor-cells ``[g_k, g_{k+1})`` — keep the earliest;
-      nearest  union of both candidate sets (an obs may appear twice —
-               harmless for as-of semantics, no dedup shuffle needed).
+      nearest / interp  union of both candidate sets (an obs may appear
+               twice — harmless for as-of semantics, no dedup shuffle
+               needed).
     Observations outside the grid clamp into edge cells. One groupBy
     over the sensor replaces pushing every raw row through the align
     window — the align input drops from O(|sensor|) to
     O(min(|sensor|, n_grid)), the big win when downsampling a high-rate
     sensor onto a coarse grid.
     """
-    if method not in ("pad", "backfill", "nearest"):
+    if method not in ("pad", "backfill", "nearest", "interp"):
         raise ValueError(f"unknown as-of method: {method}")
     delta = F.unix_micros(F.col(on)) - F.lit(start_us)
     fdiv = (delta - ((delta % step_us) + step_us) % step_us) / step_us  # floor div
@@ -285,13 +288,13 @@ def reduce_to_grid_cells(
     payload = F.struct(F.col(on), *[F.col(c) for c in sensor.columns if c != on])
 
     parts = []
-    if method in ("pad", "nearest"):
+    if method in ("pad", "nearest", "interp"):
         parts.append(
             sensor.withColumn("__cell", ceil_cell)
             .groupBy("__cell")
             .agg(F.max_by(payload, F.col(on)).alias("__r"))
         )
-    if method in ("backfill", "nearest"):
+    if method in ("backfill", "nearest", "interp"):
         parts.append(
             sensor.withColumn("__cell", floor_cell)
             .groupBy("__cell")
@@ -325,8 +328,16 @@ def asof_align_multi(
     equal timestamps; the backward frame therefore owns exact matches
     (distance 0 always wins the strict-``<`` pad-vs-backfill race, so
     the forward frame never needs to see them).
+
+    ``interp`` rides the same fused two-directional pass: value columns
+    become DOUBLE, linearly interpolated in time between the
+    surrounding observations (``pv + (bv-pv)·(t-tp)/(tb-tp)``); a grid
+    point with only one side takes that side's value unchanged; an
+    exact-timestamp observation is returned exactly (the backward frame
+    owns it, weight 0). ``{prefix}__matched_ts`` reports the NEARER
+    surrounding observation (tie → later) for tolerance/diagnostics.
     """
-    if method not in ("pad", "backfill", "nearest"):
+    if method not in ("pad", "backfill", "nearest", "interp"):
         raise ValueError(f"unknown as-of method: {method}")
 
     prefixes = list(sensors)
@@ -400,8 +411,8 @@ def asof_align_multi(
     # per-bucket edge observations (tiny: <= num_buckets+1 rows after a
     # map-side-combinable agg), windowed into cross-bucket carries and
     # broadcast back onto the grid rows
-    need_pad = method in ("pad", "nearest")
-    need_bf = method in ("backfill", "nearest")
+    need_pad = method in ("pad", "nearest", "interp")
+    need_bf = method in ("backfill", "nearest", "interp")
     edge_aggs, carry_cols, fill_cols = [], [], []
     for j in range(len(prefixes)):
         pj = F.col(f"__p{j}")
@@ -421,7 +432,7 @@ def asof_align_multi(
             )
             fill_cols.append(
                 F.first(f"__p{j}", ignorenulls=True)
-                .over(w_bf_same_sort if method == "nearest" else w_bf)
+                .over(w_bf if method == "backfill" else w_bf_same_sort)
                 .alias(f"__fb{j}")
             )
     per_bucket = u.filter(F.col("__tag") == 0).groupBy("__b").agg(*edge_aggs)
@@ -440,14 +451,33 @@ def asof_align_multi(
             p2 = F.coalesce(F.col(f"__fp{j}"), F.col(f"__cp{j}"))
         elif method == "backfill":
             p2 = F.coalesce(F.col(f"__fb{j}"), F.col(f"__cb{j}"))
-        else:  # nearest: strict-< race, exact-midpoint tie -> later obs
+        else:  # nearest / interp: combine both directional fills
             pp = F.coalesce(F.col(f"__fp{j}"), F.col(f"__cp{j}"))
             bp = F.coalesce(F.col(f"__fb{j}"), F.col(f"__cb{j}"))
             p_ts, b_ts = pp["__matched_ts"], bp["__matched_ts"]
+            # strict-< race, exact-midpoint tie -> later obs
             use_pad = p_ts.isNotNull() & (
                 b_ts.isNull()
                 | ((g_us - F.unix_micros(p_ts)) < (F.unix_micros(b_ts) - g_us))
             )
+            if method == "interp":
+                # t_b > t_p always holds when both sides exist (backward
+                # frame owns exact matches, forward sees strictly-later
+                # rows), so the weight denominator is never 0
+                t_p, t_b = F.unix_micros(p_ts), F.unix_micros(b_ts)
+                w = (g_us - t_p).cast("double") / (t_b - t_p).cast("double")
+                for c in vcols:
+                    pv, bv = pp[c].cast("double"), bp[c].cast("double")
+                    out_cols.append(
+                        F.when(p_ts.isNull(), bv)
+                        .when(b_ts.isNull(), pv)
+                        .otherwise(pv + (bv - pv) * w)
+                        .alias(f"{prefix}{c}")
+                    )
+                out_cols.append(
+                    F.when(use_pad, p_ts).otherwise(b_ts).alias(f"{prefix}__matched_ts")
+                )
+                continue
             p2 = F.when(use_pad, pp).otherwise(bp)
         for c in vcols:
             out_cols.append(p2[c].alias(f"{prefix}{c}"))

@@ -103,3 +103,34 @@ def test_tolerance_nulls_stale_matches(ms, tol):
         if matched is not None:
             assert abs((matched - g).total_seconds()) * 1000 <= tol
             assert x is not None
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ms=sensor_ts_sets)
+def test_interp_linear_between_neighbors(ms):
+    got, sensor_ts = _align(ms, "interp")
+    for g, (matched, x) in got.items():
+        earlier = [t for t in sensor_ts if t <= g]
+        later = [t for t in sensor_ts if t > g]
+        # sensor value == its offset in ms, so interpolation is linear
+        # in time: expected value is simply g's offset clamped to the
+        # sensor's time span
+        if earlier and later:
+            want = (g - T0).total_seconds() * 1000.0
+        elif earlier:
+            want = (max(earlier) - T0).total_seconds() * 1000.0
+        else:
+            want = (min(later) - T0).total_seconds() * 1000.0
+        assert x == pytest.approx(want, abs=1e-6), f"grid {g}"
+        # matched_ts reports the nearer neighbor (tie -> later)
+        best = min(abs((t - g).total_seconds()) for t in sensor_ts)
+        assert abs((matched - g).total_seconds()) == pytest.approx(best)
+
+
+def test_interp_exact_match_is_exact():
+    # an observation exactly on a grid point is returned untouched
+    got, _ = _align([0, 100, 250], "interp")
+    assert got[GRID[0]][1] == pytest.approx(0.0)
+    assert got[GRID[1]][1] == pytest.approx(100.0)
+    # grid point 200 interpolates between 100 and 250: 100 + 150*(100/150)
+    assert got[GRID[2]][1] == pytest.approx(200.0)
