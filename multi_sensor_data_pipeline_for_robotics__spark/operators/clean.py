@@ -81,6 +81,8 @@ def clamp_outliers(
     cols: list[str],
     low_q: float = CLAMP_LOW_Q,
     high_q: float = CLAMP_HIGH_Q,
+    exact: bool = True,
+    rel_err: float = 1e-4,
 ) -> DataFrame:
     """O10 — quantile spike smoothing (app.py:122-131).
 
@@ -92,13 +94,28 @@ def clamp_outliers(
     aggregation job (one shuffle-free partial-agg pass), then applied as
     a codegen'd ``CASE WHEN`` projection — no second scan of the data
     per column, no Python in the hot path.
+
+    ``exact=False`` is the 100 TB path: ``F.percentile`` buffers every
+    value per column in the aggregation state (exact by sorting — fine
+    to ~10^8 rows/executor, reference-parity default), while
+    Greenwald-Khanna ``approx_percentile`` keeps O(1/rel_err) sketch
+    entries regardless of input size and merges map-side. At
+    ``rel_err=1e-4`` the rank error on the 1%/99% fences is far below
+    the noise the fences exist to clip.
     """
     if not cols:
         return df
+    probs = F.array(F.lit(low_q), F.lit(0.5), F.lit(high_q))
     aggs = []
     for c in cols:
         aggs.append(
-            F.percentile(F.col(c), F.array(F.lit(low_q), F.lit(0.5), F.lit(high_q))).alias(c)
+            (
+                F.percentile(F.col(c), probs)
+                if exact
+                else F.approx_percentile(
+                    F.col(c), probs, F.lit(int(1.0 / rel_err))
+                )
+            ).alias(c)
         )
     row = df.agg(*aggs).first()
     out = df

@@ -1,0 +1,64 @@
+"""Streaming ingest deduplication — the online half of
+``operators/dedup.py`` for a continuously-arriving document corpus
+(the standard training-data ingestion shape: crawl → stream → dedup →
+land).
+
+State design: dedup keys are 32-byte sha256 content hashes, never
+document bodies — state per retained key is tens of bytes. With an
+event-time column, ``dropDuplicatesWithinWatermark`` bounds state to
+the watermark horizon (keys older than the delay are evicted — exactly
+the guarantee a crawl pipeline wants: re-crawls of the same page within
+the horizon dedup, ancient re-appearances re-land and batch dedup
+sweeps them). Without an event-time column the operator falls back to
+``dropDuplicates`` whose state grows with distinct keys — exact, but
+documented as the bounded-corpus path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DOCUMENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_documents_stream(
+    spark: SparkSession, sf_dir: str, glob: str = "documents.parquet"
+) -> DataFrame:
+    """File-source stream over the documents parquet (tests / local
+    smoke; production would be Kafka with the same downstream plan)."""
+    return (
+        spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", glob)
+        .parquet(sf_dir)
+    )
+
+
+def stream_dedup_exact(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Keep the FIRST-ARRIVING row per exact content hash.
+
+    (Batch ``dedup_exact`` keeps the min-id representative; a stream has
+    no total order, so first-arrival is the only well-defined choice —
+    the retained hash SET is identical, which is what the corpus
+    cares about.)
+    """
+    out = stream.withColumn("content_hash", F.sha2(F.col(text_col), 256))
+    if ts_col is not None:
+        return out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["content_hash"]
+        )
+    return out.dropDuplicates(["content_hash"])

@@ -3,6 +3,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from multi_sensor_data_pipeline_for_robotics__spark.operators import clean as C
 from tests._pandas_reference import clean_pd, make_camera, make_motion
@@ -78,3 +79,28 @@ def test_numeric_columns_discovery(spark):
     cols = C.numeric_columns(df)
     assert "timestamp" not in cols
     assert set(cols) == {"frame_id", "object_x", "object_y", "object_size", "confidence"}
+
+
+def test_clamp_outliers_approx_close_to_exact(spark, sf_dir):
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.clean import (
+        clamp_outliers,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.sources.tables import (
+        load_table,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v")
+    )
+    exact = clamp_outliers(li, ["v"]).agg(
+        F.sum("v").alias("s"), F.min("v").alias("lo"), F.max("v").alias("hi")
+    ).first()
+    approx = clamp_outliers(li, ["v"], exact=False, rel_err=1e-4).agg(
+        F.sum("v").alias("s"), F.min("v").alias("lo"), F.max("v").alias("hi")
+    ).first()
+    # GK guarantees RANK error (<= rel_err*n ranks); in VALUE terms the
+    # fence can move further where the tail is sparse, so bound loosely
+    # and check the clamped aggregate, which is what consumers see
+    assert approx["s"] == pytest.approx(exact["s"], rel=1e-3)
+    assert approx["lo"] == pytest.approx(exact["lo"], rel=0.05)
+    assert approx["hi"] == pytest.approx(exact["hi"], rel=0.05)

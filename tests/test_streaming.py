@@ -119,3 +119,37 @@ def test_sync_wide_stream_matches_batch(spark, sf_dir, events_path, tmp_path):
     g = {tuple(r) for r in got.select(sorted(got.columns)).collect()}
     w = {tuple(r) for r in want.select(sorted(want.columns)).collect()}
     assert g == w
+
+
+def test_stream_dedup_exact_matches_batch(spark, sf_dir):
+    from multi_sensor_data_pipeline_for_robotics__spark.operators import dedup as D
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming import (
+        dedup_stream as DS,
+    )
+
+    stream = DS.read_documents_stream(spark, sf_dir)
+    deduped = DS.stream_dedup_exact(stream)
+    SS.run_to_memory(deduped, "dedup_out", "append")
+    got = spark.sql("SELECT content_hash, doc_id FROM dedup_out").toPandas()
+
+    want = D.dedup_exact(load_table(spark, sf_dir, "documents")).toPandas()
+    # same distinct-hash set, one retained row per hash (representative
+    # may differ: batch keeps min id, stream keeps first arrival)
+    assert set(got["content_hash"]) == set(want["content_hash"])
+    assert len(got) == len(want)
+    assert got["content_hash"].is_unique
+
+
+def test_stream_dedup_with_watermark_event_time(spark, sf_dir):
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming import (
+        dedup_stream as DS,
+    )
+
+    stream = DS.read_documents_stream(spark, sf_dir).withColumn(
+        "ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id"))
+    )
+    deduped = DS.stream_dedup_exact(stream, ts_col="ts", watermark="1 hour")
+    SS.run_to_memory(deduped, "dedup_wm_out", "append")
+    got = spark.sql("SELECT content_hash FROM dedup_wm_out").toPandas()
+    assert got["content_hash"].is_unique
+    assert len(got) > 0
