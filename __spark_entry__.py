@@ -516,6 +516,14 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_exact(load_table(spark, sf_dir, "documents"))
 
 
+def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # keep the longest copy per content hash (n_chars as the quality
+    # proxy); ties -> min doc_id
+    return D.dedup_keep_best(
+        load_table(spark, sf_dir, "documents"), score_col="n_chars"
+    )
+
+
 def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trigram shingles: the synthetic corpus has a ~31-token vocabulary,
     # so unigram Jaccard is degenerate (nearly all pairs ~1.0 → O(n^2)
@@ -872,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash_10pct": _q_hash_sample,
         "split_train_val_test": _q_hash_split,
         "dedup_exact": _q_dedup_exact,
+        "dedup_keep_best": _q_dedup_keep_best,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_jaccard_capped": _q_dedup_jaccard_capped,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -1441,6 +1450,17 @@ WHERE rank <= 5
     o["dedup_exact"] = """
 SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS n_copies
 FROM documents GROUP BY 1
+"""
+
+    o["dedup_keep_best"] = """
+SELECT content_hash, doc_id, n_chars, n_copies
+FROM (
+    SELECT sha256(text) AS content_hash, doc_id, n_chars,
+           CAST(count(*) OVER (PARTITION BY sha256(text)) AS BIGINT) AS n_copies,
+           row_number() OVER (PARTITION BY sha256(text)
+                              ORDER BY n_chars DESC, doc_id ASC) AS rk
+    FROM documents
+) WHERE rk = 1
 """
 
     o["dedup_ngram_jaccard"] = """

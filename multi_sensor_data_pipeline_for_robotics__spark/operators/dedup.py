@@ -575,3 +575,37 @@ def ngram_contamination(
             ),
         )
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    score_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup that keeps the HIGHEST-SCORING copy per content hash
+    (ties → min id) — the usual corpus-curation refinement over
+    :func:`dedup_exact`'s min-id rule when copies differ in metadata
+    (source quality, crawl recency).
+
+    Same scale shape as ``dedup_exact``: one groupBy on the 32-byte
+    hash; ``max_by`` on a (score, -id) struct picks the winner in the
+    partial aggregate, so full rows never pile up in state.
+    """
+    h = F.sha2(F.col(text_col), 256)
+    rank = F.struct(F.col(score_col).alias("s"), (-F.col(id_col)).alias("negid"))
+    keep = F.struct(F.col(id_col).alias("id"), F.col(score_col).alias("score"))
+    return (
+        df.select(h.alias("content_hash"), keep.alias("__k"), rank.alias("__r"))
+        .groupBy("content_hash")
+        .agg(
+            F.max_by("__k", "__r").alias("__best"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(
+            "content_hash",
+            F.col("__best.id").alias(id_col),
+            F.col("__best.score").alias(score_col),
+            "n_copies",
+        )
+    )

@@ -88,3 +88,29 @@ def write_csv_single(df: DataFrame, path: str) -> None:
         .option("timestampFormat", CSV_TS_FORMAT)
         .csv(path)
     )
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist as a BUCKETED managed table: rows are hash-partitioned
+    into ``num_buckets`` files by ``bucket_cols`` at write time, and the
+    bucketing is recorded in the catalog.
+
+    This is the co-located-join primitive for repeated big joins at
+    100 TB: two tables bucketed the same way on the join key join with
+    NO exchange on either side (the physical plan drops both
+    ``Exchange hashpartitioning`` nodes — verified in
+    tests/test_io.py::test_bucketed_join_has_no_exchange). The shuffle
+    is paid ONCE at write time instead of per query; ``sort_cols``
+    additionally pre-sorts within buckets so sort-merge joins skip
+    their sort too.
+    """
+    w = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)

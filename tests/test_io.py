@@ -89,3 +89,46 @@ def test_foreign_csv_through_clean(spark, tmp_path):
     assert [r["label"] for r in rows] == ["ok", "ok"]          # sorted by time
     assert [r["widget_temp"] for r in rows] == [19.0, 21.5]
     assert any("rows_with_missing=1" in line for line in res.report)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Bucketed-by-join-key tables join WITHOUT shuffling either side —
+    the pay-the-shuffle-once-at-write-time primitive for repeated
+    100 TB joins."""
+    from multi_sensor_data_pipeline_for_robotics__spark.sources.io import (
+        write_bucketed_table,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.sources.tables import (
+        load_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    write_bucketed_table(orders, "orders_b", ["o_orderkey"], 8, ["o_orderkey"])
+    write_bucketed_table(lineitem, "lineitem_b", ["l_orderkey"], 8, ["l_orderkey"])
+    try:
+        a = spark.table("orders_b")
+        b = spark.table("lineitem_b")
+        # disable broadcast so the join must pick SMJ, the strategy
+        # bucketing accelerates
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = a.join(b, a.o_orderkey == b.l_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        n = joined.count()
+        want = (
+            load_table(spark, sf_dir, "orders")
+            .join(
+                load_table(spark, sf_dir, "lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .count()
+        )
+        assert n == want
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
