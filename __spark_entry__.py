@@ -104,7 +104,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return _sync_wide(spark, "/root/testdata/sf0.001")
 
 
-def _sync_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sync_wide(spark: SparkSession, sf_dir: str, method: str = "pad") -> DataFrame:
     cam = _series(spark, sf_dir, CAMERA_TYPE, "x")
     mot = _series(spark, sf_dir, MOTION_TYPE, "y")
     log = (
@@ -118,7 +118,7 @@ def _sync_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         C.clean(cam, "camera", collect_report=False, sort=False).df,
         C.clean(mot, "motion", clamp_cols=[], collect_report=False, sort=False).df,
         log,
-        method="pad",
+        method=method,
         step_ms=GRID_STEP_MS,
         tolerance_ms=SYNC_TOL_MS,
         event_types=LOG_TYPES,
@@ -128,6 +128,19 @@ def _sync_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         reduce_cells=True,
     )
     return res.df
+
+
+def _q_sync_wide_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # full pipeline with linear interpolation instead of LOCF; values
+    # rounded for cross-engine float parity
+    df = _sync_wide(spark, sf_dir, method="interp")
+    keep = [c for c in df.columns if c not in ("camera_x", "motion_y")]
+    return df.select(
+        "timestamp",
+        F.round("camera_x", 6).alias("camera_x"),
+        F.round("motion_y", 6).alias("motion_y"),
+        *[c for c in keep if c != "timestamp"],
+    )
 
 
 _SYNC_WIDE_SQL = f"""
@@ -144,6 +157,63 @@ ca AS (
 ma AS (
     SELECT g.timestamp, mot.y FROM g ASOF LEFT JOIN mot ON mot.timestamp <= g.timestamp
 ),
+n AS (SELECT epoch_us(lo) AS su, (epoch_us(hi) - epoch_us(lo)) // {GRID_STEP_US} AS maxidx FROM b),
+oh AS (
+    SELECT make_timestamp(su + idx * {GRID_STEP_US}) AS timestamp,
+           max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS event_error,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS event_purchase,
+           max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS event_signup
+    FROM (
+        SELECT least(greatest((2 * (epoch_us(e.ts) - n.su) + {GRID_STEP_US} - 1)
+                              // (2 * {GRID_STEP_US}), 0), n.maxidx) AS idx,
+               epoch_us(e.ts) AS tu, n.su, e.event_type
+        FROM events e, n
+        WHERE e.event_type IN ('error', 'purchase', 'signup')
+    )
+    WHERE abs((su + idx * {GRID_STEP_US}) - tu) < {SYNC_TOL_MS * 1000}
+    GROUP BY 1
+)
+SELECT ca.timestamp, ca.x AS camera_x, ma.y AS motion_y,
+       coalesce(oh.event_error, 0) AS event_error,
+       coalesce(oh.event_purchase, 0) AS event_purchase,
+       coalesce(oh.event_signup, 0) AS event_signup
+FROM ca JOIN ma ON ca.timestamp = ma.timestamp
+LEFT JOIN oh ON oh.timestamp = ca.timestamp
+WHERE ca.x IS NOT NULL AND ma.y IS NOT NULL
+"""
+
+
+def _interp_side_sql(src: str, val: str) -> str:
+    """Two-sided ASOF + linear interpolation of one sensor onto g
+    (forward side strictly later: the engine's backward frame owns
+    exact matches)."""
+    return f"""
+    SELECT p.timestamp,
+           round(CASE
+               WHEN p.pts IS NULL THEN b.bv
+               WHEN b.bts IS NULL THEN p.pv
+               ELSE p.pv + (b.bv - p.pv)
+                    * (epoch_us(p.timestamp) - epoch_us(p.pts))
+                    / CAST(epoch_us(b.bts) - epoch_us(p.pts) AS DOUBLE)
+           END, 6) AS {val}
+    FROM (SELECT g.timestamp, s.{val} AS pv, s.timestamp AS pts
+          FROM g ASOF LEFT JOIN {src} s ON s.timestamp <= g.timestamp) p
+    JOIN (SELECT g.timestamp, s.{val} AS bv, s.timestamp AS bts
+          FROM g ASOF LEFT JOIN {src} s ON s.timestamp > g.timestamp) b
+    ON p.timestamp = b.timestamp
+"""
+
+
+_SYNC_WIDE_INTERP_SQL = f"""
+WITH cam AS ({_series_sql(CAMERA_TYPE, 'x')}),
+mot AS ({_series_sql(MOTION_TYPE, 'y')}),
+b AS (
+    SELECT greatest((SELECT min(timestamp) FROM cam), (SELECT min(timestamp) FROM mot)) AS lo,
+           least((SELECT max(timestamp) FROM cam), (SELECT max(timestamp) FROM mot)) AS hi
+),
+g AS ({_GRID_SQL.format(step_us=GRID_STEP_US)}),
+ca AS ({_interp_side_sql('cam', 'x')}),
+ma AS ({_interp_side_sql('mot', 'y')}),
 n AS (SELECT epoch_us(lo) AS su, (epoch_us(hi) - epoch_us(lo)) // {GRID_STEP_US} AS maxidx FROM b),
 oh AS (
     SELECT make_timestamp(su + idx * {GRID_STEP_US}) AS timestamp,
@@ -856,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o14_asof_tolerance": _q_o14_tol,
         "o14_asof_interp": _q_o14_interp,
         "o15_sync_wide": _sync_wide,
+        "o15_sync_wide_interp": _q_sync_wide_interp,
         "o16_event_onehot": _q_o16,
         "o17_postsync_dropna": _q_o17,
         "o19_table_counts": _q_o19,
@@ -1035,6 +1106,7 @@ FROM g ASOF LEFT JOIN s ON s.timestamp <= g.timestamp
 """
 
     o["o15_sync_wide"] = _SYNC_WIDE_SQL
+    o["o15_sync_wide_interp"] = _SYNC_WIDE_INTERP_SQL
 
     tol_us = ONEHOT_TOL_MS * 1000
     step_us = ONEHOT_STEP_MS * 1000
