@@ -386,19 +386,16 @@ def _q_o21(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_o22(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_columns comes from the schema (driver-side, free); n_rows from
     # one unioned count aggregate — a single job, like _q_o19
-    tables = ["events", "lineitem", "documents"]
-    parts = [
-        load_table(spark, sf_dir, t)
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .select(
-            F.lit(t).alias("table_name"),
-            "n_rows",
-            F.lit(len(load_table(spark, sf_dir, t).columns))
-            .cast("long")
-            .alias("n_columns"),
+    parts = []
+    for t in ["events", "lineitem", "documents"]:
+        df = load_table(spark, sf_dir, t)
+        parts.append(
+            df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+                F.lit(t).alias("table_name"),
+                "n_rows",
+                F.lit(len(df.columns)).cast("long").alias("n_columns"),
+            )
         )
-        for t in tables
-    ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -63,10 +63,32 @@ def cosine_batch(a: Column, b: Column) -> Column:
 
 def l2_normalize(v: Column, eps: float = 1e-12) -> Column:
     """Unit-normalize a vector column (double math); zero vectors map to
-    zeros instead of NaN."""
+    zeros instead of NaN.
+
+    NOTE: Column expressions can't let-bind a scalar, so the O(d) norm
+    inside the transform lambda is re-evaluated per element — O(d²)
+    interpreted work per row. Fine at oracle/query scale (d≈64);
+    use :func:`l2_normalize_batch` on 100 TB hot paths."""
     vd = to_double(v)
     n = F.greatest(l2_norm(vd), F.lit(eps))
     return F.transform(vd, lambda x: x / n)
+
+
+def l2_normalize_batch(v: Column, eps: float = 1e-12) -> Column:
+    """Arrow-batched twin of :func:`l2_normalize`: one numpy divide per
+    batch, O(d) per row. Summation order differs from the sequential
+    fold by O(1e-15) — use where consumers round or threshold."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def _norm(vs):
+        X = np.stack(vs.to_numpy()).astype(np.float64)
+        n = np.maximum(np.linalg.norm(X, axis=1, keepdims=True), eps)
+        return pd.Series(list(X / n))
+
+    return _norm(v)
 
 
 def quantize_int8(v: Column, eps: float = 1e-12) -> Column:
@@ -77,6 +99,10 @@ def quantize_int8(v: Column, eps: float = 1e-12) -> Column:
     than float32 storage; recover with ``dequantize_int8``. Banker's
     rounding (F.round HALF_UP vs numpy HALF_EVEN) is avoided by using
     floor(x+0.5) explicitly, which every engine reproduces.
+
+    Same O(d²)-per-row caveat as :func:`l2_normalize` (the scale
+    aggregate re-evaluates inside the lambda); batch with a pandas UDF
+    on 100 TB hot paths.
     """
     vd = to_double(v)
     amax = F.aggregate(vd, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))

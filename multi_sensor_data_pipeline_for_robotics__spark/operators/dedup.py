@@ -546,15 +546,21 @@ def ngram_contamination(
     Output: ``(doc_id, n_ngrams, n_contaminated, contaminated_frac)``
     per eval doc, including 0-overlap docs.
 
-    At 100 TB the semi-join shuffles shingle keys only; for repeated
-    screening you'd persist the train shingle set bucketed by shingle.
+    Shingles travel as 8-byte blake2b hashes (the Arrow-batched
+    :func:`shingle_hashes` fast path, same as the Jaccard join) — the
+    semi-join keys and the per-doc distinct counts are identical to the
+    string form up to 64-bit collisions (negligible at any corpus
+    size). At 100 TB the semi-join shuffles those 8-byte keys only; for
+    repeated screening you'd persist the train shingle set bucketed by
+    shingle.
     """
-    ev = eval_df.select(
+    ev = ensure_parallelism(eval_df).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(shingles(tokens(F.col(text_col)), n)).alias("sh"),
+        F.explode(shingle_hashes(F.col(text_col), n)).alias("sh"),
     )
     tr = (
-        train.select(F.explode(shingles(tokens(F.col(text_col)), n)).alias("sh"))
+        ensure_parallelism(train)
+        .select(F.explode(shingle_hashes(F.col(text_col), n)).alias("sh"))
         .distinct()
     )
     totals = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams"))

@@ -49,6 +49,13 @@ def global_running_sum(
     d = df.repartitionByRange(n, F.col(order_col)).withColumn(
         "__pid", F.spark_partition_id()
     )
+    # CRITICAL: the window branch and the totals branch below both
+    # consume this subtree. The range partitioner SAMPLES split points,
+    # so two independent executions could place partition boundaries
+    # differently — local + prefix would then mix two inconsistent
+    # partitionings into wrong sums. localCheckpoint materializes the
+    # partitioning once; both branches read the same layout.
+    d = d.localCheckpoint(eager=False)
     w_local = (
         W.partitionBy("__pid")
         .orderBy(order_col)
@@ -95,11 +102,17 @@ def pack_sequences(
     against the tokenized corpus, so the pack step never shuffles text.
     """
     toks = F.split(F.col(text_col), " ")
-    counted = docs.select(F.col(id_col).alias("doc_id"), F.size(toks).alias("__n"))
+    # NULL text contributes 0 tokens (F.size alone returns -1 for NULL,
+    # which would corrupt every later document's offset); 0-token docs
+    # are excluded from span generation below
+    n_toks = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(F.size(toks))
+    counted = docs.select(F.col(id_col).alias("doc_id"), n_toks.alias("__n"))
     cum = global_running_sum(counted, "doc_id", "__n", "__end")
     # integer `div`, not `/`: global token offsets exceed double's 2^53
     # exact-integer range long before 100 TB of text
-    spans = cum.withColumn("__start", F.col("__end") - F.col("__n")).select(
+    spans = cum.filter(F.col("__n") > 0).withColumn(
+        "__start", F.col("__end") - F.col("__n")
+    ).select(
         "doc_id",
         "__start",
         "__end",

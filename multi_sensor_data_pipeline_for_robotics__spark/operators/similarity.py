@@ -184,56 +184,66 @@ def kmeans_centroids(
     """Spherical k-means coarse quantizer for :func:`ivf_topk`.
 
     Deterministic init (the first ``nlist`` corpus vectors by id — no
-    RNG, so runs are reproducible), then ``iters`` Lloyd rounds:
-
-      assign:  one broadcast-centroid scan of the corpus, nearest by
-               cosine (spherical variant — IVF probes by cosine, so the
-               quantizer must optimize the same metric);
-      update:  per-dimension means via ``posexplode → groupBy(cent,pos)
-               → avg`` — hash aggregation partially combines map-side,
-               so the shuffle carries only nlist×dim partials per input
-               partition, never the vectors; the nlist×dim result (a few
-               KB) is collected to the driver and re-broadcast.
+    RNG, so runs are reproducible), then ``iters`` Lloyd rounds, each
+    ONE ``mapInPandas`` scan of the corpus with assign + update fused:
+    the centroid matrix ships in the closure, each Arrow batch assigns
+    by one numpy matmul (cosine == dot against unit centroids; argmax
+    tie → lowest centroid id) and accumulates per-centroid vector sums
+    and counts, and only ``nlist×(dim+1)`` partial doubles per partition
+    cross the network. No cross join, no shuffle of vectors, no
+    assignment materialization. The driver reduces partials, normalizes
+    (spherical k-means — IVF probes by cosine, so the quantizer
+    optimizes the same metric), and re-ships.
 
     Empty clusters keep their previous centroid. At 100 TB you'd fit on
-    a ``.sample()`` of the corpus — assignment cost dominates and the
-    quantizer needs only ~100×nlist training points; pass that sample as
-    ``embeddings`` here.
+    a ``.sample()`` of the corpus — the quantizer needs only
+    ~100×nlist training points; pass that sample as ``embeddings``.
     """
-    spark = embeddings.sparkSession
+    from typing import Iterator
+
+    import pandas as pd
+
     init = (
         embeddings.orderBy(id_col).limit(nlist).select(F.col(vec_col).alias("v")).collect()
     )
     cents = np.asarray([r["v"] for r in init], dtype=np.float64)
     cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
-    corpus = embeddings.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    corpus = embeddings.select(F.col(vec_col).alias("__v"))
     for _ in range(iters):
-        cdf = spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
-            "cent_id int, cent_vec array<double>",
-        )
-        w = W.partitionBy("__id").orderBy(F.col("__sim").desc(), F.col("cent_id").asc())
-        assigned = (
-            corpus.join(F.broadcast(cdf), how="cross")
-            .withColumn("__sim", cosine(F.col("__v"), F.col("cent_vec")))
-            .withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") == 1)
-        )
-        means = (
-            assigned.select("cent_id", F.posexplode("__v").alias("pos", "val"))
-            .groupBy("cent_id", "pos")
-            .agg(F.avg("val").alias("m"))
-            .collect()
-        )
+        C = cents  # closure snapshot for this round
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            k, d = C.shape
+            sums = np.zeros((k, d), dtype=np.float64)
+            cnt = np.zeros(k, dtype=np.int64)
+            for b in batches:
+                if len(b) == 0:
+                    continue
+                X = np.stack(b["__v"].to_numpy()).astype(np.float64)
+                Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+                a = np.argmax(Xn @ C.T, axis=1)  # ties -> lowest cent_id
+                np.add.at(sums, a, X)
+                np.add.at(cnt, a, 1)
+            if cnt.sum():
+                yield pd.DataFrame(
+                    {"sums": [sums.ravel().tolist()], "cnt": [cnt.tolist()]}
+                )
+
+        parts = corpus.mapInPandas(
+            partials, schema="sums array<double>, cnt array<long>"
+        ).collect()
+        if not parts:
+            break
+        k, d = cents.shape
+        sums = np.sum([np.asarray(p["sums"]).reshape(k, d) for p in parts], axis=0)
+        cnt = np.sum([np.asarray(p["cnt"]) for p in parts], axis=0)
         new = cents.copy()
-        acc: dict[int, dict[int, float]] = {}
-        for r in means:
-            acc.setdefault(r["cent_id"], {})[r["pos"]] = r["m"]
-        for ci, dims in acc.items():
-            v = np.asarray([dims[p] for p in sorted(dims)], dtype=np.float64)
-            n = np.linalg.norm(v)
-            if n > 1e-12:
-                new[ci] = v / n
+        for ci in range(k):
+            if cnt[ci] > 0:
+                v = sums[ci] / cnt[ci]
+                n = np.linalg.norm(v)
+                if n > 1e-12:
+                    new[ci] = v / n
         cents = new
     return [[float(x) for x in c] for c in cents]
 

@@ -75,9 +75,13 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
 
 
 def _estimated_scan_partitions(df: DataFrame) -> int | None:
-    """Cheap lower-bound estimate of scan partitions for local files:
-    max(#files, total_bytes / 128MB-split). Returns None when the plan
-    has no file scan or the files aren't locally stat-able."""
+    """Cheap LOWER-bound estimate of scan partitions for local files:
+    total_bytes / 128MB-split. Deliberately ignores the file count —
+    Spark bin-packs small files into shared partitions, so #files would
+    OVER-estimate and wrongly skip the widening repartition; a low
+    estimate only costs a redundant (cheap, narrow) repartition.
+    Returns None when the plan has no file scan or the files aren't
+    locally stat-able."""
     from urllib.parse import unquote, urlparse
 
     try:
@@ -95,7 +99,7 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
             total += os.path.getsize(unquote(p.path))
         except OSError:
             return None
-    return max(len(files), total // (128 << 20) + 1)
+    return total // (128 << 20) + 1
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -105,3 +105,16 @@ def test_ngram_contamination_planted(spark):
     assert got.loc[0, "contaminated_frac"] == 1.0
     assert got.loc[1, "n_contaminated"] == 0
     assert got.loc[1, "n_ngrams"] == 3
+
+
+def test_pack_sequences_null_and_empty_text(spark):
+    # NULL text must contribute 0 tokens (not F.size's -1) and emit no
+    # spans; later docs' offsets stay correct
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": ["a b c", None, "d e f"]})
+    )
+    plan = pack_sequences(docs, seq_len=4).orderBy("seq_id", "doc_id").toPandas()
+    rows = list(plan.itertuples(index=False, name=None))
+    # 6 tokens total: seq 0 = [a b c d], seq 1 = [e f]
+    assert rows == [(0, 0, 0, 3), (0, 2, 0, 1), (1, 2, 1, 2)]
+    assert 1 not in set(plan["doc_id"])
