@@ -118,3 +118,36 @@ def test_pack_sequences_null_and_empty_text(spark):
     # 6 tokens total: seq 0 = [a b c d], seq 1 = [e f]
     assert rows == [(0, 0, 0, 3), (0, 2, 0, 1), (1, 2, 1, 2)]
     assert 1 not in set(plan["doc_id"])
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=20),
+    seq_len=st.integers(min_value=1, max_value=17),
+)
+def test_pack_sequences_conservation_property(lens, seq_len):
+    from tests.test_asof_properties import _get_spark
+
+    spark = _get_spark()
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(len(lens)),
+                "text": [" ".join(["t"] * n) if n else None for n in lens],
+            }
+        )
+    )
+    plan = pack_sequences(docs, seq_len=seq_len).toPandas()
+    total = sum(n if n else 0 for n in lens)
+    # conservation: per-doc slices sum to doc length; seqs tile [0,total)
+    per_doc = plan.groupby("doc_id")["n_toks"].sum().to_dict()
+    assert per_doc == {i: n for i, n in enumerate(lens) if n > 0}
+    if total:
+        per_seq = plan.groupby("seq_id")["n_toks"].sum().sort_index()
+        assert per_seq.index.tolist() == list(range((total + seq_len - 1) // seq_len))
+        assert (per_seq.iloc[:-1] == seq_len).all()
+        assert per_seq.iloc[-1] == total - seq_len * (len(per_seq) - 1)
