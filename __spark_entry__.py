@@ -647,6 +647,15 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs, nodes=docs)
 
 
+def _q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O(log n)-round large-star/small-star alternation — same result as
+    # dedup_components (same oracle), different algorithm; the
+    # billion-edge scale path
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=None)
+    return D.connected_components_star(pairs, nodes=docs)
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELIBERATELY UN-ORACLED (driver shows err=no_oracle): the fast
     path's 64-bit simhash uses engine-seeded xxhash64 token hashes.
@@ -954,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_minhash_portable": _q_dedup_minhash_portable,
         "dedup_components": _q_dedup_components,
+        "dedup_components_star": _q_dedup_components_star,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_portable": _q_dedup_simhash_portable,
         "text_token_stats": _q_text_stats,
@@ -1616,6 +1626,8 @@ reach(id, r) AS (
 )
 SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
 """
+    # same graph, same answer, different engine-side algorithm
+    o["dedup_components_star"] = o["dedup_components"]
 
     o["text_chunks"] = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

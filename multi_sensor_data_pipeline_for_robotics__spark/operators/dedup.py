@@ -615,3 +615,102 @@ def dedup_keep_best(
             "n_copies",
         )
     )
+
+
+def _cc_large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every node's STRICTLY LARGER neighbors are
+    re-linked to the min of its closed neighborhood. Input/output edges
+    are oriented (u > v); output keeps that invariant (emitted (v, m)
+    has v > u >= m)."""
+    nbrs = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    closed = nbrs.union(nbrs.select("u", F.col("u").alias("v")).distinct())
+    m = closed.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        nbrs.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _cc_small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: every node's smaller neighbors (and the
+    node itself) link to the min neighbor. Input oriented (u > v);
+    output preserves orientation."""
+    m = edges.groupBy("u").agg(F.min("v").alias("m"))
+    nb = edges.join(m, "u")
+    relinked = nb.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    self_link = m.select("u", F.col("m").alias("v"))
+    return (
+        relinked.union(self_link)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    node_id: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via the LARGE-STAR / SMALL-STAR alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    same output contract as :func:`connected_components`.
+
+    Why a second algorithm: min-label propagation needs O(diameter)
+    rounds — fine for shallow near-dup clusters, ruinous for chain-
+    shaped graphs (a 10^6-node path needs 10^6 rounds). The star
+    alternation contracts components to stars in O(log n) rounds on ANY
+    topology, each round two groupBy/join passes over an edge set that
+    only shrinks. This is the billion-edge default; the propagation
+    variant remains for tiny shallow graphs where its per-round cost
+    (one join, not two star passes) wins.
+
+    Convergence is detected with one tiny agg per round (edge count +
+    order-insensitive xxhash64 sum); every round localCheckpoints so
+    lineage stays flat.
+    """
+    e = (
+        edges.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _cc_small_star(_cc_large_star(e)).localCheckpoint(eager=True)
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: exact, order-insensitive, and (unlike a long
+            # sum of xxhash64) cannot overflow under ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # stars: u -> root(v); roots + singletons label themselves
+    if nodes is None:
+        ids = (
+            e.select(F.col("u").alias("id"))
+            .union(e.select(F.col("v").alias("id")))
+            .distinct()
+        )
+    else:
+        ids = nodes.select(F.col(node_id).alias("id"))
+    labels = (
+        e.select(F.col("u").alias("id"), F.col("v").alias("label"))
+        .unionByName(ids.select("id", F.col("id").alias("label")))
+        .groupBy("id")
+        .agg(F.min("label").alias("component"))
+    )
+    return labels.select(F.col("id").alias(node_id), "component")

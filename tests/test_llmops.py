@@ -284,3 +284,78 @@ def test_chunks_overlap_and_tail(spark):
     ]
     with pytest.raises(ValueError):
         TX.chunks(TX.tokens(F.col("text")), 0, 3)
+
+
+def test_connected_components_star_matches_propagation(spark):
+    """Star contraction vs min-label propagation on adversarial
+    topologies: a long path (diameter killer), disjoint cliques, a star,
+    singletons."""
+    import pandas as pd
+
+    edges = (
+        # path 0-1-2-...-9
+        [(i, i + 1) for i in range(9)]
+        # clique {20..23}
+        + [(a, b) for a in range(20, 24) for b in range(a + 1, 24)]
+        # star centered high id: 40-{30,31,32}
+        + [(40, 30), (40, 31), (40, 32)]
+    )
+    e = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["doc_a", "doc_b"])
+    )
+    nodes = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(10)) + list(range(20, 24))
+                      + [30, 31, 32, 40] + [99]})  # 99 = singleton
+    )
+    star = {
+        r["doc_id"]: r["component"]
+        for r in D.connected_components_star(e, nodes=nodes).collect()
+    }
+    prop = {
+        r["doc_id"]: r["component"]
+        for r in D.connected_components(e, nodes=nodes).collect()
+    }
+    assert star == prop
+    assert star[99] == 99
+    assert all(star[i] == 0 for i in range(10))
+    assert all(star[i] == 20 for i in range(20, 24))
+    assert star[40] == 30 and star[30] == 30
+
+
+def test_connected_components_star_random(spark):
+    """Random graph differential vs a pure-python union-find."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(7)
+    n = 60
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(n)}
+    # canonicalize: component label = min member
+    comp_min = {}
+    for i, r in want.items():
+        comp_min.setdefault(r, min(i, r))
+        comp_min[r] = min(comp_min[r], i)
+    want = {i: comp_min[find(i)] for i in range(n)}
+
+    e = spark.createDataFrame(pd.DataFrame(edges, columns=["doc_a", "doc_b"]))
+    nodes = spark.createDataFrame(pd.DataFrame({"doc_id": range(n)}))
+    got = {
+        r["doc_id"]: r["component"]
+        for r in D.connected_components_star(e, nodes=nodes).collect()
+    }
+    assert got == want
