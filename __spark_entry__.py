@@ -496,6 +496,35 @@ def _q_top_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.top_per_group(_events(spark, sf_dir), k=3)
 
 
+def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.customers_without_priority_orders(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        priority="1-URGENT",
+    )
+
+
+def _q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.parts_shipped_in_window(
+        load_table(spark, sf_dir, "part"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.revenue_grouping_sets(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def _q_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.segment_distinct_stats(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
 def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import hash_sample
 
@@ -519,6 +548,22 @@ def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.col("value").cast("decimal(30,6)")).cast("double"), 4
         ).alias("sum_value"),
+    )
+
+
+def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus mixing: downweight the dominant language, keep the tail
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        stratified_hash_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_hash_sample(
+        docs,
+        key="doc_id",
+        strata_col="lang",
+        rates={"en": 0.25, "zh": 0.5},
+        default_rate=1.0,
     )
 
 
@@ -641,6 +686,14 @@ def _q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sub-document boilerplate dedup: non-overlapping 20-token windows,
+    # first occurrence across the corpus wins
+    return D.chunk_dedup(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=20, stride=20
+    )
+
+
 def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=None)
@@ -743,6 +796,22 @@ def _q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = TX.tokens(F.col("text"))
     return docs.select("doc_id", "lang", TX.lang_id(toks).alias("predicted_lang"))
+
+
+def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # within-doc repetition quality signals (Gopher-style): duplicate
+    # n-gram fraction + max single-token frequency, all codegen'd
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    flags = TX.repetition_flags(toks)
+    return docs.select(
+        "doc_id",
+        F.round(flags["dup_2gram_ratio"], 6).alias("dup_2gram_ratio"),
+        F.round(flags["dup_3gram_ratio"], 6).alias("dup_3gram_ratio"),
+        F.round(flags["top_token_ratio"], 6).alias("top_token_ratio"),
+        flags["ok_dup_ngrams"].alias("ok_dup_ngrams"),
+        flags["ok_top_token"].alias("ok_top_token"),
+    )
 
 
 def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -949,14 +1018,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_running": _q_window_running,
         "q_rollup_revenue": _q_rollup_revenue,
         "q_top_per_group": _q_top_per_group,
+        "q_anti_join": _q_anti_join,
+        "q_semi_join": _q_semi_join,
+        "q_grouping_sets": _q_grouping_sets,
+        "q_distinct_stats": _q_distinct_stats,
         "join_enrich_events": _q_join_enrich,
         "props_json_extract": _q_props_json,
         "props_json_typed": _q_props_typed,
         "q_interval_join": _q_interval_join,
         "q_sessionize": _q_sessionize,
         "sample_hash_10pct": _q_hash_sample,
+        "sample_stratified": _q_sample_stratified,
         "split_train_val_test": _q_hash_split,
         "dedup_exact": _q_dedup_exact,
+        "dedup_chunks": _q_dedup_chunks,
         "dedup_keep_best": _q_dedup_keep_best,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_jaccard_capped": _q_dedup_jaccard_capped,
@@ -973,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
+        "text_repetition": _q_text_repetition,
         "text_pack_sequences": _q_text_pack,
         "text_contamination": _q_text_contamination,
         "embed_cosine_topk": _q_embed_topk,
@@ -1283,6 +1359,50 @@ FROM events
 QUALIFY rank <= 3
 """
 
+    o["q_anti_join"] = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+"""
+
+    o["q_semi_join"] = """
+SELECT p_partkey, p_name, p_brand, p_retailprice
+FROM part p
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_partkey = p.p_partkey
+      AND l.l_shipdate >= TIMESTAMP '1995-06-01'
+      AND l.l_shipdate <  TIMESTAMP '1995-09-01'
+)
+"""
+
+    o["q_grouping_sets"] = """
+SELECT r_name, o_orderpriority,
+       CAST(GROUPING(r_name) AS BIGINT) AS g_region,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 4) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name, o_orderpriority), (r_name), (o_orderpriority))
+"""
+
+    o["q_distinct_stats"] = """
+SELECT c_mktsegment,
+       count(DISTINCT o_custkey) AS n_buyers,
+       count(DISTINCT o_orderpriority) AS n_priorities,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 4) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
     o["text_bpe_tokens"] = r"""
 SELECT event_id,
        len(regexp_extract_all(lower(props), '[a-z0-9]+|[^a-z0-9\s]')) AS n_tokens,
@@ -1410,6 +1530,17 @@ SELECT event_id, event_type, value FROM events
 WHERE {_BUCKET} < 1000
 """
 
+    _DOC_BUCKET = (
+        "CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)"
+        " % 10000"
+    )
+    o["sample_stratified"] = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {_DOC_BUCKET} < CASE lang WHEN 'en' THEN 2500
+                                WHEN 'zh' THEN 5000
+                                ELSE 10000 END
+"""
+
     o["split_train_val_test"] = f"""
 SELECT CASE WHEN {_BUCKET} < 8000 THEN 'train'
             WHEN {_BUCKET} < 9000 THEN 'val'
@@ -1529,6 +1660,29 @@ WHERE rank <= 5
     o["dedup_exact"] = """
 SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS n_copies
 FROM documents GROUP BY 1
+"""
+
+    o["dedup_chunks"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+    SELECT doc_id, toks, len(toks) AS n,
+           unnest(range(0, greatest(len(toks) - 1, 0) + 1, 20)) AS start
+    FROM t
+),
+c AS (
+    SELECT doc_id,
+           start // 20 AS chunk_idx,
+           sha256(array_to_string(toks[start + 1 : least(start + 20, n)], ' '))
+               AS chunk_hash
+    FROM s
+)
+SELECT chunk_hash, doc_id, chunk_idx, n_copies FROM (
+    SELECT chunk_hash, doc_id, chunk_idx,
+           CAST(count(*) OVER (PARTITION BY chunk_hash) AS BIGINT) AS n_copies,
+           row_number() OVER (PARTITION BY chunk_hash
+                              ORDER BY doc_id, chunk_idx) AS rn
+    FROM c
+) WHERE rn = 1
 """
 
     o["dedup_keep_best"] = """
@@ -1825,6 +1979,38 @@ SELECT doc_id,
                (t, i) -> (31 * length(t) + ascii(substring(t, 1, 1))) * ((i % 13) + 1)),
            'sum') % 1000000007 AS BIGINT) AS fingerprint
 FROM documents
+"""
+
+    o["text_repetition"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+g AS (
+    SELECT doc_id, toks,
+           list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i+1]) AS g2,
+           list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+    FROM t
+),
+s AS (
+    SELECT doc_id,
+           CASE WHEN len(g2) = 0 THEN 0.0
+                ELSE 1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE) END AS d2,
+           CASE WHEN len(g3) = 0 THEN 0.0
+                ELSE 1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE) END AS d3,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE list_max(list_transform(list_distinct(toks),
+                         tk -> len(list_filter(toks, x -> x = tk))))
+                     / CAST(len(toks) AS DOUBLE) END AS tt
+    FROM g
+)
+SELECT doc_id,
+       round(d2, 6) AS dup_2gram_ratio,
+       round(d3, 6) AS dup_3gram_ratio,
+       round(tt, 6) AS top_token_ratio,
+       (d2 <= 0.05 AND d3 <= 0.03) AS ok_dup_ngrams,
+       tt <= 0.10 AS ok_top_token
+FROM s
 """
 
     # concat-and-chunk packing: window sum() yields HUGEINT in DuckDB —

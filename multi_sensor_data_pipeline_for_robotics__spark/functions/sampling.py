@@ -39,6 +39,37 @@ def hash_sample(
     return df.filter(hash_bucket(F.col(key), n_buckets) < int(rate * n_buckets))
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-mixing /
+    domain-reweighting primitive (sample each language/source/domain at
+    its own target rate when assembling a training mix).
+
+    Membership is a pure function of (key hash, stratum rate): no
+    shuffle, no state, reproducible on any cluster and composable with
+    incremental ingestion (new rows of a stratum never change old
+    decisions). Strata not listed in ``rates`` get ``default_rate``.
+    """
+    for name, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {name!r} must be in [0, 1], got {r}")
+    b = hash_bucket(F.col(key), n_buckets)
+    thr = None
+    for name, r in rates.items():
+        cond = F.col(strata_col) == name
+        edge = int(r * n_buckets)
+        thr = F.when(cond, edge) if thr is None else thr.when(cond, edge)
+    default_edge = int(default_rate * n_buckets)
+    thr = F.lit(default_edge) if thr is None else thr.otherwise(default_edge)
+    return df.filter(b < thr)
+
+
 def hash_split(
     df: DataFrame,
     key: str,

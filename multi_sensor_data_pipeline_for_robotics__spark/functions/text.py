@@ -135,6 +135,72 @@ def chunks(toks: Column, chunk_tokens: int, stride: int) -> Column:
     )
 
 
+def ngrams(toks: Column, n: int) -> Column:
+    """Space-joined token n-grams as an array column (JVM-side).
+
+    Guarded for short docs: fewer than ``n`` tokens -> empty array
+    (``sequence(1, 0)`` would otherwise generate a DESCENDING range).
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    starts = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(starts, lambda s: F.concat_ws(" ", F.slice(toks, s, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_ngram_ratio(toks: Column, n: int) -> Column:
+    """Fraction of within-document n-grams that are repeats:
+    ``1 - distinct/total`` (0.0 for docs shorter than n tokens).
+
+    The Gopher-style repetition signal — high values flag boilerplate /
+    degenerate generations that exact-dedup never catches because the
+    document as a whole is unique. Pure codegen'd expressions.
+    """
+    g = ngrams(toks, n)
+    total = F.size(g)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / total
+    )
+
+
+def top_token_ratio(toks: Column) -> Column:
+    """Frequency of the most common token over the token count —
+    the max-word-frequency repetition signal. O(distinct x n) per doc
+    via array expressions: fine for natural documents (distinct ~ n),
+    stays entirely JVM-side.
+    """
+    counts = F.transform(
+        F.array_distinct(toks), lambda t: F.size(F.filter(toks, lambda x: x == t))
+    )
+    return F.when(F.size(toks) <= 0, F.lit(0.0)).otherwise(
+        F.array_max(counts).cast("double") / F.size(toks)
+    )
+
+
+def repetition_flags(
+    toks: Column,
+    max_dup_2gram: float = 0.05,
+    max_dup_3gram: float = 0.03,
+    max_top_token: float = 0.10,
+) -> dict[str, Column]:
+    """Repetition-quality signals + keep/drop heuristics (public
+    Gopher-rule flavor: drop docs dominated by repeated n-grams or a
+    single token). Thresholds are corpus-tuned knobs; the defaults
+    split the synthetic testdata corpus non-trivially."""
+    d2 = dup_ngram_ratio(toks, 2)
+    d3 = dup_ngram_ratio(toks, 3)
+    tt = top_token_ratio(toks)
+    return {
+        "dup_2gram_ratio": d2,
+        "dup_3gram_ratio": d3,
+        "top_token_ratio": tt,
+        "ok_dup_ngrams": (d2 <= max_dup_2gram) & (d3 <= max_dup_3gram),
+        "ok_top_token": tt <= max_top_token,
+    }
+
+
 def fingerprint(toks: Column, modulus: int = 1_000_000_007) -> Column:
     """Deterministic position-weighted token fingerprint.
 

@@ -43,6 +43,54 @@ def dedup_exact(
     )
 
 
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 20,
+    stride: int = 20,
+) -> DataFrame:
+    """Sub-document exact dedup: split every document into token
+    windows (the paragraph/line-dedup analog for unstructured corpora —
+    C4-style line dedup with windows as the unit) and keep the first
+    occurrence of each distinct window across the WHOLE corpus.
+
+    Returns one row per distinct chunk: ``(chunk_hash, doc_id,
+    chunk_idx, n_copies)`` where (doc_id, chunk_idx) is the canonical
+    first occurrence (lexicographic min). Catches boilerplate repeated
+    across otherwise-unique documents — the case whole-document
+    ``dedup_exact`` misses.
+
+    Scale: the groupBy key is sha256(chunk), so the shuffle carries
+    32-byte hashes + two ids, never chunk text; first-occurrence choice
+    is ``min(struct(id, idx))`` — an algebraic aggregate (map-side
+    combinable), not a window function, so no per-hash sort.
+    """
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.text import chunks
+
+    ch = df.select(
+        F.col(id_col),
+        F.explode(chunks(tokens(F.col(text_col)), chunk_tokens, stride)).alias("c"),
+    ).select(
+        F.col(id_col),
+        F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
+        F.sha2(F.col("c.chunk_text"), 256).alias("chunk_hash"),
+    )
+    return (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.min(F.struct(id_col, "chunk_idx")).alias("keep"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(
+            "chunk_hash",
+            F.col(f"keep.{id_col}").alias(id_col),
+            F.col("keep.chunk_idx").alias("chunk_idx"),
+            "n_copies",
+        )
+    )
+
+
 def shingles(toks, n: int = 3):
     """Distinct n-token shingles (space-joined) of a token array.
 

@@ -446,3 +446,103 @@ def top_revenue_orders(
         )
     )
     return joined.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc()).limit(k)
+
+
+def customers_without_priority_orders(
+    customer: DataFrame, orders: DataFrame, priority: str = "1-URGENT"
+) -> DataFrame:
+    """Anti join (beyond-reference §2.6 gap): customers with NO order of
+    the given priority — the NOT EXISTS shape.
+
+    ``left_anti`` keeps only the join keys on the wire; the priority
+    filter is pushed into the orders parquet scan before the join, so
+    the probe side shrinks to the matching fraction. AQE picks broadcast
+    vs shuffled anti by runtime size — no hint needed for a
+    SF-proportional build side.
+    """
+    probes = orders.filter(F.col("o_orderpriority") == priority).select("o_custkey")
+    return customer.join(
+        probes, customer.c_custkey == probes.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def parts_shipped_in_window(
+    part: DataFrame,
+    lineitem: DataFrame,
+    date_lo: str = "1995-06-01",
+    date_hi: str = "1995-09-01",
+) -> DataFrame:
+    """Semi join (beyond-reference §2.6 gap): parts with at least one
+    lineitem shipped inside [date_lo, date_hi) — the EXISTS shape.
+
+    ``left_semi`` deduplicates the probe side during the join (no
+    distinct pre-pass needed) and ships only l_partkey after the pushed
+    shipdate range scan filter.
+    """
+    probes = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+    ).select("l_partkey")
+    return part.join(
+        probes, part.p_partkey == probes.l_partkey, "left_semi"
+    ).select("p_partkey", "p_name", "p_brand", "p_retailprice")
+
+
+def revenue_grouping_sets(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    round_to: int = 4,
+) -> DataFrame:
+    """GROUPING SETS proper (beyond-reference): revenue by
+    ((region, priority), (region), (priority)) — a set combination that
+    neither ROLLUP nor CUBE expresses (no grand total, both one-dim
+    margins). One pass over the fact table: Catalyst expands the sets
+    with an Expand node, aggregation stays map-side combinable.
+
+    ``grouping()`` flags disambiguate real NULLs from subtotal rows —
+    required for a stable cross-engine hash.
+    """
+    dims = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    joined = orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+    return joined.groupingSets(
+        [["r_name", "o_orderpriority"], ["r_name"], ["o_orderpriority"]],
+        "r_name",
+        "o_orderpriority",
+    ).agg(
+        F.grouping("r_name").cast("long").alias("g_region"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double"),
+            round_to,
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def segment_distinct_stats(
+    customer: DataFrame, orders: DataFrame, round_to: int = 4
+) -> DataFrame:
+    """Multi-distinct aggregation (beyond-reference): per market segment,
+    exact distinct buyers and distinct priorities alongside plain
+    count/sum — the shape Catalyst executes with one Expand over the
+    distinct columns (single fact-table scan, no per-distinct re-scan).
+    """
+    cust = customer.select("c_custkey", "c_mktsegment")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return joined.groupBy("c_mktsegment").agg(
+        F.countDistinct("o_custkey").alias("n_buyers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double"),
+            round_to,
+        ).alias("revenue"),
+    )

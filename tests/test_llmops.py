@@ -359,3 +359,70 @@ def test_connected_components_star_random(spark):
         for r in D.connected_components_star(e, nodes=nodes).collect()
     }
     assert got == want
+
+
+def test_chunk_dedup_first_occurrence_and_counts(spark):
+    # 4-token windows, non-overlapping; doc 11 repeats doc 10's first
+    # window; doc 12 repeats it twice internally
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [10, 11, 12],
+                "text": [
+                    "a b c d e f g h",          # windows: "a b c d", "e f g h"
+                    "a b c d x y z w",          # first window dups doc 10
+                    "q r s t a b c d",          # second window dups doc 10
+                ],
+            }
+        )
+    )
+    got = D.chunk_dedup(df, chunk_tokens=4, stride=4).toPandas()
+    by = {
+        (r.doc_id, r.chunk_idx): r.n_copies
+        for r in got.itertuples(index=False)
+    }
+    # "a b c d" kept at its first occurrence (doc 10, idx 0), 3 copies
+    assert by[(10, 0)] == 3
+    assert by[(10, 1)] == 1  # "e f g h"
+    assert (11, 0) not in by  # duplicate window not kept under doc 11
+    assert by[(11, 1)] == 1  # "x y z w"
+    assert by[(12, 0)] == 1  # "q r s t"
+    assert len(got) == 4  # 6 windows -> 4 distinct
+
+
+def test_repetition_signals_flag_degenerate_docs(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "spam spam spam spam spam spam",      # one token repeated
+                    "unique words only appear once here", # clean
+                    "ab",                                  # shorter than n
+                ],
+            }
+        )
+    )
+    toks = TX.tokens(F.col("text"))
+    flags = TX.repetition_flags(toks)
+    got = (
+        df.select(
+            "doc_id",
+            flags["dup_2gram_ratio"].alias("d2"),
+            flags["dup_3gram_ratio"].alias("d3"),
+            flags["top_token_ratio"].alias("tt"),
+            flags["ok_dup_ngrams"].alias("okn"),
+            flags["ok_top_token"].alias("okt"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    spammy, clean, short = got
+    assert spammy["d2"] == pytest.approx(4 / 5)  # 5 bigrams, 1 distinct
+    assert spammy["tt"] == 1.0
+    assert not spammy["okn"] and not spammy["okt"]
+    assert clean["d2"] == 0.0 and clean["d3"] == 0.0
+    assert clean["tt"] == pytest.approx(1 / 6)
+    assert clean["okn"]
+    # single-token doc: no n-grams -> ratios 0, not NULL/descending-range
+    assert short["d2"] == 0.0 and short["d3"] == 0.0 and short["tt"] == 1.0

@@ -47,3 +47,47 @@ def test_hash_split_disjoint_and_stable(spark, ids):
 def test_hash_split_rejects_overweight(spark, ids):
     with pytest.raises(ValueError):
         hash_split(ids, "key", {"a": 0.9, "b": 0.2})
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        stratified_hash_sample,
+    )
+
+    df = spark.range(30_000).select(
+        F.col("id").alias("key"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "de")
+        .otherwise("zh")
+        .alias("lang"),
+    )
+    got = stratified_hash_sample(
+        df, "key", "lang", rates={"en": 0.2, "de": 1.0}, default_rate=0.0
+    )
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in got.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert 0.17 < by_lang["en"] / 10_000 < 0.23
+    assert by_lang["de"] == 10_000  # rate 1.0 keeps everything
+    assert "zh" not in by_lang  # default_rate 0.0 drops unlisted strata
+    # per-stratum membership is the same hash family as hash_sample:
+    # the en sample IS hash_sample at 0.2 restricted to en rows
+    en_direct = set(
+        r["key"]
+        for r in hash_sample(df.filter(F.col("lang") == "en"), "key", 0.2).collect()
+    )
+    en_strat = set(
+        r["key"] for r in got.filter(F.col("lang") == "en").collect()
+    )
+    assert en_direct == en_strat
+
+
+def test_stratified_sample_rejects_bad_rate(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        stratified_hash_sample,
+    )
+
+    df = spark.range(10).select(F.col("id").alias("key"), F.lit("en").alias("lang"))
+    with pytest.raises(ValueError):
+        stratified_hash_sample(df, "key", "lang", rates={"en": 1.5})
