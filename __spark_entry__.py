@@ -862,6 +862,23 @@ def _q_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, qs, k=5, nlist=16, nprobe=4)
 
 
+def _q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELIBERATELY UN-ORACLED (driver shows err=no_oracle): PQ-ADC
+    scores pass through trained float codebooks + per-query lookup
+    tables — not reproducible as portable SQL. The exactness anchor is
+    ``embed_cosine_topk`` (oracle-green); tests/test_llmops.py asserts
+    PQ recall against it on the same corpus.
+
+    m=32 x ksub=16 (128-bit codes, 16x compression) because the
+    synthetic near-random embeddings are PQ's worst case — real text
+    embeddings (low intrinsic dim) quantize far better at m=8/16."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.pq_topk(emb, qs, k=5, m=32, ksub=16, iters=3)
+
+
 def _q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unit-normalized embeddings, rounded for cross-engine float parity;
     # sequential-fold norm matches DuckDB list_aggregate order
@@ -1056,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup_lsh": _q_embed_lsh,
         "embed_ivf_topk": _q_embed_ivf,
         "embed_ivf_topk_trained": _q_embed_ivf_trained,
+        "embed_pq_topk": _q_embed_pq,
         "embed_normalize": _q_embed_normalize,
         "embed_quantize": _q_embed_quantize,
         "embed_pca_project": _q_embed_pca,

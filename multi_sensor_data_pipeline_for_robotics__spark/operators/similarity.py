@@ -323,3 +323,200 @@ def ivf_topk(
         .select("query_id", "cand_id", "cosine", "rank")
         .dropDuplicates(["query_id", "cand_id"])
     )
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Product-quantization codebooks: split the (unit-normalized)
+    vector into ``m`` subspaces of ``dim/m`` dims and k-means each
+    subspace to ``ksub`` centroids.
+
+    All ``m`` subspace quantizers train SIMULTANEOUSLY in each Lloyd
+    round — one ``mapInPandas`` corpus scan yields the
+    ``m x ksub x dsub`` partial sums (+ counts), so training cost is
+    ``iters`` scans total, independent of ``m``. Init is deterministic
+    (subvectors of the first ``ksub`` corpus vectors by id): identical
+    codebooks on any cluster, no RNG. Empty cells keep their previous
+    centroid. At 100 TB, train on a corpus ``.sample()`` — the
+    quantizer needs ~100 x ksub points per subspace.
+
+    Returns a nested list ``[m][ksub][dsub]`` (plain floats — ships in
+    task closures).
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    init = (
+        embeddings.orderBy(id_col).limit(ksub).select(F.col(vec_col).alias("v")).collect()
+    )
+    X0 = np.asarray([r["v"] for r in init], dtype=np.float64)
+    X0 /= np.maximum(np.linalg.norm(X0, axis=1, keepdims=True), 1e-12)
+    books = X0.reshape(ksub, m, dsub).transpose(1, 0, 2).copy()  # (m, ksub, dsub)
+    corpus = embeddings.select(F.col(vec_col).alias("__v"))
+    for _ in range(iters):
+        B = books
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            sums = np.zeros_like(B)  # (m, ksub, dsub)
+            cnt = np.zeros((B.shape[0], B.shape[1]), dtype=np.int64)
+            for b in batches:
+                if len(b) == 0:
+                    continue
+                X = np.stack(b["__v"].to_numpy()).astype(np.float64)
+                X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+                S = X.reshape(len(X), B.shape[0], -1)  # (n, m, dsub)
+                for j in range(B.shape[0]):
+                    d2 = ((S[:, j, None, :] - B[j][None, :, :]) ** 2).sum(-1)
+                    a = np.argmin(d2, axis=1)  # ties -> lowest code
+                    np.add.at(sums[j], a, S[:, j, :])
+                    np.add.at(cnt[j], a, 1)
+            if cnt.sum():
+                yield pd.DataFrame(
+                    {"sums": [sums.ravel().tolist()], "cnt": [cnt.ravel().tolist()]}
+                )
+
+        parts = corpus.mapInPandas(
+            partials, schema="sums array<double>, cnt array<long>"
+        ).collect()
+        if not parts:
+            break
+        sums = np.sum([np.asarray(p["sums"]).reshape(books.shape) for p in parts], axis=0)
+        cnt = np.sum(
+            [np.asarray(p["cnt"]).reshape(books.shape[:2]) for p in parts], axis=0
+        )
+        new = books.copy()
+        nz = cnt > 0
+        new[nz] = sums[nz] / cnt[nz][:, None]
+        books = new
+    return books.tolist()
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each (unit-normalized) vector as ``m`` one-byte-ish codes
+    (nearest subspace centroid). 64-dim float corpus -> 8 ints/vector:
+    a ~32x storage/shuffle compression. One Arrow-batched projection,
+    codebooks in the closure."""
+    from pyspark.sql.functions import pandas_udf
+
+    B = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+
+    @pandas_udf("array<int>")
+    def codes(vecs):
+        import pandas as pd
+
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        S = X.reshape(len(X), B.shape[0], -1)
+        out = np.empty((len(X), B.shape[0]), dtype=np.int32)
+        for j in range(B.shape[0]):
+            d2 = ((S[:, j, None, :] - B[j][None, :, :]) ** 2).sum(-1)
+            out[:, j] = np.argmin(d2, axis=1)
+        return pd.Series(list(out))
+
+    return embeddings.select(
+        F.col(id_col), codes(F.col(vec_col)).alias("pq_codes")
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC): approximate cosine(query, cand) = sum over subspaces of
+    LUT[j, code_j], where LUT holds exact dot products between the
+    query's subvectors and the subspace codebooks.
+
+    Scale shape: the corpus is scanned once to encode (and once per
+    train round); scoring reads CODES ONLY — m ints per candidate, not
+    the vector — with the per-query lookup tables (n_q x m x ksub
+    doubles, a few KB) shipped in the closure like a broadcast. Each
+    partition emits only its local top-k per query, so the final
+    ranking shuffle is ``partitions x queries x k`` rows regardless of
+    corpus size. Approximate by construction (quantization error) —
+    recall vs :func:`cosine_topk` is asserted in tests.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    B = np.asarray(
+        pq_codebooks(embeddings, m, ksub, iters, dim, id_col, vec_col),
+        dtype=np.float64,
+    )
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    ).collect()  # query side is small by contract (same as the broadcast in cosine_topk)
+    qids = np.asarray([r["query_id"] for r in qrows])
+    Q = np.stack([np.asarray(r["query_vec"], dtype=np.float64) for r in qrows])
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    # LUT[q, j, c] = <query_q subvector j, codebook[j][c]>
+    Sq = Q.reshape(len(Q), m, -1)
+    LUT = np.einsum("qjd,jcd->qjc", Sq, B)
+
+    encoded = pq_encode(ensure_parallelism(embeddings), B.tolist(), id_col, vec_col)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            codes = np.stack(b["pq_codes"].to_numpy()).astype(np.int64)  # (n, m)
+            ids = b[id_col].to_numpy()
+            # S[q, i] = sum_j LUT[q, j, codes[i, j]]
+            S = np.zeros((len(Q), len(codes)))
+            for j in range(m):
+                S += LUT[:, j, codes[:, j]]
+            # round BEFORE the local prune so per-partition tie-breaks
+            # agree with the final window's (rounded desc, id asc) order
+            # under any partitioning
+            S = np.round(S, round_to)
+            for qi in range(len(Q)):
+                s = S[qi]
+                mask = ids != qids[qi]
+                order = np.lexsort((ids[mask], -s[mask]))[:k]
+                sel = np.flatnonzero(mask)[order]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qids[qi],
+                        "cand_id": ids[sel],
+                        "approx_cosine": s[sel],
+                    }
+                )
+
+    local = encoded.mapInPandas(
+        score, schema=f"query_id long, cand_id long, approx_cosine double"
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        local.withColumn("approx_cosine", F.round("approx_cosine", round_to))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "approx_cosine", "rank")
+    )

@@ -426,3 +426,43 @@ def test_repetition_signals_flag_degenerate_docs(spark):
     assert clean["okn"]
     # single-token doc: no n-grams -> ratios 0, not NULL/descending-range
     assert short["d2"] == 0.0 and short["d3"] == 0.0 and short["tt"] == 1.0
+
+
+def test_pq_topk_recall_and_determinism(spark):
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {}
+    for r in SIM.cosine_topk(emb, qs, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.cand_id)
+    got = SIM.pq_topk(emb, qs, k=10, m=32, ksub=16, iters=3).collect()
+    approx = {}
+    for r in got:
+        approx.setdefault(r.query_id, set()).add(r.cand_id)
+    recalls = [
+        len(exact[q] & approx[q]) / len(exact[q]) for q in exact
+    ]
+    # near-random synthetic vectors are PQ's worst case; 128-bit codes
+    # still must land well above the random-guess baseline (10/N)
+    assert sum(recalls) / len(recalls) >= 0.4
+    # per-query exactly k results, no self-matches
+    for q, s in approx.items():
+        assert len(s) == 10 and q not in s
+    # deterministic under repartitioning (init + LUT + rounded prune)
+    again = SIM.pq_topk(
+        emb.repartition(7), qs, k=10, m=32, ksub=16, iters=3
+    ).collect()
+    assert sorted((r.query_id, r.cand_id, r.rank) for r in got) == sorted(
+        (r.query_id, r.cand_id, r.rank) for r in again
+    )
+
+
+def test_pq_encode_shapes_and_codebook_determinism(spark):
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    b1 = SIM.pq_codebooks(emb, m=8, ksub=16, iters=2)
+    b2 = SIM.pq_codebooks(emb.repartition(5), m=8, ksub=16, iters=2)
+    assert np.allclose(np.asarray(b1), np.asarray(b2))
+    codes = SIM.pq_encode(emb, b1).collect()
+    assert all(len(r.pq_codes) == 8 for r in codes)
+    assert all(0 <= c < 16 for r in codes for c in r.pq_codes)
