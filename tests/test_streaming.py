@@ -153,3 +153,33 @@ def test_stream_dedup_with_watermark_event_time(spark, sf_dir):
     got = spark.sql("SELECT content_hash FROM dedup_wm_out").toPandas()
     assert got["content_hash"].is_unique
     assert len(got) > 0
+
+
+def test_session_window_stream_matches_batch_sessionize(spark, sf_dir, events_path):
+    from multi_sensor_data_pipeline_for_robotics__spark.plans import analytics as A
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.sessions import (
+        session_stats_stream,
+    )
+
+    stream = SS.read_events_stream(spark, events_path)
+    sess = session_stats_stream(stream, gap_minutes=30)
+    SS.run_to_memory(sess, "sessions_out", "complete")
+    got = (
+        spark.sql("SELECT user_id, session_start, session_end, n_events FROM sessions_out")
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+
+    batch = (
+        A.sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(batch)
+    assert (got["user_id"] == batch["user_id"]).all()
+    assert (got["session_start"] == batch["session_start"]).all()
+    assert (got["session_end"] == batch["session_end"]).all()
+    assert (got["n_events"] == batch["n_events"]).all()
