@@ -496,6 +496,27 @@ def _q_top_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.top_per_group(_events(spark, sf_dir), k=3)
 
 
+def _q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.group_percentiles(_events(spark, sf_dir))
+
+
+def _q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.revenue_cube(load_table(spark, sf_dir, "orders"))
+
+
+def _q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.debounce_events(_events(spark, sf_dir), window_ms=300_000)
+
+
+def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELIBERATELY UN-ORACLED (driver shows err=no_oracle): HLL++ and
+    t-digest sketch estimates are engine-specific by nature. The exact
+    twin is `q_distinct_stats` (oracle-green); tests/test_analytics
+    asserts the estimates land within the declared error bounds of the
+    exact values."""
+    return A.approx_distinct_stats(_events(spark, sf_dir))
+
+
 def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.customers_without_priority_orders(
         load_table(spark, sf_dir, "customer"),
@@ -798,6 +819,28 @@ def _q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", TX.lang_id(toks).alias("predicted_lang"))
 
 
+def _q_text_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the mixing report behind sample_stratified: docs/tokens per
+    # (lang, source) and each stratum's share of corpus tokens. The
+    # share window runs over the ~|langs x sources| aggregate, never
+    # the raw corpus.
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(TX.tokens(F.col("text"))).cast("long")).alias("n_tokens"),
+    )
+    from pyspark.sql import Window as W
+
+    total = F.sum("n_tokens").over(W.partitionBy())
+    return per.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / total, 6).alias("token_share"),
+    )
+
+
 def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # within-doc repetition quality signals (Gopher-style): duplicate
     # n-gram fraction + max single-token frequency, all codegen'd
@@ -1038,7 +1081,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anti_join": _q_anti_join,
         "q_semi_join": _q_semi_join,
         "q_grouping_sets": _q_grouping_sets,
+        "q_cube_revenue": _q_cube_revenue,
         "q_distinct_stats": _q_distinct_stats,
+        "q_group_percentiles": _q_group_percentiles,
+        "q_event_debounce": _q_event_debounce,
+        "q_approx_distinct": _q_approx_distinct,
         "join_enrich_events": _q_join_enrich,
         "props_json_extract": _q_props_json,
         "props_json_typed": _q_props_typed,
@@ -1066,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "text_repetition": _q_text_repetition,
+        "text_corpus_mix": _q_text_corpus_mix,
         "text_pack_sequences": _q_text_pack,
         "text_contamination": _q_text_contamination,
         "embed_cosine_topk": _q_embed_topk,
@@ -1375,6 +1423,59 @@ SELECT event_type, event_id, round(value, 6) AS value,
                           ORDER BY value DESC, event_id ASC) AS rank
 FROM events
 QUALIFY rank <= 3
+"""
+
+    o["q_group_percentiles"] = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+    o["q_cube_revenue"] = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 4) AS revenue,
+       count(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+    o["q_event_debounce"] = """
+WITH b AS (
+    SELECT user_id, event_type, ts, event_id,
+           epoch_us(ts) // 300000000 AS bucket
+    FROM events
+),
+r AS (
+    SELECT user_id, event_type, bucket, ts, event_id,
+           row_number() OVER (PARTITION BY user_id, event_type, bucket
+                              ORDER BY ts, event_id) AS rn,
+           CAST(count(*) OVER (PARTITION BY user_id, event_type, bucket) AS BIGINT)
+               AS n_events
+    FROM b
+)
+SELECT user_id, event_type,
+       make_timestamp(bucket * 300000000) AS window_start,
+       event_id AS first_event_id,
+       ts AS first_ts,
+       n_events - 1 AS n_suppressed
+FROM r WHERE rn = 1
+"""
+
+    o["text_corpus_mix"] = """
+WITH per AS (
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY lang, source
+)
+SELECT lang, source, n_docs, n_tokens,
+       round(n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS token_share
+FROM per
 """
 
     o["q_anti_join"] = """

@@ -546,3 +546,107 @@ def segment_distinct_stats(
             round_to,
         ).alias("revenue"),
     )
+
+
+def group_percentiles(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    probs: tuple = (0.5, 0.9, 0.99),
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact per-group percentiles (beyond-reference): ``F.percentile``
+    with linear interpolation — bit-comparable to DuckDB's
+    ``quantile_cont`` (same definition), unlike ``percentile_approx``.
+
+    One hash-aggregate pass; all requested probabilities are computed by
+    a single percentile aggregate per group (one sort of each group's
+    values, not one per probability). Exact percentiles need the group's
+    values together — the deliberate trade vs the t-digest sketch path
+    (``approx_distinct_stats``) which is mergeable but approximate.
+    """
+    pcts = F.percentile(F.col(value_col), F.array(*[F.lit(p) for p in probs]))
+    cols = [
+        F.round(F.element_at(F.col("__p"), i + 1), round_to).alias(
+            f"p{int(round(p * 100))}"
+        )
+        for i, p in enumerate(probs)
+    ]
+    return (
+        events.groupBy(group_col)
+        .agg(pcts.alias("__p"), F.count(F.lit(1)).alias("n"))
+        .select(group_col, *cols, "n")
+    )
+
+
+def revenue_cube(orders: DataFrame, round_to: int = 4) -> DataFrame:
+    """CUBE over (priority, status) — all four grouping combinations in
+    one Expand pass (completes the grouping-set family next to
+    ``revenue_rollup`` and ``revenue_grouping_sets``)."""
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double"),
+            round_to,
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def debounce_events(
+    events: DataFrame,
+    window_ms: int = 300_000,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Debounce (beyond-reference): collapse bursts — keep the FIRST
+    event per (user, type) per tumbling window, count the suppressed
+    rest. The standard alerting/telemetry duplicate-suppression shape.
+
+    First-occurrence selection is ``min(struct(ts, id))`` — algebraic,
+    map-side combinable, no per-key window sort; the tumbling bucket is
+    closed-form integer arithmetic on the event time, so the whole plan
+    is one hash aggregate over (user, type, bucket).
+    """
+    bucket = (F.unix_micros(F.col(ts_col)) / (window_ms * 1000)).cast("long")
+    first = F.min(F.struct(F.col(ts_col).alias("ts"), F.col(id_col).alias("id")))
+    return (
+        events.groupBy(
+            F.col(user_col),
+            F.col(type_col),
+            F.timestamp_micros(bucket * (window_ms * 1000)).alias("window_start"),
+        )
+        .agg(first.alias("__f"), F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            type_col,
+            "window_start",
+            F.col("__f.id").alias("first_event_id"),
+            F.col("__f.ts").alias("first_ts"),
+            (F.col("n_events") - 1).alias("n_suppressed"),
+        )
+    )
+
+
+def approx_distinct_stats(
+    events: DataFrame,
+    group_col: str = "event_type",
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Sketch aggregates (beyond-reference, the 100 TB path where exact
+    is too expensive): HyperLogLog++ distinct users and an approximate
+    median per group. Mergeable sketches — map-side partials combine
+    associatively, so cost is one scan regardless of key cardinality.
+
+    DELIBERATELY not oracle-checked (sketches are engine-specific);
+    tests assert the HLL estimate lands within its rsd bound of the
+    exact count computed by the oracle-green exact path.
+    """
+    return events.groupBy(group_col).agg(
+        F.approx_count_distinct("user_id", rsd=rsd).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10_000).alias("approx_median"),
+        F.count(F.lit(1)).alias("n"),
+    )
