@@ -922,6 +922,18 @@ def _q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_topk(emb, qs, k=5, m=32, ksub=16, iters=3)
 
 
+def _q_embed_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELIBERATELY UN-ORACLED (driver shows err=no_oracle): composes
+    the trained coarse quantizer with PQ-ADC code scoring — float
+    codebooks aren't portable SQL. Exactness anchor: `embed_cosine_topk`
+    (oracle-green); recall asserted in tests/test_llmops.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivfpq_topk(emb, qs, k=5, nlist=16, nprobe=8, m=32, ksub=16, iters=3)
+
+
 def _q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unit-normalized embeddings, rounded for cross-engine float parity;
     # sequential-fold norm matches DuckDB list_aggregate order
@@ -1122,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf_topk": _q_embed_ivf,
         "embed_ivf_topk_trained": _q_embed_ivf_trained,
         "embed_pq_topk": _q_embed_pq,
+        "embed_ivfpq_topk": _q_embed_ivfpq,
         "embed_normalize": _q_embed_normalize,
         "embed_quantize": _q_embed_quantize,
         "embed_pca_project": _q_embed_pca,

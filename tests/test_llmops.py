@@ -466,3 +466,34 @@ def test_pq_encode_shapes_and_codebook_determinism(spark):
     codes = SIM.pq_encode(emb, b1).collect()
     assert all(len(r.pq_codes) == 8 for r in codes)
     assert all(0 <= c < 16 for r in codes for c in r.pq_codes)
+
+
+def test_ivfpq_recall_and_probe_restriction(spark):
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {}
+    for r in SIM.cosine_topk(emb, qs, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.cand_id)
+    got = SIM.ivfpq_topk(
+        emb, qs, k=10, nlist=8, nprobe=8, m=32, ksub=16, iters=2
+    ).collect()
+    full_probe = {}
+    for r in got:
+        full_probe.setdefault(r.query_id, set()).add(r.cand_id)
+    # nprobe == nlist -> candidate set is the whole corpus, so IVFPQ
+    # degenerates to PQ: recall equals the quantization-only ceiling
+    rec_full = sum(
+        len(exact[q] & full_probe[q]) / len(exact[q]) for q in exact
+    ) / len(exact)
+    assert rec_full >= 0.4
+    # restricting probes can only shrink each query's candidate pool
+    narrow = SIM.ivfpq_topk(
+        emb, qs, k=10, nlist=8, nprobe=2, m=32, ksub=16, iters=2
+    ).collect()
+    nar = {}
+    for r in narrow:
+        nar.setdefault(r.query_id, set()).add(r.cand_id)
+    for q in nar:
+        assert len(nar[q]) <= 10
