@@ -819,6 +819,20 @@ def _q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", TX.lang_id(toks).alias("predicted_lang"))
 
 
+def _q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the composed corpus build: quality gate -> exact-dedup
+    # representative -> stratified mix (en downweighted)
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.corpus import (
+        corpus_clean_pipeline,
+    )
+
+    return corpus_clean_pipeline(
+        load_table(spark, sf_dir, "documents"),
+        rates={"en": 0.5},
+        default_rate=1.0,
+    )
+
+
 def _q_text_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the mixing report behind sample_stratified: docs/tokens per
     # (lang, source) and each stratum's share of corpus tokens. The
@@ -1126,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "text_repetition": _q_text_repetition,
         "text_corpus_mix": _q_text_corpus_mix,
+        "corpus_clean_pipeline": _q_corpus_pipeline,
         "text_pack_sequences": _q_text_pack,
         "text_contamination": _q_text_contamination,
         "embed_cosine_topk": _q_embed_topk,
@@ -1671,6 +1686,46 @@ SELECT doc_id, lang, source FROM documents
 WHERE {_DOC_BUCKET} < CASE lang WHEN 'en' THEN 2500
                                 WHEN 'zh' THEN 5000
                                 ELSE 10000 END
+"""
+
+    o["corpus_clean_pipeline"] = f"""
+WITH t AS (SELECT doc_id, lang, source, text, string_split(text, ' ') AS toks
+           FROM documents),
+q AS (
+    SELECT *, len(toks) AS nt,
+           list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+               / len(toks) AS atl,
+           len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'is')))
+               / CAST(len(toks) AS DOUBLE) AS swr,
+           list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i+1]) AS g2,
+           list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+    FROM t
+),
+s AS (
+    SELECT *,
+           CASE WHEN len(g2) = 0 THEN 0.0
+                ELSE 1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE) END AS d2,
+           CASE WHEN len(g3) = 0 THEN 0.0
+                ELSE 1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE) END AS d3,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE list_max(list_transform(list_distinct(toks),
+                         tk -> len(list_filter(toks, x -> x = tk))))
+                     / CAST(len(toks) AS DOUBLE) END AS tt
+    FROM q
+),
+gated AS (
+    SELECT doc_id, lang, source, text, nt FROM s
+    WHERE nt >= 10 AND nt <= 100000
+      AND atl >= 2.0 AND atl <= 12.0 AND swr > 0.0
+      AND d2 <= 0.05 AND d3 <= 0.03 AND tt <= 0.10
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY sha256(text))
+SELECT g.doc_id, g.lang, g.source, CAST(g.nt AS BIGINT) AS n_tokens
+FROM gated g JOIN keep k ON g.doc_id = k.doc_id
+WHERE {_DOC_BUCKET.replace("doc_id", "g.doc_id")} <
+      CASE g.lang WHEN 'en' THEN 5000 ELSE 10000 END
 """
 
     o["split_train_val_test"] = f"""

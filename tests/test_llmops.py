@@ -497,3 +497,30 @@ def test_ivfpq_recall_and_probe_restriction(spark):
         nar.setdefault(r.query_id, set()).add(r.cand_id)
     for q in nar:
         assert len(nar[q]) <= 10
+
+
+def test_corpus_clean_pipeline_stages_monotonic(spark, sf_dir):
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.corpus import (
+        corpus_clean_pipeline,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    full = corpus_clean_pipeline(docs)  # no mixing: gate + dedup only
+    mixed = corpus_clean_pipeline(docs, rates={"en": 0.5})
+    n_full, n_mixed = full.count(), mixed.count()
+    assert 0 < n_mixed <= n_full <= n_docs
+    # mixing only removes en rows, and the survivors are a subset
+    f = {r.doc_id for r in full.collect()}
+    m = {r.doc_id for r in mixed.collect()}
+    assert m <= f
+    dropped_langs = {
+        r.lang for r in full.filter(~F.col("doc_id").isin(list(m))).collect()
+    }
+    assert dropped_langs <= {"en"}
+    # output rows carry token counts consistent with the source text
+    joined = full.join(docs.select("doc_id", "text"), "doc_id")
+    bad = joined.filter(
+        F.size(F.split(F.col("text"), " ")) != F.col("n_tokens")
+    ).count()
+    assert bad == 0
