@@ -496,6 +496,59 @@ def _q_top_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.top_per_group(_events(spark, sf_dir), k=3)
 
 
+def _q_ntile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ranking-window coverage: percent_rank + quartile buckets per
+    # event type; (value, event_id) ordering makes ntile deterministic
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return _events(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+def _q_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # arg-max per group: each customer's most recent order via max_by
+    # over a (date, key) struct — algebraic, map-side combinable, no
+    # window sort; ties on date resolve to the higher key
+    orders = load_table(spark, sf_dir, "orders")
+    latest = F.max_by(
+        F.struct("o_orderkey", "o_totalprice"),
+        F.struct("o_orderdate", "o_orderkey"),
+    )
+    return orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("latest_date"),
+        latest.getField("o_orderkey").alias("latest_orderkey"),
+        F.round(latest.getField("o_totalprice").cast("double"), 4).alias(
+            "latest_totalprice"
+        ),
+    )
+
+
+def _q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pivot with an explicit value list (no distinct pre-scan, stable
+    # column order) — revenue by priority x status as wide columns
+    orders = load_table(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,6)")))
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[
+            F.round(F.col(c).cast("double"), 4).alias(f"revenue_{c}")
+            for c in ["F", "O", "P"]
+        ],
+    )
+
+
 def _q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.group_percentiles(_events(spark, sf_dir))
 
@@ -1110,6 +1163,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cube_revenue": _q_cube_revenue,
         "q_distinct_stats": _q_distinct_stats,
         "q_group_percentiles": _q_group_percentiles,
+        "q_ntile_rank": _q_ntile_rank,
+        "q_latest_order": _q_latest_order,
+        "q_pivot_status": _q_pivot_status,
         "q_event_debounce": _q_event_debounce,
         "q_approx_distinct": _q_approx_distinct,
         "join_enrich_events": _q_join_enrich,
@@ -1451,6 +1507,42 @@ SELECT event_type, event_id, round(value, 6) AS value,
                           ORDER BY value DESC, event_id ASC) AS rank
 FROM events
 QUALIFY rank <= 3
+"""
+
+    o["q_ntile_rank"] = """
+SELECT event_type, event_id, round(value, 6) AS value,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+"""
+
+    o["q_latest_order"] = """
+SELECT o_custkey,
+       o_orderdate AS latest_date,
+       o_orderkey AS latest_orderkey,
+       round(o_totalprice, 4) AS latest_totalprice
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders
+)
+WHERE rn = 1
+"""
+
+    o["q_pivot_status"] = """
+SELECT o_orderpriority,
+       round(CAST(sum(CASE WHEN o_orderstatus = 'F'
+                  THEN CAST(o_totalprice AS DECIMAL(30,6)) END) AS DOUBLE), 4)
+           AS revenue_F,
+       round(CAST(sum(CASE WHEN o_orderstatus = 'O'
+                  THEN CAST(o_totalprice AS DECIMAL(30,6)) END) AS DOUBLE), 4)
+           AS revenue_O,
+       round(CAST(sum(CASE WHEN o_orderstatus = 'P'
+                  THEN CAST(o_totalprice AS DECIMAL(30,6)) END) AS DOUBLE), 4)
+           AS revenue_P
+FROM orders
+GROUP BY o_orderpriority
 """
 
     o["q_group_percentiles"] = """
