@@ -1085,6 +1085,32 @@ def _q_gen_camera(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gen_camera_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the SAME camera stream through the registered Python DataSource
+    # (format("sensorgen")) instead of the Column-expression generator;
+    # shares gen_camera's oracle — the 6-decimal rounding absorbs
+    # Python-libm vs JVM transcendental ulps
+    from multi_sensor_data_pipeline_for_robotics__spark.sources.pysource import (
+        SensorDataSource,
+    )
+
+    spark.dataSource.register(SensorDataSource)
+    cam = (
+        spark.read.format("sensorgen")
+        .option("sensor", "camera")
+        .option("n", 500)
+        .load()
+    )
+    return cam.select(
+        "timestamp",
+        "frame_id",
+        F.round("object_x", 6).alias("object_x"),
+        F.round("object_y", 6).alias("object_y"),
+        F.round("object_size", 6).alias("object_size"),
+        F.round("confidence", 6).alias("confidence"),
+    )
+
+
 def _q_gen_camera_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     # noise-free trajectory: engine-independent, oracle-checkable (O1)
     return DG.generate_camera(spark, noise=False).select(
@@ -1213,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": _q_mm_frames,
         "mm_resize": _q_mm_resize,
         "gen_camera": _q_gen_camera,
+        "gen_camera_pysource": _q_gen_camera_pysource,
         "gen_camera_trajectory": _q_gen_camera_det,
         "gen_motion": _q_gen_motion,
         "gen_motion_trajectory": _q_gen_motion_det,
@@ -2161,6 +2188,10 @@ FROM u
         ]
     ):
         _mot_cols.append(f"({expr} + {_N(43, i)} * {scale})")
+    # the Python-DataSource camera twin replays the identical PRNG and
+    # closed forms — same oracle as the Column-expression generator
+    o["gen_camera_pysource"] = o["gen_camera"]
+
     o["gen_motion"] = f"""
 WITH u AS (
     SELECT id,
