@@ -961,6 +961,11 @@ def _q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELIBERATELY UN-ORACLED (driver shows err=no_oracle): hyperplane
+    buckets come from a numpy-seeded Gaussian plane matrix — not
+    reproducible as portable SQL. Exactness anchor: the oracle-green
+    ``embed_neardup_pairs`` (same threshold, exact all-pairs); recall
+    asserted in tests/test_llmops.py."""
     return SIM.lsh_neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
