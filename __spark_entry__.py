@@ -496,6 +496,63 @@ def _q_top_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.top_per_group(_events(spark, sf_dir), k=3)
 
 
+def _q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # correlated-scalar-subquery shape (orders above their own
+    # customer's average), decorrelated the way Catalyst would: one
+    # partial-agg per customer joined back — no per-row re-scan
+    orders = load_table(spark, sf_dir, "orders")
+    # exact DECIMAL sum, THEN one double division: the average is
+    # bit-identical in any engine under any partitioning (plain
+    # avg(double) is summation-order-dependent at the last ulp, which
+    # flips 4-decimal rounding at .5 boundaries)
+    avgs = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_price")
+    )
+    # the average drives the FILTER but is not output: Spark's
+    # BigDecimal HALF_UP and DuckDB's scaled-double round() disagree on
+    # exact .5 boundaries (e.g. x.70375 -> .7038 vs .7037), while the
+    # comparison itself is bit-identical in both engines
+    return (
+        orders.join(avgs, orders.o_custkey == avgs.ck)
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+        )
+    )
+
+
+def _q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tf-idf top-3 terms per document: corpus df from one explode +
+    # groupBy (map-side combinable), smooth idf = ln((1+N)/(1+df)) + 1,
+    # deterministic tie-break (score desc, token asc)
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(float(1 + n_docs)) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
+    scored = tf.join(F.broadcast(dfreq), "token").select(
+        "doc_id",
+        "token",
+        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "tfidf", "rank")
+    )
+
+
 def _q_ntile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ranking-window coverage: percent_rank + quartile buckets per
     # event type; (value, event_id) ordering makes ntile deterministic
@@ -1195,6 +1252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_distinct_stats": _q_distinct_stats,
         "q_group_percentiles": _q_group_percentiles,
         "q_ntile_rank": _q_ntile_rank,
+        "q_above_avg_orders": _q_above_avg_orders,
+        "text_tfidf": _q_text_tfidf,
         "q_latest_order": _q_latest_order,
         "q_pivot_status": _q_pivot_status,
         "q_event_debounce": _q_event_debounce,
@@ -1539,6 +1598,41 @@ SELECT event_type, event_id, round(value, 6) AS value,
                           ORDER BY value DESC, event_id ASC) AS rank
 FROM events
 QUALIFY rank <= 3
+"""
+
+    o["q_above_avg_orders"] = """
+WITH avgs AS (
+    SELECT o_custkey AS ck,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / count(*)
+               AS cust_avg
+    FROM orders GROUP BY o_custkey
+)
+SELECT o_orderkey, o_custkey,
+       round(o_totalprice, 4) AS o_totalprice
+FROM orders JOIN avgs ON o_custkey = ck
+WHERE o_totalprice > cust_avg
+"""
+
+    o["text_tfidf"] = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.token,
+           round(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + dfreq.df)) + 1.0), 6)
+               AS tfidf
+    FROM tf JOIN dfreq USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tfidf, rank FROM (
+    SELECT doc_id, token, tfidf,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token ASC) AS BIGINT) AS rank
+    FROM scored
+)
+WHERE rank <= 3
 """
 
     o["q_ntile_rank"] = """
