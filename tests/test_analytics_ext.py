@@ -81,3 +81,46 @@ def test_group_percentiles_linear_interpolation(spark):
     assert r["p50"] == pytest.approx(2.5)
     assert r["p75"] == pytest.approx(3.25)
     assert r["n"] == 4
+
+
+def test_anti_and_semi_join_shapes(spark):
+    cust = spark.createDataFrame(
+        [(1, "a", "S1"), (2, "b", "S1"), (3, "c", "S2")],
+        "c_custkey long, c_name string, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, "1-URGENT"), (11, 1, "5-LOW"), (12, 2, "5-LOW")],
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    )
+    got = {
+        r.c_custkey
+        for r in A.customers_without_priority_orders(cust, orders).collect()
+    }
+    assert got == {2, 3}  # 2 has only LOW orders, 3 has none at all
+
+    part = spark.createDataFrame(
+        [(100, "p1", "B1", 1.0), (200, "p2", "B2", 2.0)],
+        "p_partkey long, p_name string, p_brand string, p_retailprice double",
+    )
+    li = spark.createDataFrame(
+        [(100, dt.datetime(1995, 7, 1)), (200, dt.datetime(1999, 1, 1))],
+        "l_partkey long, l_shipdate timestamp",
+    )
+    kept = {r.p_partkey for r in A.parts_shipped_in_window(part, li).collect()}
+    assert kept == {100}  # 200 shipped outside the window
+
+
+def test_grouping_sets_flags_disambiguate(spark):
+    orders = spark.createDataFrame(
+        [(1, 1, "1-URGENT", 10.0), (2, 1, "5-LOW", 20.0)],
+        "o_orderkey long, o_custkey long, o_orderpriority string, o_totalprice double",
+    )
+    cust = spark.createDataFrame([(1, 0)], "c_custkey long, c_nationkey int")
+    nation = spark.createDataFrame([(0, "N", 0)], "n_nationkey int, n_name string, n_regionkey int")
+    region = spark.createDataFrame([(0, "R")], "r_regionkey int, r_name string")
+    rows = A.revenue_grouping_sets(orders, cust, nation, region).collect()
+    # sets: (r, prio) x2, (r) x1, (prio) x2 -> 5 rows, no grand total
+    assert len(rows) == 5
+    assert not any(r.g_region == 1 and r.g_priority == 1 for r in rows)
+    region_margin = [r for r in rows if r.g_priority == 1]
+    assert len(region_margin) == 1 and region_margin[0].revenue == 30.0
