@@ -537,7 +537,14 @@ def _q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
     )
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the scores and the df rollup — checkpoint so the
+    # explode+aggregate runs once, not once per consumer (same pattern
+    # as dedup's shingle postings)
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(F.lit(float(1 + n_docs)) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
     scored = tf.join(F.broadcast(dfreq), "token").select(
