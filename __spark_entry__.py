@@ -995,6 +995,14 @@ def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # winnowing fingerprints, exploded to the inverted-index shape
+    # (doc_id, fingerprint) used for cross-doc overlap joins
+    docs = load_table(spark, sf_dir, "documents")
+    fp = TX.winnow_fingerprints(TX.tokens(F.col("text")), k=4, window=5)
+    return docs.select("doc_id", F.explode(fp).alias("fingerprint"))
+
+
 def _q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # concat-and-chunk packing into 512-token training sequences;
     # distributed two-phase prefix sum, no single-partition window
@@ -1293,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "text_repetition": _q_text_repetition,
         "text_corpus_mix": _q_text_corpus_mix,
+        "text_winnow": _q_text_winnow,
         "corpus_clean_pipeline": _q_corpus_pipeline,
         "text_pack_sequences": _q_text_pack,
         "text_contamination": _q_text_contamination,
@@ -2395,6 +2404,35 @@ SELECT doc_id,
                (t, i) -> (31 * length(t) + ascii(substring(t, 1, 1))) * ((i % 13) + 1)),
            'sum') % 1000000007 AS BIGINT) AS fingerprint
 FROM documents
+"""
+
+    o["text_winnow"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (
+    SELECT doc_id, toks,
+           list_transform(toks,
+               x -> (31 * length(x) + ascii(substring(x, 1, 1))) % 1000000007)
+               AS codes
+    FROM t
+),
+h AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 4 THEN
+               list_transform(range(1, len(toks) - 2),
+                   s -> list_reduce(codes[s : s + 3],
+                                    (acc, x) -> (acc * 257 + x) % 1000000007))
+           ELSE [] END AS hashes
+    FROM c
+),
+w AS (
+    SELECT doc_id,
+           CASE WHEN len(hashes) >= 5 THEN
+               list_distinct(list_transform(range(1, len(hashes) - 3),
+                   s -> list_min(hashes[s : s + 4])))
+           ELSE list_distinct(hashes) END AS fps
+    FROM h
+)
+SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint FROM w
 """
 
     o["text_repetition"] = """

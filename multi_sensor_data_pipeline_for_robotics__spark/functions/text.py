@@ -201,6 +201,58 @@ def repetition_flags(
     }
 
 
+def kgram_rolling_hashes(
+    toks: Column, k: int = 4, base: int = 257, modulus: int = 1_000_000_007
+) -> Column:
+    """Polynomial rolling hash of every token k-gram (Horner fold over
+    per-token codes) — the hash family behind :func:`winnow_fingerprints`.
+    Integer-only arithmetic, so any engine with a list fold replays it
+    bit-for-bit (DuckDB: ``list_reduce``)."""
+    codes = F.transform(
+        toks,
+        lambda t: (F.lit(31) * F.length(t) + F.ascii(F.substring(t, 1, 1))).cast(
+            "long"
+        )
+        % modulus,
+    )
+    starts = F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1))
+    horner = lambda s: F.aggregate(  # noqa: E731
+        F.slice(codes, s, k),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * base + x) % modulus,
+    )
+    return F.when(F.size(toks) >= k, F.transform(starts, horner)).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
+def winnow_fingerprints(
+    toks: Column, k: int = 4, window: int = 5, base: int = 257,
+    modulus: int = 1_000_000_007,
+) -> Column:
+    """Winnowing (MOSS-style) document fingerprints: the distinct set of
+    per-window MINIMA over the k-gram rolling hashes. Guarantees any
+    shared run of ``window + k - 1`` tokens between two documents yields
+    at least one shared fingerprint — the classic plagiarism/overlap
+    detector, at ~1/window the density of the full hash stream.
+
+    Pure codegen'd array expressions; selection keeps the min VALUE per
+    window (position-free), so the result is a set — explode it and
+    equi-join on (fingerprint) to find cross-document overlaps at scale
+    (inverted-index shape, same as the shingle joins).
+    """
+    h = kgram_rolling_hashes(toks, k, base, modulus)
+    starts = F.sequence(F.lit(1), F.size(h) - F.lit(window - 1))
+    mins = F.when(
+        F.size(h) >= window,
+        F.transform(starts, lambda s: F.array_min(F.slice(h, s, window))),
+    ).otherwise(
+        # short docs: fall back to all hashes (degenerate single window)
+        h
+    )
+    return F.array_distinct(mins)
+
+
 def fingerprint(toks: Column, modulus: int = 1_000_000_007) -> Column:
     """Deterministic position-weighted token fingerprint.
 

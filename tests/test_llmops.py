@@ -524,3 +524,34 @@ def test_corpus_clean_pipeline_stages_monotonic(spark, sf_dir):
         F.size(F.split(F.col("text"), " ")) != F.col("n_tokens")
     ).count()
     assert bad == 0
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    # two docs sharing a run of window+k-1 = 8 tokens MUST share >= 1
+    # fingerprint (the winnowing guarantee); a disjoint doc shares none
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    f"one two {shared} nine ten",
+                    f"{shared} completely different tail words",
+                    "unrelated tokens everywhere nothing matches here at all",
+                ],
+            }
+        )
+    )
+    fp = TX.winnow_fingerprints(TX.tokens(F.col("text")), k=4, window=5)
+    rows = df.select("doc_id", F.explode(fp).alias("f")).collect()
+    sets = {}
+    for r in rows:
+        sets.setdefault(r.doc_id, set()).add(r.f)
+    assert sets[1] & sets[2]
+    assert not (sets[1] & sets[3])
+    # short doc (< k tokens) -> no fingerprints, not an error
+    short = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [9], "text": ["a b c"]})
+    )
+    got = short.select(F.explode(fp).alias("f")).count()
+    assert got == 0
