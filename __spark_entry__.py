@@ -1003,6 +1003,70 @@ def _q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.explode(fp).alias("fingerprint"))
 
 
+def _q_text_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cross-document overlap candidates from shared winnowing
+    # fingerprints: inverted-index equi-join on the fingerprint (same
+    # scale shape as the shingle joins — never all-pairs), pairs with
+    # >= 3 shared fingerprints. Fingerprints shared by > max_df docs
+    # are dropped BEFORE the join — the posting-list join is O(sum
+    # df^2), and ubiquitous fingerprints (common n-gram runs) are the
+    # stopword storm of this index; same knob as Jaccard's
+    # max_shingle_df, and discriminative power lives in the rare
+    # fingerprints anyway.
+    docs = load_table(spark, sf_dir, "documents")
+    fp = TX.winnow_fingerprints(TX.tokens(F.col("text")), k=4, window=5)
+    inv = (
+        docs.select("doc_id", F.explode(fp).alias("f"))
+        .localCheckpoint(eager=False)
+    )
+    max_df = 20
+    rare = inv.groupBy("f").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= max_df
+    )
+    pruned = inv.join(F.broadcast(rare.select("f")), "f")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.f") == F.col("b.f")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+
+
+def _q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LM-flavored quality score: mean unigram log-probability of each
+    # doc under the corpus's own unigram distribution — low scores flag
+    # out-of-distribution/gibberish docs. One explode feeds both the
+    # vocab counts and the per-doc mean; vocab (small) broadcasts back.
+    # float policy: each token's logp is rounded to 6 BEFORE the sum
+    # (absorbs ln() ulp differences between engines), then summed in
+    # DECIMAL (exact, order-independent). The SUM is output rather than
+    # the mean — sum/n lands on exact .5 rounding boundaries (rational
+    # with denominator n*10^6), where Spark and DuckDB round() disagree.
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+    ).localCheckpoint(eager=False)
+    totals = tok.groupBy("token").agg(F.count(F.lit(1)).alias("ctf"))
+    n_total = tok.count()
+    logp6 = F.round(
+        F.log(F.col("ctf").cast("double") / float(n_total)), 6
+    ).cast("decimal(20,6)")
+    return (
+        tok.join(F.broadcast(totals), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(logp6).cast("double").alias("sum_logprob"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+
+
 def _q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # concat-and-chunk packing into 512-token training sequences;
     # distributed two-phase prefix sum, no single-partition window
@@ -1302,6 +1366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "text_corpus_mix": _q_text_corpus_mix,
         "text_winnow": _q_text_winnow,
+        "text_winnow_overlap": _q_text_winnow_overlap,
+        "text_unigram_logprob": _q_text_unigram_logprob,
         "corpus_clean_pipeline": _q_corpus_pipeline,
         "text_pack_sequences": _q_text_pack,
         "text_contamination": _q_text_contamination,
@@ -2433,6 +2499,55 @@ w AS (
     FROM h
 )
 SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint FROM w
+"""
+
+    o["text_winnow_overlap"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (
+    SELECT doc_id, toks,
+           list_transform(toks,
+               x -> (31 * length(x) + ascii(substring(x, 1, 1))) % 1000000007)
+               AS codes
+    FROM t
+),
+h AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 4 THEN
+               list_transform(range(1, len(toks) - 2),
+                   s -> list_reduce(codes[s : s + 3],
+                                    (acc, x) -> (acc * 257 + x) % 1000000007))
+           ELSE [] END AS hashes
+    FROM c
+),
+w AS (
+    SELECT doc_id,
+           CASE WHEN len(hashes) >= 5 THEN
+               list_distinct(list_transform(range(1, len(hashes) - 3),
+                   s -> list_min(hashes[s : s + 4])))
+           ELSE list_distinct(hashes) END AS fps
+    FROM h
+),
+inv AS (SELECT doc_id, unnest(fps) AS f FROM w),
+rare AS (SELECT f FROM inv GROUP BY f HAVING count(*) <= 20),
+pruned AS (SELECT doc_id, f FROM inv JOIN rare USING (f))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM pruned a JOIN pruned b ON a.f = b.f AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 3
+"""
+
+    o["text_unigram_logprob"] = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+totals AS (SELECT token, count(*) AS ctf FROM tok GROUP BY token),
+n AS (SELECT count(*) AS n_total FROM tok)
+SELECT doc_id,
+       CAST(sum(CAST(round(ln(ctf / CAST(n_total AS DOUBLE)), 6)
+                     AS DECIMAL(20,6))) AS DOUBLE) AS sum_logprob,
+       count(*) AS n_tokens
+FROM tok JOIN totals USING (token) CROSS JOIN n
+GROUP BY doc_id
 """
 
     o["text_repetition"] = """
