@@ -560,6 +560,31 @@ def _q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# one ANSI-SQL text, two engines: executed verbatim by spark.sql()
+# (Catalyst parses/plans it like any DataFrame query) AND as its own
+# DuckDB oracle — exercising the SQL surface end to end
+_SQL_SURFACE = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_items,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE), 4)
+           AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE), 4)
+           AS sum_price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from multi_sensor_data_pipeline_for_robotics__spark.sources.tables import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_SURFACE)
+
+
 def _q_ntile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ranking-window coverage: percent_rank + quartile buckets per
     # event type; (value, event_id) ordering makes ntile deterministic
@@ -1331,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_distinct_stats": _q_distinct_stats,
         "q_group_percentiles": _q_group_percentiles,
         "q_ntile_rank": _q_ntile_rank,
+        "q_sql_surface": _q_sql_surface,
         "q_above_avg_orders": _q_above_avg_orders,
         "text_tfidf": _q_text_tfidf,
         "q_latest_order": _q_latest_order,
@@ -1716,6 +1742,9 @@ SELECT doc_id, token, tfidf, rank FROM (
 )
 WHERE rank <= 3
 """
+
+    # same text both engines by construction
+    o["q_sql_surface"] = _SQL_SURFACE
 
     o["q_ntile_rank"] = """
 SELECT event_type, event_id, round(value, 6) AS value,
