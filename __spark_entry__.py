@@ -496,6 +496,28 @@ def _q_top_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.top_per_group(_events(spark, sf_dir), k=3)
 
 
+def _q_q4_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q4 shape (schema-adapted: "late" = shipped > 30 days after
+    # order date): EXISTS-driven per-priority order counts. The probe
+    # side carries only (l_orderkey, l_shipdate); left_semi dedupes
+    # during the join, the date-window filter pushes into the orders
+    # scan.
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
 def _q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # correlated-scalar-subquery shape (orders above their own
     # customer's average), decorrelated the way Catalyst would: one
@@ -1358,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ntile_rank": _q_ntile_rank,
         "q_sql_surface": _q_sql_surface,
         "q_above_avg_orders": _q_above_avg_orders,
+        "q4_priority_count": _q_q4_priority_count,
         "text_tfidf": _q_text_tfidf,
         "q_latest_order": _q_latest_order,
         "q_pivot_status": _q_pivot_status,
@@ -1706,6 +1729,19 @@ SELECT event_type, event_id, round(value, 6) AS value,
                           ORDER BY value DESC, event_id ASC) AS rank
 FROM events
 QUALIFY rank <= 3
+"""
+
+    o["q4_priority_count"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
 """
 
     o["q_above_avg_orders"] = """
