@@ -496,6 +496,27 @@ def _q_top_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.top_per_group(_events(spark, sf_dir), k=3)
 
 
+def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # set-operation coverage (reference §2.6 declares none): per-user
+    # behavioral segments via INTERSECT / EXCEPT / UNION of event
+    # cohorts, labeled and unioned into one result. Catalyst plans
+    # INTERSECT/EXCEPT as semi/anti joins on the deduped cohorts.
+    ev = _events(spark, sf_dir)
+
+    def cohort(etype: str):
+        return ev.filter(F.col("event_type") == etype).select("user_id").distinct()
+
+    clickers, buyers, errorers = cohort("click"), cohort("purchase"), cohort("error")
+    converted = clickers.intersect(buyers)
+    bounced = clickers.exceptAll(buyers.unionByName(errorers).distinct())
+    engaged = buyers.unionByName(errorers).distinct()
+    return (
+        converted.select("user_id", F.lit("converted").alias("segment"))
+        .unionByName(bounced.select("user_id", F.lit("bounced").alias("segment")))
+        .unionByName(engaged.select("user_id", F.lit("engaged").alias("segment")))
+    )
+
+
 def _q_q4_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q4 shape (schema-adapted: "late" = shipped > 30 days after
     # order date): EXISTS-driven per-priority order counts. The probe
@@ -1381,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_surface": _q_sql_surface,
         "q_above_avg_orders": _q_above_avg_orders,
         "q4_priority_count": _q_q4_priority_count,
+        "q_set_ops": _q_set_ops,
         "text_tfidf": _q_text_tfidf,
         "q_latest_order": _q_latest_order,
         "q_pivot_status": _q_pivot_status,
@@ -1729,6 +1751,21 @@ SELECT event_type, event_id, round(value, 6) AS value,
                           ORDER BY value DESC, event_id ASC) AS rank
 FROM events
 QUALIFY rank <= 3
+"""
+
+    o["q_set_ops"] = """
+WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+buyers   AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+errorers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+SELECT user_id, 'converted' AS segment
+FROM (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers)
+UNION ALL
+SELECT user_id, 'bounced' AS segment
+FROM (SELECT user_id FROM clickers
+      EXCEPT (SELECT user_id FROM buyers UNION SELECT user_id FROM errorers))
+UNION ALL
+SELECT user_id, 'engaged' AS segment
+FROM (SELECT user_id FROM buyers UNION SELECT user_id FROM errorers)
 """
 
     o["q4_priority_count"] = """
