@@ -45,7 +45,11 @@ def corpus_clean_pipeline(
       2. exact dedup — one representative (min id) per sha256(text)
          group among the quality survivors; the groupBy shuffles hashes
          and ids, never text, and the representative set joins back as
-         an id-only semi join (broadcast-able: it is ids, not rows).
+         an id-only LEFT SEMI with no broadcast hint: ``keep_ids`` is
+         one id per distinct document (corpus-sized at 100 TB — tens of
+         GB of ids), so the join strategy is left to AQE, which
+         broadcasts while the set fits and falls back to a shuffled
+         semi join when it does not.
       3. stratified mixing — per-``strata_col`` hash-rate filter
          (reproducible, partition-independent).
     """
@@ -64,7 +68,7 @@ def corpus_clean_pipeline(
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
-    deduped = gated.join(F.broadcast(keep_ids), id_col, "left_semi")
+    deduped = gated.join(keep_ids, id_col, "left_semi")
     mixed = (
         stratified_hash_sample(
             deduped, key=id_col, strata_col=strata_col, rates=rates or {},
