@@ -499,6 +499,66 @@ def test_ivfpq_recall_and_probe_restriction(spark):
         assert len(nar[q]) <= 10
 
 
+def test_ivfpq_residual_beats_plain_on_clustered(spark):
+    """Residual quantization (FAISS IVFPQ-style: codes on x - c(x), score
+    = <q, centroid> offset + shared residual LUT) must beat whole-vector
+    PQ at equal bits on CLUSTERED data — the regime real text embeddings
+    live in. The testdata embeddings are near-uniform random (residuals
+    have MORE variance than the vectors there: |r|^2 = 2 - 2cos(x,c) > 1
+    when the coarse quantizer can't capture structure), so this fixture
+    builds deterministic clusters: 8 unit centers + 0.08-sigma noise.
+    Everything downstream is RNG-free, so the recall numbers are exact
+    constants for this fixture (numpy prototype: plain=0.294,
+    residual=0.330 at 50 queries / k=10)."""
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    n = 1600
+    cl = np.arange(n) % 8
+    X = centers[cl] + 0.08 * rng.standard_normal((n, 64))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(int(i), [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    qs = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {}
+    for r in SIM.cosine_topk(emb, qs, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.cand_id)
+
+    def recall(df):
+        ap = {}
+        for r in df.collect():
+            ap.setdefault(r.query_id, set()).add(r.cand_id)
+        return sum(
+            len(exact[q] & ap.get(q, set())) / len(exact[q]) for q in exact
+        ) / len(exact)
+
+    kw = dict(k=10, nlist=8, nprobe=4, m=16, ksub=16, iters=2)
+    r_plain = recall(SIM.ivfpq_topk(emb, qs, **kw))
+    r_resid = recall(SIM.ivfpq_topk(emb, qs, residual=True, **kw))
+    print(f"ivfpq recall@10: plain={r_plain:.3f} residual={r_resid:.3f}")
+    assert r_resid > r_plain, (
+        f"residual IVFPQ must improve recall on clustered data: "
+        f"plain={r_plain:.3f} residual={r_resid:.3f}"
+    )
+    assert r_resid >= 0.3
+
+
+def test_residual_encode_shapes_and_determinism(spark):
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = SIM.kmeans_centroids(emb, nlist=8, iters=1)
+    b1 = SIM.residual_codebooks(emb, cents, m=8, ksub=16, iters=2)
+    b2 = SIM.residual_codebooks(emb.repartition(5), cents, m=8, ksub=16, iters=2)
+    assert np.allclose(np.asarray(b1), np.asarray(b2))
+    enc = SIM.residual_encode(emb, cents, b1).collect()
+    assert all(len(r.pq_codes) == 8 for r in enc)
+    assert all(0 <= c < 16 for r in enc for c in r.pq_codes)
+    assert all(0 <= r.list_id < 8 for r in enc)
+
+
 def test_corpus_clean_pipeline_stages_monotonic(spark, sf_dir):
     from multi_sensor_data_pipeline_for_robotics__spark.plans.corpus import (
         corpus_clean_pipeline,
