@@ -134,6 +134,21 @@ def test_ivf_trained_recall_vs_exact(spark, sf_dir):
     assert r2 >= r0 - 0.2  # training must not collapse recall
 
 
+def test_ivf_trained_repeatable(spark, sf_dir):
+    """Run-to-run determinism of the trained path at fixed partitioning
+    — the within-engine property a driver hash row would certify. (The
+    cross-ENGINE hash is deliberately absent: Lloyd partial sums reduce
+    in partition order, and ulp-different centroids flip argmax
+    assignments — see the _q_embed_ivf_trained docstring.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = SIM.ivf_topk(emb, qs, k=5, nlist=8, nprobe=4, train_iters=2).collect()
+    b = SIM.ivf_topk(emb, qs, k=5, nlist=8, nprobe=4, train_iters=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 def test_lsh_neardup_subset_of_exact(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     exact = SIM.neardup_pairs(emb, threshold=0.3).toPandas()

@@ -68,6 +68,9 @@ def test_event_onehot_stream_matches_batch_operator(spark, sf_dir, events_path):
     got = got.sort_values("timestamp").reset_index(drop=True)
     want = want.sort_values("timestamp").reset_index(drop=True)
     assert len(got) == len(want)
+    # full-frame equality: the grid timestamps themselves must agree,
+    # not just the one-hot payloads at matching sort positions
+    assert (got["timestamp"] == want["timestamp"]).all()
     for c in [c for c in want.columns if c.startswith("event_")]:
         assert (got[c] == want[c]).all(), c
 
