@@ -111,6 +111,12 @@ def main() -> None:
         pass_totals.append(round(pt, 3))
 
     total = round(sum(times.values()), 3)
+
+    # --- supplementary: reduce_cells downsampling win at the 100 TB
+    # shape (|sensor| >> n_grid). NOT part of the frozen 18-query
+    # headline total — reported under "extras" for SCALE.md evidence.
+    extras = hirate_reduce_cells_bench(spark)
+
     print(
         json.dumps(
             {
@@ -121,9 +127,52 @@ def main() -> None:
                 "sf": float(sf),
                 "passes": PASSES,
                 "pass_totals": pass_totals,
+                "extras": extras,
             }
         )
     )
+
+
+def hirate_reduce_cells_bench(spark, n: int = 2_000_000) -> dict[str, float]:
+    """Time `synchronize` with and without reduce_cells on a high-rate
+    fixture: two 2M-row sensors (3000/2500 Hz) onto a 33 ms grid —
+    ~100 sensor rows per grid cell, the downsampling shape a 100 TB
+    deployment hits. The fixture is generated distributed (O1/O2
+    counter-PRNG generators) and materialized to scratch parquet once so
+    generation cost stays out of both timings."""
+    import shutil
+    import tempfile
+
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.sync import (
+        synchronize,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.sources import datagen
+
+    scratch = tempfile.mkdtemp(prefix="spark_graft_hirate_")
+    try:
+        datagen.generate_camera(spark, n=n, freq_hz=3000.0).write.mode(
+            "overwrite"
+        ).parquet(f"{scratch}/cam")
+        datagen.generate_motion(spark, n=n, freq_hz=2500.0).write.mode(
+            "overwrite"
+        ).parquet(f"{scratch}/mot")
+        cam = spark.read.parquet(f"{scratch}/cam")
+        mot = spark.read.parquet(f"{scratch}/mot")
+
+        out: dict[str, float] = {}
+        for name, rc in (
+            ("o15_hirate_reduce_cells", True),
+            ("o15_hirate_raw", False),
+        ):
+            t0 = time.perf_counter()
+            nrows = synchronize(
+                cam, mot, method="nearest", reduce_cells=rc
+            ).df.count()
+            out[name] = round(time.perf_counter() - t0, 3)
+            print(f"# extra {name}: {out[name]:.3f}s ({nrows} rows)", file=sys.stderr)
+        return out
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 if __name__ == "__main__":
