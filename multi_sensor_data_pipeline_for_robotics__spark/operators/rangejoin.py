@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from multi_sensor_data_pipeline_for_robotics__spark.functions.timeutil import ts_us
+
 
 def interval_join(
     events: DataFrame,
@@ -50,7 +52,7 @@ def interval_join(
         raise ValueError("interval_join supports how='inner' only")
     if bucket_ms is None:
         row = intervals.agg(
-            F.max(F.unix_micros(F.col(hi)) - F.unix_micros(F.col(lo))).alias("m")
+            F.max(ts_us(F.col(hi)) - ts_us(F.col(lo))).alias("m")
         ).first()
         bucket_us = max(int(row["m"] or 0), 1)
     else:
@@ -59,9 +61,9 @@ def interval_join(
     # exceeds double's 2^53 exact range, and a boundary off by one µs
     # would drop join rows. Monotone truncation keeps lo_b <= ev_b <=
     # hi_b for any contained event, which is all the prefilter needs.
-    ev_bucket = F.expr(f"unix_micros({event_ts}) div {bucket_us}")
-    iv_lo_b = F.expr(f"unix_micros({lo}) div {bucket_us}")
-    iv_hi_b = F.expr(f"unix_micros({hi}) div {bucket_us}")
+    ev_bucket = F.expr(f"unix_micros(cast({event_ts} as timestamp)) div {bucket_us}")
+    iv_lo_b = F.expr(f"unix_micros(cast({lo} as timestamp)) div {bucket_us}")
+    iv_hi_b = F.expr(f"unix_micros(cast({hi} as timestamp)) div {bucket_us}")
 
     iv = intervals.withColumn(
         "__b", F.explode(F.sequence(iv_lo_b, iv_hi_b))

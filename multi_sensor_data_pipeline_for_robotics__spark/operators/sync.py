@@ -47,6 +47,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from multi_sensor_data_pipeline_for_robotics__spark.functions.timeutil import ts_us
 
 GRID_STEP_MS = 33  # app.py:160-161
 EVENT_TOLERANCE_MS = 100  # app.py:185
@@ -99,7 +100,7 @@ def _bucketize(col: Column, lo_us: int, bucket_us: int, num_buckets: int) -> Col
     # clamp: rows outside the declared bounds (possible when caller-
     # provided bounds cover only the grid window) fold into the edge
     # buckets — ordering within a bucket still drives the fill
-    b = ((F.unix_micros(col) - F.lit(lo_us)) / F.lit(bucket_us)).cast("long")
+    b = ((ts_us(col) - F.lit(lo_us)) / F.lit(bucket_us)).cast("long")
     return F.least(F.greatest(b, F.lit(0)), F.lit(num_buckets))
 
 
@@ -244,7 +245,7 @@ def _apply_tolerance(
         return df
     m = F.col(f"{prefix}__matched_ts")
     within = m.isNotNull() & (
-        F.abs(F.unix_micros(F.col(on)) - F.unix_micros(m)) <= tolerance_ms * 1000
+        F.abs(ts_us(F.col(on)) - ts_us(m)) <= tolerance_ms * 1000
     )
     out = df
     for c in [*vcols, "__matched_ts"]:
@@ -280,7 +281,7 @@ def reduce_to_grid_cells(
     """
     if method not in ("pad", "backfill", "nearest", "interp"):
         raise ValueError(f"unknown as-of method: {method}")
-    delta = F.unix_micros(F.col(on)) - F.lit(start_us)
+    delta = ts_us(F.col(on)) - F.lit(start_us)
     fdiv = (delta - ((delta % step_us) + step_us) % step_us) / step_us  # floor div
     floor_cell = F.least(F.greatest(fdiv.cast("long"), F.lit(-1)), F.lit(n_grid))
     cdiv = -(((-delta) - (((-delta) % step_us) + step_us) % step_us) / step_us)
@@ -443,7 +444,7 @@ def asof_align_multi(
     filled = u.select("__t", "__tag", "__b", *fill_cols).filter(F.col("__tag") == 1)
     joined = filled.join(F.broadcast(carry), "__b", "left")
 
-    g_us = F.unix_micros(F.col("__t"))
+    g_us = ts_us(F.col("__t"))
     out_cols = [F.col("__t").alias(on)]
     for j, prefix in enumerate(prefixes):
         vcols, _ = payloads[prefix]
@@ -458,13 +459,13 @@ def asof_align_multi(
             # strict-< race, exact-midpoint tie -> later obs
             use_pad = p_ts.isNotNull() & (
                 b_ts.isNull()
-                | ((g_us - F.unix_micros(p_ts)) < (F.unix_micros(b_ts) - g_us))
+                | ((g_us - ts_us(p_ts)) < (ts_us(b_ts) - g_us))
             )
             if method == "interp":
                 # t_b > t_p always holds when both sides exist (backward
                 # frame owns exact matches, forward sees strictly-later
                 # rows), so the weight denominator is never 0
-                t_p, t_b = F.unix_micros(p_ts), F.unix_micros(b_ts)
+                t_p, t_b = ts_us(p_ts), ts_us(b_ts)
                 w = (g_us - t_p).cast("double") / (t_b - t_p).cast("double")
                 for c in vcols:
                     pv, bv = pp[c].cast("double"), bp[c].cast("double")
@@ -495,7 +496,7 @@ def nearest_grid_ts(
     app.py:183-184), clamped to the grid range. Pure integer arithmetic
     — a narrow projection, no join.
     """
-    delta = F.unix_micros(ts) - F.lit(start_us)
+    delta = ts_us(ts) - F.lit(start_us)
     num = 2 * delta + F.lit(step_us - 1)
     den = F.lit(2 * step_us)
     # exact integer floor-division: subtract the long modulo first so the
@@ -538,7 +539,7 @@ def map_events(
         F.col(type_col),
         F.col(on).alias("__ev_ts"),
     ).filter(
-        F.abs(F.unix_micros(F.col(on)) - F.unix_micros(F.col("__ev_ts"))) < tol_us
+        F.abs(ts_us(F.col(on)) - ts_us(F.col("__ev_ts"))) < tol_us
     )
     if event_types is None:
         event_types = [

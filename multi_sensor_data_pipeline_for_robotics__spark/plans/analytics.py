@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from multi_sensor_data_pipeline_for_robotics__spark.operators.clean import numeric_columns
+from multi_sensor_data_pipeline_for_robotics__spark.functions.timeutil import ts_us
 
 
 def row_count(df: DataFrame) -> int:
@@ -400,7 +401,7 @@ def sessionize(
     w = W.partitionBy(user_col).orderBy(ts_col)
     gap_us = gap_minutes * 60 * 1_000_000
     boundary = (
-        F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w))
+        ts_us(F.col(ts_col)) - ts_us(F.lag(ts_col).over(w))
         > gap_us
     )
     numbered = events.select(
@@ -611,7 +612,7 @@ def debounce_events(
     closed-form integer arithmetic on the event time, so the whole plan
     is one hash aggregate over (user, type, bucket).
     """
-    bucket = (F.unix_micros(F.col(ts_col)) / (window_ms * 1000)).cast("long")
+    bucket = (ts_us(F.col(ts_col)) / (window_ms * 1000)).cast("long")
     first = F.min(F.struct(F.col(ts_col).alias("ts"), F.col(id_col).alias("id")))
     return (
         events.groupBy(

@@ -32,15 +32,26 @@ TABLES = [
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table.
 
-    The driver's ``events.parquet`` stores ``ts`` as parquet
-    TIMESTAMP(NANOS), which Spark's vectorized reader rejects
-    (PARQUET_TYPE_ILLEGAL). We read nanos as raw int64
-    (``spark.sql.legacy.parquet.nanosAsLong``, a runtime SQL conf) and
-    truncate to a µs TimestampType — the same ns→µs truncation DuckDB
-    applies, so oracle comparisons agree. The conversion is a
-    scan-level projection; all downstream operators see TimestampType.
+    Timestamp normalization: driver test data has shipped ``ts`` in two
+    encodings across rounds, and downstream operators all assume plain
+    ``TimestampType`` (``unix_micros`` et al. reject TIMESTAMP_NTZ):
+
+    * parquet TIMESTAMP(NANOS) — Spark's vectorized reader rejects it
+      (PARQUET_TYPE_ILLEGAL), so we read nanos as raw int64
+      (``spark.sql.legacy.parquet.nanosAsLong``, a runtime SQL conf)
+      and truncate to a µs TimestampType — the same ns→µs truncation
+      DuckDB applies, so oracle comparisons agree.
+    * parquet µs with ``isAdjustedToUTC=false`` — Spark reads this as
+      TIMESTAMP_NTZ; we cast to ``timestamp``. The session timezone is
+      pinned UTC here (the same runtime-conf pattern as nanosAsLong),
+      so the cast is value-preserving and collected naive values match
+      DuckDB's naive read.
+
+    Both conversions are scan-level projections; all downstream
+    operators see TimestampType.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for f in df.schema.fields:
         if f.name == "ts" and isinstance(f.dataType, T.LongType):
@@ -48,6 +59,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # double's 2^53 integer range, so floor(ts/1000.0) is off by
             # up to ~256 µs
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 

@@ -33,18 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from multi_sensor_data_pipeline_for_robotics__spark.operators.sync import nearest_grid_ts
-
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS) -> long ns
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
+from multi_sensor_data_pipeline_for_robotics__spark.functions.timeutil import ts_us
 
 def read_events_stream(
     spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
@@ -52,15 +41,27 @@ def read_events_stream(
     """File-source stream over the events parquet (tests / local smoke;
     production would be Kafka with the same downstream plan). The file
     source wants a DIRECTORY, so we stream the sf dir with a glob
-    filter. The ns timestamp is converted exactly like the batch
-    loader."""
+    filter.
+
+    The stream schema (file sources require one up front) is taken from
+    a batch footer read of the same files, so the ``ts`` encoding is
+    whatever the data actually uses — int64 nanos (older driver data)
+    or µs TIMESTAMP_NTZ — and is normalized to plain TimestampType
+    exactly like the batch loader (``sources/tables.py``)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/{glob}").schema
     df = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", glob)
         .parquet(sf_dir)
     )
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for f in schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return df
 
 
 def windowed_sensor_align(
@@ -108,7 +109,7 @@ def event_onehot_stream(
     mapped = stream.withColumn(
         "grid_ts", nearest_grid_ts(F.col(ts_col), start_us, step_us, n_grid)
     ).filter(
-        F.abs(F.unix_micros(F.col("grid_ts")) - F.unix_micros(F.col(ts_col))) < tol_us
+        F.abs(ts_us(F.col("grid_ts")) - ts_us(F.col(ts_col))) < tol_us
     )
     types = event_types or []
     aggs = [
