@@ -1238,25 +1238,28 @@ def _q_embed_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unit-normalized embeddings, rounded for cross-engine float parity;
-    # sequential-fold norm matches DuckDB list_aggregate order
+    # sequential-fold norm matches DuckDB list_aggregate order. The
+    # array is EXPLODED to (vec_id, pos, unit_val) rows — the driver's
+    # canonicalizer sorts values and can't hash list cells; the
+    # array-returning API (functions/vector.py) is unchanged for
+    # library users.
     emb = load_table(spark, sf_dir, "embeddings")
-    return emb.select(
-        "vec_id",
-        F.transform(V.l2_normalize(F.col("embedding")), lambda x: F.round(x, 6)).alias(
-            "unit"
-        ),
-    )
+    unit = F.transform(V.l2_normalize(F.col("embedding")), lambda x: F.round(x, 6))
+    return emb.select("vec_id", F.posexplode(unit).alias("pos", "unit_val"))
 
 
 def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # symmetric int8 quantization; q exposed as array<int> so both
-    # engines compare identical logical types
+    # symmetric int8 quantization, exploded to scalar rows (see
+    # _q_embed_normalize); scale repeats per component row — the
+    # per-vector API stays array-shaped for library users
     emb = load_table(spark, sf_dir, "embeddings")
     qs = V.quantize_int8(F.col("embedding"))
     return emb.select(
         "vec_id",
         F.round(qs["scale"], 9).alias("scale"),
-        F.transform(qs["q"], lambda x: x.cast("int")).alias("q"),
+        F.posexplode(F.transform(qs["q"], lambda x: x.cast("int"))).alias(
+            "pos", "q_val"
+        ),
     )
 
 
@@ -1298,8 +1301,19 @@ def _q_embed_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # head_bytes is projected to a CSV string for the graded row — the
+    # driver's canonicalizer can't sort/hash array cells; the operator
+    # itself (operators/multimodal.py) still returns array<int>
     docs = load_table(spark, sf_dir, "documents")
-    return MM.extract_features(MM.attach_fake_media(docs), decoder="fake")
+    feats = MM.extract_features(MM.attach_fake_media(docs), decoder="fake")
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "checksum",
+        F.concat_ws(
+            ",", F.transform(F.col("head_bytes"), lambda x: x.cast("string"))
+        ).alias("head_bytes_csv"),
+    )
 
 
 def _q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1400,6 +1414,48 @@ def _q_gen_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4+O5 (app.py:225-235, 441-443) as one driver-graded row: export
+    the camera generator output through the single-file CSV sink, scan
+    it back with the explicit camera schema, and return the scanned
+    rows. The µs-pinned timestamp format and round-6 doubles make the
+    round trip lossless, so the oracle is the generator's closed-form
+    SQL — any sink/scan corruption breaks the hash."""
+    import tempfile
+
+    from multi_sensor_data_pipeline_for_robotics__spark.sources.io import (
+        read_sensor_csv,
+        write_csv_single,
+    )
+
+    cam = _q_gen_camera(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="csv_roundtrip_") + "/camera_csv"
+    write_csv_single(cam, path)
+    return read_sensor_csv(spark, path, sensor_type="camera")
+
+
+def _q_stream_windowed_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-graded Structured Streaming representative: the events
+    parquet replayed as a file-source stream, clicks aligned per
+    1-minute tumbling window (last observation wins — the streaming
+    LOCF analog, streaming/sync_stream.py), driven to completion into a
+    memory sink. Deterministic because click timestamps are unique, so
+    max_by has no ties; the oracle is the equivalent batch GROUP BY."""
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.sync_stream import (
+        read_events_stream,
+        run_to_memory,
+        windowed_sensor_align,
+    )
+
+    stream = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    aligned = windowed_sensor_align(stream, step_ms=60_000, ts_col="ts")
+    spark.catalog.dropTempView("stream_align_tbl") if spark.catalog.tableExists(
+        "stream_align_tbl"
+    ) else None
+    run_to_memory(aligned, "stream_align_tbl", output_mode="complete")
+    return spark.table("stream_align_tbl")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator.
 
@@ -1407,9 +1463,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registration order, so positions 1-50 are curated to cover every
     operator family — the SURVEY §2 reference rows (o7…o25, minus the two
     interp variants whose base methods are graded), then one oracle-green
-    representative per extension family (generators, dedup, text, corpus,
-    embeddings, multimodal, sampling), then five diverse SQL-surface
-    shapes. Redundant variants and twins live past position 50; they stay
+    representative per extension family (generators, CSV sink/scan, dedup,
+    text, corpus, embeddings, multimodal, sampling), then four diverse
+    SQL-surface shapes plus one Structured Streaming row.
+    Redundant variants and twins live past position 50; they stay
     registered (and oracle-checked by tools/check_oracles.py) but rely on
     the in-window representative for driver correctness visibility.
     """
@@ -1435,11 +1492,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o23_preview": _q_o23,
         "o24_quantiles": _q_o24,
         "o25_minmax_ts": _q_o25,
-        # --- synthetic sources (4) ---------------------------------------
+        # --- synthetic sources (3) + CSV sink/scan roundtrip (1) ---------
         "gen_camera": _q_gen_camera,
         "gen_motion_trajectory": _q_gen_motion_det,
         "gen_log": _q_gen_log,
-        "gen_camera_pysource": _q_gen_camera_pysource,
+        "csv_roundtrip": _q_csv_roundtrip,
         # --- dedup family (6) --------------------------------------------
         "dedup_exact": _q_dedup_exact,
         "dedup_chunks": _q_dedup_chunks,
@@ -1467,13 +1524,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- sampling/splits family (2) ----------------------------------
         "sample_hash_10pct": _q_hash_sample,
         "split_train_val_test": _q_hash_split,
-        # --- SQL-surface representatives (5) -----------------------------
+        # --- SQL-surface representatives (4) + streaming (1) -------------
         "q1_pricing_summary": _q_q1,
         "q_sql_surface": _q_sql_surface,
         "q_interval_join": _q_interval_join,
         "q_sessionize": _q_sessionize,
-        "props_json_typed": _q_props_typed,
+        "stream_windowed_align": _q_stream_windowed_align,
         # ===== position 51+: variants, twins, and the wider SQL surface ===
+        "gen_camera_pysource": _q_gen_camera_pysource,
+        "props_json_typed": _q_props_typed,
         "o14_asof_interp": _q_o14_interp,
         "o15_sync_wide_interp": _q_sync_wide_interp,
         "q3_top_orders": _q_q3,
@@ -2245,12 +2304,17 @@ GROUP BY 1
     # hash-based ops — minhash/simhash/hyperplane-LSH — stay rows-only.
     # IVF uses deterministic first-N centroids, so it IS oracle-able.) ----
     o["embed_normalize"] = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-SELECT vec_id,
-       list_transform(v, x -> round(
-           x / greatest(sqrt(list_aggregate(list_transform(v, y -> y * y), 'sum')),
-                        1e-12), 6)) AS unit
-FROM e
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (
+    SELECT vec_id,
+           list_transform(v, x -> round(
+               x / greatest(sqrt(list_aggregate(list_transform(v, y -> y * y),
+                                                'sum')),
+                            1e-12), 6)) AS unit
+    FROM e
+)
+SELECT vec_id, CAST(p AS INT) AS pos, unit[CAST(p AS INT) + 1] AS unit_val
+FROM n, UNNEST(range(len(unit))) AS t(p)
 """
 
     o["embed_quantize"] = """
@@ -2260,10 +2324,14 @@ s AS (
            greatest(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 1e-12)
                / 127.0 AS scale
     FROM e
+),
+q AS (
+    SELECT vec_id, round(scale, 9) AS scale,
+           list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) AS qv
+    FROM s
 )
-SELECT vec_id, round(scale, 9) AS scale,
-       list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) AS q
-FROM s
+SELECT vec_id, scale, CAST(p AS INT) AS pos, qv[CAST(p AS INT) + 1] AS q_val
+FROM q, UNNEST(range(len(qv))) AS t(p)
 """
 
     o["embed_ivf_topk"] = """
@@ -2537,6 +2605,25 @@ FROM u
     # closed forms — same oracle as the Column-expression generator
     o["gen_camera_pysource"] = o["gen_camera"]
 
+    # CSV sink → scan roundtrip is lossless (µs timestamp format,
+    # shortest-repr doubles), so the generator's closed form IS the
+    # oracle — any corruption in write_csv_single/read_sensor_csv
+    # breaks the value hash
+    o["csv_roundtrip"] = o["gen_camera"]
+
+    # streaming windowed align on a bounded replay == batch tumbling
+    # window: floor(ts) to the 1-min epoch grid, last-obs-wins
+    # (arg_max == max_by; click timestamps are unique so no ties)
+    o["stream_windowed_align"] = """
+SELECT make_timestamp((epoch_us(ts) // 60000000) * 60000000) AS timestamp,
+       arg_max(value, ts) AS value,
+       max(ts) AS matched_ts,
+       count(*) AS n_obs
+FROM events
+WHERE event_type = 'click'
+GROUP BY 1
+"""
+
     o["gen_motion"] = f"""
 WITH u AS (
     SELECT id,
@@ -2800,8 +2887,9 @@ SELECT doc_id,
        CAST(list_aggregate(list_transform(range(1, n + 1),
                       i -> ascii(substr(text, CAST(i AS INT), 1))), 'sum')
            % 2147483647 AS BIGINT) AS checksum,
-       list_transform(range(1, least(4, n) + 1),
-                      i -> ascii(substr(text, CAST(i AS INT), 1))) AS head_bytes
+       array_to_string(list_transform(range(1, least(4, n) + 1),
+                      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS VARCHAR)),
+                      ',') AS head_bytes_csv
 FROM d
 """
 
