@@ -115,7 +115,12 @@ def main() -> None:
     # --- supplementary: reduce_cells downsampling win at the 100 TB
     # shape (|sensor| >> n_grid). NOT part of the frozen 18-query
     # headline total — reported under "extras" for SCALE.md evidence.
-    extras = hirate_reduce_cells_bench(spark)
+    # Guarded: an extras failure (scratch-disk, OOM on the 2M-row
+    # fixture) must not lose the already-measured headline results.
+    try:
+        extras = hirate_reduce_cells_bench(spark)
+    except Exception as e:  # noqa: BLE001 — headline JSON must print
+        extras = {"error": str(e)[:500]}
 
     print(
         json.dumps(
@@ -159,17 +164,27 @@ def hirate_reduce_cells_bench(spark, n: int = 2_000_000) -> dict[str, float]:
         cam = spark.read.parquet(f"{scratch}/cam")
         mot = spark.read.parquet(f"{scratch}/mot")
 
+        # min-of-2 per variant, order alternated across passes — mirrors
+        # the headline PASSES=2 methodology and removes the cold-cache
+        # bias of always timing one variant first
         out: dict[str, float] = {}
-        for name, rc in (
-            ("o15_hirate_reduce_cells", True),
-            ("o15_hirate_raw", False),
-        ):
-            t0 = time.perf_counter()
-            nrows = synchronize(
-                cam, mot, method="nearest", reduce_cells=rc
-            ).df.count()
-            out[name] = round(time.perf_counter() - t0, 3)
-            print(f"# extra {name}: {out[name]:.3f}s ({nrows} rows)", file=sys.stderr)
+        rows: dict[str, int] = {}
+        variants = [("o15_hirate_reduce_cells", True), ("o15_hirate_raw", False)]
+        for p in range(2):
+            for name, rc in variants if p == 0 else reversed(variants):
+                t0 = time.perf_counter()
+                nrows = synchronize(
+                    cam, mot, method="nearest", reduce_cells=rc
+                ).df.count()
+                dt_ = round(time.perf_counter() - t0, 3)
+                out[name] = min(out.get(name, float("inf")), dt_)
+                rows[name] = nrows
+                print(f"# extra p{p} {name}: {dt_:.3f}s ({nrows} rows)", file=sys.stderr)
+        # free correctness check: cell reduction must not change the
+        # synchronized row count
+        out["reduce_cells_rows_match"] = float(
+            rows["o15_hirate_reduce_cells"] == rows["o15_hirate_raw"]
+        )
         return out
     finally:
         shutil.rmtree(scratch, ignore_errors=True)

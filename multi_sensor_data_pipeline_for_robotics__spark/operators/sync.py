@@ -198,14 +198,19 @@ def asof_align(
         per_bucket = sb.groupBy("__b").agg(F.max_by("__p", F.col("__t")).alias("__edge"))
         w_carry = W.orderBy("__b").rowsBetween(W.unboundedPreceding, -1)
     else:  # backfill
-        # Grid row (tag 1) sorts before the sensor row at equal ts, so
-        # first() looking forward still sees the exact-timestamp match.
+        # Forward fill expressed as a BACKWARD frame over DESCENDING
+        # time: Spark evaluates unbounded-PRECEDING frames incrementally
+        # (O(n) per partition) but recomputes unbounded-FOLLOWING frames
+        # from scratch per row (O(n^2) — a measured multi-minute
+        # straggler at 2M rows/bucket). In (t desc, tag asc) order the
+        # equal-ts sensor row (tag 0) sorts before the grid row, so
+        # last() looking back still sees the exact-timestamp match.
         w_fill = (
             W.partitionBy("__b")
-            .orderBy(F.col("__t").asc(), F.col("__tag").desc())
-            .rowsBetween(W.currentRow, W.unboundedFollowing)
+            .orderBy(F.col("__t").desc(), F.col("__tag").asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
-        fill = F.first("__p", ignorenulls=True)
+        fill = F.last("__p", ignorenulls=True)
         per_bucket = sb.groupBy("__b").agg(F.min_by("__p", F.col("__t")).alias("__edge"))
         w_carry = W.orderBy("__b").rowsBetween(1, W.unboundedFollowing)
 
@@ -385,26 +390,35 @@ def asof_align_multi(
     bucket_us = max(1, (hi_us - lo_us) // num_buckets + 1)
     u = u.withColumn("__b", _bucketize(F.col("__t"), lo_us, bucket_us, num_buckets))
 
-    # Both directional window frames share ONE partitioning + sort:
-    # (t asc, tag asc) puts a sensor row before a grid row at equal t,
-    # so the backward frame includes exact-timestamp matches. The
-    # forward frame starts at the grid row (whose own payload is NULL)
-    # and only sees strictly-later sensor rows — which is exactly what
-    # pure backfill must NOT do, hence its tag-desc sort below.
+    # Both directions are expressed as BACKWARD (unbounded-PRECEDING)
+    # frames — Spark evaluates those incrementally, O(n) per partition,
+    # while unbounded-FOLLOWING frames recompute from scratch per row,
+    # O(n^2) (a measured multi-minute straggler at 2M rows/bucket). The
+    # forward fill therefore runs over DESCENDING time; the two sorts
+    # share one __b shuffle, Spark just re-sorts within partitions.
+    # Tie rules at equal t, encoded in the tag sort:
+    #   backward/pad (t asc, tag asc): sensor row (0) precedes the grid
+    #     row, so the backward frame OWNS exact-timestamp matches;
+    #   forward for nearest/interp (t desc, tag desc): grid row (1)
+    #     precedes the equal-ts sensor row, so the forward frame sees
+    #     only strictly-later observations (no double-count of exact
+    #     matches — distance 0 always wins the pad-vs-backfill race);
+    #   forward for pure backfill (t desc, tag asc): sensor row first,
+    #     so backfill alone DOES take the exact-timestamp match.
     w_pad = (
         W.partitionBy("__b")
         .orderBy(F.col("__t").asc(), F.col("__tag").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    w_bf_same_sort = (
+    w_bf_strict = (
         W.partitionBy("__b")
-        .orderBy(F.col("__t").asc(), F.col("__tag").asc())
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
+        .orderBy(F.col("__t").desc(), F.col("__tag").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    w_bf = (
+    w_bf_incl = (
         W.partitionBy("__b")
-        .orderBy(F.col("__t").asc(), F.col("__tag").desc())
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
+        .orderBy(F.col("__t").desc(), F.col("__tag").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     w_carry_pad = W.orderBy("__b").rowsBetween(W.unboundedPreceding, -1)
     w_carry_bf = W.orderBy("__b").rowsBetween(1, W.unboundedFollowing)
@@ -432,8 +446,8 @@ def asof_align_multi(
                 F.first(f"__emin{j}", ignorenulls=True).over(w_carry_bf).alias(f"__cb{j}")
             )
             fill_cols.append(
-                F.first(f"__p{j}", ignorenulls=True)
-                .over(w_bf if method == "backfill" else w_bf_same_sort)
+                F.last(f"__p{j}", ignorenulls=True)
+                .over(w_bf_incl if method == "backfill" else w_bf_strict)
                 .alias(f"__fb{j}")
             )
     per_bucket = u.filter(F.col("__tag") == 0).groupBy("__b").agg(*edge_aggs)
