@@ -98,6 +98,10 @@ def main() -> None:
     times: dict[str, float] = {}
     pass_totals: list[float] = []
     for p in range(PASSES):
+        # operators may persist intermediates (e.g. the as-of union
+        # stream); clear between passes so min-of-2 measures honest
+        # recomputation, not a warm cache from the previous pass
+        spark.catalog.clearCache()
         pt = 0.0
         for name in HEADLINE:
             fn = qs[name]

@@ -181,7 +181,6 @@ def asof_align(
     lo_us, hi_us = _us(lo), _us(hi)
     bucket_us = max(1, (hi_us - lo_us) // num_buckets + 1)
     u = u.withColumn("__b", _bucketize(F.col("__t"), lo_us, bucket_us, num_buckets))
-    sb = s.withColumn("__b", _bucketize(F.col("__t"), lo_us, bucket_us, num_buckets))
 
     spark = grid.sparkSession
     spine = spark.range(num_buckets + 1).select(F.col("id").alias("__b"))
@@ -194,8 +193,7 @@ def asof_align(
             .orderBy(F.col("__t").asc(), F.col("__tag").asc())
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
-        fill = F.last("__p", ignorenulls=True)
-        per_bucket = sb.groupBy("__b").agg(F.max_by("__p", F.col("__t")).alias("__edge"))
+        edge_agg = F.max_by("__p", F.col("__t")).alias("__edge")
         w_carry = W.orderBy("__b").rowsBetween(W.unboundedPreceding, -1)
     else:  # backfill
         # Forward fill expressed as a BACKWARD frame over DESCENDING
@@ -210,9 +208,18 @@ def asof_align(
             .orderBy(F.col("__t").desc(), F.col("__tag").asc())
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
-        fill = F.last("__p", ignorenulls=True)
-        per_bucket = sb.groupBy("__b").agg(F.min_by("__p", F.col("__t")).alias("__edge"))
+        edge_agg = F.min_by("__p", F.col("__t")).alias("__edge")
         w_carry = W.orderBy("__b").rowsBetween(1, W.unboundedFollowing)
+    fill = F.last("__p", ignorenulls=True)
+
+    # Two consumers (fill window + per-bucket edges) — persist the
+    # small post-prep union stream so the upstream runs once (see the
+    # matching note in asof_align_multi).
+    from pyspark.storagelevel import StorageLevel
+
+    u = u.persist(StorageLevel.MEMORY_AND_DISK)
+    wind = u.withColumn("__f", fill.over(w_fill))
+    per_bucket = wind.filter(F.col("__tag") == 0).groupBy("__b").agg(edge_agg)
 
     # Cross-bucket carry: num_buckets rows -> single-partition window is
     # trivially cheap; result is broadcast back onto the data.
@@ -224,8 +231,7 @@ def asof_align(
     )
 
     aligned = (
-        u.withColumn("__f", fill.over(w_fill))
-        .filter(F.col("__tag") == 1)
+        wind.filter(F.col("__tag") == 1)
         .join(F.broadcast(carry), "__b", "left")
         .withColumn("__p2", F.coalesce("__f", "__carry"))
     )
@@ -450,12 +456,27 @@ def asof_align_multi(
                 .over(w_bf_incl if method == "backfill" else w_bf_strict)
                 .alias(f"__fb{j}")
             )
-    per_bucket = u.filter(F.col("__tag") == 0).groupBy("__b").agg(*edge_aggs)
+    # The union stream has TWO consumers (the fill window and the
+    # per-bucket edge aggregation that feeds the carry table). Without
+    # intervention Spark recomputes the whole upstream prep (sensor
+    # scans, per-ts aggs, cell reduction, union) once per consumer —
+    # a 2x on the dominant cost of the flagship plan — and AQE's
+    # exchange reuse can't deduplicate because column pruning gives
+    # the two branches different subtrees. Persisting `u` (post-prep,
+    # so the cached rows are the SMALL reduced stream, not the raw
+    # scan) materializes the prep once; MEMORY_AND_DISK keeps lineage,
+    # so executor loss degrades to recompute instead of job failure.
+    from pyspark.storagelevel import StorageLevel
+
+    u = u.persist(StorageLevel.MEMORY_AND_DISK)
+    pcols = [F.col(f"__p{j}") for j in range(len(prefixes))]
+    wind = u.select("__t", "__tag", "__b", *pcols, *fill_cols)
+    per_bucket = wind.filter(F.col("__tag") == 0).groupBy("__b").agg(*edge_aggs)
     spark = grid.sparkSession
     spine = spark.range(num_buckets + 1).select(F.col("id").alias("__b"))
     carry = spine.join(per_bucket, "__b", "left").select("__b", *carry_cols)
 
-    filled = u.select("__t", "__tag", "__b", *fill_cols).filter(F.col("__tag") == 1)
+    filled = wind.filter(F.col("__tag") == 1)
     joined = filled.join(F.broadcast(carry), "__b", "left")
 
     g_us = ts_us(F.col("__t"))
