@@ -41,16 +41,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       (``spark.sql.legacy.parquet.nanosAsLong``, a runtime SQL conf)
       and truncate to a µs TimestampType — the same ns→µs truncation
       DuckDB applies, so oracle comparisons agree.
-    * parquet µs with ``isAdjustedToUTC=false`` — Spark reads this as
-      TIMESTAMP_NTZ; we cast to ``timestamp``. The session timezone is
-      pinned UTC here (the same runtime-conf pattern as nanosAsLong),
-      so the cast is value-preserving and collected naive values match
-      DuckDB's naive read.
+    * parquet µs with ``isAdjustedToUTC=false`` — Spark would read this
+      as TIMESTAMP_NTZ. We disable
+      ``spark.sql.parquet.inferTimestampNTZ.enabled`` so the scan
+      itself produces plain TIMESTAMP: unlike an after-the-scan
+      ``cast``, this keeps predicates on those columns pushable into
+      the parquet scan (a cast wraps the scan in a Project and
+      filters like ``l_shipdate <= X`` then CANNOT push down — a
+      measured full-scan regression on the TPC-H-shaped queries).
+      The session timezone is pinned UTC, so values match DuckDB's
+      naive read. A residual TIMESTAMP_NTZ cast branch below guards
+      sessions where the conf was frozen before this call.
 
-    Both conversions are scan-level projections; all downstream
-    operators see TimestampType.
+    All downstream operators see TimestampType.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for f in df.schema.fields:

@@ -49,6 +49,7 @@ def read_events_stream(
     or µs TIMESTAMP_NTZ — and is normalized to plain TimestampType
     exactly like the batch loader (``sources/tables.py``)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(f"{sf_dir}/{glob}").schema
     df = (
