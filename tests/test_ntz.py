@@ -97,6 +97,19 @@ def test_synchronize_runs_on_ntz_origin(spark, ntz_dir):
     )
 
 
+def test_ntz_columns_keep_predicate_pushdown(spark, ntz_dir):
+    """Timestamp filters must reach the parquet scan. A post-scan
+    NTZ->TIMESTAMP cast wraps the scan in a Project and silently turns
+    every ts predicate into a full scan (the round-4 bench regression);
+    reading NTZ as TIMESTAMP at the scan keeps PushedFilters intact."""
+    df = load_table(spark, ntz_dir, "events").filter(
+        F.col("ts") >= F.lit(BASE + dt.timedelta(minutes=5))
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts," in plan
+
+
 def test_streaming_reader_handles_ntz(spark, ntz_dir):
     """The round-3 streaming bug: a stale int64 schema read µs values as
     ns and produced 1970 timestamps. The footer-derived schema must
