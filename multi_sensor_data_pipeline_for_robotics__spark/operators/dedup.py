@@ -262,7 +262,15 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, text_col, id_col, shingle_n)
+    # the banded self-join consumes the signatures twice; persist the
+    # 1-row-per-doc signature table (shingle UDF + num_hashes-way agg is
+    # the expensive part) so it is computed once. MEMORY_AND_DISK keeps
+    # lineage — executor loss recomputes instead of failing the job.
+    from pyspark.storagelevel import StorageLevel
+
+    sig = minhash_signatures(df, num_hashes, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     banded = sig.select(
         "doc",
         "signature",
@@ -355,7 +363,10 @@ def minhash_lsh_pairs_portable(
         )
         for i in range(num_hashes)
     ]
-    sig = sh.groupBy("doc").agg(*mins)
+    # persisted for the same two-consumer reason as minhash_lsh_pairs
+    from pyspark.storagelevel import StorageLevel
+
+    sig = sh.groupBy("doc").agg(*mins).persist(StorageLevel.MEMORY_AND_DISK)
 
     def band_bucket(bi: int):
         acc = F.lit(0).cast("long")
@@ -529,7 +540,12 @@ def simhash_pairs(
     per block, unioned, distinct, then exact distance filter.
     """
     nblocks = max_hamming + 1
+    # persisted for the same two-consumer reason as minhash_lsh_pairs:
+    # the block self-join reads the (doc, sig) table twice
+    from pyspark.storagelevel import StorageLevel
+
     sig, sigwidth = simhash_signatures(df, text_col, id_col, hash_family)
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     width = sigwidth // nblocks
     blocks = sig.select(
         "doc",

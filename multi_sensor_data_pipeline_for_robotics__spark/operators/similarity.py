@@ -147,9 +147,17 @@ def lsh_neardup_pairs(
     # Candidate generation moves only (id, band, bucket) triples — the
     # vectors are re-attached by id AFTER pair dedup, so the wide shuffle
     # of the band join never carries embedding payloads.
-    banded = ensure_parallelism(embeddings).select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(buckets(F.col(vec_col))).alias("band", "bucket"),
+    # persist the (doc, band, bucket) triples: the self-join would
+    # otherwise run the hyperplane pandas UDF twice over the corpus
+    from pyspark.storagelevel import StorageLevel
+
+    banded = (
+        ensure_parallelism(embeddings)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(buckets(F.col(vec_col))).alias("band", "bucket"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
