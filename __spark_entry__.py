@@ -36,6 +36,7 @@ from multi_sensor_data_pipeline_for_robotics__spark.operators import dedup as D
 from multi_sensor_data_pipeline_for_robotics__spark.operators import multimodal as MM
 from multi_sensor_data_pipeline_for_robotics__spark.operators import pack as PK
 from multi_sensor_data_pipeline_for_robotics__spark.operators import similarity as SIM
+from multi_sensor_data_pipeline_for_robotics__spark.operators import sync as SYNC
 from multi_sensor_data_pipeline_for_robotics__spark.operators import sync as S
 from multi_sensor_data_pipeline_for_robotics__spark.plans import analytics as A
 from multi_sensor_data_pipeline_for_robotics__spark.sources import datagen as DG
@@ -1414,6 +1415,23 @@ def _q_gen_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key as-of join (pandas merge_asof(by=...) / DuckDB ASOF JOIN
+    analog): each view event picks up the same user's latest prior
+    click. One key-partitioned window, no join — operators/sync.py
+    asof_join_keyed."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "ts", "user_id", "value"
+    )
+    return SYNC.asof_join_keyed(
+        views, clicks, on="ts", by="user_id", value_cols=["value"]
+    )
+
+
 def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4+O5 (app.py:225-235, 441-443) as one driver-graded row: export
     the camera generator output through the single-file CSV sink, scan
@@ -1533,6 +1551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ===== position 51+: variants, twins, and the wider SQL surface ===
         "gen_camera_pysource": _q_gen_camera_pysource,
         "props_json_typed": _q_props_typed,
+        "q_asof_keyed": _q_asof_keyed,
         "o14_asof_interp": _q_o14_interp,
         "o15_sync_wide_interp": _q_sync_wide_interp,
         "q3_top_orders": _q_q3,
@@ -2604,6 +2623,17 @@ FROM u
     # the Python-DataSource camera twin replays the identical PRNG and
     # closed forms — same oracle as the Column-expression generator
     o["gen_camera_pysource"] = o["gen_camera"]
+
+    # keyed as-of join: DuckDB's native ASOF JOIN is the oracle —
+    # greatest right ts <= left ts per key, exact matches included,
+    # unmatched left rows null-extended (left-join semantics)
+    o["q_asof_keyed"] = """
+WITH v AS (SELECT event_id, ts, user_id, value FROM events WHERE event_type='view'),
+c AS (SELECT ts, user_id, value FROM events WHERE event_type='click')
+SELECT v.event_id, v.ts, v.user_id, v.value,
+       c.value AS value_r, c.ts AS matched_ts_r
+FROM v ASOF LEFT JOIN c ON v.user_id = c.user_id AND v.ts >= c.ts
+"""
 
     # CSV sink → scan roundtrip is lossless (µs timestamp format,
     # shortest-repr doubles), so the generator's closed form IS the

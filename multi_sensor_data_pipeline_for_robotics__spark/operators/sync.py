@@ -521,6 +521,86 @@ def asof_align_multi(
     return joined.select(*out_cols)
 
 
+def asof_join_keyed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "user_id",
+    value_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance_ms: int | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Per-key as-of join — the pandas ``merge_asof(by=key)`` / DuckDB
+    ``ASOF JOIN`` shape the reference's grid alignment (app.py:164-165)
+    generalizes to when observations are keyed (per user / per device).
+
+    For every left row, attach the latest right row of the SAME key at
+    or before it (``backward``), or the earliest at or after
+    (``forward``); ``tolerance_ms`` nulls matches farther than the
+    bound. Left rows with no qualifying match keep NULL right columns
+    (left-join semantics).
+
+    Plan: union-tag + ONE window per (key) partition — right rows sort
+    before left rows at equal ts so exact-timestamp matches are taken,
+    and both directions use unbounded-PRECEDING frames (forward runs
+    over descending time), the incremental O(n)-per-partition frame
+    shape. One shuffle on the key, no join at all. Skew note: a single
+    hot key serializes into one partition's sort; for power-law keys
+    compose with the time-bucket spine of :func:`asof_align` (key +
+    bucket partitioning + per-key carry) or pre-salt — this direct form
+    is the right default when per-key volumes are bounded.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown as-of direction: {direction}")
+    vcols = value_cols or [c for c in right.columns if c not in (on, by)]
+    lcols = left.columns
+    payload = F.struct(
+        F.col(on).alias("__matched_ts"), *[F.col(c) for c in vcols]
+    )
+    r = right.select(
+        F.col(by).alias("__k"),
+        F.col(on).alias("__t"),
+        payload.alias("__p"),
+        F.lit(0).alias("__tag"),
+    )
+    lrow = F.struct(*[F.col(c) for c in lcols])
+    l = left.select(
+        F.col(by).alias("__k"),
+        F.col(on).alias("__t"),
+        lrow.alias("__l"),
+        F.lit(1).alias("__tag"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    if direction == "backward":
+        w = (
+            W.partitionBy("__k")
+            .orderBy(F.col("__t").asc(), F.col("__tag").asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+    else:  # forward == backward over reversed time (O(n) frame, see
+        # asof_align's backfill note)
+        w = (
+            W.partitionBy("__k")
+            .orderBy(F.col("__t").desc(), F.col("__tag").asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+    matched = (
+        u.withColumn("__p2", F.last("__p", ignorenulls=True).over(w))
+        .filter(F.col("__tag") == 1)
+    )
+    if tolerance_ms is not None:
+        within = F.col("__p2").isNotNull() & (
+            F.abs(ts_us(F.col("__t")) - ts_us(F.col("__p2.__matched_ts")))
+            <= tolerance_ms * 1000
+        )
+        matched = matched.withColumn("__p2", F.when(within, F.col("__p2")))
+    out = [F.col(f"__l.{c}").alias(c) for c in lcols]
+    out += [F.col(f"__p2.{c}").alias(f"{c}{suffix}") for c in vcols]
+    out.append(F.col("__p2.__matched_ts").alias(f"matched_ts{suffix}"))
+    return matched.select(*out)
+
+
 def nearest_grid_ts(
     ts: Column, start_us: int, step_us: int, n_grid: int
 ) -> Column:

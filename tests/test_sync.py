@@ -237,3 +237,73 @@ def test_asof_align_multi_three_sensors(spark, method):
     pd.testing.assert_frame_equal(
         _sorted(multi)[cols], _sorted(single)[cols]
     )
+
+
+# ---- keyed as-of join (pandas merge_asof(by=...) differential) ----
+
+def _keyed_fixture(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 400, 300
+    base = pd.Timestamp("2024-03-01")
+    lt = base + pd.to_timedelta(np.sort(rng.integers(0, 10_000_000, n_l)), unit="us")
+    rt = base + pd.to_timedelta(np.sort(rng.integers(0, 10_000_000, n_r)), unit="us")
+    lpdf = pd.DataFrame(
+        {"lid": range(n_l), "ts": lt, "k": rng.integers(0, 5, n_l), "lv": rng.random(n_l).round(6)}
+    )
+    rpdf = pd.DataFrame(
+        {"ts": rt, "k": rng.integers(0, 5, n_r), "rv": rng.random(n_r).round(6)}
+    ).drop_duplicates(subset=["k", "ts"])
+    return lpdf, rpdf
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_join_keyed_matches_pandas(spark, direction):
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.sync import asof_join_keyed
+
+    lpdf, rpdf = _keyed_fixture(spark)
+    got = (
+        asof_join_keyed(
+            spark.createDataFrame(lpdf),
+            spark.createDataFrame(rpdf),
+            on="ts", by="k", value_cols=["rv"], direction=direction,
+        )
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        lpdf.sort_values("ts"),
+        rpdf.sort_values("ts"),
+        on="ts", by="k", direction=direction,
+    ).sort_values("lid").reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        got["rv_r"], exp["rv"], check_names=False, check_dtype=False
+    )
+
+
+def test_asof_join_keyed_tolerance(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.sync import asof_join_keyed
+
+    lpdf, rpdf = _keyed_fixture(spark)
+    tol_ms = 50
+    got = (
+        asof_join_keyed(
+            spark.createDataFrame(lpdf),
+            spark.createDataFrame(rpdf),
+            on="ts", by="k", value_cols=["rv"], tolerance_ms=tol_ms,
+        )
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        lpdf.sort_values("ts"),
+        rpdf.sort_values("ts"),
+        on="ts", by="k", direction="backward",
+        tolerance=pd.Timedelta(milliseconds=tol_ms),
+    ).sort_values("lid").reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        got["rv_r"], exp["rv"], check_names=False, check_dtype=False
+    )
