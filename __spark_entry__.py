@@ -36,7 +36,6 @@ from multi_sensor_data_pipeline_for_robotics__spark.operators import dedup as D
 from multi_sensor_data_pipeline_for_robotics__spark.operators import multimodal as MM
 from multi_sensor_data_pipeline_for_robotics__spark.operators import pack as PK
 from multi_sensor_data_pipeline_for_robotics__spark.operators import similarity as SIM
-from multi_sensor_data_pipeline_for_robotics__spark.operators import sync as SYNC
 from multi_sensor_data_pipeline_for_robotics__spark.operators import sync as S
 from multi_sensor_data_pipeline_for_robotics__spark.plans import analytics as A
 from multi_sensor_data_pipeline_for_robotics__spark.sources import datagen as DG
@@ -1427,7 +1426,7 @@ def _q_asof_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").select(
         "ts", "user_id", "value"
     )
-    return SYNC.asof_join_keyed(
+    return S.asof_join_keyed(
         views, clicks, on="ts", by="user_id", value_cols=["value"]
     )
 
