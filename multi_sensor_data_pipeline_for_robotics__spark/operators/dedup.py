@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from multi_sensor_data_pipeline_for_robotics__spark.cache import maybe_persist
 from multi_sensor_data_pipeline_for_robotics__spark.functions.text import tokens
 from multi_sensor_data_pipeline_for_robotics__spark.sources.tables import ensure_parallelism
 
@@ -262,15 +263,13 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    # the banded self-join consumes the signatures twice; persist the
-    # 1-row-per-doc signature table (shingle UDF + num_hashes-way agg is
-    # the expensive part) so it is computed once. MEMORY_AND_DISK keeps
-    # lineage — executor loss recomputes instead of failing the job.
-    from pyspark.storagelevel import StorageLevel
-
-    sig = minhash_signatures(df, num_hashes, text_col, id_col, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # the banded self-join consumes the signatures twice; size-gated
+    # persist of the 1-row-per-doc signature table (shingle UDF +
+    # num_hashes-way agg is the expensive part) so a BIG upstream is
+    # computed once — below the gate the identical self-join sides
+    # already share one shuffle via ReusedExchange, so a persist only
+    # adds a barrier (measured slower at bench scale).
+    sig = maybe_persist(minhash_signatures(df, num_hashes, text_col, id_col, shingle_n))
     banded = sig.select(
         "doc",
         "signature",
@@ -363,10 +362,8 @@ def minhash_lsh_pairs_portable(
         )
         for i in range(num_hashes)
     ]
-    # persisted for the same two-consumer reason as minhash_lsh_pairs
-    from pyspark.storagelevel import StorageLevel
-
-    sig = sh.groupBy("doc").agg(*mins).persist(StorageLevel.MEMORY_AND_DISK)
+    # size-gated persist, same two-consumer reason as minhash_lsh_pairs
+    sig = maybe_persist(sh.groupBy("doc").agg(*mins))
 
     def band_bucket(bi: int):
         acc = F.lit(0).cast("long")
@@ -540,12 +537,10 @@ def simhash_pairs(
     per block, unioned, distinct, then exact distance filter.
     """
     nblocks = max_hamming + 1
-    # persisted for the same two-consumer reason as minhash_lsh_pairs:
+    # size-gated persist, same two-consumer reason as minhash_lsh_pairs:
     # the block self-join reads the (doc, sig) table twice
-    from pyspark.storagelevel import StorageLevel
-
     sig, sigwidth = simhash_signatures(df, text_col, id_col, hash_family)
-    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    sig = maybe_persist(sig)
     width = sigwidth // nblocks
     blocks = sig.select(
         "doc",

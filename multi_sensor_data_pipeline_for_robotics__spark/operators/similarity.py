@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from multi_sensor_data_pipeline_for_robotics__spark.cache import maybe_persist
 from multi_sensor_data_pipeline_for_robotics__spark.functions.vector import (
     cosine,
     cosine_batch,
@@ -147,17 +148,15 @@ def lsh_neardup_pairs(
     # Candidate generation moves only (id, band, bucket) triples — the
     # vectors are re-attached by id AFTER pair dedup, so the wide shuffle
     # of the band join never carries embedding payloads.
-    # persist the (doc, band, bucket) triples: the self-join would
-    # otherwise run the hyperplane pandas UDF twice over the corpus
-    from pyspark.storagelevel import StorageLevel
-
-    banded = (
-        ensure_parallelism(embeddings)
-        .select(
+    # size-gated persist of the (doc, band, bucket) triples: at scale
+    # the self-join would otherwise run the hyperplane pandas UDF twice
+    # over the corpus; below the gate the identical join sides share one
+    # shuffle via ReusedExchange and a persist only adds a barrier
+    banded = maybe_persist(
+        ensure_parallelism(embeddings).select(
             F.col(id_col).alias("doc"),
             F.posexplode(buckets(F.col(vec_col))).alias("band", "bucket"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

@@ -47,6 +47,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from multi_sensor_data_pipeline_for_robotics__spark.cache import maybe_persist
 from multi_sensor_data_pipeline_for_robotics__spark.functions.timeutil import ts_us
 
 GRID_STEP_MS = 33  # app.py:160-161
@@ -212,12 +213,11 @@ def asof_align(
         w_carry = W.orderBy("__b").rowsBetween(1, W.unboundedFollowing)
     fill = F.last("__p", ignorenulls=True)
 
-    # Two consumers (fill window + per-bucket edges) — persist the
-    # small post-prep union stream so the upstream runs once (see the
-    # matching note in asof_align_multi).
-    from pyspark.storagelevel import StorageLevel
-
-    u = u.persist(StorageLevel.MEMORY_AND_DISK)
+    # Two consumers (fill window + per-bucket edges) — size-gated
+    # persist so a big upstream runs once (see the matching note in
+    # asof_align_multi; measured: an unconditional persist is a net
+    # LOSS at bench scale, the barrier costs more than the recompute).
+    u = maybe_persist(u)
     wind = u.withColumn("__f", fill.over(w_fill))
     per_bucket = wind.filter(F.col("__tag") == 0).groupBy("__b").agg(edge_agg)
 
@@ -464,11 +464,10 @@ def asof_align_multi(
     # exchange reuse can't deduplicate because column pruning gives
     # the two branches different subtrees. Persisting `u` (post-prep,
     # so the cached rows are the SMALL reduced stream, not the raw
-    # scan) materializes the prep once; MEMORY_AND_DISK keeps lineage,
-    # so executor loss degrades to recompute instead of job failure.
-    from pyspark.storagelevel import StorageLevel
-
-    u = u.persist(StorageLevel.MEMORY_AND_DISK)
+    # scan) materializes the prep once — but ONLY when the upstream is
+    # big enough to beat the persist barrier (size-gated; the round-5
+    # sf0.1 A/B measured unconditional persists 30-50% slower here).
+    u = maybe_persist(u)
     pcols = [F.col(f"__p{j}") for j in range(len(prefixes))]
     wind = u.select("__t", "__tag", "__b", *pcols, *fill_cols)
     per_bucket = wind.filter(F.col("__tag") == 0).groupBy("__b").agg(*edge_aggs)
