@@ -1438,17 +1438,34 @@ def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows. The µs-pinned timestamp format and round-6 doubles make the
     round trip lossless, so the oracle is the generator's closed-form
     SQL — any sink/scan corruption breaks the hash."""
-    import tempfile
-
     from multi_sensor_data_pipeline_for_robotics__spark.sources.io import (
         read_sensor_csv,
         write_csv_single,
     )
 
     cam = _q_gen_camera(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="csv_roundtrip_") + "/camera_csv"
+    # one process-lifetime scratch dir, overwritten per invocation and
+    # removed at exit: the returned DataFrame lazily reads the CSV, so
+    # per-call mkdtemp could only be cleaned after the caller's action —
+    # reuse + atexit caps the leak at a single copy instead
+    path = _csv_scratch() + "/camera_csv"
     write_csv_single(cam, path)
     return read_sensor_csv(spark, path, sensor_type="camera")
+
+
+def _csv_scratch() -> str:
+    global _CSV_SCRATCH
+    if _CSV_SCRATCH is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _CSV_SCRATCH = tempfile.mkdtemp(prefix="csv_roundtrip_")
+        atexit.register(shutil.rmtree, _CSV_SCRATCH, ignore_errors=True)
+    return _CSV_SCRATCH
+
+
+_CSV_SCRATCH: str | None = None
 
 
 def _q_stream_windowed_align(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -122,9 +122,9 @@ def main() -> None:
     # Guarded: an extras failure (scratch-disk, OOM on the 2M-row
     # fixture) must not lose the already-measured headline results.
     try:
-        extras = hirate_reduce_cells_bench(spark)
+        extras, extra_checks = hirate_reduce_cells_bench(spark)
     except Exception as e:  # noqa: BLE001 — headline JSON must print
-        extras = {"error": str(e)[:500]}
+        extras, extra_checks = {"error": str(e)[:500]}, {}
 
     print(
         json.dumps(
@@ -137,12 +137,43 @@ def main() -> None:
                 "passes": PASSES,
                 "pass_totals": pass_totals,
                 "extras": extras,
+                "extra_checks": extra_checks,
+                # parquet layout fingerprint: the driver regenerates the
+                # test data between rounds, and layout drift (row-group
+                # geometry, encodings) has shifted scan-bound timings by
+                # 1.5x before — record it so a drift is visible in the
+                # artifact instead of inferred from timing archaeology
+                "data_fingerprint": data_fingerprint(sf_dir),
             }
         )
     )
 
 
-def hirate_reduce_cells_bench(spark, n: int = 2_000_000) -> dict[str, float]:
+def data_fingerprint(sf_dir: str) -> dict:
+    """Per-table parquet geometry: file size, rows, row groups."""
+    import glob
+
+    out = {}
+    try:
+        import pyarrow.parquet as pq
+
+        for p in sorted(glob.glob(f"{sf_dir}/*.parquet")):
+            name = os.path.basename(p).removesuffix(".parquet")
+            md = pq.ParquetFile(p).metadata
+            out[name] = {
+                "bytes": os.path.getsize(p),
+                "rows": md.num_rows,
+                "row_groups": md.num_row_groups,
+                "mtime": int(os.path.getmtime(p)),
+            }
+    except Exception as e:  # noqa: BLE001 — fingerprint is best-effort
+        out["error"] = str(e)[:200]
+    return out
+
+
+def hirate_reduce_cells_bench(
+    spark, n: int = 2_000_000
+) -> tuple[dict[str, float], dict[str, bool]]:
     """Time `synchronize` with and without reduce_cells on a high-rate
     fixture: two 2M-row sensors (3000/2500 Hz) onto a 33 ms grid —
     ~100 sensor rows per grid cell, the downsampling shape a 100 TB
@@ -185,11 +216,14 @@ def hirate_reduce_cells_bench(spark, n: int = 2_000_000) -> dict[str, float]:
                 rows[name] = nrows
                 print(f"# extra p{p} {name}: {dt_:.3f}s ({nrows} rows)", file=sys.stderr)
         # free correctness check: cell reduction must not change the
-        # synchronized row count
-        out["reduce_cells_rows_match"] = float(
-            rows["o15_hirate_reduce_cells"] == rows["o15_hirate_raw"]
-        )
-        return out
+        # synchronized row count — reported SEPARATELY from the timing
+        # dict so consumers aggregating extras never mix a flag into
+        # the seconds
+        checks = {
+            "reduce_cells_rows_match": rows["o15_hirate_reduce_cells"]
+            == rows["o15_hirate_raw"]
+        }
+        return out, checks
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 

@@ -549,6 +549,14 @@ def asof_join_keyed(
     compose with the time-bucket spine of :func:`asof_align` (key +
     bucket partitioning + per-key carry) or pre-salt — this direct form
     is the right default when per-key volumes are bounded.
+
+    Tie behavior: when SEVERAL right rows share one (key, ts), the row
+    with the greatest payload under Spark struct ordering (matched_ts,
+    then value columns left-to-right) wins — deterministically, because
+    the payload is the final window sort key. (pandas ``merge_asof``
+    takes the last-positioned row, an input-order notion that has no
+    stable meaning for distributed data.) Requires orderable value-col
+    types (no maps) — true of every sensor schema here.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown as-of direction: {direction}")
@@ -571,17 +579,21 @@ def asof_join_keyed(
         F.lit(1).alias("__tag"),
     )
     u = l.unionByName(r, allowMissingColumns=True)
+    # final sort key __p: right rows tied on (key, ts) resolve to the
+    # greatest payload struct (left rows carry NULL __p — asc puts them
+    # after no right row they shouldn't see; equal-key left rows are
+    # interchangeable)
     if direction == "backward":
         w = (
             W.partitionBy("__k")
-            .orderBy(F.col("__t").asc(), F.col("__tag").asc())
+            .orderBy(F.col("__t").asc(), F.col("__tag").asc(), F.col("__p").asc())
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
     else:  # forward == backward over reversed time (O(n) frame, see
         # asof_align's backfill note)
         w = (
             W.partitionBy("__k")
-            .orderBy(F.col("__t").desc(), F.col("__tag").asc())
+            .orderBy(F.col("__t").desc(), F.col("__tag").asc(), F.col("__p").asc())
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
     matched = (

@@ -32,6 +32,16 @@ TABLES = [
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table.
 
+    .. warning:: SESSION-WIDE SIDE EFFECT — this call pins three SQL
+       confs on the session it is given (``session.timeZone=UTC``,
+       ``parquet.inferTimestampNTZ.enabled=false``,
+       ``legacy.parquet.nanosAsLong=true``). They cannot be scoped to
+       the returned DataFrame: lazy scans read confs at execution time,
+       so a save/restore around this call would silently corrupt the
+       scan. In a caller-owned session this changes how OTHER queries
+       render/parse timestamps; sessions from :func:`get_session` are
+       already pinned this way, so the set is a no-op there.
+
     Timestamp normalization: driver test data has shipped ``ts`` in two
     encodings across rounds, and downstream operators all assume plain
     ``TimestampType`` (``unix_micros`` et al. reject TIMESTAMP_NTZ):

@@ -307,3 +307,27 @@ def test_asof_join_keyed_tolerance(spark):
     pd.testing.assert_series_equal(
         got["rv_r"], exp["rv"], check_names=False, check_dtype=False
     )
+
+
+def test_asof_join_keyed_duplicate_ts_deterministic(spark):
+    """Right rows tied on (key, ts) resolve to the greatest payload —
+    deterministically, on every run (the payload struct is the final
+    window sort key)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.sync import asof_join_keyed
+
+    base = pd.Timestamp("2024-03-01")
+    lpdf = pd.DataFrame({"lid": [0], "ts": [base + pd.Timedelta(seconds=5)], "k": [1]})
+    rpdf = pd.DataFrame(
+        {
+            "ts": [base + pd.Timedelta(seconds=1)] * 3,
+            "k": [1, 1, 1],
+            "rv": [0.2, 0.9, 0.5],
+        }
+    )
+    for _ in range(3):
+        got = asof_join_keyed(
+            spark.createDataFrame(lpdf).repartition(4),
+            spark.createDataFrame(rpdf).repartition(4),
+            on="ts", by="k", value_cols=["rv"],
+        ).toPandas()
+        assert got["rv_r"].tolist() == [0.9]
