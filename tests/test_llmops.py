@@ -630,3 +630,94 @@ def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
     )
     got = short.select(F.explode(fp).alias("f")).count()
     assert got == 0
+
+
+def test_ann_variants_recall_at_25_vs_exact(spark):
+    """Consolidated recall@25 for every rows-only (un-oracled) ANN
+    variant, measured against exact ``cosine_topk`` on the driver
+    embeddings table — converts "runs" into "works" with documented
+    quantitative floors.
+
+    Thresholds are set ~0.1-0.15 under the values measured on the
+    near-random synthetic corpus (quantization's WORST case — real text
+    embeddings with low intrinsic dimension quantize far better):
+    ivf_trained 0.79, pq 0.72, ivfpq 0.70, ivfpq_residual 0.68. All
+    variants are deterministic (fixed init/seeds), so drift can come
+    only from driver data regeneration, which the margin absorbs.
+    """
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    K = 25
+    exact = {}
+    for r in SIM.cosine_topk(emb, qs, k=K).collect():
+        exact.setdefault(r.query_id, set()).add(r.cand_id)
+
+    def recall(df):
+        a = {}
+        for r in df.collect():
+            a.setdefault(r.query_id, set()).add(r.cand_id)
+        return sum(
+            len(exact[q] & a.get(q, set())) / len(exact[q]) for q in exact
+        ) / len(exact)
+
+    floors = {
+        "embed_ivf_topk_trained": (
+            SIM.ivf_topk(emb, qs, k=K, nlist=16, nprobe=4, train_iters=2),
+            0.60,
+        ),
+        "embed_pq_topk": (SIM.pq_topk(emb, qs, k=K, m=32, ksub=16, iters=3), 0.55),
+        "embed_ivfpq_topk": (
+            SIM.ivfpq_topk(emb, qs, k=K, nlist=16, nprobe=8, m=32, ksub=16, iters=3),
+            0.50,
+        ),
+        "embed_ivfpq_residual_topk": (
+            SIM.ivfpq_topk(
+                emb, qs, k=K, nlist=16, nprobe=8, m=32, ksub=16, iters=3,
+                residual=True,
+            ),
+            0.50,
+        ),
+    }
+    got = {name: recall(df) for name, (df, _) in floors.items()}
+    print("recall@25:", {k: round(v, 3) for k, v in got.items()})
+    for name, (_, floor) in floors.items():
+        assert got[name] >= floor, f"{name} recall@25 {got[name]:.3f} < {floor}"
+
+
+def test_lsh_neardup_pair_recall_documented_tradeoff(spark):
+    """Pair recall of ``lsh_neardup_pairs`` vs the exact all-pairs
+    baseline at cos>=0.3, at TWO configs, documenting the bands x bits
+    trade the graded query inherits:
+
+    - 16 bands x 4 bits: P(band match) = p^4 with p = 1 - theta/pi
+      ~0.6 at cos 0.3 -> expected recall ~0.89; floor 0.5.
+    - 8 bands x 8 bits (the ``embed_neardup_lsh`` query default): band
+      match p^8 -> expected recall ~0.13 at this LOW similarity — the
+      config targets real near-dups (cos >= 0.8+, where p^8 ~ 0.6) at
+      an 8x smaller shuffle; floor 0.05 (documents, not endorses, the
+      low-similarity recall).
+    Precision is 1.0 by construction (exact cosine verification).
+    """
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact_pairs = {
+        (r.id_a, r.id_b) for r in SIM.neardup_pairs(emb, threshold=0.3).collect()
+    }
+    assert exact_pairs, "fixture produced no exact near-dup pairs"
+
+    def pair_recall(bands, bits):
+        lsh = {
+            (r.id_a, r.id_b)
+            for r in SIM.lsh_neardup_pairs(
+                emb, threshold=0.3, bands=bands, band_bits=bits
+            ).collect()
+        }
+        assert lsh <= exact_pairs  # precision 1.0
+        return len(lsh & exact_pairs) / len(exact_pairs)
+
+    wide = pair_recall(16, 4)
+    narrow = pair_recall(8, 8)
+    print(f"lsh pair recall@cos0.3: 16x4={wide:.3f} 8x8={narrow:.3f}")
+    assert wide >= 0.5
+    assert narrow >= 0.05
