@@ -125,6 +125,12 @@ def main() -> None:
         extras, extra_checks = hirate_reduce_cells_bench(spark)
     except Exception as e:  # noqa: BLE001 — headline JSON must print
         extras, extra_checks = {"error": str(e)[:500]}, {}
+    try:
+        skew_times, skew_checks = skewed_keyed_asof_bench(spark)
+        extras.update(skew_times)
+        extra_checks.update(skew_checks)
+    except Exception as e:  # noqa: BLE001
+        extras["skew_error"] = str(e)[:500]
 
     print(
         json.dumps(
@@ -222,6 +228,84 @@ def hirate_reduce_cells_bench(
         checks = {
             "reduce_cells_rows_match": rows["o15_hirate_reduce_cells"]
             == rows["o15_hirate_raw"]
+        }
+        return out, checks
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def skewed_keyed_asof_bench(
+    spark, n_left: int = 2_000_000, n_right: int = 1_000_000
+) -> tuple[dict[str, float], dict[str, bool]]:
+    """Hot-key keyed as-of: 90% of both sides on ONE key (power-law
+    worst case). The direct plan serializes the hot key into a single
+    partition's window sort; time_buckets=256 spreads it across
+    (key, bucket) sorts with a bounded per-key carry. Reported under
+    extras as evidence the skew path works — row counts must match."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.sync import (
+        asof_join_keyed,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="spark_graft_skew_")
+    try:
+        span_us = 3_600_000_000  # 1h of activity
+        base_us = 1_704_067_200_000_000  # 2024-01-01 UTC
+
+        def gen(n, seed):
+            h = F.abs(F.hash((F.col("id") + seed).cast("string")))
+            return spark.range(n).select(
+                F.col("id"),
+                F.when(h % 10 < 9, F.lit(0))
+                .otherwise((h % 997).cast("long"))
+                .alias("k"),
+                F.timestamp_micros(
+                    F.lit(base_us)
+                    + F.abs(F.hash((F.col("id") * 31 + seed).cast("string")))
+                    % span_us
+                ).alias("ts"),
+                (h % 100000).cast("double").alias("v"),
+            )
+
+        gen(n_left, 1).write.mode("overwrite").parquet(f"{scratch}/l")
+        gen(n_right, 2).write.mode("overwrite").parquet(f"{scratch}/r")
+        l = spark.read.parquet(f"{scratch}/l").drop("v")
+        r = spark.read.parquet(f"{scratch}/r").select("ts", "k", "v")
+
+        out: dict[str, float] = {}
+        rows: dict[str, int] = {}
+        variants = [
+            ("keyed_asof_skew_bucketed", 256),
+            ("keyed_asof_skew_direct", None),
+        ]
+        for p in range(2):
+            for name, nb in variants if p == 0 else reversed(variants):
+                t0 = time.perf_counter()
+                # aggregate over the matched columns — a bare count()
+                # would let Catalyst prune the as-of window itself out
+                # of the plan (nothing downstream would reference it)
+                row = (
+                    asof_join_keyed(
+                        l, r, on="ts", by="k", value_cols=["v"], time_buckets=nb
+                    )
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum("v_r").alias("s"),
+                    )
+                    .first()
+                )
+                nrows = row["n"]
+                dt_ = round(time.perf_counter() - t0, 3)
+                out[name] = min(out.get(name, float("inf")), dt_)
+                rows[name] = nrows
+                print(f"# extra p{p} {name}: {dt_:.3f}s ({nrows} rows)", file=sys.stderr)
+        checks = {
+            "keyed_asof_skew_rows_match": rows["keyed_asof_skew_bucketed"]
+            == rows["keyed_asof_skew_direct"]
         }
         return out, checks
     finally:

@@ -529,6 +529,8 @@ def asof_join_keyed(
     direction: str = "backward",
     tolerance_ms: int | None = None,
     suffix: str = "_r",
+    time_buckets: int | None = None,
+    bounds: tuple[dt.datetime, dt.datetime] | None = None,
 ) -> DataFrame:
     """Per-key as-of join — the pandas ``merge_asof(by=key)`` / DuckDB
     ``ASOF JOIN`` shape the reference's grid alignment (app.py:164-165)
@@ -544,11 +546,19 @@ def asof_join_keyed(
     before left rows at equal ts so exact-timestamp matches are taken,
     and both directions use unbounded-PRECEDING frames (forward runs
     over descending time), the incremental O(n)-per-partition frame
-    shape. One shuffle on the key, no join at all. Skew note: a single
-    hot key serializes into one partition's sort; for power-law keys
-    compose with the time-bucket spine of :func:`asof_align` (key +
-    bucket partitioning + per-key carry) or pre-salt — this direct form
-    is the right default when per-key volumes are bounded.
+    shape. One shuffle on the key, no join at all.
+
+    Skew: in the direct form (``time_buckets=None``) a single hot key
+    serializes into one partition's sort — the right default when
+    per-key volumes are bounded. For power-law keys pass
+    ``time_buckets=N``: the fill window partitions on (key, time
+    bucket) so a hot key spreads across N sorts, and a per-key carry
+    table (<= N rows per key — its window is bounded regardless of key
+    volume) transports the last observation across bucket boundaries,
+    exactly the spine trick of :func:`asof_align` generalized per key.
+    Identical results (property-tested); one extra shuffled join on
+    (key, bucket) is the price. ``bounds`` (known global (lo, hi) of
+    the time axis) skips the bucketing bounds-discovery job.
 
     Tie behavior: when SEVERAL right rows share one (key, ts), the row
     with the greatest payload under Spark struct ordering (matched_ts,
@@ -583,16 +593,32 @@ def asof_join_keyed(
     # greatest payload struct (left rows carry NULL __p — asc puts them
     # after no right row they shouldn't see; equal-key left rows are
     # interchangeable)
+    fill_part = ["__k"] if time_buckets is None else ["__k", "__b"]
+    if time_buckets is not None:
+        lo, hi = (
+            bounds
+            if bounds is not None
+            else u.agg(F.min("__t"), F.max("__t")).first()
+        )
+        if lo is None:  # both sides empty
+            time_buckets = None
+            fill_part = ["__k"]
+        else:
+            lo_us, hi_us = _us(lo), _us(hi)
+            bucket_us = max(1, (hi_us - lo_us) // time_buckets + 1)
+            u = u.withColumn(
+                "__b", _bucketize(F.col("__t"), lo_us, bucket_us, time_buckets)
+            )
     if direction == "backward":
         w = (
-            W.partitionBy("__k")
+            W.partitionBy(*fill_part)
             .orderBy(F.col("__t").asc(), F.col("__tag").asc(), F.col("__p").asc())
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
     else:  # forward == backward over reversed time (O(n) frame, see
         # asof_align's backfill note)
         w = (
-            W.partitionBy("__k")
+            W.partitionBy(*fill_part)
             .orderBy(F.col("__t").desc(), F.col("__tag").asc(), F.col("__p").asc())
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
@@ -600,6 +626,45 @@ def asof_join_keyed(
         u.withColumn("__p2", F.last("__p", ignorenulls=True).over(w))
         .filter(F.col("__tag") == 1)
     )
+    if time_buckets is not None:
+        # Cross-bucket carry, PER KEY: the in-bucket fill misses
+        # observations in earlier (backward) / later (forward) buckets
+        # of the same key. Edge per (key, bucket) — ordered by (ts,
+        # payload) so ties agree with the fill's tie rule — then a
+        # per-key window over AT MOST time_buckets rows (bounded
+        # regardless of how hot the key is: that is the skew fix)
+        # computes the carry into each bucket, joined back on
+        # (key, bucket).
+        if direction == "backward":
+            edge = F.max(
+                F.struct(ts_us(F.col("__t")).alias("o"), F.col("__p").alias("p"))
+            )["p"].alias("__edge")
+            w_carry = (
+                W.partitionBy("__k").orderBy("__b").rowsBetween(W.unboundedPreceding, -1)
+            )
+            carry_fn = F.last
+        else:
+            edge = F.max(
+                F.struct((-ts_us(F.col("__t"))).alias("o"), F.col("__p").alias("p"))
+            )["p"].alias("__edge")
+            # <= time_buckets rows per key, so the unbounded-FOLLOWING
+            # frame's O(n^2) evaluation is bounded and cheap
+            w_carry = (
+                W.partitionBy("__k").orderBy("__b").rowsBetween(1, W.unboundedFollowing)
+            )
+            carry_fn = F.first
+        edges = (
+            u.filter(F.col("__tag") == 0).groupBy("__k", "__b").agg(edge)
+        )
+        spine = u.select("__k", "__b").distinct()
+        carry = (
+            spine.join(edges, ["__k", "__b"], "left")
+            .withColumn("__carry", carry_fn("__edge", ignorenulls=True).over(w_carry))
+            .select("__k", "__b", "__carry")
+        )
+        matched = matched.join(carry, ["__k", "__b"], "left").withColumn(
+            "__p2", F.coalesce("__p2", "__carry")
+        )
     if tolerance_ms is not None:
         within = F.col("__p2").isNotNull() & (
             F.abs(ts_us(F.col("__t")) - ts_us(F.col("__p2.__matched_ts")))

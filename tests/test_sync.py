@@ -331,3 +331,65 @@ def test_asof_join_keyed_duplicate_ts_deterministic(spark):
             on="ts", by="k", value_cols=["rv"],
         ).toPandas()
         assert got["rv_r"].tolist() == [0.9]
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_join_keyed_bucketed_equivalent(spark, direction):
+    """time_buckets=N (skew-safe: key x time-bucket fill + per-key
+    carry) must return exactly the direct form's matches."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.sync import asof_join_keyed
+
+    lpdf, rpdf = _keyed_fixture(spark)
+    kw = dict(on="ts", by="k", value_cols=["rv"], direction=direction)
+    l, r = spark.createDataFrame(lpdf), spark.createDataFrame(rpdf)
+    direct = asof_join_keyed(l, r, **kw).toPandas().sort_values("lid").reset_index(drop=True)
+    for nb in (1, 7, 64):
+        bucketed = (
+            asof_join_keyed(l, r, time_buckets=nb, **kw)
+            .toPandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            direct[["lid", "rv_r", "matched_ts_r"]],
+            bucketed[["lid", "rv_r", "matched_ts_r"]],
+        )
+
+
+def test_asof_join_keyed_bucketed_skewed_key(spark):
+    """Power-law keys: one key owns ~80% of both sides; the bucketed
+    plan must agree with the direct plan (and with tolerance)."""
+    import numpy as np
+
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.sync import asof_join_keyed
+
+    rng = np.random.default_rng(11)
+    n_l, n_r = 3000, 2000
+    base = pd.Timestamp("2024-03-01")
+    hot = rng.random(n_l) < 0.8
+    lk = np.where(hot, 0, rng.integers(1, 20, n_l))
+    rk = np.where(rng.random(n_r) < 0.8, 0, rng.integers(1, 20, n_r))
+    lpdf = pd.DataFrame({
+        "lid": range(n_l),
+        "ts": base + pd.to_timedelta(rng.integers(0, 50_000_000, n_l), unit="us"),
+        "k": lk,
+    })
+    rpdf = pd.DataFrame({
+        "ts": base + pd.to_timedelta(rng.integers(0, 50_000_000, n_r), unit="us"),
+        "k": rk,
+        "rv": rng.random(n_r).round(6),
+    }).drop_duplicates(subset=["k", "ts"])
+    l, r = spark.createDataFrame(lpdf), spark.createDataFrame(rpdf)
+    for tol in (None, 500):
+        kw = dict(on="ts", by="k", value_cols=["rv"], tolerance_ms=tol)
+        direct = asof_join_keyed(l, r, **kw).toPandas().sort_values("lid").reset_index(drop=True)
+        bucketed = (
+            asof_join_keyed(l, r, time_buckets=32, **kw)
+            .toPandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            direct[["lid", "rv_r", "matched_ts_r"]],
+            bucketed[["lid", "rv_r", "matched_ts_r"]],
+        )
