@@ -122,10 +122,10 @@ def _sync_wide(spark: SparkSession, sf_dir: str, method: str = "pad") -> DataFra
         step_ms=GRID_STEP_MS,
         tolerance_ms=SYNC_TOL_MS,
         event_types=LOG_TYPES,
-        # the 100 TB shape: sensors outnumber grid cells, so pre-reduce
-        # each sensor to its per-cell as-of candidate before the union
-        # window (map-side-combinable; crushes the window-stage input)
-        reduce_cells=True,
+        # reduce_cells defaults to AUTO: when a sensor's file-stat row
+        # estimate says it outnumbers grid cells >= 4x (the 100 TB
+        # high-rate shape), synchronize pre-reduces it to per-cell as-of
+        # candidates before the union window without being asked
     )
     return res.df
 

@@ -63,6 +63,35 @@ def estimated_source_bytes(df: DataFrame) -> int | None:
     return total
 
 
+def estimated_source_rows(
+    df: DataFrame,
+    bytes_per_row: int = 32,
+    per_file_overhead: int = 8192,
+) -> int | None:
+    """Conservative row-count LOWER-bound-ish estimate from file stats:
+    ``sum(max(0, size_i - overhead)) / bytes_per_row``. The per-file
+    overhead subtraction matters for many-small-files layouts, where
+    parquet footers would otherwise dominate and inflate the estimate
+    by orders of magnitude. Returns None when sizes aren't stat-able.
+    """
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    total = 0
+    for f in files:
+        p = urlparse(f)
+        if p.scheme not in ("", "file"):
+            return None
+        try:
+            total += max(0, os.path.getsize(unquote(p.path)) - per_file_overhead)
+        except OSError:
+            return None
+    return total // bytes_per_row
+
+
 def maybe_persist(df: DataFrame, min_bytes: int | None = None) -> DataFrame:
     """Persist ``df`` (MEMORY_AND_DISK — keeps lineage, executor loss
     degrades to recompute) iff its upstream looks big enough to be worth

@@ -744,6 +744,31 @@ def map_events(
     return matched.groupBy(on).agg(*aggs)
 
 
+# conservative parquet bytes-per-row floor for the auto-reduce row
+# estimate: UNDER-estimating bytes/row OVER-estimates rows, which only
+# risks enabling a reduction that is mildly unnecessary (one extra
+# map-side-combinable shuffle) — never skipping one that was needed
+_APPROX_PARQUET_BYTES_PER_ROW = 32
+_AUTO_REDUCE_DENSITY = 4  # sensor rows per grid cell above which reduction wins
+
+
+def _auto_reduce(sensor: DataFrame, n_grid: int) -> bool:
+    """Size-based heuristic for :func:`synchronize`'s reduce_cells=None:
+    True when the sensor's file-stat row estimate is >= 4x the grid cell
+    count. Unknown sizes (non-file sources) stay False — the reduction
+    is an optimization, never required for correctness."""
+    from multi_sensor_data_pipeline_for_robotics__spark.cache import (
+        estimated_source_rows,
+    )
+
+    est = estimated_source_rows(
+        sensor, bytes_per_row=_APPROX_PARQUET_BYTES_PER_ROW
+    )
+    if est is None:
+        return False
+    return est >= _AUTO_REDUCE_DENSITY * max(n_grid, 1)
+
+
 @dataclass
 class SyncResult:
     """``(synchronized | None, report)`` shape of app.py:198."""
@@ -765,7 +790,7 @@ def synchronize(
     motion_cols: list[str] | None = None,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     drop_missing_rows: bool = True,
-    reduce_cells: bool = False,
+    reduce_cells: bool | None = None,
 ) -> SyncResult:
     """Full ``synchronize_sensors`` (app.py:140-198): overlap window ->
     uniform grid -> as-of align both sensors -> prefixed wide table ->
@@ -773,6 +798,15 @@ def synchronize(
 
     The two aligned sensors and the event one-hots all key on the same
     grid timestamp; joins between them are co-partitioned on that key.
+
+    ``reduce_cells``: pre-shrink each sensor to its per-cell as-of
+    candidates before the align window (:func:`reduce_to_grid_cells`).
+    Default ``None`` decides PER SENSOR from a file-stat row estimate:
+    on when the sensor looks >= 4x denser than the grid (the high-rate
+    downsampling shape, where the map-side-combinable reduction crushes
+    the window-stage input), off otherwise (at ~grid density the extra
+    shuffle only adds latency). True/False force it for both sensors.
+    The decision is recorded in the report.
     """
     report: list[str] = []
     if camera is None or motion is None:
@@ -791,13 +825,18 @@ def synchronize(
     # candidates (<= ~1 row per grid cell). The reduction is a map-side-
     # combinable groupBy, so it wins when |sensor| >> n_grid (high-rate
     # sensor onto a coarse grid — the 100 TB shape); at |sensor| ~ n_grid
-    # the extra shuffle just adds latency, hence opt-in.
+    # the extra shuffle just adds latency — hence the per-sensor auto
+    # decision when the caller doesn't force it.
+    step_us = step_ms * 1000
+    start_us = _us(start)
+    n_grid = (_us(end) - start_us) // step_us + 1
     camera_r, motion_r = camera, motion
-    if reduce_cells:
-        step_us = step_ms * 1000
-        start_us = _us(start)
-        n_grid = (_us(end) - start_us) // step_us + 1
+    reduce_cam = reduce_cells if reduce_cells is not None else _auto_reduce(camera, n_grid)
+    reduce_mot = reduce_cells if reduce_cells is not None else _auto_reduce(motion, n_grid)
+    report.append(f"reduce_cells=camera:{reduce_cam},motion:{reduce_mot}")
+    if reduce_cam:
         camera_r = reduce_to_grid_cells(camera, start_us, step_us, n_grid, method, on)
+    if reduce_mot:
         motion_r = reduce_to_grid_cells(motion, start_us, step_us, n_grid, method, on)
 
     if camera_cols:

@@ -393,3 +393,37 @@ def test_asof_join_keyed_bucketed_skewed_key(spark):
             direct[["lid", "rv_r", "matched_ts_r"]],
             bucketed[["lid", "rv_r", "matched_ts_r"]],
         )
+
+
+def test_synchronize_auto_reduce_cells(spark, tmp_path):
+    """reduce_cells=None decides per sensor from file-stat row
+    estimates: ON for a high-rate parquet sensor (rows >> grid cells),
+    OFF for a sparse one — rows identical either way."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators import sync as S
+    from multi_sensor_data_pipeline_for_robotics__spark.sources import datagen
+
+    cam = datagen.generate_camera(spark, n=200_000, freq_hz=3000.0)
+    mot = datagen.generate_motion(spark, n=150_000, freq_hz=2500.0)
+    cam.write.parquet(str(tmp_path / "cam"))
+    mot.write.parquet(str(tmp_path / "mot"))
+    camp = spark.read.parquet(str(tmp_path / "cam"))
+    motp = spark.read.parquet(str(tmp_path / "mot"))
+
+    auto = S.synchronize(camp, motp, method="nearest")
+    line = [l for l in auto.report if l.startswith("reduce_cells=")][0]
+    assert line == "reduce_cells=camera:True,motion:True", line
+    forced_off = S.synchronize(camp, motp, method="nearest", reduce_cells=False)
+    assert auto.df.count() == forced_off.df.count()
+
+    # sparse: ~1 row per several grid cells -> auto stays off
+    sparse_cam = datagen.generate_camera(spark, n=500, freq_hz=30.0)
+    sparse_mot = datagen.generate_motion(spark, n=600, freq_hz=50.0)
+    sparse_cam.write.parquet(str(tmp_path / "scam"))
+    sparse_mot.write.parquet(str(tmp_path / "smot"))
+    res = S.synchronize(
+        spark.read.parquet(str(tmp_path / "scam")),
+        spark.read.parquet(str(tmp_path / "smot")),
+        method="nearest",
+    )
+    line = [l for l in res.report if l.startswith("reduce_cells=")][0]
+    assert line == "reduce_cells=camera:False,motion:False", line
