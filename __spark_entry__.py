@@ -1494,6 +1494,52 @@ def _q_stream_windowed_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_align_tbl")
 
 
+def _q_stream_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-streaming representative #1 (applyInPandasWithState):
+    per-key LOCF enrichment of the events file-stream — every record
+    emitted with the PREVIOUS observation of its key attached, state =
+    one (ts, value) pair per key carried across micro-batches
+    (streaming/stateful.py). Deterministic because each event_type's
+    timestamps are unique, so the per-batch event-time sort has no
+    ties; the oracle is the batch LAG window over the same table."""
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.stateful import (
+        locf_enrich,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.sync_stream import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    enriched = locf_enrich(stream, key_col="event_type", ts_col="ts", value_col="value")
+    run_to_memory(enriched, "stream_locf_tbl", output_mode="append")
+    return spark.table("stream_locf_tbl")
+
+
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-streaming representative #2: streaming exact dedup of
+    the documents file-stream (streaming/dedup_stream.py). Keyed on
+    sha256(source) — the corpus has no exact TEXT duplicates, so
+    hashing the (few-valued) source column is what actually exercises
+    collision state; the batch twin for content hashing is the graded
+    ``dedup_exact``. Output is the retained hash SET (which row
+    represents a hash is first-arrival, not deterministic — the set
+    is), so the oracle is DISTINCT sha256(source)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.dedup_stream import (
+        read_documents_stream,
+        stream_dedup_exact,
+    )
+
+    stream = read_documents_stream(spark, sf_dir)
+    deduped = stream_dedup_exact(stream, text_col="source").select("content_hash")
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.sync_stream import (
+        run_to_memory,
+    )
+
+    run_to_memory(deduped, "stream_dedup_tbl", output_mode="append")
+    return spark.table("stream_dedup_tbl")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator.
 
@@ -1621,6 +1667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_resize": _q_mm_resize,
         "gen_camera_trajectory": _q_gen_camera_det,
         "gen_motion": _q_gen_motion,
+        "stream_locf_enrich": _q_stream_locf,
+        "stream_dedup_exact": _q_stream_dedup,
     }
 
 
@@ -2988,5 +3036,17 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.v, b.v), 6) AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+"""
+
+    # stateful-streaming batch-equivalence oracles: LOCF == per-key LAG;
+    # streaming dedup's retained set == DISTINCT over the same hash
+    o["stream_locf_enrich"] = """
+SELECT CAST(event_type AS VARCHAR) AS key, ts, CAST(value AS DOUBLE) AS value,
+       lag(ts)    OVER (PARTITION BY event_type ORDER BY ts) AS prev_ts,
+       lag(CAST(value AS DOUBLE)) OVER (PARTITION BY event_type ORDER BY ts) AS prev_value
+FROM events
+"""
+    o["stream_dedup_exact"] = """
+SELECT DISTINCT sha256(source) AS content_hash FROM documents
 """
     return o
