@@ -323,6 +323,7 @@ def asof_align_multi(
     method: str = "pad",
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     bounds: tuple[dt.datetime, dt.datetime] | None = None,
+    persist_union: bool | None = None,
 ) -> DataFrame:
     """Align SEVERAL sensors onto one grid in a single union + window
     pass — for ALL methods, including ``nearest``.
@@ -464,10 +465,20 @@ def asof_align_multi(
     # exchange reuse can't deduplicate because column pruning gives
     # the two branches different subtrees. Persisting `u` (post-prep,
     # so the cached rows are the SMALL reduced stream, not the raw
-    # scan) materializes the prep once — but ONLY when the upstream is
-    # big enough to beat the persist barrier (size-gated; the round-5
-    # sf0.1 A/B measured unconditional persists 30-50% slower here).
-    u = maybe_persist(u)
+    # scan) materializes the prep once — but ONLY when recomputing the
+    # prep costs more than the barrier. `persist_union=True` is the
+    # caller's hint that the prep contains an expensive reduction whose
+    # OUTPUT is small (synchronize sets it when reduce_cells ran:
+    # measured at 2M rows/sensor, persisting the reduced stream is
+    # 5.7s -> 3.9s; not persisting the RAW 4M-row stream is
+    # 4.7s -> 3.8s — the hint discriminates where a source-size gate
+    # cannot). None falls back to the size gate; False never persists.
+    if persist_union is True:
+        from pyspark.storagelevel import StorageLevel
+
+        u = u.persist(StorageLevel.MEMORY_AND_DISK)
+    elif persist_union is None:
+        u = maybe_persist(u)
     pcols = [F.col(f"__p{j}") for j in range(len(prefixes))]
     wind = u.select("__t", "__tag", "__b", *pcols, *fill_cols)
     per_bucket = wind.filter(F.col("__tag") == 0).groupBy("__b").agg(*edge_aggs)
@@ -752,11 +763,35 @@ _APPROX_PARQUET_BYTES_PER_ROW = 32
 _AUTO_REDUCE_DENSITY = 4  # sensor rows per grid cell above which reduction wins
 
 
-def _auto_reduce(sensor: DataFrame, n_grid: int) -> bool:
-    """Size-based heuristic for :func:`synchronize`'s reduce_cells=None:
-    True when the sensor's file-stat row estimate is >= 4x the grid cell
-    count. Unknown sizes (non-file sources) stay False — the reduction
-    is an optimization, never required for correctness."""
+def _auto_reduce(
+    sensor: DataFrame, n_grid: int, assume_network: bool | None = None
+) -> bool:
+    """Heuristic for :func:`synchronize`'s reduce_cells=None.
+
+    The per-cell reduction trades CPU (a map-side-combinable hash-agg
+    over the full sensor) for SHUFFLE VOLUME (the window stage then
+    sees <= ~1 row per grid cell instead of every observation). That
+    trade only pays where shuffle crosses a network:
+
+    - on ``local[*]`` masters the "shuffle" is an intra-process memory
+      copy, and the reduction measurably LOSES at every size tried
+      (sf0.1: 2.11s -> 2.51s; 2M rows/sensor: 2.92s -> 4.76s) — so
+      auto stays OFF locally;
+    - on cluster masters it enables when the sensor's file-stat row
+      estimate is >= 4x the grid cell count (the high-rate
+      downsampling shape, where cutting the window-stage shuffle from
+      O(|sensor|) to O(n_grid) rows dominates).
+
+    ``assume_network`` overrides the master sniff (testing / callers
+    that know their topology). Unknown sizes stay False — the
+    reduction is an optimization, never required for correctness.
+    """
+    if assume_network is None:
+        assume_network = not sensor.sparkSession.sparkContext.master.startswith(
+            "local"
+        )
+    if not assume_network:
+        return False
     from multi_sensor_data_pipeline_for_robotics__spark.cache import (
         estimated_source_rows,
     )
@@ -767,6 +802,35 @@ def _auto_reduce(sensor: DataFrame, n_grid: int) -> bool:
     if est is None:
         return False
     return est >= _AUTO_REDUCE_DENSITY * max(n_grid, 1)
+
+
+# When a per-cell reduction ran, the union prep embeds a full sensor
+# shuffle (expensive to recompute for the window's second consumer)
+# while its OUTPUT is grid-sized (cheap to materialize) — so the persist
+# pays for itself at a much smaller source size than the generic 1 GiB
+# gate. 32 MB ≈ where the reduction shuffle (~seconds) starts to beat
+# the persist barrier (~sub-second fixed cost); measured at 2M
+# rows/sensor (~200 MB): persist 3.9s vs recompute 5.7s, while at sf0.1
+# (~2 MB) persist 2.9s vs recompute 2.1s.
+_PERSIST_REDUCED_MIN_BYTES = 32 << 20
+
+
+def _persist_reduced_union(
+    camera: DataFrame, motion: DataFrame, reduce_cam: bool, reduce_mot: bool
+) -> bool | None:
+    if not (reduce_cam or reduce_mot):
+        return None  # unreduced prep is scan-cheap; generic size gate
+    from multi_sensor_data_pipeline_for_robotics__spark.cache import (
+        estimated_source_bytes,
+    )
+
+    tot = 0
+    for s in (camera, motion):
+        b = estimated_source_bytes(s)
+        if b is None:  # unknown source: assume big (the 100 TB posture)
+            return True
+        tot += b
+    return tot >= _PERSIST_REDUCED_MIN_BYTES
 
 
 @dataclass
@@ -801,12 +865,13 @@ def synchronize(
 
     ``reduce_cells``: pre-shrink each sensor to its per-cell as-of
     candidates before the align window (:func:`reduce_to_grid_cells`).
-    Default ``None`` decides PER SENSOR from a file-stat row estimate:
-    on when the sensor looks >= 4x denser than the grid (the high-rate
-    downsampling shape, where the map-side-combinable reduction crushes
-    the window-stage input), off otherwise (at ~grid density the extra
-    shuffle only adds latency). True/False force it for both sensors.
-    The decision is recorded in the report.
+    Default ``None`` decides PER SENSOR: on only when shuffle crosses a
+    network (non-local master — locally the reduction measurably loses,
+    see :func:`_auto_reduce`) AND the sensor's file-stat row estimate
+    is >= 4x the grid cell count (the high-rate downsampling shape
+    where cutting the window-stage shuffle volume dominates).
+    True/False force it for both sensors. The decision is recorded in
+    the report.
     """
     report: list[str] = []
     if camera is None or motion is None:
@@ -852,6 +917,7 @@ def synchronize(
         method,
         num_buckets=num_buckets,
         bounds=(start, end),
+        persist_union=_persist_reduced_union(camera, motion, reduce_cam, reduce_mot),
     ).drop("camera___matched_ts", "motion___matched_ts")
 
     if log is not None:

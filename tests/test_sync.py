@@ -396,9 +396,10 @@ def test_asof_join_keyed_bucketed_skewed_key(spark):
 
 
 def test_synchronize_auto_reduce_cells(spark, tmp_path):
-    """reduce_cells=None decides per sensor from file-stat row
-    estimates: ON for a high-rate parquet sensor (rows >> grid cells),
-    OFF for a sparse one — rows identical either way."""
+    """reduce_cells=None: OFF on local masters (intra-process shuffle —
+    the reduction's volume savings can't pay, measured); on network
+    topologies the density heuristic (file-stat rows >= 4x grid cells)
+    decides. Forced reduction must not change the row count."""
     from multi_sensor_data_pipeline_for_robotics__spark.operators import sync as S
     from multi_sensor_data_pipeline_for_robotics__spark.sources import datagen
 
@@ -409,21 +410,20 @@ def test_synchronize_auto_reduce_cells(spark, tmp_path):
     camp = spark.read.parquet(str(tmp_path / "cam"))
     motp = spark.read.parquet(str(tmp_path / "mot"))
 
+    # this suite runs on local[*]: auto must stay off even at 100x density
     auto = S.synchronize(camp, motp, method="nearest")
     line = [l for l in auto.report if l.startswith("reduce_cells=")][0]
-    assert line == "reduce_cells=camera:True,motion:True", line
-    forced_off = S.synchronize(camp, motp, method="nearest", reduce_cells=False)
-    assert auto.df.count() == forced_off.df.count()
-
-    # sparse: ~1 row per several grid cells -> auto stays off
-    sparse_cam = datagen.generate_camera(spark, n=500, freq_hz=30.0)
-    sparse_mot = datagen.generate_motion(spark, n=600, freq_hz=50.0)
-    sparse_cam.write.parquet(str(tmp_path / "scam"))
-    sparse_mot.write.parquet(str(tmp_path / "smot"))
-    res = S.synchronize(
-        spark.read.parquet(str(tmp_path / "scam")),
-        spark.read.parquet(str(tmp_path / "smot")),
-        method="nearest",
-    )
-    line = [l for l in res.report if l.startswith("reduce_cells=")][0]
     assert line == "reduce_cells=camera:False,motion:False", line
+    forced_on = S.synchronize(camp, motp, method="nearest", reduce_cells=True)
+    assert auto.df.count() == forced_on.df.count()
+
+    # cluster-mode density logic, exercised via the override:
+    # dense sensor -> on; sparse sensor (~1 row per several cells) -> off
+    n_grid_dense = 200_000 // 3000 * 1000 // 33 + 1  # ~67s span / 33ms
+    assert S._auto_reduce(camp, n_grid_dense, assume_network=True)
+    sparse = datagen.generate_camera(spark, n=500, freq_hz=30.0)
+    sparse.write.parquet(str(tmp_path / "scam"))
+    sparsep = spark.read.parquet(str(tmp_path / "scam"))
+    assert not S._auto_reduce(sparsep, 506, assume_network=True)
+    # unknown source size (no file scan) -> conservative off
+    assert not S._auto_reduce(sparse, 506, assume_network=True)
