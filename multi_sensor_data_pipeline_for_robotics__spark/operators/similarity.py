@@ -283,23 +283,71 @@ def ivf_topk(
     spark = embeddings.sparkSession
     if train_iters > 0:
         trained = kmeans_centroids(embeddings, nlist, train_iters, id_col, vec_col)
-        cents = spark.createDataFrame(
-            [(i, v) for i, v in enumerate(trained)],
-            "cent_id int, cent_vec array<double>",
-        )
+        cent_rows = list(enumerate(trained))
     else:
-        cents = (
-            embeddings.orderBy(id_col)
-            .limit(nlist)
-            .select(F.col(id_col).alias("cent_src"), F.col(vec_col).alias("cent_vec"))
-        )
         # stable centroid ids 0..nlist-1 by source id order
-        wc = W.orderBy("cent_src")
-        cents = cents.select(
-            (F.row_number().over(wc) - 1).alias("cent_id"), "cent_vec"
+        cent_rows = [
+            (i, list(r["v"]))
+            for i, r in enumerate(
+                embeddings.orderBy(id_col)
+                .limit(nlist)
+                .select(F.col(vec_col).alias("v"))
+                .collect()
+            )
+        ]
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in cent_rows],
+        "cent_id int, cent_vec array<double>",
+    )
+
+    def _norm(vec: list[float]) -> float:
+        # EXACT left-fold sum of squares + sqrt, the same IEEE op
+        # sequence as functions.vector.l2_norm's Catalyst fold — so
+        # folding centroid norms into Python constants changes nothing
+        # in the resulting doubles
+        import math
+
+        acc = 0.0
+        for x in vec:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
+    def assign_expr(vd, vnorm):
+        # corpus assignment as a NARROW argmax projection: one
+        # (sim, -cent_id) struct per centroid literal, array_max picks
+        # highest sim with ties to the LOWEST cent_id — no cross join,
+        # no O(n x nlist) shuffle, no per-candidate window sort. The
+        # candidate's double vector and norm are computed ONCE per row
+        # (not per centroid), centroid norms are plan-time constants,
+        # and each per-centroid term is a single left-fold dot — the
+        # exact same double sequence as the previous join+window
+        # cosine(), bit-identical sims, oracle-safe.
+        pairs = F.array(
+            *[
+                F.struct(
+                    (
+                        dot(vd, F.array(*[F.lit(float(x)) for x in vec]))
+                        / (vnorm * F.lit(_norm(vec)))
+                    ).alias("sim"),
+                    F.lit(-cid).alias("ncid"),
+                )
+                for cid, vec in cent_rows
+            ]
         )
+        return (-F.array_max(pairs)["ncid"]).cast("int")
+
+    e = embeddings.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec"))
+    assigned = (
+        e.withColumn("__vd", to_double(F.col("cand_vec")))
+        .withColumn("__vn", l2_norm(F.col("__vd")))
+        .withColumn("list_id", assign_expr(F.col("__vd"), F.col("__vn")))
+        .drop("__vd", "__vn")
+    )
 
     def nearest_lists(df, vcol, out, n):
+        # query-side probe ranking (tiny input: |queries| rows) — the
+        # broadcast cross join + window is fine here and keeps the
+        # nprobe ranking in one declarative shape
         scored = df.join(F.broadcast(cents), how="cross").withColumn(
             "__sim", cosine(F.col(vcol), F.col("cent_vec"))
         )
@@ -312,8 +360,6 @@ def ivf_topk(
             .select(*df.columns, F.col("cent_id").alias(out))
         )
 
-    e = embeddings.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec"))
-    assigned = nearest_lists(e, "cand_vec", "list_id", 1)
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
     probes = nearest_lists(q, "query_vec", "list_id", nprobe)
 

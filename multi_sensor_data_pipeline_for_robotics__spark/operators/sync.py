@@ -760,7 +760,16 @@ def map_events(
 # risks enabling a reduction that is mildly unnecessary (one extra
 # map-side-combinable shuffle) — never skipping one that was needed
 _APPROX_PARQUET_BYTES_PER_ROW = 32
-_AUTO_REDUCE_DENSITY = 4  # sensor rows per grid cell above which reduction wins
+# Sensor rows per grid cell above which the per-cell reduction wins.
+# Network topologies: the reduction cuts the window-stage SHUFFLE from
+# O(|sensor|) to O(n_grid) rows, paying off almost immediately (>= 4x).
+# Local masters: shuffle is an intra-process memory copy, so only the
+# CPU side counts — measured break-even sits between ~100 rows/cell
+# (105x density: 2.9s -> 4.8s, reduction loses) and ~1000 rows/cell
+# (20M rows @ 1000x: 92s -> 15s, reduction wins 6x); 512 splits the
+# measured interval conservatively.
+_AUTO_REDUCE_DENSITY = 4
+_AUTO_REDUCE_DENSITY_LOCAL = 512
 
 
 def _auto_reduce(
@@ -770,17 +779,16 @@ def _auto_reduce(
 
     The per-cell reduction trades CPU (a map-side-combinable hash-agg
     over the full sensor) for SHUFFLE VOLUME (the window stage then
-    sees <= ~1 row per grid cell instead of every observation). That
-    trade only pays where shuffle crosses a network:
+    sees <= ~1 row per grid cell instead of every observation), so the
+    enabling density depends on what a shuffled row costs:
 
-    - on ``local[*]`` masters the "shuffle" is an intra-process memory
-      copy, and the reduction measurably LOSES at every size tried
-      (sf0.1: 2.11s -> 2.51s; 2M rows/sensor: 2.92s -> 4.76s) — so
-      auto stays OFF locally;
-    - on cluster masters it enables when the sensor's file-stat row
-      estimate is >= 4x the grid cell count (the high-rate
-      downsampling shape, where cutting the window-stage shuffle from
-      O(|sensor|) to O(n_grid) rows dominates).
+    - cluster masters (network shuffle): on at >= 4 rows per grid cell
+      — cutting the window-stage shuffle from O(|sensor|) to O(n_grid)
+      rows dominates almost immediately;
+    - ``local[*]`` masters (intra-process shuffle): only the CPU side
+      counts, and the measured break-even sits between ~100 rows/cell
+      (reduction loses ~60%) and ~1000 rows/cell (reduction wins 6x at
+      20M rows/sensor) — on at >= 512 rows per cell.
 
     ``assume_network`` overrides the master sniff (testing / callers
     that know their topology). Unknown sizes stay False — the
@@ -790,8 +798,6 @@ def _auto_reduce(
         assume_network = not sensor.sparkSession.sparkContext.master.startswith(
             "local"
         )
-    if not assume_network:
-        return False
     from multi_sensor_data_pipeline_for_robotics__spark.cache import (
         estimated_source_rows,
     )
@@ -801,7 +807,8 @@ def _auto_reduce(
     )
     if est is None:
         return False
-    return est >= _AUTO_REDUCE_DENSITY * max(n_grid, 1)
+    density = _AUTO_REDUCE_DENSITY if assume_network else _AUTO_REDUCE_DENSITY_LOCAL
+    return est >= density * max(n_grid, 1)
 
 
 # When a per-cell reduction ran, the union prep embeds a full sensor
@@ -865,13 +872,11 @@ def synchronize(
 
     ``reduce_cells``: pre-shrink each sensor to its per-cell as-of
     candidates before the align window (:func:`reduce_to_grid_cells`).
-    Default ``None`` decides PER SENSOR: on only when shuffle crosses a
-    network (non-local master — locally the reduction measurably loses,
-    see :func:`_auto_reduce`) AND the sensor's file-stat row estimate
-    is >= 4x the grid cell count (the high-rate downsampling shape
-    where cutting the window-stage shuffle volume dominates).
-    True/False force it for both sensors. The decision is recorded in
-    the report.
+    Default ``None`` decides PER SENSOR from a file-stat density
+    estimate with a topology-dependent threshold (>= 4 rows/grid-cell
+    on network masters, >= 512 locally where shuffle volume is free —
+    both measured, see :func:`_auto_reduce`). True/False force it for
+    both sensors. The decision is recorded in the report.
     """
     report: list[str] = []
     if camera is None or motion is None:

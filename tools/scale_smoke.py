@@ -1,0 +1,231 @@
+#!/usr/bin/env python
+"""Large-input smoke: run the flagship operator families at 10-100x the
+bench scale on synthetic data, printing wall times and row counts.
+
+This is the local stand-in for "does the plan survive a scale-up":
+every fixture is generated DISTRIBUTED (spark.range + hash/counter
+PRNG, no driver-side materialization), written to scratch parquet once
+so generation stays out of the timings, and each operator is forced
+with an aggregation over its real output columns (so Catalyst cannot
+prune the interesting part of the plan away).
+
+Usage:  python tools/scale_smoke.py [--quick]
+        --quick divides all sizes by 10 (CI-sized sanity run)
+
+Results are recorded per round in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from multi_sensor_data_pipeline_for_robotics__spark import get_session
+
+
+def timed(name, fn):
+    t0 = time.perf_counter()
+    out = fn()
+    dt = time.perf_counter() - t0
+    print(f"{name:44s} {dt:8.2f}s   {out}")
+    return dt, out
+
+
+def main() -> None:
+    quick = "--quick" in sys.argv
+    div = 10 if quick else 1
+    spark = get_session(app_name="scale_smoke")
+    scratch = tempfile.mkdtemp(prefix="spark_graft_scale_")
+    print(f"# scale smoke ({'quick ' if quick else ''}scratch={scratch})")
+    try:
+        smoke_synchronize(spark, scratch, n=20_000_000 // div)
+        smoke_keyed_asof(spark, scratch, n=20_000_000 // div)
+        smoke_dedup_lsh(spark, scratch, n_docs=2_000_000 // div)
+        smoke_ann(spark, scratch, n_vecs=1_000_000 // div)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def smoke_synchronize(spark, scratch, n):
+    """Full sync pipeline at n rows/sensor (bench extras: 2M)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.sync import (
+        synchronize,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.sources import datagen
+
+    print(f"\n## synchronize @ {n:,} rows/sensor")
+    datagen.generate_camera(spark, n=n, freq_hz=30_000.0).write.mode(
+        "overwrite"
+    ).parquet(f"{scratch}/cam")
+    datagen.generate_motion(spark, n=n, freq_hz=25_000.0).write.mode(
+        "overwrite"
+    ).parquet(f"{scratch}/mot")
+    cam = spark.read.parquet(f"{scratch}/cam")
+    mot = spark.read.parquet(f"{scratch}/mot")
+    for label, rc in (("raw", False), ("reduce_cells", True)):
+        timed(
+            f"synchronize nearest {label}",
+            lambda rc=rc: synchronize(cam, mot, method="nearest", reduce_cells=rc)
+            .df.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.round(F.sum("camera_object_x"), 2).alias("sx"),
+            )
+            .first(),
+        )
+
+
+def smoke_keyed_asof(spark, scratch, n):
+    """Keyed as-of at n left rows, 90% on one hot key."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.sync import (
+        asof_join_keyed,
+    )
+
+    print(f"\n## keyed as-of @ {n:,} x {n // 2:,} rows, 90% hot key")
+    span_us = 24 * 3_600_000_000
+    base_us = 1_704_067_200_000_000
+
+    def gen(m, seed):
+        h = F.abs(F.hash((F.col("id") + seed).cast("string")))
+        return spark.range(m).select(
+            F.col("id"),
+            F.when(h % 10 < 9, F.lit(0)).otherwise((h % 9973).cast("long")).alias("k"),
+            F.timestamp_micros(
+                F.lit(base_us)
+                + F.abs(F.hash((F.col("id") * 31 + seed).cast("string"))) % span_us
+            ).alias("ts"),
+            (h % 100000).cast("double").alias("v"),
+        )
+
+    gen(n, 1).write.mode("overwrite").parquet(f"{scratch}/kl")
+    gen(n // 2, 2).write.mode("overwrite").parquet(f"{scratch}/kr")
+    l = spark.read.parquet(f"{scratch}/kl").drop("v")
+    r = spark.read.parquet(f"{scratch}/kr").select("ts", "k", "v")
+    for label, nb in (("bucketed(1024)", 1024), ("direct", None)):
+        timed(
+            f"asof_join_keyed {label}",
+            lambda nb=nb: asof_join_keyed(
+                l, r, on="ts", by="k", value_cols=["v"], time_buckets=nb
+            )
+            .agg(F.count(F.lit(1)).alias("rows"), F.sum("v_r").alias("s"))
+            .first(),
+        )
+
+
+def smoke_dedup_lsh(spark, scratch, n_docs):
+    """MinHash-LSH near-dup at n_docs synthetic documents, ~10% of which
+    are near-copies (token-level perturbations of a shared base)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    print(f"\n## minhash_lsh_pairs @ {n_docs:,} docs (~10% near-dups)")
+    # tokens are hex-coded hashes over a ~1M-word vocabulary: two UNIQUE
+    # docs share essentially no tokens (a small-vocab corpus would make
+    # every pair ~0.4-Jaccard-similar and explode the LSH candidate set
+    # into O(n^2) — the first draft of this smoke proved that vividly)
+    h = F.abs(F.hash(F.col("id").cast("string")))
+    # 90% unique docs (24 words drawn by per-position hash), 10% copies
+    # of a base doc with a single-token perturbation. The base count
+    # scales with n (~20 copies per base) so the true-pair count stays
+    # LINEAR in corpus size — fixed base counts would grow n^2/bases
+    # pairs and any pairs-listing operator would rightly blow up.
+    n_bases = max(n_docs // 200, 1)
+    base_id = ((h / F.lit(10)).cast("long") % n_bases).cast("long")
+    is_dup = (h % 10) == 0
+    seed = F.when(is_dup, base_id).otherwise(F.col("id") + 1_000_000_000)
+    word = lambda s, i: F.conv(
+        (F.abs(F.hash(s.cast("string"), i.cast("string"))) % 1_000_000).cast("string"),
+        10,
+        16,
+    )
+    toks = F.transform(F.sequence(F.lit(0), F.lit(23)), lambda i: word(seed, i))
+    # perturb one position for dup docs so they're NEAR-dups, not exact
+    toks = F.when(
+        is_dup,
+        F.concat(F.slice(toks, 1, 23), F.array(word(F.col("id"), F.lit(99)))),
+    ).otherwise(toks)
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), F.array_join(toks, " ").alias("text")
+    )
+    docs.write.mode("overwrite").parquet(f"{scratch}/docs")
+    d = spark.read.parquet(f"{scratch}/docs")
+    timed(
+        "minhash_lsh_pairs(threshold=0.7)",
+        lambda: minhash_lsh_pairs(d, threshold=0.7)
+        .agg(F.count(F.lit(1)).alias("pairs"))
+        .first(),
+    )
+
+
+def smoke_ann(spark, scratch, n_vecs):
+    """Hyperplane-LSH near-dup + IVF top-k at n_vecs 64-dim vectors."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.similarity import (
+        ivf_topk,
+        lsh_neardup_pairs,
+    )
+
+    print(f"\n## ANN @ {n_vecs:,} x 64-dim vectors")
+    # clustered synthetic embeddings (~16 vectors per cluster so the
+    # true near-dup pair count stays linear in n), center + small noise,
+    # all from per-(row, dim) hashes — no RNG, no driver data
+    n_clusters = max(n_vecs // 16, 1)
+    cl = (F.abs(F.hash(F.col("id").cast("string"))) % n_clusters).cast("string")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: (
+            (F.abs(F.hash(cl, i.cast("string"))) % 2000 - 1000) / 1000.0
+            + (F.abs(F.hash(F.col("id").cast("string"), i.cast("string"))) % 200 - 100)
+            / 1000.0
+        ).cast("float"),
+    )
+    spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    ).write.mode("overwrite").parquet(f"{scratch}/vecs")
+    emb = spark.read.parquet(f"{scratch}/vecs")
+    qs = emb.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    timed(
+        "ivf_topk(nlist=64, nprobe=8, k=10)",
+        lambda: ivf_topk(emb, qs, k=10, nlist=64, nprobe=8)
+        .agg(F.count(F.lit(1)).alias("rows"), F.round(F.avg("cosine"), 4).alias("avg"))
+        .first(),
+    )
+    # the Arrow-batched codes-only scale path: corpus encoded to m ints
+    # per vector, ADC scoring via per-query LUTs — this is what a 100 TB
+    # deployment runs; exact-scored ivf_topk above is the oracle anchor
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    timed(
+        "ivfpq_topk(nlist=64, nprobe=8, m=8, k=10)",
+        lambda: ivfpq_topk(emb, qs, k=10, nlist=64, nprobe=8, m=8, ksub=16, iters=1)
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.round(F.avg("approx_cosine"), 4).alias("avg"),
+        )
+        .first(),
+    )
+    # band_bits must scale ~log2(n): the default 8 (256 buckets/band,
+    # right for the 2k-vector driver corpus) would put ~n/256 unrelated
+    # docs in every bucket here and the band join goes quadratic —
+    # 20 bits keeps expected bucket occupancy ~n/1M while 0.99-cosine
+    # cluster mates still match a band with p ~ 0.52 (>=1 of 8 ~ 0.997)
+    timed(
+        "lsh_neardup_pairs(threshold=0.9, bits=20)",
+        lambda: lsh_neardup_pairs(emb, threshold=0.9, bands=8, band_bits=20)
+        .agg(F.count(F.lit(1)).alias("pairs"))
+        .first(),
+    )
+
+
+if __name__ == "__main__":
+    main()
