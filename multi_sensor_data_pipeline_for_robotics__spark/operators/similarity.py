@@ -128,7 +128,7 @@ def lsh_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.3,
     bands: int = 8,
-    band_bits: int = 8,
+    band_bits: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
@@ -139,10 +139,36 @@ def lsh_neardup_pairs(
     verified with exact cosine.
 
     Each band hashes ``band_bits`` hyperplane signs; candidates are
-    pairs agreeing on all bits of >= 1 band (equi-join per band). The
-    deterministic seed makes runs reproducible. Recall < 1 by design —
-    that is the trade for join-instead-of-cross-product at scale.
+    pairs agreeing on all bits of >= 1 band (equi-join on per-band
+    buckets). The deterministic seed makes runs reproducible. Recall
+    < 1 by design — that is the trade for join-instead-of-cross-product
+    at scale.
+
+    ``band_bits=None`` scales the band width with the corpus:
+    ``clamp(ceil(log2(est_rows)) + 1, 8, 24)`` from a file-stat row
+    estimate, keeping expected bucket occupancy O(1). A FIXED width
+    goes quadratic as the corpus grows — at 100k 64-dim vectors, 8-bit
+    bands (256 buckets) put ~400 unrelated docs in every bucket and the
+    band join emits ~10^8 candidate rows (measured: 146 s for what
+    20-bit bands do in 6 s). Wider bands lower per-band match
+    probability p^bits, so the auto default targets NEAR-DUP similarity
+    (cos >= ~0.9, where p ~ 0.86/bit keeps recall high); for
+    low-threshold similarity search use ``cosine_topk``/``ivf_topk``,
+    or pass narrow bands explicitly on corpora small enough to afford
+    the candidate volume.
     """
+    if band_bits is None:
+        import math
+
+        from multi_sensor_data_pipeline_for_robotics__spark.cache import (
+            estimated_source_rows,
+        )
+
+        # bytes/row ≈ 4*dim payload + id/overhead, so the estimate is
+        # row-scaled, not byte-scaled (a 32 B/row default would
+        # over-count 64-dim float rows ~8x and overshoot the width)
+        est = estimated_source_rows(embeddings, bytes_per_row=4 * dim + 16) or 0
+        band_bits = min(max(math.ceil(math.log2(max(est, 2))) + 1, 8), 24)
     planes = _hyperplanes(dim, bands * band_bits, seed)
     buckets = _band_buckets_udf(planes, bands, band_bits)
     # Candidate generation moves only (id, band, bucket) triples — the

@@ -214,14 +214,13 @@ def smoke_ann(spark, scratch, n_vecs):
         )
         .first(),
     )
-    # band_bits must scale ~log2(n): the default 8 (256 buckets/band,
-    # right for the 2k-vector driver corpus) would put ~n/256 unrelated
-    # docs in every bucket here and the band join goes quadratic —
-    # 20 bits keeps expected bucket occupancy ~n/1M while 0.99-cosine
-    # cluster mates still match a band with p ~ 0.52 (>=1 of 8 ~ 0.997)
+    # band_bits defaults to the ~log2(n) auto rule — a fixed 8-bit
+    # width (256 buckets/band) would put ~n/256 unrelated docs in every
+    # bucket here and send the band join quadratic (measured: 146 s for
+    # what the scaled width does in ~6 s at 100k vectors)
     timed(
-        "lsh_neardup_pairs(threshold=0.9, bits=20)",
-        lambda: lsh_neardup_pairs(emb, threshold=0.9, bands=8, band_bits=20)
+        "lsh_neardup_pairs(threshold=0.9, auto bits)",
+        lambda: lsh_neardup_pairs(emb, threshold=0.9, bands=8)
         .agg(F.count(F.lit(1)).alias("pairs"))
         .first(),
     )
