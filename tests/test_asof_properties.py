@@ -134,3 +134,57 @@ def test_interp_exact_match_is_exact():
     assert got[GRID[1]][1] == pytest.approx(100.0)
     # grid point 200 interpolates between 100 and 250: 100 + 150*(100/150)
     assert got[GRID[2]][1] == pytest.approx(200.0)
+
+
+# ---- keyed as-of: hypothesis-driven direct == bucketed == semantics ----
+
+keyed_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),       # key
+        st.integers(min_value=0, max_value=2000),    # ts offset ms
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(lrows=keyed_rows, rrows=keyed_rows, nb=st.sampled_from([1, 3, 16]))
+def test_keyed_asof_bucketed_equals_direct_and_semantics(lrows, rrows, nb):
+    """For random keyed series (duplicate (key, ts) pairs allowed on
+    the left; right deduped per (key, ts) so the match value is
+    unambiguous): the bucketed plan returns exactly the direct plan's
+    matches, and each match is the latest right ts <= left ts of the
+    same key."""
+    spark = _get_spark()
+    rseen = {}
+    for k, ms in rrows:
+        rseen[(k, ms)] = float(ms)
+    l = spark.createDataFrame(
+        [
+            (i, k, T0 + dt.timedelta(milliseconds=ms))
+            for i, (k, ms) in enumerate(lrows)
+        ],
+        "lid long, k long, ts timestamp",
+    )
+    r = spark.createDataFrame(
+        [
+            (k, T0 + dt.timedelta(milliseconds=ms), v)
+            for (k, ms), v in sorted(rseen.items())
+        ],
+        "k long, ts timestamp, rv double",
+    )
+    kw = dict(on="ts", by="k", value_cols=["rv"])
+    direct = {
+        row["lid"]: (row["rv_r"], row["matched_ts_r"])
+        for row in S.asof_join_keyed(l, r, **kw).collect()
+    }
+    bucketed = {
+        row["lid"]: (row["rv_r"], row["matched_ts_r"])
+        for row in S.asof_join_keyed(l, r, time_buckets=nb, **kw).collect()
+    }
+    assert direct == bucketed
+    for i, (k, ms) in enumerate(lrows):
+        earlier = [m for (kk, m) in rseen if kk == k and m <= ms]
+        want = (rseen[(k, max(earlier))], T0 + dt.timedelta(milliseconds=max(earlier))) if earlier else (None, None)
+        assert direct[i] == want, f"left row {i} key {k} ts {ms}"
