@@ -535,6 +535,15 @@ def simhash_pairs(
     trick: split the signature into max_hamming+1 blocks; any pair
     within distance k must match exactly on >= 1 block → one equi-join
     per block, unioned, distinct, then exact distance filter.
+
+    Scale note (same occupancy law as LSH band width): each block carries
+    ``width/(max_hamming+1)`` bits, so UNRELATED docs collide on a block
+    with probability ``2^-block_bits`` — at 64-bit signatures and
+    max_hamming=3 that is 16 bits (~65k buckets/block), comfortable to
+    ~10M docs (occupancy ~n/65k per block). Beyond that, raise the
+    signature width (simhash with 128-bit hashes) or lower max_hamming
+    so block width grows — a fixed block width eventually sends the
+    block join quadratic exactly like a fixed LSH band width.
     """
     nblocks = max_hamming + 1
     # size-gated persist, same two-consumer reason as minhash_lsh_pairs:
