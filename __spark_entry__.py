@@ -35,6 +35,8 @@ from multi_sensor_data_pipeline_for_robotics__spark.operators import clean as C
 from multi_sensor_data_pipeline_for_robotics__spark.operators import dedup as D
 from multi_sensor_data_pipeline_for_robotics__spark.operators import multimodal as MM
 from multi_sensor_data_pipeline_for_robotics__spark.operators import pack as PK
+from multi_sensor_data_pipeline_for_robotics__spark.functions import sketch as SK
+from multi_sensor_data_pipeline_for_robotics__spark.operators import retrieval as RT
 from multi_sensor_data_pipeline_for_robotics__spark.operators import similarity as SIM
 from multi_sensor_data_pipeline_for_robotics__spark.operators import sync as S
 from multi_sensor_data_pipeline_for_robotics__spark.plans import analytics as A
@@ -1159,6 +1161,45 @@ def _q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_contamination(tr, ev, n=5)
 
 
+_BM25_TERMS = ["spark", "hash", "window"]
+_BM25_QUERIES = [
+    (0, ["spark", "hash"]),
+    (1, ["window", "sort", "merge"]),
+    (2, ["batch", "value"]),
+]
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # keyword retrieval: top-10 documents for one bag-of-words query,
+    # Okapi BM25 (k1=1.2, b=0.75) — postings filtered to the query
+    # terms before any shuffle, stats broadcast
+    return RT.bm25_topk(
+        load_table(spark, sf_dir, "documents"), _BM25_TERMS, k=10
+    )
+
+
+def _q_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # batched retrieval: 3 queries ranked from ONE filtered postings
+    # stream; ranking window partitions by query id
+    qs = spark.createDataFrame(
+        _BM25_QUERIES, "query_id long, terms array<string>"
+    )
+    return RT.bm25_topk_multi(
+        load_table(spark, sf_dir, "documents"), qs, k=5
+    )
+
+
+def _q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # portable KMV distinct sketch: unlike approx_count_distinct (HLL,
+    # engine-specific), the md5-based estimate is bit-reproducible in
+    # DuckDB, so the APPROXIMATION itself is hash-checked — k=64 →
+    # ~13% rsd, estimates land ~145 vs 150 exact on this corpus
+    return SK.kmv_distinct(
+        load_table(spark, sf_dir, "events"), "user_id", k=64,
+        group_col="event_type",
+    )
+
+
 def _q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5).select(
@@ -1669,6 +1710,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_motion": _q_gen_motion,
         "stream_locf_enrich": _q_stream_locf,
         "stream_dedup_exact": _q_stream_dedup,
+        "bm25_topk": _q_bm25_topk,
+        "bm25_topk_multi": _q_bm25_multi,
+        "kmv_distinct_users": _q_kmv_distinct,
     }
 
 
@@ -3049,4 +3093,70 @@ FROM events
     o["stream_dedup_exact"] = """
 SELECT DISTINCT sha256(source) AS content_hash FROM documents
 """
+
+    # BM25 retrieval: identical Okapi formulation + round(6) in both
+    # engines; rank ties broken by doc id so ordering is deterministic
+    terms_in = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    o["bm25_topk"] = f"""
+WITH toks AS (SELECT doc_id AS doc, string_split(text, ' ') AS t FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM toks),
+posts AS (SELECT doc, len(t) AS dl, unnest(t) AS term FROM toks),
+tf AS (
+    SELECT doc, term, max(dl) AS dl, count(*) AS tf
+    FROM posts WHERE term IN ({terms_in})
+    GROUP BY doc, term
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+w AS (
+    SELECT tf.doc,
+           ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf * (1.2 + 1.0)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl)) AS w
+    FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN stats
+),
+scores AS (SELECT doc, round(sum(w), 6) AS score FROM w GROUP BY doc),
+r AS (SELECT doc, score,
+             CAST(row_number() OVER (ORDER BY score DESC, doc ASC) AS BIGINT) AS rank
+      FROM scores)
+SELECT doc, score, rank FROM r WHERE rank <= 10
+"""
+
+    qvals = ", ".join(
+        "({}, [{}])".format(qid, ", ".join(f"'{t}'" for t in ts))
+        for qid, ts in _BM25_QUERIES
+    )
+    o["bm25_topk_multi"] = f"""
+WITH queries(query_id, terms) AS (VALUES {qvals}),
+qterms AS (SELECT DISTINCT query_id AS qid, unnest(terms) AS term FROM queries),
+toks AS (SELECT doc_id AS doc, string_split(text, ' ') AS t FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM toks),
+posts AS (SELECT doc, len(t) AS dl, unnest(t) AS term FROM toks),
+tf AS (
+    SELECT doc, term, max(dl) AS dl, count(*) AS tf
+    FROM posts WHERE term IN (SELECT term FROM qterms)
+    GROUP BY doc, term
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+w AS (
+    SELECT tf.doc, tf.term,
+           ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf * (1.2 + 1.0)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl)) AS w
+    FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN stats
+),
+scores AS (
+    SELECT q.qid AS query_id, w.doc, round(sum(w.w), 6) AS score
+    FROM w JOIN qterms q ON w.term = q.term
+    GROUP BY q.qid, w.doc
+),
+r AS (SELECT query_id, doc, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc ASC) AS BIGINT) AS rank
+      FROM scores)
+SELECT query_id, doc, score, rank FROM r WHERE rank <= 5
+"""
+
+    o["kmv_distinct_users"] = SK.kmv_oracle_sql(
+        "events", "user_id", k=64, group_col="event_type"
+    )
     return o

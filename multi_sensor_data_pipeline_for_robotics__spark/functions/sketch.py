@@ -1,0 +1,135 @@
+"""Portable KMV (k-minimum-values) distinct-count sketch.
+
+``approx_count_distinct`` (HLL++, `plans.analytics.approx_distinct_stats`)
+is the production sketch — but its estimate is engine-specific, so the
+correctness harness can only bound it against the exact count. KMV
+[Bar-Yossef et al., RANDOM 2002] fills the auditability gap: hash every
+value uniformly to [0, 1), keep the k smallest DISTINCT hashes; with
+``u_k`` the k-th smallest, ``(k-1) / u_k`` estimates the distinct count
+(relative error ~ 1/sqrt(k-2)). Built here on ``md5`` — which Spark and
+DuckDB (and Postgres, Trino, ...) all expose with identical output — so
+the ESTIMATE ITSELF is bit-reproducible across engines and hash-checked
+by the oracle gate, not merely bounded.
+
+Scale shape: the only wide op is a distinct on (group, hash-prefix) —
+8-byte keys with map-side partial dedup — followed by a per-GROUP
+ranking window (partitioned, parallel across groups; the global variant
+uses ``orderBy().limit(k)`` → TakeOrderedAndProject, never a
+single-partition sort of corpus data). Like any KMV, per-partition
+partial sketches (local k-smallest) merge associatively; at 100 TB the
+distinct's map-side combine delivers exactly that partial-merge
+behavior — each map task emits at most its local distinct hashes.
+
+Determinism note: the estimate divides doubles, but both engines
+perform the same IEEE-754 ops on the same integers, so results agree
+bit-for-bit; a ``round(4)`` guards the cross-engine hash anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+# 15 hex digits = 60 bits: inside BIGINT range, and the uniform-fraction
+# denominator 16^15 is an exact power of two (exactly representable as a
+# double, so u_k = h / 16^15 loses nothing to the division itself).
+_PREFIX_HEX_DIGITS = 15
+_DENOM = float(16 ** _PREFIX_HEX_DIGITS)
+
+
+def kmv_hash(col: Column | str) -> Column:
+    """Uniform 60-bit integer hash of a value via the md5 hex prefix —
+    byte-identical in any engine exposing md5 over strings."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(
+        F.substring(F.md5(c.cast("string")), 1, _PREFIX_HEX_DIGITS), 16, 10
+    ).cast("bigint")
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    k: int = 256,
+    group_col: str | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate distinct count of ``value_col`` (optionally per
+    ``group_col``) via a k-minimum-values sketch.
+
+    Output: (group?, approx_distinct double, sketch_m long) where
+    ``sketch_m`` is the number of hashes retained (= k when the sketch
+    saturated; below k the count is EXACT and returned as-is — the
+    standard small-cardinality fallback).
+    """
+    h = kmv_hash(value_col).alias("h")
+    if group_col is None:
+        d = df.select(h).distinct()
+        mins = d.orderBy("h").limit(k)
+        agg = mins.agg(
+            F.max("h").alias("hk"), F.count(F.lit(1)).alias("m")
+        )
+    else:
+        d = df.select(F.col(group_col), h).distinct()
+        rw = W.partitionBy(group_col).orderBy("h")
+        mins = d.withColumn("rn", F.row_number().over(rw)).filter(
+            F.col("rn") <= k
+        )
+        agg = mins.groupBy(group_col).agg(
+            F.max("h").alias("hk"), F.count(F.lit(1)).alias("m")
+        )
+    est = F.when(
+        F.col("m") < k, F.col("m").cast("double")
+    ).otherwise(
+        F.round((k - 1) / (F.col("hk").cast("double") / _DENOM), round_to)
+    )
+    cols = [] if group_col is None else [group_col]
+    return agg.select(
+        *cols,
+        est.alias("approx_distinct"),
+        F.col("m").cast("long").alias("sketch_m"),
+    )
+
+
+def kmv_oracle_sql(
+    table: str,
+    value_col: str,
+    k: int = 256,
+    group_col: str | None = None,
+    round_to: int = 4,
+) -> str:
+    """The DuckDB twin of :func:`kmv_distinct` — same md5 prefix, same
+    arithmetic, so the driver's value-hash compare is exact."""
+    hx = (
+        f"cast(concat('0x', substr(md5(cast({value_col} as varchar)), 1, "
+        f"{_PREFIX_HEX_DIGITS})) as bigint)"
+    )
+    if group_col is None:
+        return f"""
+            WITH d AS (SELECT DISTINCT {hx} AS h FROM {table}),
+            mins AS (SELECT h FROM d ORDER BY h LIMIT {k}),
+            agg AS (SELECT max(h) AS hk, count(*) AS m FROM mins)
+            SELECT CASE WHEN m < {k} THEN cast(m AS double)
+                   ELSE round(({k} - 1) / (cast(hk AS double) / {_DENOM}), {round_to})
+                   END AS approx_distinct,
+                   cast(m AS bigint) AS sketch_m
+            FROM agg
+        """
+    return f"""
+        WITH d AS (SELECT DISTINCT {group_col}, {hx} AS h FROM {table}),
+        mins AS (
+            SELECT {group_col}, h,
+                   row_number() OVER (PARTITION BY {group_col} ORDER BY h) AS rn
+            FROM d
+        ),
+        agg AS (
+            SELECT {group_col}, max(h) AS hk, count(*) AS m
+            FROM mins WHERE rn <= {k} GROUP BY {group_col}
+        )
+        SELECT {group_col},
+               CASE WHEN m < {k} THEN cast(m AS double)
+               ELSE round(({k} - 1) / (cast(hk AS double) / {_DENOM}), {round_to})
+               END AS approx_distinct,
+               cast(m AS bigint) AS sketch_m
+        FROM agg
+    """

@@ -1,0 +1,171 @@
+"""Keyword retrieval over the document corpus: BM25-scored top-k.
+
+Beyond the reference surface (the reference app has no text search;
+its closest analog is the substring log filter, app.py:331-340) — this
+is the inverted-index retrieval a training-data pipeline needs for
+corpus exploration, eval-set mining, and contamination triage.
+
+Scale shape (the part that must survive 100 TB):
+
+- The postings explode is filtered to the QUERY terms before anything
+  shuffles — the only rows that leave the scan stage are (doc, dl,
+  matched-term), a few rows per matching document, never the full
+  token stream.
+- Term statistics (document frequency) aggregate over that filtered
+  stream and are broadcast back (≤ |query terms| rows).
+- Corpus statistics (N, avgdl) are query-INDEPENDENT: one scalar-agg
+  scan, broadcast as one row. A deployment serving many queries
+  precomputes them once per corpus snapshot and passes
+  ``corpus_stats=(n_docs, avgdl)`` — then a query costs a single scan.
+- Global top-k is ``orderBy().limit(k)`` → TakeOrderedAndProject
+  (per-partition heap + driver merge of k rows), not a single-partition
+  sort. The multi-query variant ranks with a window PARTITIONED by
+  query id — parallel across queries.
+
+Scoring is the standard Okapi/Lucene formulation::
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    w(t, d) = idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+Everything is built-in Catalyst expressions (split/explode/agg/join)
+— no Python UDFs — so the whole plan stays in whole-stage codegen and
+is oracle-checkable against the identical SQL in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from multi_sensor_data_pipeline_for_robotics__spark.functions.text import tokens
+from multi_sensor_data_pipeline_for_robotics__spark.sources.tables import (
+    ensure_parallelism,
+)
+
+
+def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(N, avgdl) as a 1-row DataFrame — precompute once per corpus
+    snapshot and reuse across queries."""
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(tokens(text_col))).alias("avgdl"),
+    )
+
+
+def _scored_postings(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    terms,
+    stats: DataFrame,
+    k1: float,
+    b: float,
+):
+    """Shared scoring pipeline: filtered postings → tf → df → per-term
+    BM25 weight rows (doc, term, w). ``terms`` is either a literal
+    ``list[str]`` (becomes an IN predicate evaluated in the scan stage)
+    or a 1-column (term) DataFrame (becomes a broadcast semi-join right
+    after the explode) — either way only matching postings ever reach a
+    shuffle."""
+    toks = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("__t")
+    )
+    posts = toks.select(
+        "doc", F.size("__t").alias("dl"), F.explode("__t").alias("term")
+    )
+    if isinstance(terms, list):
+        posts = posts.filter(F.col("term").isin(terms))
+    else:
+        posts = posts.join(F.broadcast(terms), "term", "left_semi")
+    tf = posts.groupBy("doc", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    w = idf * F.col("tf") * (k1 + 1.0) / norm
+    return (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(stats))
+        .withColumn("w", w)
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus: DataFrame | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-k documents for one bag-of-words query, BM25-scored.
+
+    Deterministic output: rank over (rounded score DESC, doc ASC).
+    ``corpus`` optionally supplies a precomputed :func:`corpus_stats`
+    frame so repeated queries skip the stats scan.
+    """
+    stats = corpus if corpus is not None else corpus_stats(docs, text_col)
+    scored = _scored_postings(
+        docs, text_col, id_col, list(query_terms), stats, k1, b
+    )
+    per_doc = scored.groupBy("doc").agg(
+        F.round(F.sum("w"), round_to).alias("score")
+    )
+    topk = per_doc.orderBy(F.col("score").desc(), F.col("doc").asc()).limit(k)
+    # rank assignment runs over ≤ k rows — the single partition is the
+    # already-reduced driver-sized result, not corpus data
+    rw = W.orderBy(F.col("score").desc(), F.col("doc").asc())
+    return topk.select(
+        "doc", "score", F.row_number().over(rw).cast("long").alias("rank")
+    )
+
+
+def bm25_topk_multi(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    corpus: DataFrame | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Batched retrieval: one top-k ranking per query row.
+
+    ``queries``: (query_id, terms array<string>). The exploded query
+    postings are broadcast into the term filter AND the per-query score
+    join, so the corpus-side plan is identical to the single-query case
+    — one filtered postings stream scores ALL queries. Ranking windows
+    partition by query id (parallel across queries; per-partition state
+    is one query's ≤ corpus-match rows, reduced to k before the sink).
+    """
+    stats = corpus if corpus is not None else corpus_stats(docs, text_col)
+    qterms = queries.select(
+        F.col(query_id_col).alias("qid"), F.explode(terms_col).alias("term")
+    ).distinct()
+    all_terms = qterms.select("term").distinct()
+    scored = _scored_postings(
+        docs, text_col, id_col, all_terms, stats, k1, b
+    )
+    per_q_doc = (
+        scored.join(F.broadcast(qterms), "term")
+        .groupBy("qid", "doc")
+        .agg(F.round(F.sum("w"), round_to).alias("score"))
+    )
+    rw = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc").asc())
+    return (
+        per_q_doc.withColumn("rank", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), "doc", "score", "rank")
+    )

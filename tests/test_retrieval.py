@@ -1,0 +1,147 @@
+"""BM25 retrieval + KMV sketch: differential tests against independent
+pure-Python references (no Spark in the oracle path)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from multi_sensor_data_pipeline_for_robotics__spark.functions.sketch import (
+    kmv_distinct,
+)
+from multi_sensor_data_pipeline_for_robotics__spark.operators.retrieval import (
+    bm25_topk,
+    bm25_topk_multi,
+    corpus_stats,
+)
+
+DOCS = [
+    (0, "spark window sort spark hash"),
+    (1, "merge batch value value value"),
+    (2, "spark spark spark spark spark"),
+    (3, "window window hash sort merge"),
+    (4, "the quick brown fox jumps"),
+    (5, "hash"),
+]
+
+
+def _py_bm25(docs, terms, k1=1.2, b=0.75):
+    toks = {d: t.split(" ") for d, t in docs}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {
+        q: sum(1 for t in toks.values() if q in t) for q in terms
+    }
+    scores = {}
+    for d, t in toks.items():
+        s = 0.0
+        for q in terms:
+            tf = t.count(q)
+            if tf == 0 or df[q] == 0:
+                continue
+            idf = math.log(1.0 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            s += idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(t) / avgdl)
+            )
+        if s > 0:
+            scores[d] = round(s, 6)
+    return scores
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_bm25_matches_pure_python(spark, docs_df):
+    terms = ["spark", "hash"]
+    got = {
+        r.doc: r.score for r in bm25_topk(docs_df, terms, k=10).collect()
+    }
+    assert got == _py_bm25(DOCS, terms)
+
+
+def test_bm25_rank_deterministic_and_capped(spark, docs_df):
+    rows = bm25_topk(docs_df, ["spark", "hash", "window"], k=2).collect()
+    assert [r.rank for r in rows] == [1, 2]
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_precomputed_corpus_stats_equivalent(spark, docs_df):
+    stats = corpus_stats(docs_df)
+    a = sorted(map(tuple, bm25_topk(docs_df, ["hash"], k=10).collect()))
+    b = sorted(
+        map(tuple, bm25_topk(docs_df, ["hash"], k=10, corpus=stats).collect())
+    )
+    assert a == b
+
+
+def test_bm25_multi_matches_single_query(spark, docs_df):
+    qs = spark.createDataFrame(
+        [(7, ["spark", "hash"]), (9, ["merge"])],
+        "query_id long, terms array<string>",
+    )
+    multi = bm25_topk_multi(docs_df, qs, k=10).collect()
+    for qid, terms in [(7, ["spark", "hash"]), (9, ["merge"])]:
+        single = {
+            (r.doc, r.score, r.rank)
+            for r in bm25_topk(docs_df, terms, k=10).collect()
+        }
+        got = {
+            (r.doc, r.score, r.rank) for r in multi if r.query_id == qid
+        }
+        assert got == single, f"query {qid} diverged from single-query path"
+
+
+def _py_kmv(values, k=64):
+    hs = sorted(
+        {
+            int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+            for v in values
+        }
+    )
+    m = min(len(hs), k)
+    if m < k:
+        return float(m), m
+    return round((k - 1) / (hs[k - 1] / float(16 ** 15)), 4), m
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.range(10).selectExpr("id as v")
+    row = kmv_distinct(df, "v", k=64).first()
+    assert row.approx_distinct == 10.0 and row.sketch_m == 10
+
+
+def test_kmv_matches_pure_python_and_error_bound(spark):
+    n = 5000
+    df = spark.range(n).selectExpr("id as v")
+    row = kmv_distinct(df, "v", k=256).first()
+    est, m = _py_kmv(range(n), k=256)
+    assert (row.approx_distinct, row.sketch_m) == (est, m)
+    # KMV rsd ~ 1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+    assert abs(row.approx_distinct - n) / n < 0.25
+
+
+def test_kmv_grouped_matches_global_per_group(spark):
+    df = spark.range(2000).selectExpr(
+        "id % 7 as g", "id as v"
+    )
+    per_group = {
+        r.g: (r.approx_distinct, r.sketch_m)
+        for r in kmv_distinct(df, "v", k=64, group_col="g").collect()
+    }
+    for g in range(7):
+        sub = df.filter(f"g = {g}")
+        row = kmv_distinct(sub, "v", k=64).first()
+        assert per_group[g] == (row.approx_distinct, row.sketch_m)
+
+
+def test_kmv_duplicates_do_not_inflate(spark):
+    base = spark.range(300).selectExpr("id as v")
+    dup = base.union(base).union(base)
+    a = kmv_distinct(base, "v", k=64).first()
+    b = kmv_distinct(dup, "v", k=64).first()
+    assert (a.approx_distinct, a.sketch_m) == (b.approx_distinct, b.sketch_m)
