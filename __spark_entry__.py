@@ -1581,6 +1581,30 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_dedup_tbl")
 
 
+def _q_stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-streaming representative #3: a STREAM-STREAM inner join
+    — each purchase event paired with same-user clicks from the
+    preceding 10 minutes, state bounded by watermark + lookback
+    (streaming/join_stream.py). Inner-join output does not depend on
+    watermark timing, so the bounded run emits exactly the batch
+    time-range self-join, which is the DuckDB oracle."""
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.join_stream import (
+        attribute_stream,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.sync_stream import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    joined = attribute_stream(
+        read_events_stream(spark, sf_dir),
+        read_events_stream(spark, sf_dir),
+        lookback_minutes=10,
+    )
+    run_to_memory(joined, "stream_attrib_tbl", output_mode="append")
+    return spark.table("stream_attrib_tbl")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator.
 
@@ -1713,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_multi": _q_bm25_multi,
         "kmv_distinct_users": _q_kmv_distinct,
+        "stream_join_attrib": _q_stream_join_attrib,
     }
 
 
@@ -3159,4 +3184,17 @@ SELECT query_id, doc, score, rank FROM r WHERE rank <= 5
     o["kmv_distinct_users"] = SK.kmv_oracle_sql(
         "events", "user_id", k=64, group_col="event_type"
     )
+
+    # stream-stream join batch-equivalence oracle: the inner join's
+    # output is watermark-independent, so the batch time-range
+    # self-join is exact
+    o["stream_join_attrib"] = """
+SELECT p.user_id AS key, p.event_id AS left_id, p.ts AS left_ts,
+       c.event_id AS right_id, c.ts AS right_ts
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+  AND c.ts >= p.ts - INTERVAL 10 MINUTE
+  AND c.ts <= p.ts
+"""
     return o
