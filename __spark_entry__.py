@@ -1498,6 +1498,24 @@ def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_sensor_csv(spark, path, sensor_type="camera")
 
 
+def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink → scan round trip over the documents table with an
+    explicit schema (no inference pre-scan). Lossless for these typed
+    columns, so the oracle is the identity projection — any sink/scan
+    corruption (quoting, unicode, type widening) breaks the hash."""
+    from multi_sensor_data_pipeline_for_robotics__spark.sources.io import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _csv_scratch() + "/documents_jsonl"
+    write_jsonl(docs, path)
+    return read_jsonl(spark, path, schema=docs.schema).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
 def _csv_scratch() -> str:
     global _CSV_SCRATCH
     if _CSV_SCRATCH is None:
@@ -1738,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_multi": _q_bm25_multi,
         "kmv_distinct_users": _q_kmv_distinct,
         "stream_join_attrib": _q_stream_join_attrib,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
     }
 
 
@@ -3196,5 +3215,10 @@ FROM events p JOIN events c
 WHERE p.event_type = 'purchase' AND c.event_type = 'click'
   AND c.ts >= p.ts - INTERVAL 10 MINUTE
   AND c.ts <= p.ts
+"""
+
+    # JSONL round trip is lossless for typed columns → identity oracle
+    o["jsonl_roundtrip"] = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
 """
     return o

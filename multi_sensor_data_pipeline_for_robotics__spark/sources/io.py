@@ -90,6 +90,35 @@ def write_csv_single(df: DataFrame, path: str) -> None:
     )
 
 
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """JSON-lines scan (beyond the reference surface — the interchange
+    format most training-data corpora arrive in). An explicit schema
+    skips the inference pre-scan AND pins types: at 100 TB, inference
+    reads every byte twice and can silently widen a column (one
+    malformed row makes an int column string). ``columnNameOfCorruptRecord``
+    stays at Spark's default PERMISSIVE null-fill; strict pipelines
+    should add a `_corrupt_record IS NULL` gate downstream."""
+    reader = spark.read.option("timestampFormat", CSV_TS_FORMAT)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """JSON-lines sink: one JSON object per line, gzip-friendly,
+    splittable per file. Parallel (one file per partition) — unlike
+    ``write_csv_single`` this IS a scale path, though parquet remains
+    the better storage format when the reader is also Spark."""
+    w = df.write.mode("overwrite").option("timestampFormat", CSV_TS_FORMAT)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.json(path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

@@ -132,3 +132,40 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_jsonl_roundtrip_preserves_types_and_unicode(spark, tmp_path):
+    from multi_sensor_data_pipeline_for_robotics__spark.sources.io import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    rows = [
+        (0, 'quote " comma, newline\\n done', "en", 3.5),
+        (1, "unicode: café 中文 \U0001f680", "zh", -0.25),
+        (2, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, lang string, score double")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(df, path)
+    back = read_jsonl(spark, path, schema=df.schema)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_jsonl_partitioned_sink(spark, tmp_path):
+    import os
+
+    from multi_sensor_data_pipeline_for_robotics__spark.sources.io import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    df = spark.range(100).selectExpr("id", "id % 3 AS part")
+    path = str(tmp_path / "parts_jsonl")
+    write_jsonl(df, path, partition_by=["part"])
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("part=")
+    ) == ["part=0", "part=1", "part=2"]
+    back = read_jsonl(spark, path, schema=df.schema)
+    assert back.count() == 100 and back.agg({"id": "sum"}).first()[0] == 4950
