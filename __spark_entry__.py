@@ -1200,6 +1200,21 @@ def _q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HISTQ_ARGS = dict(qs=(0.5, 0.9, 0.99), bins=2048, lo=0.0, hi=512.0)
+
+
+def _q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # portable mergeable quantile sketch: fixed-bin histogram with
+    # linear interpolation — unlike percentile_approx (GK,
+    # engine-specific) the estimate is bit-reproducible in DuckDB, so
+    # the APPROXIMATION is hash-checked; explicit domain bounds keep it
+    # single-pass
+    return SK.histogram_quantiles(
+        load_table(spark, sf_dir, "events"), "value",
+        group_col="event_type", **_HISTQ_ARGS,
+    )
+
+
 def _q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5).select(
@@ -1757,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_users": _q_kmv_distinct,
         "stream_join_attrib": _q_stream_join_attrib,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "hist_quantiles": _q_hist_quantiles,
     }
 
 
@@ -3221,4 +3237,8 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
     o["jsonl_roundtrip"] = """
 SELECT doc_id, text, lang, source, n_chars FROM documents
 """
+
+    o["hist_quantiles"] = SK.histogram_quantiles_oracle_sql(
+        "events", "value", group_col="event_type", **_HISTQ_ARGS
+    )
     return o

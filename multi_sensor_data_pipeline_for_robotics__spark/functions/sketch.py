@@ -1,4 +1,4 @@
-"""Portable KMV (k-minimum-values) distinct-count sketch.
+"""Portable sketches: KMV distinct-count + fixed-bin histogram quantiles.
 
 ``approx_count_distinct`` (HLL++, `plans.analytics.approx_distinct_stats`)
 is the production sketch — but its estimate is engine-specific, so the
@@ -133,3 +133,122 @@ def kmv_oracle_sql(
                cast(m AS bigint) AS sketch_m
         FROM agg
     """
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    bins: int = 1024,
+    group_col: str | None = None,
+    lo: float | None = None,
+    hi: float | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate quantiles from a fixed-bin histogram — the portable,
+    mergeable counterpart of ``percentile_approx`` (whose GK sketch is
+    engine-specific, so only boundable, never hash-checkable).
+
+    One scan builds per-bin counts (map-side partial agg; state = at
+    most ``bins`` longs per group regardless of input size — counts
+    merge associatively, the mergeable-sketch property). The quantile
+    is then linearly interpolated inside the bin where the cumulative
+    count crosses ``q*n``. Error is bounded by the bin width
+    ``(hi-lo)/bins`` — choose bins for the precision the caller needs;
+    values outside [lo, hi) clamp into the edge bins.
+
+    ``lo``/``hi`` default to a min/max pre-scan; pass explicit bounds
+    (usually known domain constants at 100 TB) to make it single-pass.
+    The cumulative window orders ≤ ``bins`` COUNT rows — per group when
+    grouped, one tiny single-partition window (bins rows, not data
+    rows) when global.
+
+    Output: (group?, q double, quantile double) — deterministic, and
+    byte-identical to the same arithmetic in any SQL engine (see
+    :func:`histogram_quantiles_oracle_sql`).
+    """
+    if lo is None or hi is None:
+        row = df.agg(
+            F.min(F.col(value_col).cast("double")).alias("lo"),
+            F.max(F.col(value_col).cast("double")).alias("hi"),
+        ).first()
+        lo = float(row["lo"]) if lo is None else lo
+        hi = float(row["hi"]) if hi is None else hi
+    if not hi > lo:
+        hi = lo + 1.0  # degenerate single-value domain: one bin catches all
+    w = (hi - lo) / bins
+    v = F.col(value_col).cast("double")
+    bin_idx = F.least(
+        F.greatest(F.floor((v - lo) / w), F.lit(0)), F.lit(bins - 1)
+    ).alias("bin")
+    keys = [group_col] if group_col else []
+    counts = df.select(*keys, bin_idx).groupBy(*keys, "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cw = (
+        W.partitionBy(*keys).orderBy("bin")
+        if keys
+        else W.orderBy("bin")
+    )
+    cum = counts.withColumn("cum", F.sum("cnt").over(cw)).withColumn(
+        "n", F.max("cum").over(W.partitionBy(*keys) if keys else W.partitionBy())
+    )
+    qdf = cum.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    target = F.col("q") * F.col("n")
+    # the quantile bin: first bin whose cumulative count reaches target
+    hit = (
+        cum.join(F.broadcast(qdf))
+        .filter(
+            (F.col("cum") >= target) & (F.col("cum") - F.col("cnt") < target)
+        )
+    )
+    est = F.round(
+        lo
+        + w
+        * (
+            F.col("bin")
+            + (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+        ),
+        round_to,
+    )
+    return hit.select(*keys, "q", est.alias("quantile"))
+
+
+def histogram_quantiles_oracle_sql(
+    table: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    bins: int = 1024,
+    group_col: str | None = None,
+    lo: float | None = None,
+    hi: float | None = None,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`histogram_quantiles` for known bounds
+    (``lo``/``hi`` must be passed so both engines bin identically)."""
+    assert lo is not None and hi is not None, "oracle needs explicit bounds"
+    w = (hi - lo) / bins
+    keys = f"{group_col}, " if group_col else ""
+    part = f"PARTITION BY {group_col} " if group_col else ""
+    qvals = ", ".join(f"({float(q)})" for q in qs)
+    return f"""
+WITH b AS (
+    SELECT {keys}
+           least(greatest(CAST(floor((CAST({value_col} AS DOUBLE) - {lo!r}) / {w!r}) AS BIGINT), 0), {bins - 1}) AS bin
+    FROM {table}
+),
+counts AS (SELECT {keys}bin, count(*) AS cnt FROM b GROUP BY {keys}bin),
+cum AS (
+    SELECT {keys}bin, cnt,
+           sum(cnt) OVER ({part}ORDER BY bin) AS cum,
+           sum(cnt) OVER ({part.rstrip() or 'PARTITION BY 1'}) AS n
+    FROM counts
+),
+qq(q) AS (VALUES {qvals})
+SELECT {keys}q,
+       round({lo!r} + {w!r} * (bin + (q * n - (cum - cnt)) / cnt), {round_to}) AS quantile
+FROM cum CROSS JOIN qq
+WHERE cum >= q * n AND cum - cnt < q * n
+"""

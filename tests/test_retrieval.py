@@ -145,3 +145,81 @@ def test_kmv_duplicates_do_not_inflate(spark):
     a = kmv_distinct(base, "v", k=64).first()
     b = kmv_distinct(dup, "v", k=64).first()
     assert (a.approx_distinct, a.sketch_m) == (b.approx_distinct, b.sketch_m)
+
+
+def _py_hist_q(values, qs, bins, lo, hi, round_to=6):
+    import math as _m
+
+    w = (hi - lo) / bins
+    counts = {}
+    for v in values:
+        b = min(max(_m.floor((v - lo) / w), 0), bins - 1)
+        counts[b] = counts.get(b, 0) + 1
+    n = len(values)
+    out = {}
+    cum = 0
+    items = sorted(counts.items())
+    for q in qs:
+        t = q * n
+        c = 0
+        for b, cnt in items:
+            if c + cnt >= t and c < t:
+                out[q] = round(lo + w * (b + (t - c) / cnt), round_to)
+                break
+            c += cnt
+    return out
+
+
+def test_hist_quantiles_matches_pure_python_and_exact(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sketch import (
+        histogram_quantiles,
+    )
+
+    vals = [((i * 2654435761) % 10007) / 10.007 for i in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {
+        r.q: r.quantile
+        for r in histogram_quantiles(
+            df, "v", qs=(0.5, 0.9, 0.99), bins=512, lo=0.0, hi=1000.0
+        ).collect()
+    }
+    assert got == _py_hist_q(vals, (0.5, 0.9, 0.99), 512, 0.0, 1000.0)
+    # estimate within one bin width of the exact quantile
+    sv = sorted(vals)
+    for q, est in got.items():
+        exact = sv[min(int(q * len(sv)), len(sv) - 1)]
+        assert abs(est - exact) <= 1000.0 / 512 + 1e-9
+
+
+def test_hist_quantiles_grouped_and_auto_bounds(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sketch import (
+        histogram_quantiles,
+    )
+
+    df = spark.range(4000).selectExpr(
+        "id % 4 as g", "cast(id as double) / 7.0 as v"
+    )
+    grouped = {
+        (r.g, r.q): r.quantile
+        for r in histogram_quantiles(
+            df, "v", qs=(0.5, 0.9), bins=256, group_col="g",
+            lo=0.0, hi=600.0,
+        ).collect()
+    }
+    assert len(grouped) == 8
+    for g in range(4):
+        solo = {
+            r.q: r.quantile
+            for r in histogram_quantiles(
+                df.filter(f"g = {g}"), "v", qs=(0.5, 0.9), bins=256,
+                lo=0.0, hi=600.0,
+            ).collect()
+        }
+        for q, v in solo.items():
+            assert grouped[(g, q)] == v
+    # auto-bounds path (min/max pre-scan) still lands near the exact
+    auto = {
+        r.q: r.quantile
+        for r in histogram_quantiles(df, "v", qs=(0.5,), bins=1024).collect()
+    }
+    assert abs(auto[0.5] - (3999 / 2) / 7.0) < 600.0 / 1024
