@@ -9,8 +9,10 @@ so generation stays out of the timings, and each operator is forced
 with an aggregation over its real output columns (so Catalyst cannot
 prune the interesting part of the plan away).
 
-Usage:  python tools/scale_smoke.py [--quick]
+Usage:  python tools/scale_smoke.py [--quick] [family ...]
         --quick divides all sizes by 10 (CI-sized sanity run)
+        family: any of sync, keyed_asof, dedup, ann, retrieval
+        (default: all)
 
 Results are recorded per round in SCALE.md.
 """
@@ -41,14 +43,23 @@ def timed(name, fn):
 def main() -> None:
     quick = "--quick" in sys.argv
     div = 10 if quick else 1
+    fams = [a for a in sys.argv[1:] if not a.startswith("--")] or [
+        "sync", "keyed_asof", "dedup", "ann", "retrieval"
+    ]
     spark = get_session(app_name="scale_smoke")
     scratch = tempfile.mkdtemp(prefix="spark_graft_scale_")
     print(f"# scale smoke ({'quick ' if quick else ''}scratch={scratch})")
     try:
-        smoke_synchronize(spark, scratch, n=20_000_000 // div)
-        smoke_keyed_asof(spark, scratch, n=20_000_000 // div)
-        smoke_dedup_lsh(spark, scratch, n_docs=2_000_000 // div)
-        smoke_ann(spark, scratch, n_vecs=1_000_000 // div)
+        if "sync" in fams:
+            smoke_synchronize(spark, scratch, n=20_000_000 // div)
+        if "keyed_asof" in fams:
+            smoke_keyed_asof(spark, scratch, n=20_000_000 // div)
+        if "dedup" in fams:
+            smoke_dedup_lsh(spark, scratch, n_docs=2_000_000 // div)
+        if "ann" in fams:
+            smoke_ann(spark, scratch, n_vecs=1_000_000 // div)
+        if "retrieval" in fams:
+            smoke_retrieval_sketches(spark, scratch, n_docs=2_000_000 // div)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -222,6 +233,92 @@ def smoke_ann(spark, scratch, n_vecs):
         "lsh_neardup_pairs(threshold=0.9, auto bits)",
         lambda: lsh_neardup_pairs(emb, threshold=0.9, bands=8)
         .agg(F.count(F.lit(1)).alias("pairs"))
+        .first(),
+    )
+
+
+def smoke_retrieval_sketches(spark, scratch, n_docs):
+    """BM25 + portable sketches at n_docs documents / rows.
+
+    Corpus shape: 20 rare tokens (hex-hash over ~1M vocab — near-zero
+    cross-doc overlap) + 4 tokens from a 1,000-word COMMON vocab, so
+    query terms have realistic document frequencies (~n/250 each) and
+    the postings filter actually selects ~2% of the token stream."""
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sketch import (
+        histogram_quantiles,
+        kmv_distinct,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_multi,
+    )
+
+    print(f"\n## bm25 / kmv / hist_quantiles @ {n_docs:,} rows")
+    rare = lambda s, i: F.conv(
+        (F.abs(F.hash(s.cast("string"), i.cast("string"))) % 1_000_000).cast("string"),
+        10, 16,
+    )
+    common = lambda s, i: F.concat(
+        F.lit("w"),
+        (F.abs(F.hash(s.cast("string"), (i + 100).cast("string"))) % 1_000).cast("string"),
+    )
+    toks = F.concat(
+        F.transform(F.sequence(F.lit(0), F.lit(19)), lambda i: rare(F.col("id"), i)),
+        F.transform(F.sequence(F.lit(0), F.lit(3)), lambda i: common(F.col("id"), i)),
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), F.array_join(toks, " ").alias("text")
+    )
+    docs.write.mode("overwrite").parquet(f"{scratch}/rdocs")
+    d = spark.read.parquet(f"{scratch}/rdocs")
+    terms = ["w3", "w77", "w541"]
+    timed(
+        "bm25_topk(3 terms, k=10)",
+        lambda: bm25_topk(d, terms, k=10)
+        .agg(F.count(F.lit(1)).alias("rows"), F.round(F.sum("score"), 2).alias("s"))
+        .first(),
+    )
+    qs = spark.createDataFrame(
+        [(i, [f"w{i * 37 % 1000}", f"w{i * 101 % 1000}"]) for i in range(8)],
+        "query_id long, terms array<string>",
+    )
+    timed(
+        "bm25_topk_multi(8 queries, k=10)",
+        lambda: bm25_topk_multi(d, qs, k=10)
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .first(),
+    )
+    # sketch inputs: n rows, ~n/10 distinct values, 16 groups
+    vals = spark.range(n_docs).select(
+        (F.col("id") % 16).alias("g"),
+        (F.abs(F.hash(F.col("id").cast("string"))) % (n_docs // 10)).alias("v"),
+    )
+    vals.write.mode("overwrite").parquet(f"{scratch}/vals")
+    v = spark.read.parquet(f"{scratch}/vals")
+    timed(
+        "kmv_distinct(k=256, 16 groups)",
+        lambda: kmv_distinct(v, "v", k=256, group_col="g")
+        .agg(
+            F.round(F.avg("approx_distinct"), 0).alias("avg_est"),
+            F.count(F.lit(1)).alias("groups"),
+        )
+        .first(),
+    )
+    timed(
+        "exact countDistinct (same input)",
+        lambda: v.groupBy("g")
+        .agg(F.countDistinct("v").alias("d"))
+        .agg(F.round(F.avg("d"), 0).alias("avg_exact"))
+        .first(),
+    )
+    timed(
+        "histogram_quantiles(2048 bins, 16 groups)",
+        lambda: histogram_quantiles(
+            v.select("g", F.col("v").cast("double").alias("x")),
+            "x", qs=(0.5, 0.9, 0.99), bins=2048, group_col="g",
+            lo=0.0, hi=float(n_docs // 10),
+        )
+        .agg(F.count(F.lit(1)).alias("rows"), F.round(F.sum("quantile"), 0).alias("s"))
         .first(),
     )
 
