@@ -1200,6 +1200,30 @@ def _q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # trailing 16-row mean/std/min/max per event_type: one shuffle, one
+    # sort, frame aggregates; deterministic because each event_type's
+    # timestamps are unique
+    from multi_sensor_data_pipeline_for_robotics__spark.operators import timeseries as TS
+
+    return TS.rolling_stats(
+        load_table(spark, sf_dir, "events"), "event_type", "ts", "value",
+        window_rows=16,
+    )
+
+
+def _q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # truncated EWMA (pandas ewm(adjust=True) limited to a 32-term
+    # tail): W lag terms over ONE window spec = a single sort pass, and
+    # the identical SQL makes the smoothing oracle-hash-checkable
+    from multi_sensor_data_pipeline_for_robotics__spark.operators import timeseries as TS
+
+    return TS.ewma(
+        load_table(spark, sf_dir, "events"), "event_type", "ts", "value",
+        alpha=0.3, window_rows=32,
+    )
+
+
 _HISTQ_ARGS = dict(qs=(0.5, 0.9, 0.99), bins=2048, lo=0.0, hi=512.0)
 
 
@@ -1773,6 +1797,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join_attrib": _q_stream_join_attrib,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "hist_quantiles": _q_hist_quantiles,
+        "ts_rolling_stats": _q_rolling_stats,
+        "ts_ewma": _q_ewma,
     }
 
 
@@ -3240,5 +3266,14 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
 
     o["hist_quantiles"] = SK.histogram_quantiles_oracle_sql(
         "events", "value", group_col="event_type", **_HISTQ_ARGS
+    )
+
+    from multi_sensor_data_pipeline_for_robotics__spark.operators import timeseries as _TS
+
+    o["ts_rolling_stats"] = _TS.rolling_stats_oracle_sql(
+        "events", "event_type", "ts", "value", window_rows=16
+    )
+    o["ts_ewma"] = _TS.ewma_oracle_sql(
+        "events", "event_type", "ts", "value", alpha=0.3, window_rows=32
     )
     return o
