@@ -1224,6 +1224,27 @@ def _q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # composition sanity: flag readings > 2 sigma from their trailing
+    # 16-row mean — the rolling operator feeding a filter, the standard
+    # sensor anomaly screen. Frame size 16 ON PURPOSE: means over
+    # power-of-two frames of 2-decimal inputs terminate within 6
+    # decimals (1/1600 increments), so round(6) is exact in both
+    # engines; a 32-row frame lands on 7th-decimal halves where
+    # Spark (HALF_UP on the shortest decimal repr) and DuckDB (binary
+    # value) round apart
+    from multi_sensor_data_pipeline_for_robotics__spark.operators import timeseries as TS
+
+    r = TS.rolling_stats(
+        load_table(spark, sf_dir, "events"), "event_type", "ts", "value",
+        window_rows=16,
+    )
+    return r.filter(
+        (F.col("roll_std").isNotNull())
+        & (F.abs(F.col("value") - F.col("roll_mean")) > 2.0 * F.col("roll_std"))
+    ).select("key", "ts", "value", "roll_mean", "roll_std")
+
+
 _HISTQ_ARGS = dict(qs=(0.5, 0.9, 0.99), bins=2048, lo=0.0, hi=512.0)
 
 
@@ -1799,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles": _q_hist_quantiles,
         "ts_rolling_stats": _q_rolling_stats,
         "ts_ewma": _q_ewma,
+        "ts_anomaly": _q_ts_anomaly,
     }
 
 
@@ -3276,4 +3298,9 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
     o["ts_ewma"] = _TS.ewma_oracle_sql(
         "events", "event_type", "ts", "value", alpha=0.3, window_rows=32
     )
+    o["ts_anomaly"] = f"""
+WITH r AS ({_TS.rolling_stats_oracle_sql("events", "event_type", "ts", "value", window_rows=16)})
+SELECT key, ts, value, roll_mean, roll_std FROM r
+WHERE roll_std IS NOT NULL AND abs(value - roll_mean) > 2.0 * roll_std
+"""
     return o

@@ -41,6 +41,14 @@ def rolling_stats(
     """Trailing-window mean/std/min/max per key: frame = the last
     ``window_rows`` observations (ROWS BETWEEN W-1 PRECEDING AND
     CURRENT ROW). One shuffle + one sort; emits one row per input row.
+
+    Cross-engine note: for fixed-decimal inputs, means over a
+    power-of-two frame terminate after ``decimals + log10-ish(W)``
+    places — 2-decimal data with W=16 is exact within round(6), while
+    W=32 lands on 7th-decimal halves where engines' round() tie rules
+    diverge (Spark HALF_UPs the shortest decimal repr, DuckDB rounds
+    the binary value). Pick W (or ``round_to``) so ties cannot occur
+    when comparing results across engines.
     """
     w = (
         W.partitionBy(key_col)
