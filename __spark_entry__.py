@@ -872,6 +872,17 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental ingestion screen: odd doc_ids play the arriving
+    # batch, even ones the stored corpus; survivors = new docs whose
+    # portable-minhash bands match no corpus doc at est_jaccard >= 0.5
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_against_corpus(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+    ).select("doc_id", "lang", "source")
+
+
 def _q_dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scale knob: shingles seen in > max_shingle_df docs are dropped
     # before the join (stopword-storm control); deterministic, so the
@@ -1821,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rolling_stats": _q_rolling_stats,
         "ts_ewma": _q_ewma,
         "ts_anomaly": _q_ts_anomaly,
+        "dedup_incremental": _q_dedup_incremental,
     }
 
 
@@ -2387,6 +2399,41 @@ SELECT doc_a, doc_b, est_jaccard FROM (
     JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
 )
 WHERE est_jaccard >= 0.5
+"""
+
+    # incremental screen: same portable signatures, two-sided band join
+    # (odd doc_ids = arriving batch, even = stored corpus); survivors
+    # are batch docs matching no corpus doc
+    o["dedup_incremental"] = f"""
+WITH t AS (SELECT doc_id AS doc, string_split(text, ' ') AS toks FROM documents),
+s AS (
+    SELECT doc, unnest(list_distinct(
+        list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    )) AS shingle
+    FROM t
+),
+hb AS (
+    SELECT doc, CAST(('0x' || substr(sha256(shingle), 1, 7)) AS BIGINT) AS b
+    FROM s
+),
+sig AS (
+    SELECT doc,
+           {_min_exprs}
+    FROM hb GROUP BY doc
+),
+banded AS (
+    {_bands_sql}
+),
+matched AS (
+    SELECT DISTINCT a.doc
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc % 2 = 1 AND b.doc % 2 = 0
+    WHERE ({_match_sum}) / {float(_NH)} >= 0.5
+)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc FROM matched)
 """
 
     # portable SimHash oracle: 60-bit sha256-prefix token hash, per-bit

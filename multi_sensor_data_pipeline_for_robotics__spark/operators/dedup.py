@@ -323,6 +323,63 @@ MINHASH_PRIME = 2147483629  # largest prime below 2^31
 _MH_MASK = 0x7FFFFFFF
 
 
+def minhash_signatures_portable(
+    df: DataFrame,
+    num_hashes: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-engine-deterministic MinHash signature per document:
+    (doc, h0..h{N-1}) columns. Base hash = first 28 bits of
+    sha256(shingle); permutations = Carter-Wegman ``(a_i*base+b_i) mod
+    p`` in 63-bit-safe BIGINT math. This is the table a production
+    pipeline PRECOMPUTES AND STORES once per corpus — incremental
+    screens (:func:`dedup_against_corpus`) then join new batches
+    against it without ever touching corpus text again."""
+    sh = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(tokens(F.col(text_col)), shingle_n)).alias("shingle"),
+    )
+    base = F.conv(F.substring(F.sha2(F.col("shingle"), 256), 1, 7), 16, 10).cast(
+        "long"
+    )
+    mins = [
+        F.min((F.lit(2 * i + 1) * base + F.lit(7919 * i)) % MINHASH_PRIME).alias(
+            f"h{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc").agg(*mins)
+
+
+def _banded_portable(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Explode a portable signature table into one row per (doc, band)
+    with the band's bucket = 31-polynomial fold of its r hash slots."""
+    r = num_hashes // bands
+
+    def band_bucket(bi: int):
+        acc = F.lit(0).cast("long")
+        for j in range(r):
+            acc = (acc * 31 + F.col(f"h{bi * r + j}")).bitwiseAND(F.lit(_MH_MASK))
+        return acc
+
+    return sig.select(
+        "doc",
+        *[F.col(f"h{i}") for i in range(num_hashes)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"), band_bucket(bi).alias("bucket")
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", *[f"h{i}" for i in range(num_hashes)], "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs_portable(
     df: DataFrame,
     num_hashes: int = 16,
@@ -348,43 +405,11 @@ def minhash_lsh_pairs_portable(
     expressions); use for verification, the xxhash64 path for scale.
     """
     assert num_hashes % bands == 0
-    r = num_hashes // bands
-    sh = ensure_parallelism(df).select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingles(tokens(F.col(text_col)), shingle_n)).alias("shingle"),
-    )
-    base = F.conv(F.substring(F.sha2(F.col("shingle"), 256), 1, 7), 16, 10).cast(
-        "long"
-    )
-    mins = [
-        F.min((F.lit(2 * i + 1) * base + F.lit(7919 * i)) % MINHASH_PRIME).alias(
-            f"h{i}"
-        )
-        for i in range(num_hashes)
-    ]
     # size-gated persist, same two-consumer reason as minhash_lsh_pairs
-    sig = maybe_persist(sh.groupBy("doc").agg(*mins))
-
-    def band_bucket(bi: int):
-        acc = F.lit(0).cast("long")
-        for j in range(r):
-            acc = (acc * 31 + F.col(f"h{bi * r + j}")).bitwiseAND(F.lit(_MH_MASK))
-        return acc
-
-    banded = sig.select(
-        "doc",
-        *[F.col(f"h{i}") for i in range(num_hashes)],
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"), band_bucket(bi).alias("bucket")
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc", *[f"h{i}" for i in range(num_hashes)], "bb.band", "bb.bucket")
+    sig = maybe_persist(
+        minhash_signatures_portable(df, num_hashes, text_col, id_col, shingle_n)
+    )
+    banded = _banded_portable(sig, num_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     matches = sum(
         F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
@@ -405,6 +430,72 @@ def minhash_lsh_pairs_portable(
         .dropDuplicates(["doc_a", "doc_b"])
     )
     return cand.filter(F.col("est_jaccard") >= threshold)
+
+
+def dedup_against_corpus(
+    new_docs: DataFrame,
+    corpus: DataFrame | None = None,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    corpus_signatures: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental ingestion screen: drop NEW documents that near-match
+    ANY existing corpus document (LSH candidate + estimated Jaccard >=
+    threshold). Returns the surviving ``new_docs`` rows, all columns.
+
+    This is the shape continuous training-data ingestion actually
+    needs: the corpus is screened ONCE into a signature table
+    (:func:`minhash_signatures_portable`, pass it as
+    ``corpus_signatures``), and each arriving batch pays only
+    |batch| signature computations plus a band equi-join against the
+    stored signatures — corpus text is never re-read, and the join
+    moves (band, bucket) triples, not documents. Bucket/partition the
+    stored signature table on (band, bucket) to make the per-batch
+    join shuffle-free on the corpus side at 100 TB.
+
+    Within-batch duplicates are NOT screened here (two new near-dup
+    docs both survive if neither matches the corpus) — run one of the
+    pair operators on the batch first if that matters.
+    """
+    assert num_hashes % bands == 0
+    if corpus_signatures is None:
+        if corpus is None:
+            raise ValueError("pass either corpus or corpus_signatures")
+        corpus_signatures = minhash_signatures_portable(
+            corpus, num_hashes, text_col, id_col, shingle_n
+        )
+    nsig = maybe_persist(
+        minhash_signatures_portable(
+            new_docs, num_hashes, text_col, id_col, shingle_n
+        )
+    )
+    nb = _banded_portable(nsig, num_hashes, bands).alias("a")
+    cb = _banded_portable(corpus_signatures, num_hashes, bands).alias("b")
+    matches = sum(
+        F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    matched = (
+        nb.join(
+            cb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col("a.doc").alias("doc"),
+            (matches.cast("double") / num_hashes).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc")
+        .distinct()
+    )
+    return new_docs.join(
+        matched, new_docs[id_col] == matched["doc"], "left_anti"
+    )
 
 
 def connected_components(

@@ -721,3 +721,61 @@ def test_lsh_neardup_pair_recall_documented_tradeoff(spark):
     print(f"lsh pair recall@cos0.3: 16x4={wide:.3f} 8x8={narrow:.3f}")
     assert wide >= 0.5
     assert narrow >= 0.05
+
+
+def test_dedup_against_corpus_screens_near_dups(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the calm cat "
+        "naps beside the warm stone wall in the quiet afternoon sun"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, base),
+            (2, "distributed query engines shuffle partition and aggregate data"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # near-copy of corpus doc 0 (one of 23 tokens changed →
+            # trigram Jaccard ~ 0.77, comfortably above 0.5)
+            (1, base.replace("jumps", "leaps")),
+            # novel content — must survive
+            (3, "entirely unrelated sentences about music theory and harmony"),
+            # exact copy of corpus doc 2 — must be dropped
+            (5, "distributed query engines shuffle partition and aggregate data"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in D.dedup_against_corpus(new, corpus, threshold=0.5).collect()
+    )
+    assert kept == [3]
+
+
+def test_dedup_against_corpus_precomputed_signatures_equivalent(spark):
+    docs = spark.createDataFrame(
+        [
+            (i, f"document number {i} with shared vocabulary tokens alpha beta gamma delta {i % 3}")
+            for i in range(20)
+        ],
+        "doc_id long, text string",
+    )
+    corpus = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+    direct = sorted(
+        r.doc_id for r in D.dedup_against_corpus(new, corpus).collect()
+    )
+    sigs = D.minhash_signatures_portable(corpus)
+    via_sigs = sorted(
+        r.doc_id
+        for r in D.dedup_against_corpus(new, corpus_signatures=sigs).collect()
+    )
+    assert direct == via_sigs
+
+
+def test_dedup_against_corpus_requires_some_corpus(spark):
+    new = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        D.dedup_against_corpus(new)
