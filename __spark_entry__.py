@@ -1670,6 +1670,27 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_dedup_tbl")
 
 
+def _q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-streaming representative #4: truncated EWMA over the
+    events file-stream (streaming/stateful.py::ewma_stream). State per
+    key = the last W-1 values + a saturating count — O(keys x W)
+    forever. Emitted values are bit-identical to the batch ts_ewma
+    operator (same left-to-right summation), so the oracle is the SAME
+    W-lag SQL."""
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.stateful import (
+        ewma_stream,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.sync_stream import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    sm = ewma_stream(stream, key_col="event_type", alpha=0.3, window_rows=32)
+    run_to_memory(sm, "stream_ewma_tbl", output_mode="append")
+    return spark.table("stream_ewma_tbl")
+
+
 def _q_stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful-streaming representative #3: a STREAM-STREAM inner join
     — each purchase event paired with same-user clicks from the
@@ -1833,6 +1854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_ewma": _q_ewma,
         "ts_anomaly": _q_ts_anomaly,
         "dedup_incremental": _q_dedup_incremental,
+        "stream_ewma": _q_stream_ewma,
     }
 
 
@@ -3343,6 +3365,11 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
         "events", "event_type", "ts", "value", window_rows=16
     )
     o["ts_ewma"] = _TS.ewma_oracle_sql(
+        "events", "event_type", "ts", "value", alpha=0.3, window_rows=32
+    )
+    # streaming EWMA emits bit-identical values to the batch operator,
+    # so it shares the same W-lag SQL oracle
+    o["stream_ewma"] = _TS.ewma_oracle_sql(
         "events", "event_type", "ts", "value", alpha=0.3, window_rows=32
     )
     o["ts_anomaly"] = f"""

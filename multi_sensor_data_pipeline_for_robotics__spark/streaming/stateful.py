@@ -109,3 +109,107 @@ def locf_enrich(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EWMA_OUTPUT_SCHEMA = "key string, ts timestamp, value double, ewma double"
+EWMA_STATE_SCHEMA = "vals array<double>, n_seen long"
+
+
+def _make_ewma_fn(alpha: float, window_rows: int, round_to: int):
+    beta = 1.0 - alpha
+    W = window_rows
+
+    def _ewma_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        carried, n_seen = ([], 0)
+        if state.exists:
+            vals, n_seen = state.get
+            carried = list(vals)
+
+        out = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("ts", kind="stable")
+            x = pdf["value"].to_numpy(dtype=np.float64)
+            s = np.concatenate([np.asarray(carried, dtype=np.float64), x])
+            m, off = len(s), len(carried)
+            # accumulate in increasing-lag order — the SAME left-to-right
+            # sum the batch operator and its SQL oracle use, so values
+            # agree bit-for-bit before the shared round()
+            numer = np.zeros(m)
+            denom = np.zeros(m)
+            for j in range(W):
+                if j >= m:
+                    break
+                numer[j:] += (beta**j) * s[: m - j]
+                denom[j:] += beta**j
+            # rows 0..off-1 are carried context whose outputs were
+            # emitted in earlier batches. For output rows (>= off) both
+            # sums are exact: the state keeps the last W-1 values, so
+            # an output row's min(off+i+1, W) in-slice terms are
+            # exactly its min(total_seen+i+1, W) true terms — carried
+            # is only ever shorter than W-1 when it IS the full history
+            y = numer[off:] / denom[off:]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "key": key[0],
+                        "ts": pdf["ts"],
+                        "value": pdf["value"],
+                        "ewma": np.round(y, round_to),
+                    }
+                )
+            )
+            # plain Python floats/ints: numpy scalars fail the JVM-side
+            # state unpickler
+            carried = [float(v) for v in s[-(W - 1):]] if W > 1 else []
+            n_seen = int(min(n_seen + len(x), W))
+
+        state.update((carried, n_seen))
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    return _ewma_fn
+
+
+def ewma_stream(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    window_rows: int = 32,
+    round_to: int = 6,
+) -> DataFrame:
+    """Streaming twin of ``operators.timeseries.ewma`` (truncated,
+    adjust=True): per key the state carries only the last
+    ``window_rows - 1`` values (+ a saturating seen-count), so state is
+    O(keys x W) regardless of stream length, and the emitted values are
+    IDENTICAL to the batch operator — which is what the harness checks
+    (same SQL oracle as ``ts_ewma``).
+
+    Same late-data stance as ``locf_enrich``: rows are processed in
+    per-batch event-time order; a record arriving after a later-ts
+    record was already emitted computes against the state as-is rather
+    than rewinding it.
+    """
+    from pyspark.sql import functions as F
+
+    keyed = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _make_ewma_fn(alpha, window_rows, round_to),
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

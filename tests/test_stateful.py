@@ -85,3 +85,52 @@ def test_locf_schema(spark):
     assert out.schema.simpleString() == (
         "struct<" + LOCF_OUTPUT_SCHEMA.replace(", ", ",").replace(" ", ":") + ">"
     )
+
+
+def test_ewma_stream_state_carries_across_microbatches(spark, tmp_path):
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.timeseries import (
+        ewma as batch_ewma,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.stateful import (
+        ewma_stream,
+    )
+
+    rows = _mk_rows(50)  # 100 rows across 2 keys — several W=8 windows
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    # three files = three micro-batches: outputs in batches 2-3 depend
+    # on state carried from batch 1
+    cut1 = T0 + dt.timedelta(seconds=30)
+    cut2 = T0 + dt.timedelta(seconds=65)
+    src = str(tmp_path / "ewma_src")
+    df.filter(F.col("ts") <= cut1).coalesce(1).write.mode("append").parquet(src)
+    df.filter((F.col("ts") > cut1) & (F.col("ts") <= cut2)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    df.filter(F.col("ts") > cut2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = ewma_stream(stream, alpha=0.25, window_rows=8)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ewma_stream_test")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.key, r.ts): r.ewma for r in spark.table("ewma_stream_test").collect()
+    }
+    want = {
+        (r.key, r.ts): r.ewma
+        for r in batch_ewma(
+            df, "event_type", "ts", "value", alpha=0.25, window_rows=8
+        ).collect()
+    }
+    assert len(got) == len(want) == 100
+    assert got == want  # bit-identical: same summation order + round(6)
