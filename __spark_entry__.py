@@ -775,6 +775,27 @@ def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hopping (sliding) windows via the window() TVF: 10-minute windows
+    # every 5 minutes — each event lands in exactly 2 windows; the same
+    # assignment is replicated in the oracle with epoch-µs arithmetic
+    # (Spark aligns window origins to the 1970 epoch)
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.sessionize(_events(spark, sf_dir), gap_minutes=30)
 
@@ -1855,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_anomaly": _q_ts_anomaly,
         "dedup_incremental": _q_dedup_incremental,
         "stream_ewma": _q_stream_ewma,
+        "q_hopping_window": _q_hopping_window,
     }
 
 
@@ -3372,6 +3394,20 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
     o["stream_ewma"] = _TS.ewma_oracle_sql(
         "events", "event_type", "ts", "value", alpha=0.3, window_rows=32
     )
+    o["q_hopping_window"] = """
+WITH cand AS (
+    SELECT event_type, value,
+           epoch_us(ts) - (epoch_us(ts) % 300000000) - s.off AS win_us,
+           epoch_us(ts) AS ts_us
+    FROM events CROSS JOIN (SELECT unnest([0, 300000000]) AS off) s
+)
+SELECT make_timestamp(win_us) AS win_start,
+       make_timestamp(win_us + 600000000) AS win_end,
+       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM cand
+WHERE ts_us >= win_us AND ts_us < win_us + 600000000
+GROUP BY win_us, event_type
+"""
     o["ts_anomaly"] = f"""
 WITH r AS ({_TS.rolling_stats_oracle_sql("events", "event_type", "ts", "value", window_rows=16)})
 SELECT key, ts, value, roll_mean, roll_std FROM r

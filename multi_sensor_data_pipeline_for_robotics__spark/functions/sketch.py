@@ -165,8 +165,13 @@ def histogram_quantiles(
 
     Output: (group?, q double, quantile double) — deterministic, and
     byte-identical to the same arithmetic in any SQL engine (see
-    :func:`histogram_quantiles_oracle_sql`).
+    :func:`histogram_quantiles_oracle_sql`). ``qs`` must lie in
+    (0, 1]: the crossing bin is the first with ``cum >= q*n`` and
+    ``cum - cnt < q*n``, which no bin satisfies at q=0.
     """
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantile {q} outside (0, 1]")
     if lo is None or hi is None:
         row = df.agg(
             F.min(F.col(value_col).cast("double")).alias("lo"),

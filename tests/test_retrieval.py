@@ -223,3 +223,16 @@ def test_hist_quantiles_grouped_and_auto_bounds(spark):
         for r in histogram_quantiles(df, "v", qs=(0.5,), bins=1024).collect()
     }
     assert abs(auto[0.5] - (3999 / 2) / 7.0) < 600.0 / 1024
+
+
+def test_hist_quantiles_rejects_out_of_domain_q(spark):
+    import pytest as _pytest
+
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sketch import (
+        histogram_quantiles,
+    )
+
+    df = spark.range(10).selectExpr("cast(id as double) as v")
+    for bad in (0.0, -0.1, 1.5):
+        with _pytest.raises(ValueError):
+            histogram_quantiles(df, "v", qs=(bad,), lo=0.0, hi=10.0)
