@@ -44,7 +44,7 @@ def main() -> None:
     quick = "--quick" in sys.argv
     div = 10 if quick else 1
     fams = [a for a in sys.argv[1:] if not a.startswith("--")] or [
-        "sync", "keyed_asof", "dedup", "ann", "retrieval"
+        "sync", "keyed_asof", "dedup", "ann", "retrieval", "timeseries"
     ]
     spark = get_session(app_name="scale_smoke")
     scratch = tempfile.mkdtemp(prefix="spark_graft_scale_")
@@ -60,6 +60,8 @@ def main() -> None:
             smoke_ann(spark, scratch, n_vecs=1_000_000 // div)
         if "retrieval" in fams:
             smoke_retrieval_sketches(spark, scratch, n_docs=2_000_000 // div)
+        if "timeseries" in fams:
+            smoke_timeseries(spark, scratch, n=20_000_000 // div)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -319,6 +321,38 @@ def smoke_retrieval_sketches(spark, scratch, n_docs):
             lo=0.0, hi=float(n_docs // 10),
         )
         .agg(F.count(F.lit(1)).alias("rows"), F.round(F.sum("quantile"), 0).alias("s"))
+        .first(),
+    )
+
+
+def smoke_timeseries(spark, scratch, n):
+    """Rolling stats + 32-lag EWMA at n rows over 64 keys: the cost is
+    one shuffle + one per-key sort + O(W) column ops per row — the
+    whole point is that W lag terms share ONE window spec, so widening
+    W widens arithmetic, not sorts."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.timeseries import (
+        ewma,
+        rolling_stats,
+    )
+
+    print(f"\n## rolling/ewma @ {n:,} rows, 64 keys")
+    rows = spark.range(n).select(
+        (F.col("id") % 64).cast("string").alias("k"),
+        F.col("id").alias("t"),
+        ((F.abs(F.hash(F.col("id").cast("string"))) % 100000) / 100.0).alias("v"),
+    )
+    rows.write.mode("overwrite").parquet(f"{scratch}/ts")
+    t = spark.read.parquet(f"{scratch}/ts")
+    timed(
+        "rolling_stats(W=16)",
+        lambda: rolling_stats(t, "k", "t", "v", window_rows=16)
+        .agg(F.count(F.lit(1)).alias("rows"), F.round(F.sum("roll_mean"), 0).alias("s"))
+        .first(),
+    )
+    timed(
+        "ewma(alpha=0.3, W=32)",
+        lambda: ewma(t, "k", "t", "v", alpha=0.3, window_rows=32)
+        .agg(F.count(F.lit(1)).alias("rows"), F.round(F.sum("ewma"), 0).alias("s"))
         .first(),
     )
 
