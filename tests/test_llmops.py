@@ -779,3 +779,65 @@ def test_dedup_against_corpus_requires_some_corpus(spark):
     new = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     with pytest.raises(ValueError):
         D.dedup_against_corpus(new)
+
+
+def test_dedup_screen_bucketed_signature_table_no_corpus_shuffle(spark, sf_dir):
+    """The docstring's 100 TB recipe, proven in the plan: store the
+    BANDED corpus signatures as a table bucketed on (band, bucket) and
+    the per-batch screen join reads them with no Exchange on the
+    corpus side (only the small batch side shuffles)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.dedup import (
+        _banded_portable,
+        minhash_signatures_portable,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.sources.io import (
+        write_bucketed_table,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    banded_corpus = _banded_portable(
+        minhash_signatures_portable(corpus), num_hashes=16, bands=4
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed_table(
+            banded_corpus, "corpus_bands_b", ["band", "bucket"], num_buckets=8
+        )
+        cb = spark.table("corpus_bands_b")
+        nb = _banded_portable(
+            minhash_signatures_portable(new), num_hashes=16, bands=4
+        ).alias("a")
+        joined = nb.join(
+            cb.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        joined.count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # both remaining exchanges belong to the BATCH side (its
+        # signature aggregation + its repartition to the corpus
+        # table's bucketing); the corpus branch reads bucketed and
+        # feeds the sort-merge join with no exchange at all
+        import re
+
+        n_ex = len(set(re.findall(
+            r"Exchange hashpartitioning[^\n]*plan_id=(\d+)", plan
+        )))
+        assert n_ex == 2, plan[:2000]
+        assert "Bucketed: true" in plan
+        # the corpus scan's subtree (from the bucketed FileScan up to
+        # the join) must contain no Exchange: its sort sits directly on
+        # the scan
+        corpus_branch = plan[plan.rindex("SortMergeJoin"):]
+        scan_at = corpus_branch.index("Bucketed: true")
+        assert "Exchange" not in corpus_branch[
+            corpus_branch.rindex("Sort ", 0, scan_at):scan_at
+        ]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS corpus_bands_b")
