@@ -95,6 +95,36 @@ def cmd_stats(spark: SparkSession, a: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_search(spark: SparkSession, a: argparse.Namespace) -> int:
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    docs = spark.read.parquet(a.input)
+    terms = [t for t in a.terms.split(",") if t]
+    bm25_topk(
+        docs, terms, k=a.k, text_col=a.text_col, id_col=a.id_col
+    ).show(a.k, truncate=False)
+    return 0
+
+
+def cmd_dedup(spark: SparkSession, a: argparse.Namespace) -> int:
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.dedup import (
+        dedup_against_corpus,
+    )
+
+    new = spark.read.parquet(a.input)
+    corpus = spark.read.parquet(a.corpus)
+    kept = dedup_against_corpus(
+        new, corpus, threshold=a.threshold,
+        text_col=a.text_col, id_col=a.id_col,
+    )
+    _write(kept, a.out, a.format)
+    n_in, n_kept = new.count(), kept.count()
+    print(f"kept {n_kept}/{n_in} docs (dropped {n_in - n_kept} near-dups) -> {a.out}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="multi_sensor_data_pipeline_for_robotics__spark")
     p.add_argument("--format", choices=["parquet", "csv"], default="parquet")
@@ -127,6 +157,25 @@ def build_parser() -> argparse.ArgumentParser:
     t = sub.add_parser("stats", help="summary statistics + correlations (O20-O21)")
     t.add_argument("--input", required=True)
     t.set_defaults(fn=cmd_stats)
+
+    q = sub.add_parser("search", help="BM25 keyword search over a documents table")
+    q.add_argument("--input", required=True)
+    q.add_argument("--terms", required=True, help="comma-separated query terms")
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--text-col", default="text")
+    q.add_argument("--id-col", default="doc_id")
+    q.set_defaults(fn=cmd_search)
+
+    d = sub.add_parser(
+        "dedup", help="screen new documents against a corpus (near-dup drop)"
+    )
+    d.add_argument("--input", required=True, help="arriving batch (parquet)")
+    d.add_argument("--corpus", required=True, help="existing corpus (parquet)")
+    d.add_argument("--threshold", type=float, default=0.5)
+    d.add_argument("--text-col", default="text")
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--out", required=True)
+    d.set_defaults(fn=cmd_dedup)
     return p
 
 

@@ -55,3 +55,33 @@ def test_cli_csv_format_roundtrip(spark, tmp_path):
     from multi_sensor_data_pipeline_for_robotics__spark.sources.io import read_sensor_csv
     synced = read_sensor_csv(spark, f"{base}/synced", sensor_type=None)
     assert synced.count() > 0
+
+
+def test_cli_search_and_dedup(spark, tmp_path, capsys):
+    base = str(tmp_path)
+    long_doc = (
+        "the quick brown fox jumps over the lazy dog while the calm cat "
+        "naps beside the warm stone wall in the quiet afternoon sun"
+    )
+    corpus = spark.createDataFrame(
+        [(0, long_doc), (2, "spark shuffles hash partitions across executors")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, long_doc.replace("jumps", "leaps")), (3, "novel text about music")],
+        "doc_id long, text string",
+    )
+    corpus.write.parquet(f"{base}/corpus")
+    new.write.parquet(f"{base}/new")
+
+    assert main(["search", "--input", f"{base}/corpus",
+                 "--terms", "spark,fox", "--k", "2"], spark) == 0
+    out = capsys.readouterr().out
+    assert "score" in out and "rank" in out
+
+    assert main(["dedup", "--input", f"{base}/new", "--corpus", f"{base}/corpus",
+                 "--out", f"{base}/kept"], spark) == 0
+    out = capsys.readouterr().out
+    assert "kept 1/2" in out
+    kept = spark.read.parquet(f"{base}/kept")
+    assert [r.doc_id for r in kept.collect()] == [3]
