@@ -1712,6 +1712,38 @@ def _q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_ewma_tbl")
 
 
+def _q_stream_corpus_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-streaming representative #5 — actually STATELESS by
+    design: a foreachBatch stream-vs-static-signature screen (each
+    micro-batch is a plain batch join against the stored corpus
+    signatures; memory O(batch) forever). Output is independent of
+    micro-batch boundaries, so the oracle is the batch screen's SQL
+    (odd doc_ids arriving, even stored)."""
+    import shutil
+
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.dedup import (
+        minhash_signatures_portable,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.dedup_stream import (
+        read_documents_stream,
+        stream_corpus_screen_to_parquet,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures_portable(docs.filter(F.col("doc_id") % 2 == 0))
+    arriving = read_documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 2 == 1
+    )
+    base = _csv_scratch() + "/corpus_screen"
+    shutil.rmtree(base, ignore_errors=True)  # appends must not accumulate
+    q = stream_corpus_screen_to_parquet(
+        arriving, sigs, base + "/kept", base + "/ckpt"
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(base + "/kept").select("doc_id", "lang", "source")
+
+
 def _q_stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful-streaming representative #3: a STREAM-STREAM inner join
     — each purchase event paired with same-user clicks from the
@@ -1877,6 +1909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _q_dedup_incremental,
         "stream_ewma": _q_stream_ewma,
         "q_hopping_window": _q_hopping_window,
+        "stream_corpus_screen": _q_stream_corpus_screen,
     }
 
 
@@ -2479,6 +2512,10 @@ matched AS (
 SELECT doc_id, lang, source FROM documents
 WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc FROM matched)
 """
+
+    # the streaming screen's output is batch-boundary-independent, so
+    # it shares the batch incremental screen's oracle verbatim
+    o["stream_corpus_screen"] = o["dedup_incremental"]
 
     # portable SimHash oracle: 60-bit sha256-prefix token hash, per-bit
     # majority vote, 4x15-bit block candidate join, exact Hamming filter

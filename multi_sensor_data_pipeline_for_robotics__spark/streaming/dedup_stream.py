@@ -62,3 +62,60 @@ def stream_dedup_exact(
             ["content_hash"]
         )
     return out.dropDuplicates(["content_hash"])
+
+
+def stream_corpus_screen_to_parquet(
+    stream: DataFrame,
+    corpus_signatures: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+):
+    """Streaming twin of ``operators.dedup.dedup_against_corpus``: each
+    arriving micro-batch is screened against a static (precomputed,
+    stored) portable-minhash signature table; survivors append to
+    parquet.
+
+    The screen itself is the BATCH operator applied inside
+    ``foreachBatch`` — the same pattern as
+    ``sync_stream.sync_wide_to_parquet``: Structured Streaming hands a
+    bounded DataFrame per epoch back to the batch planner, so one
+    implementation serves both execution modes and no join state
+    accrues (the per-epoch plan is a plain batch join against the
+    static side; memory is O(batch), forever). A pure incremental-plan
+    formulation is NOT available here: the "drop if ANY band matches"
+    screen needs a per-doc aggregate over the band join, and a
+    streaming aggregation followed by a join falls outside Spark's
+    supported incremental plans.
+
+    Within-batch duplicates pass (same caveat as the batch operator);
+    the static side is pinned at query start — restart to pick up a
+    refreshed signature table.
+    """
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.dedup import (
+        dedup_against_corpus,
+    )
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        kept = dedup_against_corpus(
+            batch_df,
+            corpus_signatures=corpus_signatures,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+            text_col=text_col,
+            id_col=id_col,
+            shingle_n=shingle_n,
+        )
+        kept.write.mode("append").parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -186,3 +186,59 @@ def test_session_window_stream_matches_batch_sessionize(spark, sf_dir, events_pa
     assert (got["session_start"] == batch["session_start"]).all()
     assert (got["session_end"] == batch["session_end"]).all()
     assert (got["n_events"] == batch["n_events"]).all()
+
+
+def test_stream_corpus_screen_matches_batch(spark, tmp_path):
+    """foreachBatch corpus screen == batch dedup_against_corpus on the
+    same arriving docs, independent of micro-batch boundaries (the
+    screen is per-doc vs the static corpus only)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.dedup import (
+        dedup_against_corpus,
+        minhash_signatures_portable,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.dedup_stream import (
+        stream_corpus_screen_to_parquet,
+    )
+
+    base_txt = (
+        "the quick brown fox jumps over the lazy dog while the calm cat "
+        "naps beside the warm stone wall in the quiet afternoon sun"
+    )
+    corpus = spark.createDataFrame(
+        [(100, base_txt), (101, "spark shuffles hash partitions across executors today")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures_portable(corpus)
+
+    arriving = spark.createDataFrame(
+        [
+            (1, base_txt.replace("jumps", "leaps")),   # near-dup -> drop
+            (2, "completely novel text about harmony"),  # keep
+            (3, "spark shuffles hash partitions across executors today"),  # exact -> drop
+            (4, "another novel doc with fresh content entirely"),  # keep
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "arriving")
+    # two files = two micro-batches
+    arriving.filter("doc_id <= 2").coalesce(1).write.mode("append").parquet(src)
+    arriving.filter("doc_id > 2").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "kept")
+    q = stream_corpus_screen_to_parquet(
+        stream, sigs, out, str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    want = sorted(
+        r.doc_id
+        for r in dedup_against_corpus(arriving, corpus_signatures=sigs).collect()
+    )
+    assert got == want == [2, 4]
