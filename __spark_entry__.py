@@ -904,6 +904,17 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def _q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-node triangle participation over the exact near-dup pair
+    # graph — clique-ness of dup clusters (components tell you WHO is
+    # together; triangles tell you how mutually-confirmed the group is)
+    edges = D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5,
+        max_shingle_df=None,
+    )
+    return D.triangle_counts(edges)
+
+
 def _q_dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scale knob: shingles seen in > max_shingle_df docs are dropped
     # before the join (stopword-storm control); deterministic, so the
@@ -1910,6 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ewma": _q_stream_ewma,
         "q_hopping_window": _q_hopping_window,
         "stream_corpus_screen": _q_stream_corpus_screen,
+        "graph_triangles": _q_graph_triangles,
     }
 
 
@@ -2802,6 +2814,24 @@ SELECT doc_a, doc_b,
 FROM i JOIN sz x ON x.doc = i.doc_a JOIN sz y ON y.doc = i.doc_b
 WHERE round(inter / (x.sz + y.sz - inter), 6) >= 0.5
 """
+
+    # per-node triangle counts over the SAME edge set as
+    # dedup_ngram_jaccard (its SQL becomes the edges CTE)
+    o["graph_triangles"] = f"""
+WITH edges AS ({{o_ngram}}),
+tri AS (
+    SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+    FROM edges e1
+    JOIN edges e2 ON e1.doc_a = e2.doc_a AND e1.doc_b < e2.doc_b
+    JOIN edges e3 ON e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b
+)
+SELECT node, count(*) AS n_triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+) GROUP BY node
+""".format(o_ngram=o["dedup_ngram_jaccard"])
+
 
     # capped variant: intersections count only shingles with df <= 8;
     # set sizes stay FULL (mirrors ngram_jaccard_pairs' max_shingle_df)

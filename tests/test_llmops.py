@@ -841,3 +841,22 @@ def test_dedup_screen_bucketed_signature_table_no_corpus_shuffle(spark, sf_dir):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS corpus_bands_b")
+
+
+def test_triangle_counts_clique_chain_and_canonicalization(spark):
+    # K4 on {1,2,3,4}: each node participates in C(3,2)=3 triangles.
+    # Chain 10-11-12-13: none. Edges arrive unordered + duplicated.
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    chain = [(10, 11), (11, 12), (12, 13)]
+    edges = spark.createDataFrame(
+        k4 + chain + [(2, 1), (3, 1)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.node: r.n_triangles for r in D.triangle_counts(edges).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_empty_graph(spark):
+    edges = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert D.triangle_counts(edges).count() == 0
