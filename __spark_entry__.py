@@ -904,6 +904,20 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def _q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic weighted sampling (A-ES exponential keys, sha256
+    # randomness): longer docs proportionally likelier; same 50 docs on
+    # any engine/partitioning — weight = n_chars, the
+    # quality-/temperature-weighted corpus-mix primitive
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        weighted_sample_topk,
+    )
+
+    return weighted_sample_topk(
+        load_table(spark, sf_dir, "documents"), "doc_id", "n_chars", k=50
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
 def _q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-node triangle participation over the exact near-dup pair
     # graph — clique-ness of dup clusters (components tell you WHO is
@@ -1922,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hopping_window": _q_hopping_window,
         "stream_corpus_screen": _q_stream_corpus_screen,
         "graph_triangles": _q_graph_triangles,
+        "sample_weighted": _q_sample_weighted,
     }
 
 
@@ -3420,6 +3435,15 @@ r AS (SELECT query_id, doc, score,
                                      ORDER BY score DESC, doc ASC) AS BIGINT) AS rank
       FROM scores)
 SELECT query_id, doc, score, rank FROM r WHERE rank <= 5
+"""
+
+    o["sample_weighted"] = """
+SELECT doc_id, lang, source, n_chars FROM (
+    SELECT doc_id, lang, source, n_chars,
+           ln((CAST(concat('0x', substr(sha256(cast(doc_id AS varchar)), 1, 13)) AS BIGINT) + 1.0)
+              / 4503599627370496.0) / CAST(n_chars AS DOUBLE) AS aes
+    FROM documents
+) ORDER BY aes DESC LIMIT 50
 """
 
     o["kmv_distinct_users"] = SK.kmv_oracle_sql(

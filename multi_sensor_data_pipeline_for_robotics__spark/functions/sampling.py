@@ -96,3 +96,52 @@ def hash_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     out = df.withColumn(split_col, expr)  # rows past the last edge -> NULL
     return out.filter(F.col(split_col).isNotNull())
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    k: int,
+    group_col: str | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each row gets priority ``u^(1/w)`` — expressed as
+    the equivalent order key ``ln(u)/w`` — with ``u`` a uniform from
+    the row KEY's sha256, and the k best priorities win. Inclusion
+    probability is proportional to weight, the draw is a pure function
+    of (key, weight), and the same rows are selected on any engine,
+    partitioning, or rerun — the temperature-weighted corpus-mixing
+    primitive (weight = quality score, upweight rare domains, ...).
+
+    Selection uses ``orderBy().limit(k)`` (TakeOrderedAndProject /
+    per-group ranking window) — no full sort of corpus data. Weights
+    must be > 0; ties in the order key are broken by the hash itself
+    (measure-zero for distinct keys).
+    """
+    from pyspark.sql import Window as W
+
+    h = F.conv(
+        F.substring(F.sha2(F.col(key).cast("string"), 256), 1, 13), 16, 10
+    ).cast("double")
+    # u in (0, 1]: (h+1) / 16^13 — never 0, so ln(u) is finite
+    u = (h + F.lit(1.0)) / F.lit(float(16 ** 13))
+    order_key = F.log(u) / F.col(weight_col).cast("double")
+    # maximize u^(1/w)  <=>  maximize ln(u)/w  (ln(u) <= 0, w > 0)
+    ok = order_key.alias("__aes")
+    if group_col is None:
+        out = (
+            df.select("*", ok)
+            .orderBy(F.col("__aes").desc())
+            .limit(k)
+            .drop("__aes")
+        )
+        return out
+    w = W.partitionBy(group_col).orderBy(F.col("__aes").desc())
+    return (
+        df.select("*", ok)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__aes", "__rn")
+    )

@@ -91,3 +91,52 @@ def test_stratified_sample_rejects_bad_rate(spark):
     df = spark.range(10).select(F.col("id").alias("key"), F.lit("en").alias("lang"))
     with pytest.raises(ValueError):
         stratified_hash_sample(df, "key", "lang", rates={"en": 1.5})
+
+
+def test_weighted_sample_topk_proportional_and_deterministic(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        weighted_sample_topk,
+    )
+
+    # 2000 rows, weight 9 for ids < 200, weight 1 otherwise: heavy rows
+    # are 10% of the population but ~2/3 of the expected sample mass
+    # (1800*9 : wait — 200*9=1800 vs 1800*1=1800 → ~half the sample)
+    df = spark.range(2000).selectExpr(
+        "id", "CASE WHEN id < 200 THEN 9.0 ELSE 1.0 END AS w"
+    )
+    got = weighted_sample_topk(df, "id", "w", k=400)
+    ids = sorted(r.id for r in got.collect())
+    assert len(ids) == 400
+    heavy = sum(1 for i in ids if i < 200)
+    # expected heavy share ~ 50% (1800 vs 1800 weight mass); allow wide
+    # tolerance — the point is it's FAR above the 10% population share
+    assert 0.3 < heavy / 400 < 0.7
+    # determinism: same rows on a different partitioning
+    again = sorted(
+        r.id for r in weighted_sample_topk(df.repartition(17), "id", "w", k=400).collect()
+    )
+    assert again == ids
+
+
+def test_weighted_sample_topk_grouped(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        weighted_sample_topk,
+    )
+
+    df = spark.range(300).selectExpr("id", "id % 3 AS g", "1.0 + id % 5 AS w")
+    got = weighted_sample_topk(df, "id", "w", k=10, group_col="g")
+    rows = got.collect()
+    assert len(rows) == 30
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r.g, []).append(r.id)
+    assert all(len(v) == 10 for v in by_g.values())
+    # per-group selection equals running the global sampler on the slice
+    for g, ids in by_g.items():
+        solo = sorted(
+            r.id
+            for r in weighted_sample_topk(
+                df.filter(f"g = {g}"), "id", "w", k=10
+            ).collect()
+        )
+        assert sorted(ids) == solo
