@@ -904,6 +904,18 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 5-iteration PageRank over the exact near-dup pair graph —
+    # centrality picks each cluster's canonical member; fixed iteration
+    # count keeps the iterative algorithm a deterministic closed form
+    # the oracle replicates as 5 chained CTEs
+    edges = D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5,
+        max_shingle_df=None,
+    )
+    return D.pagerank(edges, iters=5)
+
+
 def _q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic weighted sampling (A-ES exponential keys, sha256
     # randomness): longer docs proportionally likelier; same 50 docs on
@@ -1936,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hopping_window": _q_hopping_window,
         "stream_corpus_screen": _q_stream_corpus_screen,
         "graph_triangles": _q_graph_triangles,
+        "graph_pagerank": _q_graph_pagerank,
         "sample_weighted": _q_sample_weighted,
     }
 
@@ -2846,6 +2859,64 @@ SELECT node, count(*) AS n_triangles FROM (
     UNION ALL SELECT c FROM tri
 ) GROUP BY node
 """.format(o_ngram=o["dedup_ngram_jaccard"])
+
+    o["graph_pagerank"] = """
+WITH edges AS ({o_ngram}),
+und AS (
+    SELECT doc_a AS s, doc_b AS d FROM edges
+    UNION SELECT doc_b, doc_a FROM edges
+),
+deg AS (SELECT s, count(*) AS outdeg FROM und GROUP BY s),
+nodes AS (SELECT DISTINCT s AS n FROM und),
+r0 AS (SELECT n, 1.0 AS rank FROM nodes),
+r1 AS (
+    SELECT nodes.n,
+           0.15000000000000002 + 0.85 * coalesce(sum(r0.rank / deg.outdeg), 0.0) AS rank
+    FROM nodes
+    LEFT JOIN und ON und.d = nodes.n
+    LEFT JOIN deg ON deg.s = und.s
+    LEFT JOIN r0 ON r0.n = und.s
+    GROUP BY nodes.n
+),
+r2 AS (
+    SELECT nodes.n,
+           0.15000000000000002 + 0.85 * coalesce(sum(r1.rank / deg.outdeg), 0.0) AS rank
+    FROM nodes
+    LEFT JOIN und ON und.d = nodes.n
+    LEFT JOIN deg ON deg.s = und.s
+    LEFT JOIN r1 ON r1.n = und.s
+    GROUP BY nodes.n
+),
+r3 AS (
+    SELECT nodes.n,
+           0.15000000000000002 + 0.85 * coalesce(sum(r2.rank / deg.outdeg), 0.0) AS rank
+    FROM nodes
+    LEFT JOIN und ON und.d = nodes.n
+    LEFT JOIN deg ON deg.s = und.s
+    LEFT JOIN r2 ON r2.n = und.s
+    GROUP BY nodes.n
+),
+r4 AS (
+    SELECT nodes.n,
+           0.15000000000000002 + 0.85 * coalesce(sum(r3.rank / deg.outdeg), 0.0) AS rank
+    FROM nodes
+    LEFT JOIN und ON und.d = nodes.n
+    LEFT JOIN deg ON deg.s = und.s
+    LEFT JOIN r3 ON r3.n = und.s
+    GROUP BY nodes.n
+),
+r5 AS (
+    SELECT nodes.n,
+           0.15000000000000002 + 0.85 * coalesce(sum(r4.rank / deg.outdeg), 0.0) AS rank
+    FROM nodes
+    LEFT JOIN und ON und.d = nodes.n
+    LEFT JOIN deg ON deg.s = und.s
+    LEFT JOIN r4 ON r4.n = und.s
+    GROUP BY nodes.n
+)
+SELECT n AS node, round(rank, 6) AS rank FROM r5
+""".format(o_ngram=o["dedup_ngram_jaccard"])
+
 
 
     # capped variant: intersections count only shingles with df <= 8;

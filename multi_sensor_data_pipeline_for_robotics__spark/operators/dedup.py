@@ -549,6 +549,60 @@ def triangle_counts(
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 5,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    round_to: int = 6,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the (undirected) pair graph →
+    (node, rank). Centrality within a near-dup cluster picks its most
+    "canonical" member — the keep-policy signal ``dedup_keep_best``
+    approximates with per-doc features.
+
+    Each iteration is one join (ranks onto out-edges) + one aggregation
+    (sum contributions per destination) — the same primitives as
+    :func:`connected_components`, with ``localCheckpoint`` truncating
+    lineage so iteration N does not replan 1..N-1. A FIXED iteration
+    count (not convergence-to-epsilon) keeps the result a deterministic
+    closed form, reproducible as ``iters`` chained CTEs in plain SQL —
+    how the harness hash-checks an "iterative" algorithm. Ranks are
+    un-normalized (init 1.0/node, sum ≈ node count), matching the
+    classic formulation.
+    """
+    und = (
+        edges.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+        .unionAll(edges.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
+        .distinct()
+    )
+    und = maybe_persist(und.localCheckpoint(eager=False))
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
+    out = und.join(deg, "s")
+    nodes = und.select(F.col("s").alias("node")).distinct()
+    r = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(iters):
+        contribs = (
+            out.join(r, out["s"] == r["node"])
+            .select(F.col("d"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("d")
+            .agg(F.sum("c").alias("csum"))
+        )
+        r = (
+            nodes.join(contribs, nodes["node"] == contribs["d"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("csum"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return r.select("node", F.round("rank", round_to).alias("rank"))
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,

@@ -860,3 +860,33 @@ def test_triangle_counts_clique_chain_and_canonicalization(spark):
 def test_triangle_counts_empty_graph(spark):
     edges = spark.createDataFrame([], "doc_a long, doc_b long")
     assert D.triangle_counts(edges).count() == 0
+
+
+def _py_pagerank(edges, damping=0.85, iters=5):
+    und = set()
+    for a, b in edges:
+        und.add((a, b)); und.add((b, a))
+    nodes = sorted({s for s, _ in und})
+    outdeg = {n: sum(1 for s, _ in und if s == n) for n in nodes}
+    r = {n: 1.0 for n in nodes}
+    for _ in range(iters):
+        nxt = {}
+        for n in nodes:
+            s = sum(r[src] / outdeg[src] for src, d in und if d == n)
+            nxt[n] = (1.0 - damping) + damping * s
+        r = nxt
+    return {n: round(v, 6) for n, v in r.items()}
+
+
+def test_pagerank_star_and_symmetry(spark):
+    # star 1-2,1-3,1-4: the hub outranks the leaves; leaves are equal.
+    # separate triangle 10-11-12: perfectly symmetric -> equal ranks.
+    edges = [(1, 2), (1, 3), (1, 4), (10, 11), (11, 12), (10, 12)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.node: r.rank for r in D.pagerank(df, iters=5).collect()}
+    want = _py_pagerank(edges)
+    assert set(got) == set(want)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-6, n
+    assert got[1] > got[2] == got[3] == got[4]
+    assert got[10] == got[11] == got[12]
