@@ -1,0 +1,80 @@
+"""Hypothesis property tests for the portable sketches + A-ES sampler.
+
+Each property is the mathematical invariant the operator's docstring
+promises, checked on random inputs — the cheap way to catch the edge
+the fixed fixtures missed.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+    weighted_sample_topk,
+)
+from multi_sensor_data_pipeline_for_robotics__spark.functions.sketch import (
+    histogram_quantiles,
+    kmv_distinct,
+)
+
+values = st.lists(
+    st.floats(min_value=0.0, max_value=999.0, allow_nan=False),
+    min_size=5,
+    max_size=60,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vals=values)
+def test_hist_quantiles_monotone_in_q(spark, vals):
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    got = {
+        r.q: r.quantile
+        for r in histogram_quantiles(
+            df, "v", qs=(0.25, 0.5, 0.75, 1.0), bins=64, lo=0.0, hi=1000.0
+        ).collect()
+    }
+    assert got[0.25] <= got[0.5] <= got[0.75] <= got[1.0]
+    # every estimate stays inside the value domain
+    assert all(0.0 <= v <= 1000.0 for v in got.values())
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=80)
+)
+def test_kmv_never_exceeds_k_and_exact_below(spark, ids):
+    df = spark.createDataFrame([(i,) for i in ids], "v long")
+    row = kmv_distinct(df, "v", k=32).first()
+    n_true = len(set(ids))
+    assert row.sketch_m == min(n_true, 32)
+    if n_true < 32:
+        assert row.approx_distinct == float(n_true)
+    else:
+        assert row.approx_distinct > 0
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n=st.integers(min_value=10, max_value=40),
+    boost=st.integers(min_value=0, max_value=9),
+)
+def test_weighted_sample_upweight_never_evicts(spark, n, boost):
+    """A-ES monotonicity: raising one row's weight can only improve its
+    own priority (ln(u)/w rises toward 0) while leaving every other
+    row's priority unchanged — so a selected row stays selected when
+    ONLY its weight increases."""
+    k = n // 2
+    base = [(i, 1.0 + (i % 3)) for i in range(n)]
+    df = spark.createDataFrame(base, "id long, w double")
+    before = {r.id for r in weighted_sample_topk(df, "id", "w", k=k).collect()}
+    target = sorted(before)[0]
+    bumped = [(i, w + (100.0 if i == target else 0.0)) for i, w in base]
+    df2 = spark.createDataFrame(bumped, "id long, w double")
+    after = {r.id for r in weighted_sample_topk(df2, "id", "w", k=k).collect()}
+    assert target in after
+    # and nothing outside {previously selected} ∪ {target} can enter:
+    # all other priorities are unchanged, so the k-th threshold can
+    # only rise
+    assert after <= before | {target}
