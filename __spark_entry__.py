@@ -904,6 +904,23 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ordered funnel view -> click -> purchase: one aggregation pass
+    # (per-user sorted step-time arrays + chained array_min), one
+    # shuffle regardless of depth
+    return A.funnel_counts(
+        load_table(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weekly cohort retention triangle: users bucketed by first-seen
+    # week, counted at each later-activity offset
+    return A.retention_cohorts(
+        load_table(spark, sf_dir, "events"), period_days=7, max_periods=8
+    )
+
+
 def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 5-iteration PageRank over the exact near-dup pair graph —
     # centrality picks each cluster's canonical member; fixed iteration
@@ -1950,6 +1967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": _q_graph_triangles,
         "graph_pagerank": _q_graph_pagerank,
         "sample_weighted": _q_sample_weighted,
+        "q_funnel": _q_funnel,
+        "q_retention": _q_retention,
     }
 
 
@@ -3506,6 +3525,41 @@ r AS (SELECT query_id, doc, score,
                                      ORDER BY score DESC, doc ASC) AS BIGINT) AS rank
       FROM scores)
 SELECT query_id, doc, score, rank FROM r WHERE rank <= 5
+"""
+
+    o["q_funnel"] = """
+WITH u1 AS (
+    SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+u2 AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+    FROM events e JOIN u1 ON e.user_id = u1.user_id
+    WHERE e.event_type = 'click' AND epoch_us(e.ts) > u1.t1
+    GROUP BY e.user_id
+),
+u3 AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+    FROM events e JOIN u2 ON e.user_id = u2.user_id
+    WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > u2.t2
+    GROUP BY e.user_id
+)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, (SELECT count(*) FROM u1) AS users
+UNION ALL SELECT 2, 'click', (SELECT count(*) FROM u2)
+UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM u3)
+"""
+
+    o["q_retention"] = """
+WITH up AS (
+    SELECT DISTINCT user_id,
+           CAST(floor(epoch_us(ts) / 604800000000.0) AS BIGINT) AS p
+    FROM events
+),
+c AS (SELECT user_id, min(p) AS cohort FROM up GROUP BY user_id)
+SELECT c.cohort, up.p - c.cohort AS "offset", count(*) AS users
+FROM up JOIN c ON up.user_id = c.user_id
+WHERE up.p - c.cohort <= 8
+GROUP BY 1, 2
 """
 
     o["sample_weighted"] = """

@@ -651,3 +651,125 @@ def approx_distinct_stats(
         F.percentile_approx("value", 0.5, 10_000).alias("approx_median"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    within_minutes: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis (beyond-reference): how many users
+    completed step 1, steps 1→2 in order, 1→2→3, ... — the standard
+    event-analytics conversion query.
+
+    Plan: ONE aggregation pass computes, per user, the earliest
+    timestamp of step k that occurs AFTER their earliest qualifying
+    step k-1 — expressed as chained conditional ``min`` aggregates over
+    a single groupBy(user), so the cost is one shuffle of (user, type,
+    ts) triples regardless of funnel depth. No joins, no windows, no
+    per-step passes. ``within_minutes`` bounds the whole funnel span
+    from the step-1 time.
+
+    Output: (step long, step_name, users long) — users completing the
+    funnel PREFIX ending at that step; monotonically non-increasing.
+    """
+    t = ts_us(F.col(ts_col))
+    per_user = events.filter(F.col(type_col).isin(steps)).groupBy(user_col)
+    # earliest step-1 time; then for each later step the earliest
+    # occurrence strictly after the previous step's chosen time —
+    # computed as nested conditional aggregates: min(ts WHERE type=k AND
+    # ts > t_{k-1}) is not directly expressible (t_{k-1} is itself an
+    # aggregate), so collect each step's sorted times once and resolve
+    # the chain with array functions — per user the arrays hold only
+    # that user's step events.
+    aggs = [
+        F.sort_array(
+            F.collect_list(F.when(F.col(type_col) == s, t))
+        ).alias(f"__t{i}")
+        for i, s in enumerate(steps)
+    ]
+    rows = per_user.agg(*aggs)
+    prev = F.array_min("__t0")
+    reached = [prev]
+    for i in range(1, len(steps)):
+        arr = F.col(f"__t{i}")
+        p = reached[-1]
+        nxt = F.array_min(F.filter(arr, lambda x: x > p))
+        reached.append(nxt)
+    if within_minutes is not None:
+        limit_us = within_minutes * 60 * 1_000_000
+        start = reached[0]
+        reached = [reached[0]] + [
+            F.when(r - start <= limit_us, r) for r in reached[1:]
+        ]
+    flags = rows.select(
+        *[r.isNotNull().cast("int").alias(f"__r{i}") for i, r in enumerate(reached)]
+    )
+    # a user counts for step k only if every prior step was reached —
+    # enforce prefix semantics with a running product of flags
+    prefix = []
+    acc = F.col("__r0")
+    prefix.append(acc)
+    for i in range(1, len(steps)):
+        acc = acc * F.col(f"__r{i}")
+        prefix.append(acc)
+    counts = flags.agg(
+        *[F.sum(p).cast("long").alias(f"__s{i}") for i, p in enumerate(prefix)]
+    )
+    out = counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).cast("long").alias("step"),
+                        F.lit(s).alias("step_name"),
+                        F.col(f"__s{i}").alias("users"),
+                    )
+                    for i, s in enumerate(steps)
+                ]
+            )
+        ).alias("x")
+    )
+    return out.select("x.step", "x.step_name", "x.users")
+
+
+def retention_cohorts(
+    events: DataFrame,
+    period_days: int = 7,
+    max_periods: int = 8,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention (beyond-reference): bucket users by their FIRST
+    activity period, then count how many are active k periods later —
+    the standard retention triangle.
+
+    Plan: one aggregation derives each user's cohort (min ts → period)
+    alongside their distinct active periods (collected per user — at
+    most ``max_periods`` small ints after the offset filter), then one
+    explode + count builds the triangle. Cost: one shuffle of (user,
+    period) pairs + one tiny aggregation; no self-joins.
+
+    Output: (cohort long, offset long, users long), offsets 0..max.
+    """
+    period_us = period_days * 24 * 3600 * 1_000_000
+    t = ts_us(F.col(ts_col))
+    per_user = events.groupBy(user_col).agg(
+        F.floor(F.min(t) / period_us).alias("cohort"),
+        F.collect_set(F.floor(t / period_us)).alias("periods"),
+    )
+    exploded = per_user.select(
+        "cohort",
+        F.explode(
+            F.filter(
+                F.transform("periods", lambda p: p - F.col("cohort")),
+                lambda o: o <= F.lit(max_periods),
+            )
+        ).alias("offset"),
+    )
+    return exploded.groupBy("cohort", "offset").agg(
+        F.count(F.lit(1)).cast("long").alias("users")
+    )

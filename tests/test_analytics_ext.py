@@ -124,3 +124,68 @@ def test_grouping_sets_flags_disambiguate(spark):
     assert not any(r.g_region == 1 and r.g_priority == 1 for r in rows)
     region_margin = [r for r in rows if r.g_priority == 1]
     assert len(region_margin) == 1 and region_margin[0].revenue == 30.0
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), t) for u, m, t in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+
+
+def test_funnel_prefix_and_order_semantics(spark):
+    rows = [
+        # user 1: full ordered funnel
+        (1, 0, "view"), (1, 5, "click"), (1, 10, "purchase"),
+        # user 2: clicked BEFORE viewing -> counts for step 1 only
+        (2, 0, "click"), (2, 5, "view"),
+        # user 3: view then click, no purchase -> steps 1-2
+        (3, 0, "view"), (3, 2, "click"),
+        # user 4: purchase only -> no steps
+        (4, 0, "purchase"),
+        # user 5: view, click, purchase but purchase BEFORE click
+        (5, 0, "view"), (5, 10, "purchase"), (5, 20, "click"),
+    ]
+    got = {
+        r.step: (r.step_name, r.users)
+        for r in A.funnel_counts(
+            _ev(spark, rows), ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got == {1: ("view", 4), 2: ("click", 3), 3: ("purchase", 1)}
+
+
+def test_funnel_within_window_cuts_slow_users(spark):
+    rows = [
+        (1, 0, "view"), (1, 5, "click"),      # fast: within 10 min
+        (2, 0, "view"), (2, 30, "click"),     # slow: beyond 10 min
+    ]
+    got = {
+        r.step: r.users
+        for r in A.funnel_counts(
+            _ev(spark, rows), ["view", "click"], within_minutes=10
+        ).collect()
+    }
+    assert got == {1: 2, 2: 1}
+
+
+def test_retention_cohort_triangle(spark):
+    day = 24 * 60
+    rows = [
+        # user 1: first week 0, returns weeks 1 and 3
+        (1, 0, "view"), (1, 8 * day, "view"), (1, 22 * day, "view"),
+        # user 2: first week 0 only
+        (2, 1 * day, "view"),
+        # user 3: first week 1, returns week 2
+        (3, 8 * day, "view"), (3, 15 * day, "view"),
+    ]
+    rows_out = A.retention_cohorts(
+        _ev(spark, rows), period_days=7, max_periods=8
+    ).collect()
+    # cohort labels are absolute epoch-week numbers; compare relative
+    base = min(r.cohort for r in rows_out)
+    got = {(r.cohort - base, r.offset): r.users for r in rows_out}
+    assert got == {
+        (0, 0): 2, (0, 1): 1, (0, 3): 1,
+        (1, 0): 1, (1, 1): 1,
+    }
