@@ -1745,6 +1745,28 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_dedup_tbl")
 
 
+def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-streaming representative #6: native session windows
+    (MERGING state — each user carries only open sessions, closed ones
+    drop at the watermark; streaming/sessions.py). Driven in complete
+    mode so the bounded run flushes every session. Oracle: the batch
+    lag/cumsum sessionization with the STREAMING boundary rule (an
+    event at exactly the gap starts a new session — ``>= gap``);
+    event timestamps are microsecond-unique so the rule never actually
+    fires on a knife edge."""
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.sessions import (
+        session_stats_stream,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.sync_stream import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    sess = session_stats_stream(read_events_stream(spark, sf_dir), gap_minutes=30)
+    run_to_memory(sess, "stream_sessions_tbl", output_mode="complete")
+    return spark.table("stream_sessions_tbl")
+
+
 def _q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful-streaming representative #4: truncated EWMA over the
     events file-stream (streaming/stateful.py::ewma_stream). State per
@@ -1969,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted": _q_sample_weighted,
         "q_funnel": _q_funnel,
         "q_retention": _q_retention,
+        "stream_sessions": _q_stream_sessions,
     }
 
 
@@ -3525,6 +3548,27 @@ r AS (SELECT query_id, doc, score,
                                      ORDER BY score DESC, doc ASC) AS BIGINT) AS rank
       FROM scores)
 SELECT query_id, doc, score, rank FROM r WHERE rank <= 5
+"""
+
+    o["stream_sessions"] = """
+WITH o AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+n AS (
+    SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+    FROM o
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       max(ts) AS window_close,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+FROM n GROUP BY user_id, sid
 """
 
     o["q_funnel"] = """
