@@ -169,3 +169,28 @@ def test_jsonl_partitioned_sink(spark, tmp_path):
     ) == ["part=0", "part=1", "part=2"]
     back = read_jsonl(spark, path, schema=df.schema)
     assert back.count() == 100 and back.agg({"id": "sum"}).first()[0] == 4950
+
+
+def test_partitioned_write_prunes_partitions_at_scan(spark, tmp_path, sf_dir):
+    """partitionBy(event_type) + a type predicate must prune directories
+    at PLANNING time: the scan's partition count and PartitionFilters
+    show only the selected partition is read — the other half of the
+    pay-once-at-write-time story next to bucketing."""
+    from multi_sensor_data_pipeline_for_robotics__spark.sources.io import write_parquet
+    from multi_sensor_data_pipeline_for_robotics__spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "ev_part")
+    write_parquet(ev, path, partition_by=["event_type"])
+
+    q = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    n = q.count()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # the predicate must land in PartitionFilters (directory pruning at
+    # planning time), NOT in PushedFilters/DataFilters (row filtering
+    # inside every file)
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_type" in pf and "click" in pf
+    df_section = plan.split("DataFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_type" not in df_section
+    assert n == ev.filter(F.col("event_type") == "click").count() > 0
