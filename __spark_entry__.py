@@ -1232,6 +1232,17 @@ def _q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # second-order LM quality screen: add-k-smoothed bigram logprob
+    # under the corpus's own distribution (plans/corpus.py) — catches
+    # right-words-wrong-order gibberish the unigram screen passes
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.corpus import (
+        bigram_logprob_scores,
+    )
+
+    return bigram_logprob_scores(load_table(spark, sf_dir, "documents"), k=0.5)
+
+
 def _q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # concat-and-chunk packing into 512-token training sequences;
     # distributed two-phase prefix sum, no single-partition window
@@ -1992,6 +2003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_funnel": _q_funnel,
         "q_retention": _q_retention,
         "stream_sessions": _q_stream_sessions,
+        "text_bigram_logprob": _q_text_bigram_logprob,
     }
 
 
@@ -3334,6 +3346,28 @@ SELECT doc_id,
                      AS DECIMAL(20,6))) AS DOUBLE) AS sum_logprob,
        count(*) AS n_tokens
 FROM tok JOIN totals USING (token) CROSS JOIN n
+GROUP BY doc_id
+"""
+
+    o["text_bigram_logprob"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+b2 AS (
+    SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS b
+        FROM t WHERE len(toks) >= 2
+    )
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM b2 GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM b2 GROUP BY 1),
+v AS (SELECT count(DISTINCT token) AS v FROM (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents))
+SELECT doc_id,
+       CAST(sum(CAST(round(ln((c12 + 0.5) / (c1 + 0.5 * v)), 6)
+                     AS DECIMAL(20,6))) AS DOUBLE) AS sum_logprob,
+       count(*) AS n_bigrams
+FROM b2 JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
 GROUP BY doc_id
 """
 

@@ -83,3 +83,71 @@ def corpus_clean_pipeline(
         "source",
         F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
     )
+
+
+def bigram_logprob_scores(
+    docs: DataFrame,
+    k: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document bigram language-model score under the corpus's own
+    add-k-smoothed bigram distribution — the second-order upgrade of
+    the unigram quality screen (catches plausible-words-in-implausible-
+    order gibberish the unigram model scores well)::
+
+        p(w2 | w1) = (c(w1 w2) + k) / (c(w1 ·) + k·V)
+
+    Output: (doc_id, sum_logprob double, n_bigrams long). Short docs
+    (< 2 tokens) are absent — no bigrams to score.
+
+    One explode feeds the bigram stream; model counts are two
+    aggregations OVER THAT STREAM (no second scan), and V is a 1-row
+    distinct-token count folded in as a broadcast. The count joins
+    carry no broadcast hint — a web-scale bigram table outgrows any
+    broadcast, so the strategy is AQE's call. Float policy matches the
+    unigram screen: each bigram's ln(p) is rounded to 6 BEFORE an
+    exact DECIMAL sum, so the result is order-independent and
+    hash-comparable across engines.
+    """
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.text import tokens
+
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__t"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("__t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__t") - 2),
+                    lambda i: F.struct(
+                        F.element_at("__t", i + 1).alias("w1"),
+                        F.element_at("__t", i + 2).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    bigrams = bigrams.localCheckpoint(eager=False)
+    c12 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.select(F.explode("__t").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    logp6 = F.round(
+        F.log(
+            (F.col("c12").cast("double") + F.lit(float(k)))
+            / (F.col("c1").cast("double") + F.lit(float(k)) * F.col("v").cast("double"))
+        ),
+        6,
+    ).cast("decimal(20,6)")
+    return (
+        bigrams.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(logp6).cast("double").alias("sum_logprob"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )

@@ -890,3 +890,63 @@ def test_pagerank_star_and_symmetry(spark):
         assert abs(got[n] - want[n]) < 1e-6, n
     assert got[1] > got[2] == got[3] == got[4]
     assert got[10] == got[11] == got[12]
+
+
+def test_bigram_logprob_matches_pure_python(spark):
+    import math
+
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.corpus import (
+        bigram_logprob_scores,
+    )
+
+    corpus = [
+        (0, "a b a b a c"),
+        (1, "a b"),
+        (2, "c c c"),
+        (3, "x"),  # < 2 tokens: absent from output
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.sum_logprob, r.n_bigrams)
+        for r in bigram_logprob_scores(df, k=0.5).collect()
+    }
+
+    toks = {d: t.split(" ") for d, t in corpus}
+    bgs = {d: list(zip(t, t[1:])) for d, t in toks.items()}
+    from collections import Counter
+
+    c12 = Counter(b for bs in bgs.values() for b in bs)
+    c1 = Counter(b[0] for bs in bgs.values() for b in bs)
+    v = len({w for t in toks.values() for w in t})
+    want = {}
+    for d, bs in bgs.items():
+        if not bs:
+            continue
+        s = sum(
+            round(math.log((c12[b] + 0.5) / (c1[b[0]] + 0.5 * v)), 6) for b in bs
+        )
+        want[d] = (round(s, 6), len(bs))
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][1] == want[d][1]
+        assert abs(got[d][0] - want[d][0]) < 1e-9
+
+
+def test_bigram_logprob_flags_shuffled_text(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.corpus import (
+        bigram_logprob_scores,
+    )
+
+    # natural docs share bigram structure; the shuffled doc uses the
+    # SAME unigrams in an order the corpus never produces — the bigram
+    # screen must score it lower per-bigram than its natural twin
+    natural = "the quick brown fox jumps over the lazy dog"
+    docs = [(i, natural) for i in range(10)] + [
+        (99, "dog the over quick lazy brown the jumps fox")
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: r.sum_logprob / r.n_bigrams
+        for r in bigram_logprob_scores(df).collect()
+    }
+    assert got[99] < got[0]
