@@ -1232,6 +1232,27 @@ def _q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # declarative data-quality gate (dbt/Deequ shape): N rules over the
+    # events table in ONE scan + 1-row agg (the unique rule adds one
+    # groupBy); portable rule semantics replicated verbatim in SQL
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.quality import (
+        check_constraints,
+    )
+
+    return check_constraints(
+        load_table(spark, sf_dir, "events"),
+        [
+            ("not_null", "user_id"),
+            ("range", "value", 0.0, 450.0),
+            ("accepted_values", "event_type",
+             ["click", "view", "purchase", "signup", "error"]),
+            ("matches", "props", r"^\{.*\}$"),
+            ("unique", ["event_id"]),
+        ],
+    )
+
+
 def _q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # second-order LM quality screen: add-k-smoothed bigram logprob
     # under the corpus's own distribution (plans/corpus.py) — catches
@@ -2004,6 +2025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_retention": _q_retention,
         "stream_sessions": _q_stream_sessions,
         "text_bigram_logprob": _q_text_bigram_logprob,
+        "quality_checks": _q_quality_checks,
     }
 
 
@@ -3347,6 +3369,33 @@ SELECT doc_id,
        count(*) AS n_tokens
 FROM tok JOIN totals USING (token) CROSS JOIN n
 GROUP BY doc_id
+"""
+
+    o["quality_checks"] = """
+SELECT 'not_null(user_id)' AS rule,
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+FROM events
+UNION ALL
+SELECT 'range(value,0.0,450.0)',
+       sum(CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 450.0)
+           THEN 1 ELSE 0 END)
+FROM events
+UNION ALL
+SELECT 'accepted_values(event_type)',
+       sum(CASE WHEN event_type IS NOT NULL
+                 AND event_type NOT IN ('click','view','purchase','signup','error')
+           THEN 1 ELSE 0 END)
+FROM events
+UNION ALL
+SELECT 'matches(props)',
+       sum(CASE WHEN props IS NOT NULL
+                 AND NOT regexp_matches(props, '^\\{.*\\}$')
+           THEN 1 ELSE 0 END)
+FROM events
+UNION ALL
+SELECT 'unique(event_id)',
+       coalesce(sum(CASE WHEN n > 1 THEN n - 1 END), 0)
+FROM (SELECT event_id, count(*) AS n FROM events GROUP BY event_id)
 """
 
     o["text_bigram_logprob"] = """

@@ -1,0 +1,109 @@
+"""Declarative data-quality constraint checking.
+
+The reference validates interactively (drop-missing report strings,
+app.py:96-118); production pipelines want the dbt/Deequ shape instead:
+declare constraints, get one violations row per rule, gate the job on
+the result. Every rule compiles to a conditional COUNT aggregate, so
+checking N rules over any size table costs ONE scan and one 1-row
+aggregation — no per-rule passes, no collects (the `unique` rule adds
+one groupBy on its key columns, the only shuffle).
+
+Rules (all engine-portable — used verbatim by the SQL oracle twin):
+
+  ("not_null", col)                   value IS NULL
+  ("range", col, lo, hi)              value outside [lo, hi]
+  ("accepted_values", col, [v, ...])  value not in the list (nulls pass)
+  ("matches", col, regex)             value !~ regex (nulls pass)
+  ("unique", [col, ...])              rows beyond the first per key
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def check_constraints(df: DataFrame, rules: list[tuple]) -> DataFrame:
+    """One violations row per rule: (rule string, violations long).
+    ``rule`` is a stable human-readable label derived from the spec.
+    """
+    aggs = []
+    labels = []
+    unique_rules = []
+    for r in rules:
+        kind = r[0]
+        if kind == "not_null":
+            col = r[1]
+            labels.append(f"not_null({col})")
+            aggs.append(F.sum(F.col(col).isNull().cast("long")))
+        elif kind == "range":
+            col, lo, hi = r[1], r[2], r[3]
+            labels.append(f"range({col},{lo},{hi})")
+            aggs.append(
+                F.sum(
+                    (
+                        F.col(col).isNotNull()
+                        & ((F.col(col) < lo) | (F.col(col) > hi))
+                    ).cast("long")
+                )
+            )
+        elif kind == "accepted_values":
+            col, vals = r[1], list(r[2])
+            labels.append(f"accepted_values({col})")
+            aggs.append(
+                F.sum(
+                    (F.col(col).isNotNull() & ~F.col(col).isin(vals)).cast("long")
+                )
+            )
+        elif kind == "matches":
+            col, pat = r[1], r[2]
+            labels.append(f"matches({col})")
+            aggs.append(
+                F.sum(
+                    (
+                        F.col(col).isNotNull() & ~F.col(col).rlike(pat)
+                    ).cast("long")
+                )
+            )
+        elif kind == "unique":
+            unique_rules.append([str(c) for c in r[1]])
+        else:
+            raise ValueError(f"unknown rule kind: {kind}")
+
+    parts = []
+    if aggs:
+        one = df.agg(*[a.alias(f"__v{i}") for i, a in enumerate(aggs)])
+        parts.append(
+            one.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(lbl).alias("rule"),
+                                F.col(f"__v{i}").cast("long").alias("violations"),
+                            )
+                            for i, lbl in enumerate(labels)
+                        ]
+                    )
+                ).alias("x")
+            ).select("x.rule", "x.violations")
+        )
+    for cols in unique_rules:
+        lbl = f"unique({','.join(cols)})"
+        dup = (
+            df.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("n") > 1, F.col("n") - 1)), F.lit(0)
+                )
+                .cast("long")
+                .alias("violations")
+            )
+            .select(F.lit(lbl).alias("rule"), "violations")
+        )
+        parts.append(dup)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
