@@ -1232,6 +1232,27 @@ def _q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # warehouse CDC: type-2 slowly-changing-dimension merge — customers
+    # as the dimension, every 10th customer changes market segment;
+    # changed keys get their current version closed and a new one
+    # opened, history stays queryable via as-of predicates
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.scd import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey", "c_mktsegment",
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("NEW-"), F.col("c_mktsegment")).alias("c_mktsegment"),
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("eff_ts"),
+    )
+    return scd2_apply(dim, updates, "c_custkey", ["c_mktsegment"])
+
+
 def _q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # declarative data-quality gate (dbt/Deequ shape): N rules over the
     # events table in ONE scan + 1-row agg (the unique rule adds one
@@ -2026,6 +2047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessions": _q_stream_sessions,
         "text_bigram_logprob": _q_text_bigram_logprob,
         "quality_checks": _q_quality_checks,
+        "scd2_merge": _q_scd2_merge,
     }
 
 
@@ -3369,6 +3391,31 @@ SELECT doc_id,
        count(*) AS n_tokens
 FROM tok JOIN totals USING (token) CROSS JOIN n
 GROUP BY doc_id
+"""
+
+    o["scd2_merge"] = """
+WITH dim AS (
+    SELECT c_custkey, c_mktsegment,
+           TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to
+    FROM customer
+),
+up AS (
+    SELECT c_custkey AS k, 'NEW-' || c_mktsegment AS seg,
+           TIMESTAMP '2024-06-01 00:00:00' AS eff
+    FROM customer WHERE c_custkey % 10 = 0
+)
+SELECT d.c_custkey, d.c_mktsegment, d.valid_from, d.valid_to
+FROM dim d LEFT JOIN up ON d.c_custkey = up.k
+WHERE up.k IS NULL OR d.c_mktsegment IS NOT DISTINCT FROM up.seg
+UNION ALL
+SELECT d.c_custkey, d.c_mktsegment, d.valid_from, up.eff
+FROM dim d JOIN up ON d.c_custkey = up.k
+WHERE d.c_mktsegment IS DISTINCT FROM up.seg
+UNION ALL
+SELECT up.k, up.seg, up.eff, CAST(NULL AS TIMESTAMP)
+FROM up LEFT JOIN dim d ON d.c_custkey = up.k
+WHERE d.c_custkey IS NULL OR d.c_mktsegment IS DISTINCT FROM up.seg
 """
 
     o["quality_checks"] = """

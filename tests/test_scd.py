@@ -1,0 +1,66 @@
+"""SCD2 merge: change/no-op/new-key legs, chained merges, time travel."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from multi_sensor_data_pipeline_for_robotics__spark.operators.scd import scd2_apply
+
+T0 = dt.datetime(2024, 1, 1)
+T1 = dt.datetime(2024, 6, 1)
+T2 = dt.datetime(2024, 9, 1)
+
+
+def _dim(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, seg string, valid_from timestamp, valid_to timestamp"
+    )
+
+
+def _up(spark, rows):
+    return spark.createDataFrame(rows, "k long, seg string, eff_ts timestamp")
+
+
+def test_scd2_change_noop_newkey(spark):
+    dim = _dim(spark, [(1, "A", T0, None), (2, "B", T0, None)])
+    up = _up(spark, [(1, "A2", T1), (2, "B", T1), (3, "C", T1)])
+    out = scd2_apply(dim, up, "k", ["seg"]).collect()
+    rows = {(r.k, r.seg): (r.valid_from, r.valid_to) for r in out}
+    assert rows == {
+        (1, "A"): (T0, T1),     # closed
+        (1, "A2"): (T1, None),  # opened
+        (2, "B"): (T0, None),   # no-op: untouched
+        (3, "C"): (T1, None),   # new key
+    }
+
+
+def test_scd2_chained_merges_preserve_history_and_time_travel(spark):
+    dim = _dim(spark, [(1, "A", T0, None)])
+    dim = scd2_apply(dim, _up(spark, [(1, "B", T1)]), "k", ["seg"])
+    dim = scd2_apply(dim, _up(spark, [(1, "C", T2)]), "k", ["seg"])
+    rows = sorted(
+        ((r.seg, r.valid_from, r.valid_to) for r in dim.collect()),
+        key=lambda x: x[1],
+    )
+    assert rows == [("A", T0, T1), ("B", T1, T2), ("C", T2, None)]
+
+    # as-of predicate: what was key 1 at T1 + 1 day?
+    t = T1 + dt.timedelta(days=1)
+    asof = dim.filter(
+        (F.col("valid_from") <= F.lit(t))
+        & (F.col("valid_to").isNull() | (F.lit(t) < F.col("valid_to")))
+    ).collect()
+    assert len(asof) == 1 and asof[0].seg == "B"
+
+
+def test_scd2_null_safe_tracked_comparison(spark):
+    dim = _dim(spark, [(1, None, T0, None)])
+    # None -> None is a no-op; None -> X is a change
+    out1 = scd2_apply(dim, _up(spark, [(1, None, T1)]), "k", ["seg"]).collect()
+    assert len(out1) == 1 and out1[0].valid_to is None
+    out2 = scd2_apply(dim, _up(spark, [(1, "X", T1)]), "k", ["seg"]).collect()
+    assert sorted(
+        ((r.seg or "", r.valid_to is None) for r in out2)
+    ) == [("", False), ("X", True)]
