@@ -1253,6 +1253,35 @@ def _q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(dim, updates, "c_custkey", ["c_mktsegment"])
 
 
+def _q_scd2_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # families composed: an SCD2 dimension BUILT by scd2_apply (users
+    # upgrade to 'buyer' at their first purchase), then every event
+    # enriched with the version valid AT EVENT TIME (equi-join on user
+    # + validity-interval predicate) — the time-travel query the
+    # valid_from/valid_to intervals exist for
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.scd import scd2_apply
+
+    ev = load_table(spark, sf_dir, "events")
+    dim0 = ev.groupBy("user_id").agg(F.min("ts").alias("valid_from")).select(
+        "user_id", F.lit("base").alias("tier"), "valid_from",
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    updates = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("eff_ts"))
+        .select("user_id", F.lit("buyer").alias("tier"), "eff_ts")
+    )
+    dim = scd2_apply(dim0, updates, "user_id", ["tier"])
+    enriched = ev.join(dim, "user_id").filter(
+        (F.col("valid_from") <= F.col("ts"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+    )
+    return enriched.groupBy("tier", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 def _q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # declarative data-quality gate (dbt/Deequ shape): N rules over the
     # events table in ONE scan + 1-row agg (the unique rule adds one
@@ -2048,6 +2077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_logprob": _q_text_bigram_logprob,
         "quality_checks": _q_quality_checks,
         "scd2_merge": _q_scd2_merge,
+        "scd2_timetravel": _q_scd2_timetravel,
     }
 
 
@@ -3416,6 +3446,31 @@ UNION ALL
 SELECT up.k, up.seg, up.eff, CAST(NULL AS TIMESTAMP)
 FROM up LEFT JOIN dim d ON d.c_custkey = up.k
 WHERE d.c_custkey IS NULL OR d.c_mktsegment IS DISTINCT FROM up.seg
+"""
+
+    o["scd2_timetravel"] = """
+WITH dim0 AS (
+    SELECT user_id, 'base' AS tier, min(ts) AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to
+    FROM events GROUP BY user_id
+),
+up AS (
+    SELECT user_id, 'buyer' AS tier, min(ts) AS eff
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+dim AS (
+    SELECT d.user_id, d.tier, d.valid_from, up.eff AS valid_to
+    FROM dim0 d JOIN up ON d.user_id = up.user_id
+    UNION ALL
+    SELECT d.user_id, d.tier, d.valid_from, d.valid_to
+    FROM dim0 d LEFT JOIN up ON d.user_id = up.user_id WHERE up.user_id IS NULL
+    UNION ALL
+    SELECT user_id, tier, eff, CAST(NULL AS TIMESTAMP) FROM up
+)
+SELECT dim.tier, e.event_type, count(*) AS n
+FROM events e JOIN dim ON e.user_id = dim.user_id
+WHERE dim.valid_from <= e.ts AND (dim.valid_to IS NULL OR e.ts < dim.valid_to)
+GROUP BY dim.tier, e.event_type
 """
 
     o["quality_checks"] = """
