@@ -125,6 +125,42 @@ def cmd_dedup(spark: SparkSession, a: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_check(spark: SparkSession, a: argparse.Namespace) -> int:
+    """Data-quality gate: exit 1 if any rule has violations.
+
+    --rule accepts  not_null:col | range:col:lo:hi |
+    accepted_values:col:v1,v2,... | matches:col:regex | unique:c1,c2
+    """
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.quality import (
+        check_constraints,
+    )
+
+    rules = []
+    for spec in a.rule:
+        kind, _, rest = spec.partition(":")
+        if kind == "not_null":
+            rules.append(("not_null", rest))
+        elif kind == "range":
+            col, lo, hi = rest.split(":")
+            rules.append(("range", col, float(lo), float(hi)))
+        elif kind == "accepted_values":
+            col, _, vals = rest.partition(":")
+            rules.append(("accepted_values", col, vals.split(",")))
+        elif kind == "matches":
+            col, _, pat = rest.partition(":")
+            rules.append(("matches", col, pat))
+        elif kind == "unique":
+            rules.append(("unique", rest.split(",")))
+        else:
+            raise SystemExit(f"unknown rule kind: {kind}")
+    rows = check_constraints(spark.read.parquet(a.input), rules).collect()
+    bad = 0
+    for r in rows:
+        print(f"{r.rule}: {r.violations} violations")
+        bad += r.violations
+    return 1 if bad else 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="multi_sensor_data_pipeline_for_robotics__spark")
     p.add_argument("--format", choices=["parquet", "csv"], default="parquet")
@@ -176,6 +212,14 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--id-col", default="doc_id")
     d.add_argument("--out", required=True)
     d.set_defaults(fn=cmd_dedup)
+
+    k = sub.add_parser("check", help="data-quality gate (exit 1 on violations)")
+    k.add_argument("--input", required=True)
+    k.add_argument("--rule", action="append", required=True,
+                   help="not_null:col | range:col:lo:hi | "
+                        "accepted_values:col:v1,v2 | matches:col:regex | "
+                        "unique:c1,c2 (repeatable)")
+    k.set_defaults(fn=cmd_check)
     return p
 
 

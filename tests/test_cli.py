@@ -85,3 +85,22 @@ def test_cli_search_and_dedup(spark, tmp_path, capsys):
     assert "kept 1/2" in out
     kept = spark.read.parquet(f"{base}/kept")
     assert [r.doc_id for r in kept.collect()] == [3]
+
+
+def test_cli_check_gate(spark, tmp_path, capsys):
+    base = str(tmp_path)
+    clean = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 7.0)], "id long, cat string, v double"
+    )
+    dirty = spark.createDataFrame(
+        [(1, "a", 5.0), (1, "zzz", 99.0)], "id long, cat string, v double"
+    )
+    clean.write.parquet(f"{base}/clean")
+    dirty.write.parquet(f"{base}/dirty")
+    rules = ["--rule", "not_null:id", "--rule", "range:v:0:10",
+             "--rule", "accepted_values:cat:a,b", "--rule", "unique:id"]
+    assert main(["check", "--input", f"{base}/clean", *rules], spark) == 0
+    assert main(["check", "--input", f"{base}/dirty", *rules], spark) == 1
+    out = capsys.readouterr().out
+    assert "range(v,0.0,10.0): 1 violations" in out
+    assert "unique(id): 1 violations" in out
