@@ -1827,6 +1827,35 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_dedup_tbl")
 
 
+def _q_stream_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming O16: stateless closed-form nearest-grid projection +
+    windowed MAX one-hot (state = one row per open grid window, dropped
+    at the watermark), driven in complete mode. The oracle is the same
+    closed-form arithmetic as the batch o16 row at the streaming
+    step/tolerance (60 s grid, 30 s tolerance)."""
+    import datetime as _dt
+
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.sync_stream import (
+        event_onehot_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    step_ms = 60_000
+    n_grid = (
+        int(hi.replace(tzinfo=_dt.timezone.utc).timestamp() * 1e6)
+        - int(lo.replace(tzinfo=_dt.timezone.utc).timestamp() * 1e6)
+    ) // (step_ms * 1000) + 1
+    oneh = event_onehot_stream(
+        read_events_stream(spark, sf_dir), lo, n_grid, step_ms, 30_000,
+        event_types=["click", "error", "purchase", "signup", "view"],
+    )
+    run_to_memory(oneh, "stream_onehot_tbl", output_mode="complete")
+    return spark.table("stream_onehot_tbl")
+
+
 def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful-streaming representative #6: native session windows
     (MERGING state — each user carries only open sessions, closed ones
@@ -2078,6 +2107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_checks": _q_quality_checks,
         "scd2_merge": _q_scd2_merge,
         "scd2_timetravel": _q_scd2_timetravel,
+        "stream_event_onehot": _q_stream_onehot,
     }
 
 
@@ -3733,6 +3763,27 @@ r AS (SELECT query_id, doc, score,
                                      ORDER BY score DESC, doc ASC) AS BIGINT) AS rank
       FROM scores)
 SELECT query_id, doc, score, rank FROM r WHERE rank <= 5
+"""
+
+    _sus, _tus = 60_000_000, 30_000_000
+    o["stream_event_onehot"] = f"""
+WITH b AS (SELECT epoch_us(min(ts)) AS su, epoch_us(max(ts)) AS eu FROM events),
+n AS (SELECT su, (eu - su) // {_sus} AS maxidx FROM b),
+m AS (
+    SELECT least(greatest((2 * (epoch_us(e.ts) - n.su) + {_sus} - 1)
+                          // (2 * {_sus}), 0), n.maxidx) AS idx,
+           epoch_us(e.ts) AS tu, n.su, e.event_type
+    FROM events e, n
+)
+SELECT make_timestamp(su + idx * {_sus}) AS timestamp,
+       max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS event_click,
+       max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS event_error,
+       max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS event_purchase,
+       max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS event_signup,
+       max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS event_view
+FROM m
+WHERE abs((su + idx * {_sus}) - tu) < {_tus}
+GROUP BY 1
 """
 
     o["stream_sessions"] = """
