@@ -1303,6 +1303,29 @@ def _q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PII redaction: augment each doc with a deterministic email+phone
+    # tail (the corpus itself is synthetic and clean), then scrub and
+    # audit — hash-compares the SCRUBBED STRINGS against DuckDB's
+    # regexp_replace(..., 'g'), so pattern semantics match exactly
+    docs = load_table(spark, sf_dir, "documents")
+    tainted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact "), F.col("source"),
+            F.lit("@example.com or +1-555-123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    counts = TX.pii_counts(F.col("text"))
+    return tainted.select(
+        "doc_id",
+        TX.scrub_pii(F.col("text")).alias("scrubbed"),
+        counts["pii_email"].cast("long").alias("pii_email"),
+        counts["pii_phone"].cast("long").alias("pii_phone"),
+    )
+
+
 def _q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # second-order LM quality screen: add-k-smoothed bigram logprob
     # under the corpus's own distribution (plans/corpus.py) — catches
@@ -2108,6 +2131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_merge": _q_scd2_merge,
         "scd2_timetravel": _q_scd2_timetravel,
         "stream_event_onehot": _q_stream_onehot,
+        "text_pii_scrub": _q_text_pii_scrub,
     }
 
 
@@ -3528,6 +3552,24 @@ UNION ALL
 SELECT 'unique(event_id)',
        coalesce(sum(CASE WHEN n > 1 THEN n - 1 END), 0)
 FROM (SELECT event_id, count(*) AS n FROM events GROUP BY event_id)
+"""
+
+    # generated from TX.PII_PATTERNS so operator and oracle cannot drift
+    _taint = ("text || ' contact ' || source || '@example.com or +1-555-123-'"
+              " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')")
+    _scrub = "text"
+    for _pat, _repl in TX.PII_PATTERNS:
+        _p = _pat.replace("'", "''")
+        _scrub = f"regexp_replace({_scrub}, '{_p}', '{_repl}', 'g')"
+    _em = TX.PII_PATTERNS[0][0].replace("'", "''")
+    _ph = TX.PII_PATTERNS[1][0].replace("'", "''")
+    o["text_pii_scrub"] = f"""
+WITH t AS (SELECT doc_id, {_taint} AS text FROM documents)
+SELECT doc_id,
+       {_scrub} AS scrubbed,
+       CAST(len(regexp_extract_all(text, '{_em}')) AS BIGINT) AS pii_email,
+       CAST(len(regexp_extract_all(text, '{_ph}')) AS BIGINT) AS pii_phone
+FROM t
 """
 
     o["text_bigram_logprob"] = """

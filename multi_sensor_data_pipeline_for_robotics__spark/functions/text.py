@@ -269,3 +269,49 @@ def fingerprint(toks: Column, modulus: int = 1_000_000_007) -> Column:
     )
     total = F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x)
     return total % modulus
+
+
+# PII scrubbing: pattern set chosen for PORTABILITY — every pattern is
+# valid in both Java regex (Spark) and RE2-style engines (DuckDB,
+# Hyperscan), so the scrub is oracle-checkable and reproducible outside
+# Spark. The order matters: longer/more-specific patterns first so a
+# phone number is not partially eaten by a shorter match.
+PII_PATTERNS: list[tuple[str, str]] = [
+    # emails
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # international/US phone shapes: +1-555-123-4567, (555) 123-4567,
+    # 555-123-4567 — separators between groups are REQUIRED so plain
+    # 10-digit ids survive
+    (r"(\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ]{1,2}[0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+    # IPv4
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    # 13-19 digit card-like runs (with optional group separators)
+    (r"\b[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{1,7}\b", "<CARD>"),
+    # SSN shape
+    (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+]
+
+
+def scrub_pii(text: Column | str, patterns: list[tuple[str, str]] | None = None) -> Column:
+    """Replace common PII shapes (email, phone, IP, card-like digit
+    runs, SSN) with typed placeholder tokens — the redaction pass a
+    training corpus gets before anything else. Chained
+    ``regexp_replace`` Column expressions: JVM-side, codegen-friendly,
+    no UDF; placeholders are plain tokens so every downstream text
+    operator (shingles, BM25, LM scores) keeps working on scrubbed
+    text."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, repl in patterns or PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_counts(text: Column | str, patterns: list[tuple[str, str]] | None = None) -> dict[str, Column]:
+    """Per-document count of each PII pattern — the audit twin of
+    :func:`scrub_pii` (gate a corpus on pii_total == 0 after scrub)."""
+    c = F.col(text) if isinstance(text, str) else text
+    out = {}
+    for pat, repl in patterns or PII_PATTERNS:
+        name = repl.strip("<>").lower()
+        out[f"pii_{name}"] = F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+    return out

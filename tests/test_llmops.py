@@ -950,3 +950,38 @@ def test_bigram_logprob_flags_shuffled_text(spark):
         for r in bigram_logprob_scores(df).collect()
     }
     assert got[99] < got[0]
+
+
+def test_scrub_pii_patterns(spark):
+    cases = [
+        ("mail me at jane.doe+x@corp.example.org now", "mail me at <EMAIL> now"),
+        ("call +1-555-123-4567 today", "call <PHONE> today"),
+        ("call (555) 123-4567 today", "call <PHONE> today"),
+        ("server at 192.168.0.1 died", "server at <IP> died"),
+        ("card 4111-1111-1111-1111 charged", "card <CARD> charged"),
+        ("ssn 123-45-6789 leaked", "ssn <SSN> leaked"),
+        ("clean text stays intact", "clean text stays intact"),
+        ("id 1234567890 survives", "id 1234567890 survives"),  # bare 10 digits: not a phone
+    ]
+    df = spark.createDataFrame([(i, t) for i, (t, _) in enumerate(cases)], "i long, text string")
+    got = {r.i: r.s for r in df.select("i", TX.scrub_pii("text").alias("s")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i])
+
+
+def test_pii_counts_audit(spark):
+    df = spark.createDataFrame(
+        [(0, "a@b.co and c@d.io, call +1-555-123-4567")], "i long, text string"
+    )
+    c = TX.pii_counts("text")
+    row = df.select(
+        c["pii_email"].alias("e"), c["pii_phone"].alias("p")
+    ).first()
+    assert (row.e, row.p) == (2, 1)
+    # after scrubbing, the audit reads zero
+    scrubbed = df.select(TX.scrub_pii("text").alias("text"))
+    c2 = TX.pii_counts("text")
+    row2 = scrubbed.select(
+        c2["pii_email"].alias("e"), c2["pii_phone"].alias("p")
+    ).first()
+    assert (row2.e, row2.p) == (0, 0)
