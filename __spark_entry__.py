@@ -1380,6 +1380,20 @@ def _q_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kmv_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the mergeable-sketch property made concrete: sketch two disjoint
+    # halves of the stream separately (the stored per-partition form),
+    # merge, estimate — KMV is closed under union-then-top-k, so the
+    # ORACLE is the direct single-pass sketch over everything and the
+    # hash must match bit-for-bit
+    ev = load_table(spark, sf_dir, "events")
+    halves = [
+        SK.kmv_sketch(ev.filter(F.col("event_id") % 2 == i), "user_id", k=64)
+        for i in (0, 1)
+    ]
+    return SK.kmv_merge_estimate(halves, k=64)
+
+
 def _q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # portable KMV distinct sketch: unlike approx_count_distinct (HLL,
     # engine-specific), the md5-based estimate is bit-reproducible in
@@ -2132,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_timetravel": _q_scd2_timetravel,
         "stream_event_onehot": _q_stream_onehot,
         "text_pii_scrub": _q_text_pii_scrub,
+        "kmv_merged": _q_kmv_merged,
     }
 
 
@@ -3892,6 +3907,10 @@ SELECT doc_id, lang, source, n_chars FROM (
     FROM documents
 ) ORDER BY aes DESC LIMIT 50
 """
+
+    # merged-sketch twin: oracle is the DIRECT global sketch — merge
+    # equivalence is the property under test
+    o["kmv_merged"] = SK.kmv_oracle_sql("events", "user_id", k=64)
 
     o["kmv_distinct_users"] = SK.kmv_oracle_sql(
         "events", "user_id", k=64, group_col="event_type"

@@ -236,3 +236,22 @@ def test_hist_quantiles_rejects_out_of_domain_q(spark):
     for bad in (0.0, -0.1, 1.5):
         with _pytest.raises(ValueError):
             histogram_quantiles(df, "v", qs=(bad,), lo=0.0, hi=10.0)
+
+
+def test_kmv_merge_equals_direct(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sketch import (
+        kmv_distinct,
+        kmv_merge_estimate,
+        kmv_sketch,
+    )
+
+    df = spark.range(3000).selectExpr("id as v", "id % 3 as part")
+    direct = kmv_distinct(df, "v", k=64).first()
+    sketches = [
+        kmv_sketch(df.filter(f"part = {p}"), "v", k=64) for p in range(3)
+    ]
+    merged = kmv_merge_estimate(sketches, k=64).first()
+    # union-then-top-k is lossless: merged == direct, bit for bit
+    assert (merged.approx_distinct, merged.sketch_m) == (
+        direct.approx_distinct, direct.sketch_m
+    )
