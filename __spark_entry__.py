@@ -904,6 +904,12 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def _q_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # path analysis: top first-5-event journeys; array_sort over
+    # (ts, type) structs makes collect order irrelevant
+    return A.user_journeys(load_table(spark, sf_dir, "events"), 5, 20)
+
+
 def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ordered funnel view -> click -> purchase: one aggregation pass
     # (per-user sorted step-time arrays + chained array_min), one
@@ -2147,6 +2153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_event_onehot": _q_stream_onehot,
         "text_pii_scrub": _q_text_pii_scrub,
         "kmv_merged": _q_kmv_merged,
+        "q_user_journeys": _q_user_journeys,
     }
 
 
@@ -3862,6 +3869,16 @@ SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
 FROM n GROUP BY user_id, sid
+"""
+
+    o["q_user_journeys"] = """
+WITH p AS (
+    SELECT user_id,
+           array_to_string(list_slice(list(event_type ORDER BY ts), 1, 5), '>') AS path
+    FROM events GROUP BY user_id
+)
+SELECT path, count(*) AS n_users FROM p GROUP BY path
+ORDER BY n_users DESC, path ASC LIMIT 20
 """
 
     o["q_funnel"] = """

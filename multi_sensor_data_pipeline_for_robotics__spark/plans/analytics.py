@@ -773,3 +773,37 @@ def retention_cohorts(
     return exploded.groupBy("cohort", "offset").agg(
         F.count(F.lit(1)).cast("long").alias("users")
     )
+
+
+def user_journeys(
+    events: DataFrame,
+    max_steps: int = 5,
+    top_n: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Path analysis (beyond-reference): the most common event-type
+    journeys — each user's first ``max_steps`` events in time order,
+    joined into a path string, counted across users.
+
+    Determinism note: ``collect_list`` order is partition-dependent, so
+    the path is built by collecting (ts, type) STRUCTS and
+    ``array_sort``-ing them (struct order = field order, ts first) —
+    reproducible under any partitioning; per-user timestamps are unique
+    so the sort has no ties. Cost: one groupBy(user) carrying (ts,
+    type) pairs, then a count over path strings + TakeOrdered top-n.
+    """
+    pairs = F.array_sort(
+        F.collect_list(F.struct(F.col(ts_col).alias("t"), F.col(type_col).alias("e")))
+    )
+    path = F.array_join(
+        F.transform(F.slice(pairs, 1, max_steps), lambda s: s["e"]), ">"
+    )
+    per_user = events.groupBy(user_col).agg(path.alias("path"))
+    return (
+        per_user.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(top_n)
+    )

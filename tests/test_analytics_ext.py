@@ -189,3 +189,30 @@ def test_retention_cohort_triangle(spark):
         (0, 0): 2, (0, 1): 1, (0, 3): 1,
         (1, 0): 1, (1, 1): 1,
     }
+
+
+def test_user_journeys_order_and_truncation(spark):
+    rows = [
+        (1, 0, "view"), (1, 1, "click"), (1, 2, "purchase"),
+        (2, 0, "view"), (2, 1, "click"), (2, 2, "purchase"),
+        (3, 0, "view"), (3, 1, "error"),
+        # user 4: 7 events — path truncates to the first 5
+        *[(4, m, "view") for m in range(7)],
+    ]
+    got = {
+        r.path: r.n_users
+        for r in A.user_journeys(_ev(spark, rows), max_steps=5).collect()
+    }
+    assert got == {
+        "view>click>purchase": 2,
+        "view>error": 1,
+        "view>view>view>view>view": 1,
+    }
+    # partition invariance: same paths after a repartition
+    again = {
+        r.path: r.n_users
+        for r in A.user_journeys(
+            _ev(spark, rows).repartition(13), max_steps=5
+        ).collect()
+    }
+    assert again == got
