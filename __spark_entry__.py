@@ -1386,6 +1386,24 @@ def _q_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hist_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stored-histogram merge twin: per-half (bin,cnt) sketches unioned
+    # and re-estimated — count merge is lossless, so the oracle is the
+    # DIRECT histogram over everything
+    ev = load_table(spark, sf_dir, "events")
+    halves = [
+        SK.hist_sketch(
+            ev.filter(F.col("event_id") % 2 == i), "value",
+            bins=_HISTQ_ARGS["bins"], lo=_HISTQ_ARGS["lo"], hi=_HISTQ_ARGS["hi"],
+        )
+        for i in (0, 1)
+    ]
+    return SK.hist_merge_quantiles(
+        halves, qs=_HISTQ_ARGS["qs"],
+        bins=_HISTQ_ARGS["bins"], lo=_HISTQ_ARGS["lo"], hi=_HISTQ_ARGS["hi"],
+    )
+
+
 def _q_kmv_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the mergeable-sketch property made concrete: sketch two disjoint
     # halves of the stream separately (the stored per-partition form),
@@ -2153,6 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_event_onehot": _q_stream_onehot,
         "text_pii_scrub": _q_text_pii_scrub,
         "kmv_merged": _q_kmv_merged,
+        "hist_merged": _q_hist_merged,
         "q_user_journeys": _q_user_journeys,
     }
 
@@ -3928,6 +3947,10 @@ SELECT doc_id, lang, source, n_chars FROM (
     # merged-sketch twin: oracle is the DIRECT global sketch — merge
     # equivalence is the property under test
     o["kmv_merged"] = SK.kmv_oracle_sql("events", "user_id", k=64)
+
+    o["hist_merged"] = SK.histogram_quantiles_oracle_sql(
+        "events", "value", **_HISTQ_ARGS
+    )
 
     o["kmv_distinct_users"] = SK.kmv_oracle_sql(
         "events", "user_id", k=64, group_col="event_type"

@@ -290,3 +290,59 @@ def kmv_merge_estimate(
         est.alias("approx_distinct"),
         F.col("m").cast("long").alias("sketch_m"),
     )
+
+
+def hist_sketch(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 1024,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """The STORED form of the fixed-bin histogram: (bin, cnt) rows for
+    one slice of the data — persist per partition/day/source and merge
+    any subset with :func:`hist_merge_quantiles`. Counts are additive,
+    so merging is LOSSLESS: merged quantiles are bit-identical to
+    histogramming the union directly (bounds must be the shared domain
+    constants)."""
+    w = (hi - lo) / bins
+    v = F.col(value_col).cast("double")
+    b = F.least(
+        F.greatest(F.floor((v - lo) / w), F.lit(0)), F.lit(bins - 1)
+    ).alias("bin")
+    return df.select(b).groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def hist_merge_quantiles(
+    sketches: list[DataFrame],
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    bins: int = 1024,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Quantiles from merged stored histograms: union → per-bin count
+    sum → the same interpolation as :func:`histogram_quantiles`.
+    Output: (q double, quantile double)."""
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantile {q} outside (0, 1]")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    counts = u.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    w = (hi - lo) / bins
+    cw = W.orderBy("bin")
+    cum = counts.withColumn("cum", F.sum("cnt").over(cw)).withColumn(
+        "n", F.max("cum").over(W.partitionBy())
+    )
+    qdf = cum.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    target = F.col("q") * F.col("n")
+    hit = cum.join(F.broadcast(qdf)).filter(
+        (F.col("cum") >= target) & (F.col("cum") - F.col("cnt") < target)
+    )
+    est = F.round(
+        lo + w * (F.col("bin") + (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")),
+        round_to,
+    )
+    return hit.select("q", est.alias("quantile"))

@@ -255,3 +255,32 @@ def test_kmv_merge_equals_direct(spark):
     assert (merged.approx_distinct, merged.sketch_m) == (
         direct.approx_distinct, direct.sketch_m
     )
+
+
+def test_hist_merge_equals_direct(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sketch import (
+        hist_merge_quantiles,
+        hist_sketch,
+        histogram_quantiles,
+    )
+
+    df = spark.range(5000).selectExpr(
+        "cast(id as double) / 3.0 as v", "id % 4 as part"
+    )
+    direct = {
+        r.q: r.quantile
+        for r in histogram_quantiles(
+            df, "v", qs=(0.5, 0.9), bins=256, lo=0.0, hi=2000.0
+        ).collect()
+    }
+    sketches = [
+        hist_sketch(df.filter(f"part = {p}"), "v", bins=256, lo=0.0, hi=2000.0)
+        for p in range(4)
+    ]
+    merged = {
+        r.q: r.quantile
+        for r in hist_merge_quantiles(
+            sketches, qs=(0.5, 0.9), bins=256, lo=0.0, hi=2000.0
+        ).collect()
+    }
+    assert merged == direct  # count merge is lossless, bit for bit
