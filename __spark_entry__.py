@@ -1503,11 +1503,24 @@ def _q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
+def _q_embed_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the oracle-checkable sign-LSH twin: md5-derived hyperplanes
+    # reproduce bit-for-bit in SQL, so the full candidate-generation +
+    # exact-verification pipeline is hash-green (the numpy-seeded fast
+    # path stays rows-only with recall quantified in pytest)
+    return SIM.lsh_neardup_pairs_portable(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.3,
+        bands=4, band_bits=8,
+    )
+
+
 def _q_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELIBERATELY UN-ORACLED (driver shows err=no_oracle): hyperplane
     buckets come from a numpy-seeded Gaussian plane matrix — not
-    reproducible as portable SQL. Exactness anchor: the oracle-green
-    ``embed_neardup_pairs`` (same threshold, exact all-pairs); pair recall
+    reproducible as portable SQL. Exactness anchors: the oracle-green
+    ``embed_neardup_pairs`` (same threshold, exact all-pairs) AND the
+    fully-oracled md5-plane twin ``embed_neardup_lsh_portable`` (same
+    candidate-generation shape, hash-green end to end); pair recall
     at two band configs quantified in tests/test_llmops.py::
     test_lsh_neardup_pair_recall_documented_tradeoff."""
     return SIM.lsh_neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.3)
@@ -2173,6 +2186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_merged": _q_kmv_merged,
         "hist_merged": _q_hist_merged,
         "q_user_journeys": _q_user_journeys,
+        "embed_neardup_lsh_portable": _q_embed_lsh_portable,
     }
 
 
@@ -3764,6 +3778,35 @@ scored AS (
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
       FROM scored)
 SELECT query_id, cand_id, cosine, rank FROM r WHERE rank <= 5
+"""
+
+    o["embed_neardup_lsh_portable"] = """
+WITH pw AS (
+    SELECT t1.p AS p, t2.d AS d,
+           (CAST(concat('0x', substr(md5('plane-' || t1.p || '-' || t2.d), 1, 13)) AS BIGINT)
+              / 4503599627370496.0) * 2.0 - 1.0 AS w
+    FROM range(0, 32) t1(p), range(0, 64) t2(d)
+),
+pl AS (SELECT p, list(w ORDER BY d) AS pv FROM pw GROUP BY p),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dots AS (
+    SELECT e.vec_id, pl.p, list_dot_product(e.v, pl.pv) AS dp
+    FROM e CROSS JOIN pl
+),
+buckets AS (
+    SELECT vec_id, p // 8 AS band,
+           sum(CASE WHEN dp >= 0 THEN (1 << (7 - (p % 8))) ELSE 0 END) AS bucket
+    FROM dots GROUP BY vec_id, p // 8
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+FROM cand JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b
+WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.3
 """
 
     o["embed_neardup_pairs"] = """

@@ -865,3 +865,88 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "approx_cosine", "rank")
     )
+
+
+def _portable_planes(dim: int, n_planes: int) -> list[list[float]]:
+    """Hyperplane components derived from md5 — reproducible in ANY
+    engine with md5 + hex parsing, unlike the numpy-seeded Gaussian
+    planes of :func:`lsh_neardup_pairs`. Component (p, d) =
+    ``md5_52bit('plane-p-d') / 2^52 * 2 - 1``: uniform on [-1, 1), and
+    every arithmetic step (power-of-two divide, double *2, -1) is exact
+    IEEE, so Python hashlib here and SQL md5() in the oracle produce
+    bit-identical planes. Uniform-cube directions are a coarser LSH
+    family than Gaussians (corner bias), which is fine: candidates are
+    always verified with the exact cosine, so precision is 1.0 and only
+    recall shifts."""
+    from hashlib import md5
+
+    out = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(md5(f"plane-{p}-{d}".encode()).hexdigest()[:13], 16)
+            row.append((h / float(1 << 52)) * 2.0 - 1.0)
+        out.append(row)
+    return out
+
+
+def lsh_neardup_pairs_portable(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    bands: int = 4,
+    band_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """Sign-LSH near-duplicate pairs with a CROSS-ENGINE-DETERMINISTIC
+    plane family — the oracle-checkable twin of the numpy-seeded
+    :func:`lsh_neardup_pairs` (same candidate-generation shape: band
+    equi-join on bucket ints, exact-cosine verification, precision 1.0
+    by construction).
+
+    Projections are Catalyst ``aggregate``/``zip_with`` expressions
+    (exact left-fold, index order — the same summation any SQL engine
+    uses), not the Arrow matmul of the fast path: ~10x slower per row
+    and meant for verification corpora; at scale use the seeded fast
+    path whose recall is property-tested against this family's exact
+    base (`tests/test_llmops.py`)."""
+    planes = _portable_planes(dim, bands * band_bits)
+    v = to_double(F.col(vec_col))
+    bucket_cols = []
+    for b in range(bands):
+        acc = F.lit(0).cast("long")
+        for j in range(band_bits):
+            p = planes[b * band_bits + j]
+            d = F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(x) for x in p]), lambda a, w: a * w),
+                F.lit(0.0),
+                lambda acc2, x: acc2 + x,
+            )
+            acc = acc * 2 + (d >= 0).cast("long")
+        bucket_cols.append(F.struct(F.lit(b).alias("band"), acc.alias("bucket")))
+    e = ensure_parallelism(embeddings).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        F.explode(F.array(*bucket_cols)).alias("bb"),
+    ).select("id", "vec", "bb.band", "bb.bucket")
+    a, b = e.alias("a"), e.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.vec").alias("va"), F.col("b.vec").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = F.round(cosine(F.col("va"), F.col("vb")), round_to)
+    return (
+        cand.withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

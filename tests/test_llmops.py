@@ -985,3 +985,19 @@ def test_pii_counts_audit(spark):
         c2["pii_email"].alias("e"), c2["pii_phone"].alias("p")
     ).first()
     assert (row2.e, row2.p) == (0, 0)
+
+
+def test_lsh_portable_precision_one_and_sane_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = set(
+        map(tuple, SIM.neardup_pairs(emb, threshold=0.3)
+            .select("id_a", "id_b").toPandas().to_numpy())
+    )
+    port = set(
+        map(tuple, SIM.lsh_neardup_pairs_portable(emb, threshold=0.3)
+            .select("id_a", "id_b").toPandas().to_numpy())
+    )
+    # exact verification guarantees precision 1.0
+    assert port <= exact
+    if exact:
+        assert len(port) / len(exact) > 0.05  # uniform-cube planes: coarse
