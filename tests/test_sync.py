@@ -427,3 +427,19 @@ def test_synchronize_auto_reduce_cells(spark, tmp_path):
     assert not S._auto_reduce(sparsep, 506, assume_network=True)
     # unknown source size (no file scan) -> conservative off
     assert not S._auto_reduce(sparse, 506, assume_network=True)
+
+
+def test_map_events_type_discovery_capped(spark):
+    import datetime as _dt
+
+    import pytest as _pytest
+
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.sync import map_events
+
+    t0 = _dt.datetime(2024, 1, 1)
+    wide = spark.range(1200).selectExpr(
+        "timestamp'2024-01-01' as timestamp",
+        "concat('t', id) as event_type",
+    )
+    with _pytest.raises(ValueError, match="more than 1000"):
+        map_events(wide, t0, t0 + _dt.timedelta(minutes=1)).collect()
