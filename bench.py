@@ -132,6 +132,29 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         extras["skew_error"] = str(e)[:500]
 
+    # round-5 family representatives at sf0.1, single pass — per-round
+    # timing visibility for the newer operator families WITHOUT
+    # changing the frozen 18-query headline the cross-round comparison
+    # relies on
+    NEW_FAMILY = [
+        "bm25_topk",
+        "kmv_distinct_users",
+        "hist_quantiles",
+        "ts_ewma",
+        "dedup_incremental",
+        "q_funnel",
+        "graph_pagerank",
+    ]
+    for name in NEW_FAMILY:
+        try:
+            t0 = time.perf_counter()
+            n = qs[name](spark, sf_dir).count()
+            extras[f"new_{name}"] = round(time.perf_counter() - t0, 3)
+            print(f"# extra new {name}: {extras[f'new_{name}']:.3f}s ({n} rows)",
+                  file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            extras[f"new_{name}_error"] = str(e)[:200]
+
     print(
         json.dumps(
             {
