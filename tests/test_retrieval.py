@@ -284,3 +284,23 @@ def test_hist_merge_equals_direct(spark):
         ).collect()
     }
     assert merged == direct  # count merge is lossless, bit for bit
+
+
+def test_bm25_no_matches_and_unknown_terms(spark, docs_df):
+    # terms absent from the corpus: empty result, no error
+    assert bm25_topk(docs_df, ["zzzz", "qqqq"], k=5).count() == 0
+    # mix of known and unknown terms: unknown ones contribute nothing
+    known = {r.doc: r.score for r in bm25_topk(docs_df, ["hash"], k=10).collect()}
+    mixed = {
+        r.doc: r.score
+        for r in bm25_topk(docs_df, ["hash", "zzzz"], k=10).collect()
+    }
+    assert mixed == known
+
+
+def test_bm25_multi_empty_terms_query(spark, docs_df):
+    qs = spark.createDataFrame(
+        [(1, ["spark"]), (2, [])], "query_id long, terms array<string>"
+    )
+    out = bm25_topk_multi(docs_df, qs, k=5).collect()
+    assert {r.query_id for r in out} == {1}  # empty-terms query yields no rows

@@ -64,3 +64,24 @@ def test_scd2_null_safe_tracked_comparison(spark):
     assert sorted(
         ((r.seg or "", r.valid_to is None) for r in out2)
     ) == [("", False), ("X", True)]
+
+
+def test_scd2_multiple_tracked_columns(spark):
+    dim = spark.createDataFrame(
+        [(1, "A", "x", T0, None), (2, "B", "y", T0, None)],
+        "k long, seg string, tier string, valid_from timestamp, valid_to timestamp",
+    )
+    up = spark.createDataFrame(
+        [
+            (1, "A", "x2", T1),   # only second tracked col changes -> change
+            (2, "B", "y", T1),    # nothing changes -> no-op
+        ],
+        "k long, seg string, tier string, eff_ts timestamp",
+    )
+    out = scd2_apply(dim, up, "k", ["seg", "tier"]).collect()
+    rows = {(r.k, r.tier): (r.valid_from, r.valid_to) for r in out}
+    assert rows == {
+        (1, "x"): (T0, T1),
+        (1, "x2"): (T1, None),
+        (2, "y"): (T0, None),
+    }
