@@ -1001,3 +1001,13 @@ def test_lsh_portable_precision_one_and_sane_recall(spark, sf_dir):
     assert port <= exact
     if exact:
         assert len(port) / len(exact) > 0.05  # uniform-cube planes: coarse
+
+
+def test_dedup_against_empty_corpus_keeps_everything(spark):
+    new = spark.createDataFrame(
+        [(1, "some brand new text here today"), (2, "another novel document")],
+        "doc_id long, text string",
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    kept = sorted(r.doc_id for r in D.dedup_against_corpus(new, empty).collect())
+    assert kept == [1, 2]

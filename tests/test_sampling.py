@@ -140,3 +140,13 @@ def test_weighted_sample_topk_grouped(spark):
             ).collect()
         )
         assert sorted(ids) == solo
+
+
+def test_weighted_sample_k_exceeding_population_returns_all(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        weighted_sample_topk,
+    )
+
+    df = spark.range(5).selectExpr("id", "1.0 + id AS w")
+    got = sorted(r.id for r in weighted_sample_topk(df, "id", "w", k=50).collect())
+    assert got == [0, 1, 2, 3, 4]
