@@ -893,6 +893,20 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # entity resolution: customer names within edit distance 1 via
+    # symmetric-delete (SymSpell) blocking — linear candidate
+    # generation (len(s)+1 variants per string), perfect recall at
+    # distance <= 1, exact levenshtein verification
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.linkage import (
+        fuzzy_match_pairs,
+    )
+
+    return fuzzy_match_pairs(
+        load_table(spark, sf_dir, "customer"), "c_name", "c_custkey"
+    )
+
+
 def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # incremental ingestion screen: odd doc_ids play the arriving
     # batch, even ones the stored corpus; survivors = new docs whose
@@ -2187,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_merged": _q_hist_merged,
         "q_user_journeys": _q_user_journeys,
         "embed_neardup_lsh_portable": _q_embed_lsh_portable,
+        "fuzzy_match_names": _q_fuzzy_match,
     }
 
 
@@ -3580,6 +3595,23 @@ SELECT dim.tier, e.event_type, count(*) AS n
 FROM events e JOIN dim ON e.user_id = dim.user_id
 WHERE dim.valid_from <= e.ts AND (dim.valid_to IS NULL OR e.ts < dim.valid_to)
 GROUP BY dim.tier, e.event_type
+"""
+
+    o["fuzzy_match_names"] = """
+WITH s AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+v AS (
+    SELECT id, s,
+           unnest(list_prepend(s,
+               list_transform(range(1, len(s) + 1),
+                              i -> substr(s, 1, i - 1) || substr(s, i + 1)))) AS v
+    FROM s
+),
+cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+    FROM v a JOIN v b ON a.v = b.v AND a.id < b.id
+)
+SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS BIGINT) AS dist
+FROM cand WHERE levenshtein(sa, sb) <= 1
 """
 
     o["quality_checks"] = """
