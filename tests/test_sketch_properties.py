@@ -78,3 +78,87 @@ def test_weighted_sample_upweight_never_evicts(spark, n, boost):
     # all other priorities are unchanged, so the k-th threshold can
     # only rise
     assert after <= before | {target}
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    names=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=6), min_size=2, max_size=25
+    )
+)
+def test_fuzzy_match_equals_bruteforce_on_random_strings(spark, names):
+    """SymSpell blocking finds EXACTLY the brute-force distance-<=1
+    pairs on arbitrary strings over a colliding alphabet (short 'abc'
+    strings maximize neighborhood overlap and duplicate edge cases)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.linkage import (
+        fuzzy_match_pairs,
+    )
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    rows = list(enumerate(names))
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_match_pairs(df, "name", "id").collect()
+    }
+    want = {
+        (ia, ib): lev(sa, sb)
+        for i, (ia, sa) in enumerate(rows)
+        for ib, sb in rows[i + 1:]
+        if lev(sa, sb) <= 1
+    }
+    assert got == want
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    updates=st.lists(
+        st.tuples(st.integers(0, 3), st.sampled_from(["A", "B", "C"])),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_scd2_invariants_under_any_update_sequence(spark, updates):
+    """After ANY sequence of merges: exactly one open version per key,
+    and each key's intervals are non-overlapping and contiguous."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.scd import (
+        scd2_apply,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    dim = spark.createDataFrame(
+        [(k, "init", t0, None) for k in range(4)],
+        "k long, seg string, valid_from timestamp, valid_to timestamp",
+    )
+    for step, (key, seg) in enumerate(updates, 1):
+        up = spark.createDataFrame(
+            [(key, seg, t0 + dt.timedelta(days=step))],
+            "k long, seg string, eff_ts timestamp",
+        )
+        dim = scd2_apply(dim, up, "k", ["seg"])
+    rows = dim.collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.k, []).append((r.valid_from, r.valid_to, r.seg))
+    for k, ivs in by_key.items():
+        opens = [iv for iv in ivs if iv[1] is None]
+        assert len(opens) == 1, (k, ivs)
+        ivs_sorted = sorted(ivs, key=lambda x: x[0])
+        for (f1, t1, _), (f2, _, _) in zip(ivs_sorted, ivs_sorted[1:]):
+            assert t1 == f2, (k, ivs_sorted)  # contiguous, no overlap/gap
