@@ -177,6 +177,14 @@ def histogram_quantiles(
             F.min(F.col(value_col).cast("double")).alias("lo"),
             F.max(F.col(value_col).cast("double")).alias("hi"),
         ).first()
+        if row["lo"] is None or row["hi"] is None:
+            # empty / all-null value column: no quantiles to report
+            keys = [F.col(group_col)] if group_col else []
+            return df.select(
+                *keys,
+                F.lit(None).cast("double").alias("q"),
+                F.lit(None).cast("double").alias("quantile"),
+            ).limit(0)
         lo = float(row["lo"]) if lo is None else lo
         hi = float(row["hi"]) if hi is None else hi
     if not hi > lo:
@@ -237,7 +245,10 @@ def histogram_quantiles_oracle_sql(
     w = (hi - lo) / bins
     keys = f"{group_col}, " if group_col else ""
     part = f"PARTITION BY {group_col} " if group_col else ""
-    qvals = ", ".join(f"({float(q)})" for q in qs)
+    # CAST each q to DOUBLE: bare VALUES (0.9) is DECIMAL in DuckDB, and
+    # DECIMAL 0.9*n can differ from the double product exactly at a
+    # cumulative-count boundary, flipping the crossing-bin predicate.
+    qvals = ", ".join(f"(CAST({float(q)!r} AS DOUBLE))" for q in qs)
     return f"""
 WITH b AS (
     SELECT {keys}

@@ -96,6 +96,14 @@ def stream_corpus_screen_to_parquet(
     Within-batch duplicates pass (same caveat as the batch operator);
     the static side is pinned at query start — restart to pick up a
     refreshed signature table.
+
+    Exactly-once landing: foreachBatch is at-least-once, so a plain
+    append would duplicate survivors when a failed micro-batch retries.
+    Survivors land PARTITIONED BY the epoch id with dynamic partition
+    overwrite — a retry of epoch N rewrites only ``epoch_id=N``,
+    making the sink idempotent (the standard parquet-sink recipe;
+    transactional table formats do this natively). Readers see an extra
+    ``epoch_id`` partition column.
     """
     from multi_sensor_data_pipeline_for_robotics__spark.operators.dedup import (
         dedup_against_corpus,
@@ -112,7 +120,13 @@ def stream_corpus_screen_to_parquet(
             id_col=id_col,
             shingle_n=shingle_n,
         )
-        kept.write.mode("append").parquet(out_path)
+        (
+            kept.withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(out_path)
+        )
 
     return (
         stream.writeStream.foreachBatch(write_batch)

