@@ -907,6 +907,18 @@ def _q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fuzzy_match_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distance-2 fuzzy join via 2-deletion neighborhoods (OCR'd names,
+    # double typos, transpositions); hot-variant cap on at its default
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.linkage import (
+        fuzzy_match_pairs,
+    )
+
+    return fuzzy_match_pairs(
+        load_table(spark, sf_dir, "customer"), "c_name", "c_custkey", max_dist=2
+    )
+
+
 def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # incremental ingestion screen: odd doc_ids play the arriving
     # batch, even ones the stored corpus; survivors = new docs whose
@@ -1869,6 +1881,41 @@ def _q_stream_windowed_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_align_tbl")
 
 
+def _q_stream_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAREST as-of (new in r6): the tolerance bounds the
+    future-peek, so nearest alignment is watermark-safe — each click
+    explodes to its within-tolerance grid points (stateless, ≤
+    2·tol/step+1 fan-out) and one windowed min_by picks the closest
+    (tie → later obs, then larger value). Same grid/tolerance as the
+    batch o14 family; the oracle is the batch nearest restricted to
+    within-tolerance matches (a stream emits nothing for grid points
+    with no candidate; batch emits a null row)."""
+    import datetime as _dt
+
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.sync_stream import (
+        read_events_stream,
+        run_to_memory,
+        windowed_nearest_align,
+    )
+
+    cam = _series(spark, sf_dir, CAMERA_TYPE, "x")
+    lo, hi = _grid_bounds(cam)
+    n_grid = (
+        int(hi.replace(tzinfo=_dt.timezone.utc).timestamp() * 1e6)
+        - int(lo.replace(tzinfo=_dt.timezone.utc).timestamp() * 1e6)
+    ) // GRID_STEP_US + 1
+    stream = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == CAMERA_TYPE
+    )
+    out = windowed_nearest_align(
+        stream, lo, n_grid, step_ms=GRID_STEP_MS, tolerance_ms=SYNC_TOL_MS
+    )
+    run_to_memory(out, "stream_asof_nearest_tbl", output_mode="complete")
+    return spark.table("stream_asof_nearest_tbl").select(
+        "timestamp", F.col("value").alias("x"), "matched_ts"
+    )
+
+
 def _q_stream_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful-streaming representative #1 (applyInPandasWithState):
     per-key LOCF enrichment of the events file-stream — every record
@@ -2117,6 +2164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_interval_join": _q_interval_join,
         "q_sessionize": _q_sessionize,
         "stream_windowed_align": _q_stream_windowed_align,
+        "stream_asof_nearest": _q_stream_asof_nearest,
         # ===== position 51+: variants, twins, and the wider SQL surface ===
         "gen_camera_pysource": _q_gen_camera_pysource,
         "props_json_typed": _q_props_typed,
@@ -2202,6 +2250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_user_journeys": _q_user_journeys,
         "embed_neardup_lsh_portable": _q_embed_lsh_portable,
         "fuzzy_match_names": _q_fuzzy_match,
+        "fuzzy_match_names_d2": _q_fuzzy_match_d2,
     }
 
 
@@ -3370,6 +3419,29 @@ WHERE event_type = 'click'
 GROUP BY 1
 """
 
+    # streaming nearest == batch nearest restricted to within-tolerance
+    # matches (stream emits nothing where no candidate exists)
+    o["stream_asof_nearest"] = f"""
+{asof_base},
+p AS (SELECT g.timestamp, cam.x AS px, cam.timestamp AS pts
+      FROM g ASOF LEFT JOIN cam ON cam.timestamp <= g.timestamp),
+bf AS (SELECT g.timestamp, cam.x AS bx, cam.timestamp AS bts
+       FROM g ASOF LEFT JOIN cam ON cam.timestamp >= g.timestamp),
+sel AS (
+    SELECT p.timestamp,
+           CASE WHEN pts IS NOT NULL AND (bts IS NULL OR
+                     (epoch_us(p.timestamp) - epoch_us(pts)) < (epoch_us(bts) - epoch_us(p.timestamp)))
+                THEN px ELSE bx END AS x,
+           CASE WHEN pts IS NOT NULL AND (bts IS NULL OR
+                     (epoch_us(p.timestamp) - epoch_us(pts)) < (epoch_us(bts) - epoch_us(p.timestamp)))
+                THEN pts ELSE bts END AS matched_ts
+    FROM p JOIN bf ON p.timestamp = bf.timestamp
+)
+SELECT timestamp, x, matched_ts FROM sel
+WHERE matched_ts IS NOT NULL
+  AND abs(epoch_us(matched_ts) - epoch_us(timestamp)) <= {SYNC_TOL_MS * 1000}
+"""
+
     o["gen_motion"] = f"""
 WITH u AS (
     SELECT id,
@@ -3597,22 +3669,39 @@ WHERE dim.valid_from <= e.ts AND (dim.valid_to IS NULL OR e.ts < dim.valid_to)
 GROUP BY dim.tier, e.event_type
 """
 
-    o["fuzzy_match_names"] = """
+    # replays linkage.variant_table exactly: per-string distinct
+    # neighborhood, then the >1000-df hot-variant drop (inert on this
+    # data, kept for semantic parity with the operator's default)
+    _d1 = (
+        "list_distinct(list_prepend({s}, "
+        "list_transform(range(1, len({s}) + 1), "
+        "i -> substr({s}, 1, i - 1) || substr({s}, i + 1))))"
+    )
+    _fuzzy_tpl = """
 WITH s AS (SELECT c_custkey AS id, c_name AS s FROM customer),
-v AS (
-    SELECT id, s,
-           unnest(list_prepend(s,
-               list_transform(range(1, len(s) + 1),
-                              i -> substr(s, 1, i - 1) || substr(s, i + 1)))) AS v
-    FROM s
-),
+v0 AS (SELECT id, s, unnest({vexpr}) AS v FROM s),
+hot AS (SELECT v FROM v0 GROUP BY v HAVING count(*) > 1000),
+v AS (SELECT * FROM v0 WHERE v NOT IN (SELECT v FROM hot)),
 cand AS (
     SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
     FROM v a JOIN v b ON a.v = b.v AND a.id < b.id
 )
 SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS BIGINT) AS dist
-FROM cand WHERE levenshtein(sa, sb) <= 1
+FROM cand WHERE levenshtein(sa, sb) <= {k}
 """
+    o["fuzzy_match_names"] = _fuzzy_tpl.format(
+        vexpr=_d1.format(s="s"), k=1
+    )
+    o["fuzzy_match_names_d2"] = _fuzzy_tpl.format(
+        vexpr=(
+            "list_distinct(flatten(list_transform("
+            + _d1.format(s="s")
+            + ", t -> "
+            + _d1.format(s="t")
+            + ")))"
+        ),
+        k=2,
+    )
 
     o["quality_checks"] = """
 SELECT 'not_null(user_id)' AS rule,

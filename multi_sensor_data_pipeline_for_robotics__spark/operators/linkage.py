@@ -8,29 +8,113 @@ character edits) nor exact dedup covers.
 The naive plan is an all-pairs ``levenshtein(a, b) <= k`` cross join —
 quadratic, dead at any scale. This module uses SYMMETRIC DELETE
 blocking (the SymSpell algorithm, public domain): two strings within
-edit distance 1 ALWAYS share a member of each other's
-deletion-neighborhood {s} ∪ {s minus one char}, so generating the
-``len(s)+1`` deletion variants per string and equi-joining on the
-variant yields a candidate set with PERFECT recall at distance ≤ 1 and
-linear size (Σ len(s) rows — each string contributes its own length,
-not the corpus size). Exact ``levenshtein`` verification then makes
-precision 1.0. Distance k generalizes to k-deletion neighborhoods
-(size ~ C(len, k)); k=1 is implemented — the common
-typo/serial-number case.
+edit distance k ALWAYS share a member of each other's k-deletion
+neighborhood D_k(s) = {s with up to k chars removed}, so generating the
+variants per string and equi-joining on the variant yields a candidate
+set with PERFECT recall at distance <= k; exact ``levenshtein``
+verification then makes precision 1.0. Neighborhood size is
+``1 + len`` at k=1 and ``~len^2/2`` at k=2 (before per-string
+dedup) — each string contributes its own length('s worth of variants),
+not the corpus size, so generation stays linear in corpus bytes.
+
+Skew guard: candidate pairs are generated all-pairs WITHIN each
+variant block, so a variant shared by d strings costs O(d^2) join
+output — on natural-language corpora short/common variants (3-char
+tokens, shared prefixes) can concentrate thousands of strings on one
+join key, the same stopword-storm failure the Jaccard dedup caps with
+``max_shingle_df`` (operators/dedup.py). ``max_variant_df`` (ON by
+default) drops variants shared by more than that many strings before
+the self-join, bounding per-key join fan-out to ``max_variant_df``
+and total candidate volume to ``max_variant_df * surviving variant
+rows``. Recall cost: a true pair is missed only when EVERY variant it
+shares is hot — e.g. a substitution pair's sole witness is the
+delete-at-the-edited-position variant, so if that one variant is
+shared by > cap strings the pair is dropped. Pass
+``max_variant_df=None`` for the exact small-corpus variant.
 
 Everything is built-ins (explode + equi-join + levenshtein), so the
 plan is codegen-friendly and the identical SQL runs on any engine —
-the graded query hash-matches DuckDB.
+the graded queries hash-match DuckDB.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from multi_sensor_data_pipeline_for_robotics__spark.sources.tables import (
     ensure_parallelism,
 )
+
+# A variant shared by >1000 strings contributes >500k candidate pairs
+# by itself while carrying almost no linkage signal (it is a near-
+# stopword of the key space) — same rationale as DEFAULT_MAX_SHINGLE_DF.
+DEFAULT_MAX_VARIANT_DF = 1_000
+
+
+def _one_deletions(c: Column) -> Column:
+    """Array of the one-char-deletion variants of string column ``c``.
+
+    Guarded for the empty string: Spark's ``sequence(1, 0)`` DESCENDS
+    (yields [1, 0]) rather than being empty, so length-0 inputs must
+    short-circuit to an empty array.
+    """
+    return F.when(
+        F.length(c) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c)),
+            lambda i: F.concat(
+                F.substring(c, 1, (i - 1).cast("int")),
+                c.substr(i + 1, F.length(c)),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def deletion_variants(c: Column, max_dist: int) -> Column:
+    """The distinct k-deletion neighborhood D_k(c) (k in {1, 2}) as an
+    array column, built by composing one-deletion layers:
+    D_2 = union over t in D_1 of D_1(t). ``array_distinct`` collapses
+    the duplicates repeated characters produce ("aa" -> "a" twice),
+    shrinking the exploded join input for free."""
+    d1 = F.array_distinct(F.concat(F.array(c), _one_deletions(c)))
+    if max_dist == 1:
+        return d1
+    return F.array_distinct(
+        F.flatten(
+            F.transform(d1, lambda t: F.concat(F.array(t), _one_deletions(t)))
+        )
+    )
+
+
+def variant_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 1,
+    max_variant_df: int | None = DEFAULT_MAX_VARIANT_DF,
+) -> DataFrame:
+    """Exploded (id, s, v) deletion-variant postings, hot variants
+    removed. Exposed separately so tests (and incremental pipelines
+    that store postings) can inspect candidate volume directly."""
+    s = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("s")
+    )
+    variants = s.select(
+        "id", "s", F.explode(deletion_variants(F.col("s"), max_dist)).alias("v")
+    )
+    # consumed twice by the self-join (+ once by the df count):
+    # materialize once so the explode runs once and AQE sees real sizes
+    variants = variants.localCheckpoint(eager=False)
+    if max_variant_df is not None:
+        hot = (
+            variants.groupBy("v")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_variant_df)
+            .select("v")
+        )
+        variants = variants.join(F.broadcast(hot), "v", "left_anti")
+    return variants
 
 
 def fuzzy_match_pairs(
@@ -38,37 +122,23 @@ def fuzzy_match_pairs(
     text_col: str,
     id_col: str,
     max_dist: int = 1,
+    max_variant_df: int | None = DEFAULT_MAX_VARIANT_DF,
 ) -> DataFrame:
     """All pairs with ``levenshtein <= max_dist`` (and ``id_a < id_b``)
-    via symmetric-delete blocking. Only ``max_dist=1`` is supported
-    (see module docstring). Output: (id_a, id_b, dist long).
+    via symmetric-delete blocking; ``max_dist`` in {1, 2} (the
+    neighborhood generator composes, but |D_k| ~ C(len, k) makes k >= 3
+    a different — phonetic/embedding — blocking problem). Output:
+    (id_a, id_b, dist long).
 
     Exact-duplicate strings match at distance 0 (they share the
     undeleted variant). The variant join moves (variant, id) pairs —
-    string bodies rejoin by id only for the candidate set.
+    string bodies rejoin by id only for the candidate set. See the
+    module docstring for the ``max_variant_df`` skew guard and its
+    recall trade.
     """
-    if max_dist != 1:
-        raise ValueError("symmetric-delete blocking implemented for max_dist=1")
-    s = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("s")
-    )
-    # deletion neighborhood: the string itself (i=0) plus each
-    # one-char-removed variant (i=1..len)
-    variants = s.select(
-        "id",
-        "s",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.length("s")),
-                lambda i: F.when(i == 0, F.col("s")).otherwise(
-                    F.concat(
-                        F.substring(F.col("s"), 1, (i - 1).cast("int")),
-                        F.col("s").substr(i + 1, F.length("s")),
-                    )
-                ),
-            )
-        ).alias("v"),
-    )
+    if max_dist not in (1, 2):
+        raise ValueError("symmetric-delete blocking implemented for max_dist in {1, 2}")
+    variants = variant_table(df, text_col, id_col, max_dist, max_variant_df)
     a, b = variants.alias("a"), variants.alias("b")
     cand = (
         a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.id") < F.col("b.id")))

@@ -7,9 +7,12 @@ This module maps the batch semantics onto streams:
   grid alignment (O13/O14)  →  tumbling-window aggregation: per window,
                                the LAST observation (max_by ts) — the
                                streaming-safe LOCF analog. `nearest`
-                               needs future data and is NOT watermark-
-                               safe; only pad-like alignment is offered
-                               (SURVEY §7 "hard parts" #5).
+                               needs future data, but a TOLERANCE
+                               bounds the peek, so it is offered too
+                               (`windowed_nearest_align`: watermark
+                               delayed by the tolerance; SURVEY §7
+                               "hard parts" #5). Unbounded nearest /
+                               backfill remain batch-only.
   event one-hot (O16)       →  the same closed-form nearest-grid-point
                                arithmetic (stateless projection!) +
                                windowed MAX one-hot with a watermark for
@@ -122,6 +125,95 @@ def event_onehot_stream(
         .groupBy("grid_ts")
         .agg(*aggs)
         .withColumnRenamed("grid_ts", "timestamp")
+    )
+
+
+def windowed_nearest_align(
+    stream: DataFrame,
+    anchor: dt.datetime,
+    n_grid: int,
+    step_ms: int = 60_000,
+    tolerance_ms: int = 30_000,
+    late_ms: int = 600_000,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming ``nearest`` as-of alignment — the method the module
+    header previously ruled out as not watermark-safe. It IS safe once
+    a tolerance bounds the future-peek: grid point g can only match
+    observations in [g - tol, g + tol], so after the event-time
+    watermark passes g + tol the winner is final.
+
+    Plan shape (all incremental-supported):
+      1. stateless expansion: each observation explodes to the grid
+         points within tolerance — at most ``2*tol/step + 1`` rows,
+         a constant fan-out independent of data volume;
+      2. one windowed aggregation keyed on the grid timestamp:
+         ``min_by`` over (distance, -obs_ts, -value) picks the nearest
+         observation, exact-distance ties to the LATER observation and
+         equal-timestamp duplicates to the larger value — identical to
+         the batch ``asof_align(method='nearest')`` tie rules over a
+         max-deduplicated series.
+
+    The watermark is declared on the DERIVED grid timestamp with delay
+    ``late_ms + tolerance_ms``: an observation ``late_ms`` late can
+    still feed a grid point ``tolerance_ms`` before it, so that sum is
+    exactly the horizon after which a grid row is immutable. State is
+    one candidate row per open grid point — bounded by
+    (late_ms + tol) / step, independent of input rate.
+
+    Late-vs-batch divergence: observations later than ``late_ms`` are
+    dropped by the watermark (batch, seeing everything, would use
+    them) — the standard streaming trade, same stance as the windowed
+    LOCF align. Within the horizon, output rows equal the batch
+    operator's non-null rows (grid points with NO observation inside
+    the tolerance emit nothing on a stream; batch emits a null row).
+    """
+    step_us, tol_us = step_ms * 1000, tolerance_ms * 1000
+    if anchor.tzinfo is None:
+        anchor = anchor.replace(tzinfo=dt.timezone.utc)
+    start_us = int(anchor.timestamp() * 1_000_000)
+    t = ts_us(F.col(ts_col))
+    d = t - F.lit(start_us)
+    # magnitudes are session-scale µs deltas (« 2^53), so double
+    # floor/ceil are exact
+    k_lo = F.greatest(F.ceil((d - tol_us) / F.lit(step_us)), F.lit(0))
+    k_hi = F.least(
+        F.floor((d + tol_us) / F.lit(step_us)), F.lit(n_grid - 1)
+    )
+    cand = (
+        stream.filter(k_lo <= k_hi)
+        .select(
+            F.col(ts_col).alias("obs_ts"),
+            F.col(value_col).cast("double").alias("value"),
+            F.explode(F.sequence(k_lo, k_hi)).alias("k"),
+        )
+        .withColumn(
+            "grid_ts",
+            F.timestamp_micros(F.lit(start_us) + F.col("k") * step_us),
+        )
+        .withColumn(
+            "dist", F.abs(ts_us(F.col("grid_ts")) - ts_us(F.col("obs_ts")))
+        )
+        .filter(F.col("dist") <= tol_us)
+    )
+    best = F.min_by(
+        F.struct(F.col("value"), F.col("obs_ts")),
+        F.struct(
+            F.col("dist"),
+            (-ts_us(F.col("obs_ts"))).alias("later_wins"),
+            (-F.col("value")).alias("larger_wins"),
+        ),
+    ).alias("best")
+    return (
+        cand.withWatermark("grid_ts", f"{late_ms + tolerance_ms} milliseconds")
+        .groupBy("grid_ts")
+        .agg(best)
+        .select(
+            F.col("grid_ts").alias("timestamp"),
+            F.col("best.value").alias("value"),
+            F.col("best.obs_ts").alias("matched_ts"),
+        )
     )
 
 

@@ -6,6 +6,7 @@ import pytest
 
 from multi_sensor_data_pipeline_for_robotics__spark.operators.linkage import (
     fuzzy_match_pairs,
+    variant_table,
 )
 
 NAMES = [
@@ -22,22 +23,23 @@ NAMES = [
 ]
 
 
-def _brute(max_dist=1):
-    def lev(a, b):
-        if len(a) < len(b):
-            a, b = b, a
-        prev = list(range(len(b) + 1))
-        for i, ca in enumerate(a, 1):
-            cur = [i]
-            for j, cb in enumerate(b, 1):
-                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
-            prev = cur
-        return prev[-1]
+def _lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
 
+
+def _brute(names, max_dist=1):
     out = {}
-    for i, (ia, sa) in enumerate(NAMES):
-        for ib, sb in NAMES[i + 1:]:
-            d = lev(sa, sb)
+    for i, (ia, sa) in enumerate(names):
+        for ib, sb in names[i + 1:]:
+            d = _lev(sa, sb)
             if d <= max_dist:
                 out[(ia, ib)] = d
     return out
@@ -49,10 +51,100 @@ def test_fuzzy_match_equals_bruteforce(spark):
         (r.id_a, r.id_b): r.dist
         for r in fuzzy_match_pairs(df, "name", "id").collect()
     }
-    assert got == _brute()
+    assert got == _brute(NAMES)
+
+
+def test_fuzzy_match_d2_equals_bruteforce(spark):
+    # add distance-2 relations: double substitution, sub+insert,
+    # transposition (levenshtein 2), double deletion
+    names = NAMES + [
+        (10, "bitten"),    # 1 from kitten/sitten/mitten
+        (11, "bidden"),    # 2 from bitten (tt->dd)
+        (12, "iktten"),    # 2 from kitten (transposition)
+        (13, "kitt"),      # 2 from kitten (double deletion)
+        (14, "ab"),        # 2 from "" and from "x"? lev("ab","x")=2
+    ]
+    df = spark.createDataFrame(names, "id long, name string")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_match_pairs(df, "name", "id", max_dist=2).collect()
+    }
+    assert got == _brute(names, max_dist=2)
 
 
 def test_fuzzy_match_rejects_unsupported_distance(spark):
     df = spark.createDataFrame(NAMES, "id long, name string")
     with pytest.raises(ValueError):
-        fuzzy_match_pairs(df, "name", "id", max_dist=2)
+        fuzzy_match_pairs(df, "name", "id", max_dist=3)
+
+
+def _hot_fixture():
+    """Many strings that all share ONE short deletion variant ("ab"):
+    single-char insertions into "ab" at any position. Any two of them
+    are candidates via the hot "ab" block (they are at distance <= 2 of
+    each other; the ones inserting at DIFFERENT positions or chars are
+    distance 2 — pure candidate-verification overhead at max_dist=1)."""
+    alphabet = "cdefghijklmnopqrstuvwxyz0123456789"
+    rows, i = [], 0
+    for ch in alphabet:
+        for pos in range(3):
+            s = "ab"[:pos] + ch + "ab"[pos:]
+            rows.append((i, s))
+            i += 1
+    return rows  # 102 strings, all sharing variant "ab"
+
+
+def test_hot_variant_cap_bounds_candidate_volume(spark):
+    rows = _hot_fixture()
+    df = spark.createDataFrame(rows, "id long, name string")
+
+    def n_candidates(cap):
+        v = variant_table(df, "name", "id", max_dist=1, max_variant_df=cap)
+        a, b = v.alias("a"), v.alias("b")
+        from pyspark.sql import functions as F
+
+        return (
+            a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.id") < F.col("b.id")))
+            .select("a.id", "b.id")
+            .count()
+        )
+
+    uncapped = n_candidates(None)
+    capped = n_candidates(10)
+    # the "ab" block alone is C(102,2) = 5151 pairs; the cap kills it
+    assert uncapped > 5000
+    assert capped < uncapped / 10
+
+    # capped output is a subset of uncapped truth, and every pair
+    # whose strings share a NON-hot variant survives: here all true
+    # distance<=1 pairs among the insertions are same-char-adjacent-
+    # position pairs (e.g. "cab"/"acb"), whose witness variants "ab"
+    # (hot) -- dropped -- but they also share e.g. "cb"/"ca"? Verify
+    # subset + exactness of the capped pairs instead.
+    full = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_match_pairs(df, "name", "id", max_variant_df=None).collect()
+    }
+    part = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_match_pairs(df, "name", "id", max_variant_df=10).collect()
+    }
+    assert full == _brute(rows, max_dist=1)
+    assert set(part) <= set(full)
+    assert all(full[k] == v for k, v in part.items())
+
+
+def test_default_cap_is_inert_on_unskewed_data(spark):
+    df = spark.createDataFrame(NAMES, "id long, name string")
+    for k in (1, 2):
+        full = {
+            (r.id_a, r.id_b): r.dist
+            for r in fuzzy_match_pairs(
+                df, "name", "id", max_dist=k, max_variant_df=None
+            ).collect()
+        }
+        dflt = {
+            (r.id_a, r.id_b): r.dist
+            for r in fuzzy_match_pairs(df, "name", "id", max_dist=k).collect()
+        }
+        assert full == dflt

@@ -109,17 +109,18 @@ def test_fuzzy_match_equals_bruteforce_on_random_strings(spark, names):
 
     rows = list(enumerate(names))
     df = spark.createDataFrame(rows, "id long, name string")
-    got = {
-        (r.id_a, r.id_b): r.dist
-        for r in fuzzy_match_pairs(df, "name", "id").collect()
-    }
-    want = {
-        (ia, ib): lev(sa, sb)
-        for i, (ia, sa) in enumerate(rows)
-        for ib, sb in rows[i + 1:]
-        if lev(sa, sb) <= 1
-    }
-    assert got == want
+    for k in (1, 2):
+        got = {
+            (r.id_a, r.id_b): r.dist
+            for r in fuzzy_match_pairs(df, "name", "id", max_dist=k).collect()
+        }
+        want = {
+            (ia, ib): lev(sa, sb)
+            for i, (ia, sa) in enumerate(rows)
+            for ib, sb in rows[i + 1:]
+            if lev(sa, sb) <= k
+        }
+        assert got == want, k
 
 
 @settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
