@@ -1285,6 +1285,52 @@ def _q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(dim, updates, "c_custkey", ["c_mktsegment"])
 
 
+def _q_scd2_merge_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # raw multi-update CDC batch in ONE call (new in r6): every 20th
+    # customer first sends a no-op snapshot (dropped), every 10th then
+    # changes segment in June, repeats the same attrs in August
+    # (run-length-collapsed) and changes again in September — the June
+    # version must chain-close at September's eff_ts
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.scd import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey", "c_mktsegment",
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    tenth = cust.filter(F.col("c_custkey") % 10 == 0)
+    updates = (
+        cust.filter(F.col("c_custkey") % 20 == 0)
+        .select(
+            "c_custkey", "c_mktsegment",
+            F.lit("2024-03-01 00:00:00").cast("timestamp").alias("eff_ts"),
+        )
+        .unionByName(
+            tenth.select(
+                "c_custkey",
+                F.concat(F.lit("NEW-"), F.col("c_mktsegment")).alias("c_mktsegment"),
+                F.lit("2024-06-01 00:00:00").cast("timestamp").alias("eff_ts"),
+            )
+        )
+        .unionByName(
+            tenth.select(
+                "c_custkey",
+                F.concat(F.lit("NEW-"), F.col("c_mktsegment")).alias("c_mktsegment"),
+                F.lit("2024-08-01 00:00:00").cast("timestamp").alias("eff_ts"),
+            )
+        )
+        .unionByName(
+            tenth.select(
+                "c_custkey",
+                F.concat(F.lit("NEW2-"), F.col("c_mktsegment")).alias("c_mktsegment"),
+                F.lit("2024-09-01 00:00:00").cast("timestamp").alias("eff_ts"),
+            )
+        )
+    )
+    return scd2_apply(dim, updates, "c_custkey", ["c_mktsegment"])
+
+
 def _q_scd2_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # families composed: an SCD2 dimension BUILT by scd2_apply (users
     # upgrade to 'buyer' at their first purchase), then every event
@@ -2242,6 +2288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_logprob": _q_text_bigram_logprob,
         "quality_checks": _q_quality_checks,
         "scd2_merge": _q_scd2_merge,
+        "scd2_merge_multi": _q_scd2_merge_multi,
         "scd2_timetravel": _q_scd2_timetravel,
         "stream_event_onehot": _q_stream_onehot,
         "text_pii_scrub": _q_text_pii_scrub,
@@ -3642,6 +3689,57 @@ UNION ALL
 SELECT up.k, up.seg, up.eff, CAST(NULL AS TIMESTAMP)
 FROM up LEFT JOIN dim d ON d.c_custkey = up.k
 WHERE d.c_custkey IS NULL OR d.c_mktsegment IS DISTINCT FROM up.seg
+"""
+
+    # replays scd2_apply's multi-update algorithm: run-length collapse
+    # per key -> first-survivor-vs-current no-op drop -> lead() chains
+    # the validity intervals -> min(eff) closes the pre-batch version
+    o["scd2_merge_multi"] = """
+WITH dim AS (
+    SELECT c_custkey, c_mktsegment,
+           TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to
+    FROM customer
+),
+up AS (
+    SELECT c_custkey AS k, c_mktsegment AS seg,
+           TIMESTAMP '2024-03-01 00:00:00' AS eff
+    FROM customer WHERE c_custkey % 20 = 0
+    UNION ALL
+    SELECT c_custkey, 'NEW-' || c_mktsegment, TIMESTAMP '2024-06-01 00:00:00'
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey, 'NEW-' || c_mktsegment, TIMESTAMP '2024-08-01 00:00:00'
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey, 'NEW2-' || c_mktsegment, TIMESTAMP '2024-09-01 00:00:00'
+    FROM customer WHERE c_custkey % 10 = 0
+),
+surv AS (
+    SELECT k, seg, eff FROM (
+        SELECT k, seg, eff,
+               lag(seg) OVER (PARTITION BY k ORDER BY eff, seg) AS prev_seg,
+               row_number() OVER (PARTITION BY k ORDER BY eff, seg) AS rn
+        FROM up
+    ) WHERE rn = 1 OR seg IS DISTINCT FROM prev_seg
+),
+chg AS (
+    SELECT k, seg, eff FROM (
+        SELECT s.k, s.seg, s.eff, d.c_custkey AS ck, d.c_mktsegment AS cseg,
+               row_number() OVER (PARTITION BY s.k ORDER BY s.eff, s.seg) AS rn2
+        FROM surv s LEFT JOIN dim d ON d.c_custkey = s.k AND d.valid_to IS NULL
+    ) WHERE NOT (rn2 = 1 AND ck IS NOT NULL AND seg IS NOT DISTINCT FROM cseg)
+),
+fe AS (SELECT k, min(eff) AS fe FROM chg GROUP BY k)
+SELECT d.c_custkey, d.c_mktsegment, d.valid_from, d.valid_to
+FROM dim d LEFT JOIN fe ON d.c_custkey = fe.k WHERE fe.k IS NULL
+UNION ALL
+SELECT d.c_custkey, d.c_mktsegment, d.valid_from, fe.fe
+FROM dim d JOIN fe ON d.c_custkey = fe.k
+UNION ALL
+SELECT k, seg, eff,
+       lead(eff) OVER (PARTITION BY k ORDER BY eff, seg)
+FROM chg
 """
 
     o["scd2_timetravel"] = """

@@ -7,18 +7,34 @@ queryable with an as-of predicate (``valid_from <= t AND (valid_to IS
 NULL OR t < valid_to)``), which composes with this repo's as-of join
 family for time-travel enrichment.
 
-Batch contract: at most ONE update row per key per call (the usual CDC
-arrangement — dedupe a multi-update batch to its latest row first,
-e.g. with ``plans.analytics.top_per_group``). The merge itself is two
-hash joins on the key plus a union — no windows, no collects; at
-100 TB both joins shuffle only (key, tracked-attrs) projections and
-the output unions four already-partitioned legs.
+Batch contract: a RAW CDC batch — any number of update rows per key —
+applies in one call, equivalent to replaying the key's updates one at
+a time in ``eff_ts`` order (each update is a change iff its tracked
+attributes differ from the then-current version; intermediate versions
+are chain-closed at the next change's ``eff_ts``). Rows whose
+attributes equal the previous row in the sequence (or the current
+version, for the first) are no-ops and produce no version.
+
+Determinism: within one (key, eff_ts) the ordering tie-breaks on the
+tracked attribute values; exact duplicate (key, eff_ts, attrs) rows
+collapse to one version. Distinct attrs at the SAME (key, eff_ts) are
+contradictory CDC input — both versions are emitted with a shared
+boundary, a zero-width interval closing instantly (callers should
+dedupe upstream).
+
+Scale shape: every wide operation keys on the dimension key — the
+update-side windows (run-length collapse, interval chaining) partition
+by key, and the three joins against the current slice are plain hash
+joins on the same key, so one partitioning serves the whole plan. No
+collects, no global windows; the output unions four already-keyed
+legs.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 
 def scd2_apply(
@@ -30,40 +46,74 @@ def scd2_apply(
     from_col: str = "valid_from",
     to_col: str = "valid_to",
 ) -> DataFrame:
-    """Merge ``updates`` (key, tracked attrs, eff_ts) into an SCD2
-    ``dim`` (key, tracked attrs, valid_from, valid_to NULL=current).
-
-    A key's update is a CHANGE iff it has no current version or any
-    tracked attribute differs (null-safe comparison). Changes close the
-    current version at ``eff_ts`` and open a new one; no-op updates and
-    unrelated keys pass through untouched. Returns the full new
-    dimension (history + revised current rows).
+    """Merge ``updates`` (key, tracked attrs, eff_ts — possibly many
+    rows per key) into an SCD2 ``dim`` (key, tracked attrs, valid_from,
+    valid_to NULL=current). Returns the full new dimension (history +
+    revised versions); see the module docstring for the replay
+    semantics.
     """
     cur = dim.filter(F.col(to_col).isNull())
     hist = dim.filter(F.col(to_col).isNotNull())
+    ucols = [f"__u_{c}" for c in tracked_cols]
     up = updates.select(
         F.col(key_col).alias("__k"),
         *[F.col(c).alias(f"__u_{c}") for c in tracked_cols],
         F.col(eff_ts_col).alias("__eff"),
     )
-    j = cur.join(up, cur[key_col] == up["__k"], "full_outer")
-    same = None
-    for c in tracked_cols:
-        eq = F.col(c).eqNullSafe(F.col(f"__u_{c}"))
-        same = eq if same is None else (same & eq)
-    is_update = F.col("__k").isNotNull()
-    has_cur = F.col(key_col).isNotNull()
-    changed = is_update & (~has_cur | ~same)
+    wk = W.partitionBy("__k").orderBy("__eff", *ucols)
 
-    untouched = j.filter(has_cur & ~changed).select(dim.columns)
-    closed = j.filter(has_cur & changed).select(
-        *[F.col(c) for c in dim.columns if c != to_col],
-        F.col("__eff").alias(to_col),
-    ).select(dim.columns)
-    opened = j.filter(changed).select(
+    # 1. intra-batch run-length collapse: an update equal to its
+    #    predecessor (null-safe, all tracked attrs) is a no-op
+    same_prev = None
+    for c in ucols:
+        eq = F.col(c).eqNullSafe(F.lag(c).over(wk))
+        same_prev = eq if same_prev is None else (same_prev & eq)
+    surv = (
+        up.withColumn("__rn", F.row_number().over(wk))
+        .withColumn("__same_prev", same_prev)
+        .filter((F.col("__rn") == 1) | ~F.col("__same_prev"))
+        .drop("__rn", "__same_prev")
+    )
+
+    # 2. the FIRST surviving update per key is a no-op iff it matches
+    #    the current version's attrs (equality is transitive, so later
+    #    survivors — which differ from their predecessor — stay changes)
+    surv = surv.withColumn("__rn", F.row_number().over(wk))
+    curp = cur.select(
+        F.col(key_col).alias("__ck"),
+        *[F.col(c).alias(f"__c_{c}") for c in tracked_cols],
+    )
+    j = surv.join(curp, F.col("__k") == F.col("__ck"), "left")
+    same_cur = None
+    for c in tracked_cols:
+        eq = F.col(f"__u_{c}").eqNullSafe(F.col(f"__c_{c}"))
+        same_cur = eq if same_cur is None else (same_cur & eq)
+    changes = j.filter(
+        ~((F.col("__rn") == 1) & F.col("__ck").isNotNull() & same_cur)
+    )
+
+    # 3. chain the surviving changes into validity intervals: each
+    #    opens at its eff_ts and closes at the NEXT change's (the last
+    #    stays current)
+    to_type = dim.schema[to_col].dataType
+    opened = changes.select(
         F.col("__k").alias(key_col),
         *[F.col(f"__u_{c}").alias(c) for c in tracked_cols],
         F.col("__eff").alias(from_col),
-        F.lit(None).cast(dim.schema[to_col].dataType).alias(to_col),
+        F.lead("__eff").over(wk).cast(to_type).alias(to_col),
+    ).select(dim.columns)
+
+    # 4. close the pre-batch current version at the first change
+    first_eff = changes.groupBy("__k").agg(F.min("__eff").alias("__fe"))
+    closed = (
+        cur.join(first_eff, cur[key_col] == first_eff["__k"], "inner")
+        .select(
+            *[F.col(c) for c in dim.columns if c != to_col],
+            F.col("__fe").cast(to_type).alias(to_col),
+        )
+        .select(dim.columns)
+    )
+    untouched = cur.join(
+        first_eff, cur[key_col] == first_eff["__k"], "left_anti"
     ).select(dim.columns)
     return hist.unionByName(untouched).unionByName(closed).unionByName(opened)

@@ -85,3 +85,62 @@ def test_scd2_multiple_tracked_columns(spark):
         (1, "x2"): (T1, None),
         (2, "y"): (T0, None),
     }
+
+
+T3 = dt.datetime(2024, 11, 1)
+
+
+def test_scd2_multi_update_batch_one_call(spark):
+    """A raw CDC batch with several updates per key applies in one
+    call: no-op first rows drop, duplicate runs collapse, intermediate
+    versions chain-close at the next change."""
+    dim = _dim(spark, [(1, "A", T0, None), (2, "B", T0, None)])
+    up = _up(
+        spark,
+        [
+            (1, "A", T1),    # no-op vs current -> dropped
+            (1, "A2", T2),   # change
+            (1, "A2", T3),   # duplicate run -> collapsed
+            (2, "B2", T1),   # change
+            (2, "B3", T2),   # change; B2 chain-closes at T2
+            (3, "C", T1),    # new key
+            (3, "C2", T2),   # new key's second version
+        ],
+    )
+    out = scd2_apply(dim, up, "k", ["seg"]).collect()
+    rows = {(r.k, r.seg): (r.valid_from, r.valid_to) for r in out}
+    assert rows == {
+        (1, "A"): (T0, T2),
+        (1, "A2"): (T2, None),
+        (2, "B"): (T0, T1),
+        (2, "B2"): (T1, T2),
+        (2, "B3"): (T2, None),
+        (3, "C"): (T1, T2),
+        (3, "C2"): (T2, None),
+    }
+
+
+def test_scd2_multi_batch_equals_sequential_replay(spark):
+    """One multi-update call == replaying the same updates as
+    single-update batches in eff_ts order (including a flip-back to
+    the original attrs, which must open a NEW version)."""
+    dim = _dim(spark, [(1, "A", T0, None), (2, "B", T0, None)])
+    updates = [
+        (1, "A2", T1),
+        (1, "A", T2),     # flip back -> new version with old attrs
+        (2, "B", T1),     # no-op
+        (2, "B2", T2),
+        (2, "B2", T3),    # duplicate
+        (4, "D", T2),
+    ]
+    multi = scd2_apply(dim, _up(spark, updates), "k", ["seg"])
+
+    seq = dim
+    for t in (T1, T2, T3):
+        batch = [u for u in updates if u[2] == t]
+        if batch:
+            seq = scd2_apply(seq, _up(spark, batch), "k", ["seg"])
+
+    m = {(r.k, r.seg, r.valid_from, r.valid_to) for r in multi.collect()}
+    s = {(r.k, r.seg, r.valid_from, r.valid_to) for r in seq.collect()}
+    assert m == s

@@ -147,13 +147,28 @@ def test_scd2_invariants_under_any_update_sequence(spark, updates):
         [(k, "init", t0, None) for k in range(4)],
         "k long, seg string, valid_from timestamp, valid_to timestamp",
     )
-    for step, (key, seg) in enumerate(updates, 1):
+    dim0 = dim
+    stamped = [
+        (key, seg, t0 + dt.timedelta(days=step))
+        for step, (key, seg) in enumerate(updates, 1)
+    ]
+    for key, seg, eff in stamped:
         up = spark.createDataFrame(
-            [(key, seg, t0 + dt.timedelta(days=step))],
-            "k long, seg string, eff_ts timestamp",
+            [(key, seg, eff)], "k long, seg string, eff_ts timestamp"
         )
         dim = scd2_apply(dim, up, "k", ["seg"])
     rows = dim.collect()
+
+    # one multi-update call over the whole batch == the sequential replay
+    multi = scd2_apply(
+        dim0,
+        spark.createDataFrame(stamped, "k long, seg string, eff_ts timestamp"),
+        "k",
+        ["seg"],
+    ).collect()
+    assert {(r.k, r.seg, r.valid_from, r.valid_to) for r in multi} == {
+        (r.k, r.seg, r.valid_from, r.valid_to) for r in rows
+    }
     by_key = {}
     for r in rows:
         by_key.setdefault(r.k, []).append((r.valid_from, r.valid_to, r.seg))
