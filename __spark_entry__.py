@@ -1612,6 +1612,9 @@ def _q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables — not reproducible as portable SQL. The exactness anchor is
     ``embed_cosine_topk`` (oracle-green); recall@25 >= 0.55 asserted in
     tests/test_llmops.py::test_ann_variants_recall_at_25_vs_exact.
+    NEW in r6: `embed_pq_topk_fp` (integer-lattice codebooks + integer
+    ADC) IS hash-green — PQ training and scoring are now cross-engine
+    certified at m=8; this m=32 float variant remains for code size.
 
     m=32 x ksub=16 (128-bit codes, 16x compression) because the
     synthetic near-random embeddings are PQ's worst case — real text
@@ -1711,12 +1714,47 @@ def _q_embed_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_ann_variants_recall_at_25_vs_exact (recall@25 >= 0.60) check
     recall, and test_ivf_trained_repeatable checks run-to-run
     determinism at fixed partitioning — the within-engine property a
-    hash row would have certified."""
+    hash row would have certified. NEW in r6: the fixed-point twin
+    `embed_ivf_topk_trained_fp` trains on an integer lattice where the
+    argument above dissolves (exact sums, floor updates, integer
+    argmins) and IS hash-green — TRAINED quantization is now
+    cross-engine certified; this float spherical variant remains the
+    production default for its metric."""
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return SIM.ivf_topk(emb, qs, k=5, nlist=16, nprobe=4, train_iters=2)
+
+
+def _q_embed_ivf_trained_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED IVF that IS hash-checked (new in r6): k-means on an
+    integer lattice (floor(unit*1e6)) makes every training step exact
+    and order-independent — integer argmin assignment, associative
+    integer component sums, floor(sum/count) update — so the 2 Lloyd
+    rounds replay verbatim in the DuckDB oracle (chained CTEs, like
+    the PageRank replay). This closes the gap the float spherical
+    variant documents: training is finally cross-engine certified, not
+    just recall-tested."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivf_topk_fixedpoint(emb, qs, k=5, nlist=16, nprobe=4, iters=2)
+
+
+def _q_embed_pq_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ that IS hash-checked (new in r6): codebooks train on the
+    integer lattice (like `embed_ivf_topk_trained_fp`) and the ADC
+    scores are themselves exact int64 dot products summed
+    associatively — no float order anywhere, so the DuckDB twin
+    replays training AND scoring verbatim. m=8 x ksub=16 on the
+    64-dim corpus; reported score = round(int_score/1e12, 6)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.pq_topk_fixedpoint(emb, qs, k=5, m=8, ksub=16, iters=2)
 
 
 def _q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2257,6 +2295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup_pairs": _q_embed_neardup,
         "embed_neardup_lsh": _q_embed_lsh,
         "embed_ivf_topk_trained": _q_embed_ivf_trained,
+        "embed_ivf_topk_trained_fp": _q_embed_ivf_trained_fp,
+        "embed_pq_topk_fp": _q_embed_pq_fp,
         "embed_pq_topk": _q_embed_pq,
         "embed_ivfpq_topk": _q_embed_ivfpq,
         "embed_ivfpq_residual_topk": _q_embed_ivfpq_residual,
@@ -3130,6 +3170,161 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
       FROM scored)
 WHERE rank <= 5
 """
+
+    # replays similarity.ivf_topk_fixedpoint verbatim: the 2 Lloyd
+    # rounds happen on an integer lattice (floor(unit*1e6)), so
+    # assignment argmins, component sums and floor(sum/count) updates
+    # are exact in both engines — chained CTEs, one pair per round
+    def _fp_ivf_sql(nlist=16, nprobe=4, k=5, iters=2, scale=1_000_000):
+        nrm = ("greatest(sqrt(list_aggregate(list_transform(v, y -> y * y), "
+               "'sum')), 1e-12)")
+        idist = ("list_sum(list_transform(range(len(q.qv)), "
+                 "i -> (q.qv[i+1]-c.cv[i+1])*(q.qv[i+1]-c.cv[i+1])))")
+        ctes = [f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (
+    SELECT vec_id, v,
+           list_transform(v, x -> CAST(floor(x / {nrm} * {scale}.0) AS BIGINT)) AS qv
+    FROM e
+),
+cents0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, qv AS cv
+    FROM q QUALIFY row_number() OVER (ORDER BY vec_id) <= {nlist}
+)"""]
+        prev = "cents0"
+        for r in range(1, iters + 1):
+            ctes.append(f"""a{r} AS (
+    SELECT vec_id, qv, cent_id FROM (
+        SELECT q.vec_id, q.qv, c.cent_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {idist} ASC, c.cent_id ASC) AS rk
+        FROM q, {prev} c
+    ) WHERE rk = 1
+),
+upd{r} AS (
+    SELECT cent_id, list(cq ORDER BY pos) AS cv FROM (
+        SELECT cent_id, t.pos AS pos,
+               CAST(floor(CAST(sum(qv[t.pos + 1]) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+        FROM a{r}, UNNEST(range(len(qv))) AS t(pos)
+        GROUP BY cent_id, t.pos
+    ) GROUP BY cent_id
+),
+cents{r} AS (
+    SELECT * FROM upd{r}
+    UNION ALL
+    SELECT c.* FROM {prev} c WHERE c.cent_id NOT IN (SELECT cent_id FROM upd{r})
+)""")
+            prev = f"cents{r}"
+        return "WITH " + ",\n".join(ctes) + f""",
+assigned AS (
+    SELECT vec_id AS cand_id, v AS cand_vec, cent_id AS list_id FROM (
+        SELECT q.vec_id, q.v, c.cent_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {idist} ASC, c.cent_id ASC) AS rk
+        FROM q, {prev} c
+    ) WHERE rk = 1
+),
+qq AS (SELECT vec_id AS query_id, v AS qv2, qv FROM q WHERE vec_id < 5),
+probes AS (
+    SELECT query_id, qv2, cent_id AS list_id FROM (
+        SELECT q.query_id, q.qv2, c.cent_id,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {idist} ASC, c.cent_id ASC) AS rk
+        FROM qq q, {prev} c
+    ) WHERE rk <= {nprobe}
+),
+scored AS (
+    SELECT p.query_id, a.cand_id,
+           round(list_cosine_similarity(a.cand_vec, p.qv2), 6) AS cosine
+    FROM assigned a JOIN probes p ON a.list_id = p.list_id
+    WHERE a.cand_id != p.query_id
+)
+SELECT query_id, cand_id, cosine, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id ASC) AS rank
+      FROM scored)
+WHERE rank <= {k}
+"""
+
+    o["embed_ivf_topk_trained_fp"] = _fp_ivf_sql()
+
+    # replays similarity.pq_topk_fixedpoint: per-subspace integer
+    # Lloyd rounds, then integer ADC (int64 LUT dot products, exact
+    # associative sums) — training AND scoring are both certified
+    def _fp_pq_sql(m=8, ksub=16, k=5, iters=2, scale=1_000_000, dim=64):
+        dsub = dim // m
+        nrm = ("greatest(sqrt(list_aggregate(list_transform(v, y -> y * y), "
+               "'sum')), 1e-12)")
+        sdist = (f"list_sum(list_transform(range({dsub}), "
+                 f"i -> (q.qv[b.j*{dsub}+i+1]-b.cv[i+1])"
+                 f"*(q.qv[b.j*{dsub}+i+1]-b.cv[i+1])))")
+        ctes = [f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (
+    SELECT vec_id,
+           list_transform(v, x -> CAST(floor(x / {nrm} * {scale}.0) AS BIGINT)) AS qv
+    FROM e
+),
+books0 AS (
+    SELECT j.j AS j, row_number() OVER (PARTITION BY j.j ORDER BY vec_id) - 1 AS code,
+           list_transform(range({dsub}), i -> qv[j.j*{dsub} + i + 1]) AS cv
+    FROM q, UNNEST(range({m})) AS j(j)
+    QUALIFY row_number() OVER (PARTITION BY j.j ORDER BY vec_id) <= {ksub}
+)"""]
+        prev = "books0"
+        for r in range(1, iters + 1):
+            ctes.append(f"""a{r} AS (
+    SELECT vec_id, j, code FROM (
+        SELECT q.vec_id, b.j, b.code,
+               row_number() OVER (PARTITION BY q.vec_id, b.j
+                   ORDER BY {sdist} ASC, b.code ASC) AS rk
+        FROM q, {prev} b
+    ) WHERE rk = 1
+),
+upd{r} AS (
+    SELECT j, code, list(cq ORDER BY spos) AS cv FROM (
+        SELECT a.j AS j, a.code AS code, t.spos AS spos,
+               CAST(floor(CAST(sum(q.qv[a.j*{dsub} + t.spos + 1]) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+        FROM a{r} a, q, UNNEST(range({dsub})) AS t(spos)
+        WHERE q.vec_id = a.vec_id
+        GROUP BY a.j, a.code, t.spos
+    ) GROUP BY j, code
+),
+books{r} AS (
+    SELECT * FROM upd{r}
+    UNION ALL
+    SELECT b.* FROM {prev} b
+    WHERE NOT EXISTS (SELECT 1 FROM upd{r} u WHERE u.j = b.j AND u.code = b.code)
+)""")
+            prev = f"books{r}"
+        return "WITH " + ",\n".join(ctes) + f""",
+afinal AS (
+    SELECT vec_id, j, code FROM (
+        SELECT q.vec_id, b.j, b.code,
+               row_number() OVER (PARTITION BY q.vec_id, b.j
+                   ORDER BY {sdist} ASC, b.code ASC) AS rk
+        FROM q, {prev} b
+    ) WHERE rk = 1
+),
+lut AS (
+    SELECT qq.query_id, b.j, b.code,
+           list_sum(list_transform(range({dsub}),
+               i -> qq.qv[b.j*{dsub}+i+1] * b.cv[i+1])) AS t
+    FROM (SELECT vec_id AS query_id, qv FROM q WHERE vec_id < 5) qq, {prev} b
+),
+scored AS (
+    SELECT l.query_id, a.vec_id AS cand_id,
+           round(CAST(sum(l.t) AS DOUBLE) / {scale * scale}.0, 6) AS adc_score
+    FROM afinal a JOIN lut l ON l.j = a.j AND l.code = a.code
+    WHERE a.vec_id != l.query_id
+    GROUP BY l.query_id, a.vec_id
+)
+SELECT query_id, cand_id, adc_score, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_score DESC, cand_id ASC) AS rank
+      FROM scored)
+WHERE rank <= {k}
+"""
+
+    o["embed_pq_topk_fp"] = _fp_pq_sql()
 
     o["dedup_exact"] = """
 SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS n_copies

@@ -950,3 +950,321 @@ def lsh_neardup_pairs_portable(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# fixed-point trained IVF — the oracle-able TRAINED coarse quantizer
+# ---------------------------------------------------------------------------
+def _fp_quantize(vd, scale: int):
+    """floor((x / max(norm, eps)) * scale) as bigint — the fixed-point
+    lattice both engines land on exactly. floor (not round) because
+    floor has NO tie rule: identical doubles floor identically in any
+    engine, while round() half-way policies differ (HALF_UP vs
+    half-even) — the exact failure that kept float k-means rows-only.
+    """
+    g = F.greatest(l2_norm(vd), F.lit(1e-12))
+    return F.transform(vd, lambda x: F.floor(x / g * scale).cast("long"))
+
+
+def _fp_argmin_expr(qv, cents: list) -> "F.Column":
+    """Nearest centroid by INTEGER squared L2 — a narrow projection
+    (array_min over per-centroid fold structs), no join; ties break to
+    the lowest cent_id by exact integer comparison, so there is no
+    float-argmax flip for a replica to disagree on."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        qv,
+                        F.array(*[F.lit(int(c)).cast("long") for c in vec]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ),
+                F.lit(cid),
+                # lambda-built columns shed their aliases inside
+                # struct(); the cast pins the field names instead
+            ).cast("struct<dist:bigint,cid:int>")
+            for cid, vec in cents
+        ]
+    )
+    return F.array_min(pairs)["cid"]
+
+
+def kmeans_centroids_fixedpoint(
+    embeddings: DataFrame,
+    nlist: int = 16,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Lloyd k-means over unit vectors QUANTIZED to an integer lattice
+    (floor(u * scale)) — every arithmetic step is exact and
+    order-independent, so the trained centroids are bit-identical on
+    any engine, partitioning, or scan order, and a SQL replica can
+    replay the whole training (unlike the float spherical
+    :func:`kmeans_centroids`, whose partial-sum order and mean
+    rounding make cross-engine hashes impossible — see
+    `_q_embed_ivf_trained`'s docstring).
+
+    Per round: integer-L2 argmin assignment (narrow projection),
+    per-(cluster, dim) INTEGER component sums via posexplode + groupBy
+    (associative — map-side combine gives the partial-merge shape at
+    scale), centroid update floor(sum/count) on the driver
+    (nlist x dim values). Empty clusters keep their previous centroid.
+    Returns [(cent_id, [int components])].
+    """
+    import math
+
+    qd = embeddings.select(
+        F.col(id_col).alias("__id"), to_double(F.col(vec_col)).alias("__vd")
+    ).select("__id", _fp_quantize(F.col("__vd"), scale).alias("__qv"))
+    qd = maybe_persist(qd)
+    init = qd.orderBy("__id").limit(nlist).select("__qv").collect()
+    cents = [(i, [int(x) for x in r["__qv"]]) for i, r in enumerate(init)]
+    for _ in range(iters):
+        assigned = qd.select(
+            _fp_argmin_expr(F.col("__qv"), cents).alias("__list"),
+            F.posexplode("__qv").alias("__pos", "__qi"),
+        )
+        rows = (
+            assigned.groupBy("__list", "__pos")
+            .agg(F.sum("__qi").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        new = {cid: list(vec) for cid, vec in cents}
+        for r in rows:
+            # float division of exact ints (both < 2^53) then floor —
+            # the identical IEEE op sequence as the SQL replica
+            new[r["__list"]][r["__pos"]] = int(math.floor(r["s"] / r["c"]))
+        cents = sorted(new.items())
+    return cents
+
+
+def ivf_topk_fixedpoint(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF ANN with a TRAINED fixed-point coarse quantizer
+    (:func:`kmeans_centroids_fixedpoint`): corpus assignment and query
+    probing both use exact integer L2 on the quantized lattice, final
+    candidate scoring is true cosine on the original vectors (rounded
+    for cross-engine parity). Same plan shape as :func:`ivf_topk`;
+    this variant trades the spherical metric for full
+    SQL-replayability of the training loop."""
+    spark = embeddings.sparkSession
+    cents = kmeans_centroids_fixedpoint(
+        embeddings, nlist, iters, scale, id_col, vec_col
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec")
+    )
+    assigned = e.withColumn(
+        "list_id",
+        _fp_argmin_expr(
+            _fp_quantize(to_double(F.col("cand_vec")), scale), cents
+        ),
+    )
+    cents_df = spark.createDataFrame(
+        [(cid, [int(x) for x in vec]) for cid, vec in cents],
+        "cent_id int, cv array<bigint>",
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    ).withColumn("__qv", _fp_quantize(to_double(F.col("query_vec")), scale))
+    idist = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("__d").asc(), F.col("cent_id").asc())
+    probes = (
+        q.join(F.broadcast(cents_df), how="cross")
+        .withColumn("__d", idist)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= nprobe)
+        .select("query_id", "query_vec", F.col("cent_id").alias("list_id"))
+    )
+    sim = F.round(cosine(F.col("cand_vec"), F.col("query_vec")), round_to)
+    scored = (
+        assigned.join(probes, "list_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cosine", sim)
+    )
+    wk = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+
+
+def pq_codebooks_fixedpoint(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Product-quantization codebooks trained ENTIRELY on the integer
+    lattice (floor(unit*scale)) — the PQ counterpart of
+    :func:`kmeans_centroids_fixedpoint`. Every step (per-subspace
+    integer-L2 argmin, associative integer component sums,
+    floor(sum/count) updates) is exact, so the trained books are
+    bit-identical on any engine/partitioning and a SQL replica can
+    replay the training. All m subspaces train simultaneously per
+    round: ONE scan computes every subspace's assignment codes and one
+    posexplode + groupBy yields all (subspace, code, dim) integer
+    sums. Returns [m][ksub][dsub] ints."""
+    import math
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    qd = embeddings.select(
+        F.col(id_col).alias("__id"), to_double(F.col(vec_col)).alias("__vd")
+    ).select("__id", _fp_quantize(F.col("__vd"), scale).alias("__qv"))
+    qd = maybe_persist(qd)
+    init = qd.orderBy("__id").limit(ksub).select("__qv").collect()
+    books = [
+        [
+            [int(x) for x in r["__qv"][j * dsub : (j + 1) * dsub]]
+            for r in init
+        ]
+        for j in range(m)
+    ]
+    for _ in range(iters):
+        codes = F.array(
+            *[
+                _fp_argmin_expr(
+                    F.slice(F.col("__qv"), j * dsub + 1, dsub),
+                    list(enumerate(books[j])),
+                )
+                for j in range(m)
+            ]
+        )
+        exploded = qd.select(
+            codes.alias("__codes"), F.posexplode("__qv").alias("__pos", "__qi")
+        ).select(
+            (F.col("__pos") / dsub).cast("int").alias("j"),
+            F.element_at(
+                F.col("__codes"), (F.col("__pos") / dsub).cast("int") + 1
+            ).alias("code"),
+            (F.col("__pos") % dsub).alias("spos"),
+            "__qi",
+        )
+        rows = (
+            exploded.groupBy("j", "code", "spos")
+            .agg(F.sum("__qi").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        for r in rows:
+            books[r["j"]][r["code"]][r["spos"]] = int(math.floor(r["s"] / r["c"]))
+    return books
+
+
+def pq_topk_fixedpoint(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """PQ-ADC top-k with fixed-point codebooks
+    (:func:`pq_codebooks_fixedpoint`) where the ADC scores themselves
+    are INTEGERS: both the query subvectors and the codebook entries
+    live on the lattice, so each LUT term is an exact int64 dot product
+    and the per-candidate sum over subspaces is associative — no float
+    summation order anywhere, hence hash-checkable cross-engine
+    (reported as round(score/scale², 6), the lattice approximation of
+    the cosine ADC score).
+
+    Plan: codes explode to (cand, subspace, code) — m rows per
+    candidate; the per-query LUT (|queries|·m·ksub rows) broadcasts;
+    one groupBy(query, cand) integer sum scores everything. At corpus
+    scale that is a broadcast join + one shuffle keyed on
+    (query, cand) with map-side combine."""
+    spark = embeddings.sparkSession
+    dsub = dim // m
+    books = pq_codebooks_fixedpoint(
+        embeddings, m, ksub, iters, scale, dim, id_col, vec_col
+    )
+    codes_expr = F.array(
+        *[
+            _fp_argmin_expr(
+                F.slice(F.col("__qv"), j * dsub + 1, dsub),
+                list(enumerate(books[j])),
+            )
+            for j in range(m)
+        ]
+    )
+    enc = (
+        embeddings.select(
+            F.col(id_col).alias("cand_id"), to_double(F.col(vec_col)).alias("__vd")
+        )
+        .select("cand_id", _fp_quantize(F.col("__vd"), scale).alias("__qv"))
+        .select("cand_id", F.posexplode(codes_expr).alias("j", "code"))
+    )
+    books_df = spark.createDataFrame(
+        [
+            (j, c, [int(x) for x in books[j][c]])
+            for j in range(m)
+            for c in range(ksub)
+        ],
+        "j int, code int, cv array<bigint>",
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), to_double(F.col(vec_col)).alias("__vd")
+    ).select("query_id", _fp_quantize(F.col("__vd"), scale).alias("__qv"))
+    term = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("__qv"), F.col("j") * dsub + 1, dsub),
+            F.col("cv"),
+            lambda a, b: a * b,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    lut = q.join(F.broadcast(books_df), how="cross").select(
+        "query_id", "j", "code", term.alias("t")
+    )
+    scored = (
+        enc.join(F.broadcast(lut), ["j", "code"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("t").alias("s"))
+        .withColumn(
+            "adc_score", F.round(F.col("s") / F.lit(float(scale) ** 2), round_to)
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "adc_score", "rank")
+    )

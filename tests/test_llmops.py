@@ -679,6 +679,17 @@ def test_ann_variants_recall_at_25_vs_exact(spark):
             ),
             0.50,
         ),
+        # the r6 fixed-point twins ARE oracle-checked for exactness;
+        # recall floors here certify retrieval QUALITY (the lattice
+        # quantization must not degrade it vs the float variants)
+        "embed_ivf_topk_trained_fp": (
+            SIM.ivf_topk_fixedpoint(emb, qs, k=K, nlist=16, nprobe=4, iters=2),
+            0.60,
+        ),
+        "embed_pq_topk_fp": (
+            SIM.pq_topk_fixedpoint(emb, qs, k=K, m=8, ksub=16, iters=2),
+            0.35,
+        ),
     }
     got = {name: recall(df) for name, (df, _) in floors.items()}
     print("recall@25:", {k: round(v, 3) for k, v in got.items()})
