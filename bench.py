@@ -173,9 +173,32 @@ def main() -> None:
                 # 1.5x before — record it so a drift is visible in the
                 # artifact instead of inferred from timing archaeology
                 "data_fingerprint": data_fingerprint(sf_dir),
+                # ambient machine state: boot-window noise has produced
+                # 1.2-1.3x per-query swings between otherwise identical
+                # runs — the artifact carries the context a reader needs
+                # to judge whether a delta is code or environment
+                "ambient": ambient_context(),
             }
         )
     )
+
+
+def ambient_context() -> dict:
+    """Uptime, load average and page-cache size at bench time."""
+    out = {}
+    try:
+        with open("/proc/uptime") as f:
+            out["uptime_s"] = int(float(f.read().split()[0]))
+        out["loadavg_1m"] = round(os.getloadavg()[0], 2)
+        with open("/proc/meminfo") as f:
+            mem = dict(
+                (ln.split(":")[0], ln.split()[1]) for ln in f if ":" in ln
+            )
+        out["page_cache_mb"] = int(mem.get("Cached", 0)) // 1024
+        out["mem_available_mb"] = int(mem.get("MemAvailable", 0)) // 1024
+    except Exception as e:  # noqa: BLE001 — context is best-effort
+        out["error"] = str(e)[:200]
+    return out
 
 
 def data_fingerprint(sf_dir: str) -> dict:
