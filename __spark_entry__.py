@@ -2000,6 +2000,41 @@ def _q_stream_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _make_stream_asof(method: str):
+    """Pad/backfill twins of `stream_asof_nearest` (same candidate-
+    expansion operator, directional window): oracle = the batch ASOF
+    join restricted to within-tolerance matches."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import datetime as _dt
+
+        from multi_sensor_data_pipeline_for_robotics__spark.streaming.sync_stream import (
+            read_events_stream,
+            run_to_memory,
+            windowed_asof_align,
+        )
+
+        cam = _series(spark, sf_dir, CAMERA_TYPE, "x")
+        lo, hi = _grid_bounds(cam)
+        n_grid = (
+            int(hi.replace(tzinfo=_dt.timezone.utc).timestamp() * 1e6)
+            - int(lo.replace(tzinfo=_dt.timezone.utc).timestamp() * 1e6)
+        ) // GRID_STEP_US + 1
+        stream = read_events_stream(spark, sf_dir).filter(
+            F.col("event_type") == CAMERA_TYPE
+        )
+        out = windowed_asof_align(
+            stream, lo, n_grid, step_ms=GRID_STEP_MS,
+            tolerance_ms=SYNC_TOL_MS, method=method,
+        )
+        run_to_memory(out, f"stream_asof_{method}_tbl", output_mode="complete")
+        return spark.table(f"stream_asof_{method}_tbl").select(
+            "timestamp", F.col("value").alias("x"), "matched_ts"
+        )
+
+    return q
+
+
 def _q_stream_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful-streaming representative #1 (applyInPandasWithState):
     per-key LOCF enrichment of the events file-stream — every record
@@ -2249,6 +2284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": _q_sessionize,
         "stream_windowed_align": _q_stream_windowed_align,
         "stream_asof_nearest": _q_stream_asof_nearest,
+        "stream_asof_pad": _make_stream_asof("pad"),
+        "stream_asof_backfill": _make_stream_asof("backfill"),
         # ===== position 51+: variants, twins, and the wider SQL surface ===
         "gen_camera_pysource": _q_gen_camera_pysource,
         "props_json_typed": _q_props_typed,
@@ -3682,6 +3719,22 @@ sel AS (
 SELECT timestamp, x, matched_ts FROM sel
 WHERE matched_ts IS NOT NULL
   AND abs(epoch_us(matched_ts) - epoch_us(timestamp)) <= {SYNC_TOL_MS * 1000}
+"""
+
+    o["stream_asof_pad"] = f"""
+{asof_base}
+SELECT g.timestamp, cam.x AS x, cam.timestamp AS matched_ts
+FROM g ASOF LEFT JOIN cam ON cam.timestamp <= g.timestamp
+WHERE cam.timestamp IS NOT NULL
+  AND epoch_us(g.timestamp) - epoch_us(cam.timestamp) <= {SYNC_TOL_MS * 1000}
+"""
+
+    o["stream_asof_backfill"] = f"""
+{asof_base}
+SELECT g.timestamp, cam.x AS x, cam.timestamp AS matched_ts
+FROM g ASOF LEFT JOIN cam ON cam.timestamp >= g.timestamp
+WHERE cam.timestamp IS NOT NULL
+  AND epoch_us(cam.timestamp) - epoch_us(g.timestamp) <= {SYNC_TOL_MS * 1000}
 """
 
     o["gen_motion"] = f"""

@@ -128,32 +128,38 @@ def event_onehot_stream(
     )
 
 
-def windowed_nearest_align(
+def windowed_asof_align(
     stream: DataFrame,
     anchor: dt.datetime,
     n_grid: int,
     step_ms: int = 60_000,
     tolerance_ms: int = 30_000,
     late_ms: int = 600_000,
+    method: str = "nearest",
     ts_col: str = "ts",
     value_col: str = "value",
 ) -> DataFrame:
-    """Streaming ``nearest`` as-of alignment — the method the module
-    header previously ruled out as not watermark-safe. It IS safe once
-    a tolerance bounds the future-peek: grid point g can only match
-    observations in [g - tol, g + tol], so after the event-time
-    watermark passes g + tol the winner is final.
+    """Streaming tolerance-bounded as-of alignment — including the
+    ``nearest`` and ``backfill`` methods the module header previously
+    ruled out as not watermark-safe. They ARE safe once a tolerance
+    bounds the future-peek: grid point g can only match observations in
+    [g - tol, g + tol] (``nearest``), [g, g + tol] (``backfill``) or
+    [g - tol, g] (``pad``), so after the event-time watermark passes
+    the window's right edge the winner is final.
 
     Plan shape (all incremental-supported):
       1. stateless expansion: each observation explodes to the grid
-         points within tolerance — at most ``2*tol/step + 1`` rows,
-         a constant fan-out independent of data volume;
+         points whose candidate window contains it — at most
+         ``2*tol/step + 1`` rows, a constant fan-out independent of
+         data volume;
       2. one windowed aggregation keyed on the grid timestamp:
-         ``min_by`` over (distance, -obs_ts, -value) picks the nearest
-         observation, exact-distance ties to the LATER observation and
-         equal-timestamp duplicates to the larger value — identical to
-         the batch ``asof_align(method='nearest')`` tie rules over a
-         max-deduplicated series.
+         ``min_by`` over (distance, -obs_ts, -value) picks the winner.
+         For ``nearest`` that is the closest observation, exact-distance
+         ties to the LATER observation; for ``pad``/``backfill``
+         minimum distance IS the latest-before / earliest-after
+         observation. Equal-timestamp duplicates tie to the larger
+         value — identical to the batch ``asof_align`` tie rules over
+         a max-deduplicated series.
 
     The watermark is declared on the DERIVED grid timestamp with delay
     ``late_ms + tolerance_ms``: an observation ``late_ms`` late can
@@ -166,20 +172,29 @@ def windowed_nearest_align(
     dropped by the watermark (batch, seeing everything, would use
     them) — the standard streaming trade, same stance as the windowed
     LOCF align. Within the horizon, output rows equal the batch
-    operator's non-null rows (grid points with NO observation inside
-    the tolerance emit nothing on a stream; batch emits a null row).
+    operator's non-null within-tolerance rows (grid points with NO
+    observation inside the tolerance emit nothing on a stream; batch
+    emits a null row).
     """
+    if method not in ("nearest", "pad", "backfill"):
+        raise ValueError(f"unknown streaming as-of method: {method}")
     step_us, tol_us = step_ms * 1000, tolerance_ms * 1000
     if anchor.tzinfo is None:
         anchor = anchor.replace(tzinfo=dt.timezone.utc)
     start_us = int(anchor.timestamp() * 1_000_000)
     t = ts_us(F.col(ts_col))
     d = t - F.lit(start_us)
+    # candidate grid-index window per method: the obs at offset d feeds
+    # grid points k with g in [t - tol, t + tol] clipped by direction.
     # magnitudes are session-scale µs deltas (« 2^53), so double
     # floor/ceil are exact
-    k_lo = F.greatest(F.ceil((d - tol_us) / F.lit(step_us)), F.lit(0))
+    # pad: obs feeds grids in [t, t+tol]; backfill: [t-tol, t];
+    # nearest: [t-tol, t+tol]
+    lo_off = 0 if method == "pad" else tol_us
+    hi_off = 0 if method == "backfill" else tol_us
+    k_lo = F.greatest(F.ceil((d - lo_off) / F.lit(step_us)), F.lit(0))
     k_hi = F.least(
-        F.floor((d + tol_us) / F.lit(step_us)), F.lit(n_grid - 1)
+        F.floor((d + hi_off) / F.lit(step_us)), F.lit(n_grid - 1)
     )
     cand = (
         stream.filter(k_lo <= k_hi)
@@ -215,6 +230,11 @@ def windowed_nearest_align(
             F.col("best.obs_ts").alias("matched_ts"),
         )
     )
+
+
+# round-6 first name for the nearest-only operator, kept as an alias
+def windowed_nearest_align(*args, **kwargs) -> DataFrame:
+    return windowed_asof_align(*args, **kwargs)
 
 
 def run_to_memory(

@@ -331,3 +331,68 @@ def test_nearest_align_stream_append_mode_runs(spark, sf_dir, tmp_path):
     SS.run_to_memory(out, "nearest_append_out", "append")
     emitted = spark.table("nearest_append_out")
     assert emitted.count() >= 0  # accepted plan; content checked above
+
+
+def test_pad_backfill_align_stream_matches_batch(spark, sf_dir):
+    """Streaming pad/backfill within tolerance == the batch asof_align
+    of the same method restricted to in-tolerance matches."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators import sync as S
+
+    cam = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .groupBy(F.col("ts").alias("timestamp"))
+        .agg(F.max("value").alias("x"))
+    )
+    lo, hi = cam.agg(F.min("timestamp"), F.max("timestamp")).first()
+    step_ms, tol_ms = 900_000, 300_000
+    n_grid = (
+        int(hi.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+        - int(lo.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    ) // (step_ms * 1000) + 1
+    grid = S.time_grid(spark, lo, hi, step_ms)
+    raw = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    ).select("ts", "value")
+
+    for method, sign in (("pad", 1), ("backfill", -1)):
+        batch = S.asof_align(grid, cam, method=method)
+        want = (
+            batch.filter(
+                F.col("__matched_ts").isNotNull()
+                & (
+                    sign
+                    * (
+                        F.unix_micros("timestamp")
+                        - F.unix_micros("__matched_ts")
+                    )
+                    <= tol_ms * 1000
+                )
+            )
+            .select(
+                "timestamp",
+                F.col("x").alias("value"),
+                F.col("__matched_ts").alias("matched_ts"),
+            )
+            .toPandas()
+            .sort_values("timestamp")
+            .reset_index(drop=True)
+        )
+        stream = SS.read_events_stream(spark, sf_dir).filter(
+            F.col("event_type") == "click"
+        )
+        out = SS.windowed_asof_align(
+            stream, lo, n_grid, step_ms=step_ms, tolerance_ms=tol_ms,
+            method=method,
+        )
+        SS.run_to_memory(out, f"asof_{method}_out", "complete")
+        got = (
+            spark.table(f"asof_{method}_out")
+            .toPandas()
+            .sort_values("timestamp")
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want) > 0, method
+        assert (got["timestamp"] == want["timestamp"]).all(), method
+        assert (got["value"] == want["value"]).all(), method
+        assert (got["matched_ts"] == want["matched_ts"]).all(), method
