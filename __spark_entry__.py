@@ -1757,6 +1757,22 @@ def _q_embed_pq_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_topk_fixedpoint(emb, qs, k=5, m=8, ksub=16, iters=2)
 
 
+def _q_embed_ivfpq_residual_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVFPQ that IS hash-checked (new in r6): coarse
+    quantizer, integer residuals, residual-trained PQ books and the
+    ADC offsets/LUT all live on the integer lattice — the most complex
+    ANN composition in the repo, certified end to end by a DuckDB
+    oracle that replays coarse training, residual PQ training and
+    integer ADC scoring as one chained-CTE program."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivfpq_topk_fixedpoint(
+        emb, qs, k=5, nlist=16, nprobe=8, m=8, ksub=16, iters=2
+    )
+
+
 def _q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # head_bytes is projected to a CSV string for the graded row — the
     # driver's canonicalizer can't sort/hash array cells; the operator
@@ -2334,6 +2350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf_topk_trained": _q_embed_ivf_trained,
         "embed_ivf_topk_trained_fp": _q_embed_ivf_trained_fp,
         "embed_pq_topk_fp": _q_embed_pq_fp,
+        "embed_ivfpq_residual_fp": _q_embed_ivfpq_residual_fp,
         "embed_pq_topk": _q_embed_pq,
         "embed_ivfpq_topk": _q_embed_ivfpq,
         "embed_ivfpq_residual_topk": _q_embed_ivfpq_residual,
@@ -3362,6 +3379,148 @@ WHERE rank <= {k}
 """
 
     o["embed_pq_topk_fp"] = _fp_pq_sql()
+
+    # replays similarity.ivfpq_topk_fixedpoint end to end: coarse
+    # integer k-means -> integer residuals -> residual PQ training ->
+    # integer ADC (per-probe <q,c> offset + LUT sums) — one chained
+    # CTE program per stage
+    def _fp_ivfpq_sql(
+        nlist=16, nprobe=8, k=5, iters=2, scale=1_000_000, dim=64, m=8, ksub=16
+    ):
+        dsub = dim // m
+        nrm = ("greatest(sqrt(list_aggregate(list_transform(v, y -> y * y), "
+               "'sum')), 1e-12)")
+        cdist = ("list_sum(list_transform(range(len(q.qv)), "
+                 "i -> (q.qv[i+1]-c.cv[i+1])*(q.qv[i+1]-c.cv[i+1])))")
+        sdist = (f"list_sum(list_transform(range({dsub}), "
+                 f"i -> (q.qv[b.j*{dsub}+i+1]-b.cv[i+1])"
+                 f"*(q.qv[b.j*{dsub}+i+1]-b.cv[i+1])))")
+        ctes = [f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (
+    SELECT vec_id,
+           list_transform(v, x -> CAST(floor(x / {nrm} * {scale}.0) AS BIGINT)) AS qv
+    FROM e
+),
+cents0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, qv AS cv
+    FROM q QUALIFY row_number() OVER (ORDER BY vec_id) <= {nlist}
+)"""]
+        prev = "cents0"
+        for r in range(1, iters + 1):
+            ctes.append(f"""ca{r} AS (
+    SELECT vec_id, qv, cent_id FROM (
+        SELECT q.vec_id, q.qv, c.cent_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {cdist} ASC, c.cent_id ASC) AS rk
+        FROM q, {prev} c
+    ) WHERE rk = 1
+),
+cupd{r} AS (
+    SELECT cent_id, list(cq ORDER BY pos) AS cv FROM (
+        SELECT cent_id, t.pos AS pos,
+               CAST(floor(CAST(sum(qv[t.pos + 1]) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+        FROM ca{r}, UNNEST(range(len(qv))) AS t(pos)
+        GROUP BY cent_id, t.pos
+    ) GROUP BY cent_id
+),
+cents{r} AS (
+    SELECT * FROM cupd{r}
+    UNION ALL
+    SELECT c.* FROM {prev} c WHERE c.cent_id NOT IN (SELECT cent_id FROM cupd{r})
+)""")
+            prev = f"cents{r}"
+        cfin = prev
+        ctes.append(f"""cassign AS (
+    SELECT vec_id, cent_id AS list_id FROM (
+        SELECT q.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {cdist} ASC, c.cent_id ASC) AS rk
+        FROM q, {cfin} c
+    ) WHERE rk = 1
+),
+rq AS (
+    SELECT a.vec_id, a.list_id,
+           list_transform(range(len(q.qv)), i -> q.qv[i+1] - c.cv[i+1]) AS qv
+    FROM cassign a, q, {cfin} c
+    WHERE q.vec_id = a.vec_id AND c.cent_id = a.list_id
+),
+books0 AS (
+    SELECT j.j AS j, row_number() OVER (PARTITION BY j.j ORDER BY vec_id) - 1 AS code,
+           list_transform(range({dsub}), i -> qv[j.j*{dsub} + i + 1]) AS cv
+    FROM rq, UNNEST(range({m})) AS j(j)
+    QUALIFY row_number() OVER (PARTITION BY j.j ORDER BY vec_id) <= {ksub}
+)""")
+        prev = "books0"
+        for r in range(1, iters + 1):
+            ctes.append(f"""pa{r} AS (
+    SELECT vec_id, j, code FROM (
+        SELECT q.vec_id, b.j, b.code,
+               row_number() OVER (PARTITION BY q.vec_id, b.j
+                   ORDER BY {sdist} ASC, b.code ASC) AS rk
+        FROM rq q, {prev} b
+    ) WHERE rk = 1
+),
+pupd{r} AS (
+    SELECT j, code, list(cq ORDER BY spos) AS cv FROM (
+        SELECT a.j AS j, a.code AS code, t.spos AS spos,
+               CAST(floor(CAST(sum(q.qv[a.j*{dsub} + t.spos + 1]) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+        FROM pa{r} a, rq q, UNNEST(range({dsub})) AS t(spos)
+        WHERE q.vec_id = a.vec_id
+        GROUP BY a.j, a.code, t.spos
+    ) GROUP BY j, code
+),
+books{r} AS (
+    SELECT * FROM pupd{r}
+    UNION ALL
+    SELECT b.* FROM {prev} b
+    WHERE NOT EXISTS (SELECT 1 FROM pupd{r} u WHERE u.j = b.j AND u.code = b.code)
+)""")
+            prev = f"books{r}"
+        bfin = prev
+        return "WITH " + ",\n".join(ctes) + f""",
+enc AS (
+    SELECT a.vec_id AS cand_id, r.list_id, a.j, a.code FROM (
+        SELECT q.vec_id, b.j, b.code,
+               row_number() OVER (PARTITION BY q.vec_id, b.j
+                   ORDER BY {sdist} ASC, b.code ASC) AS rk
+        FROM rq q, {bfin} b
+    ) a, rq r
+    WHERE a.rk = 1 AND r.vec_id = a.vec_id
+),
+qq AS (SELECT vec_id AS query_id, qv FROM q WHERE vec_id < 5),
+probes AS (
+    SELECT query_id, cent_id AS list_id, off FROM (
+        SELECT q.query_id, c.cent_id,
+               list_sum(list_transform(range(len(q.qv)),
+                   i -> q.qv[i+1] * c.cv[i+1])) AS off,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {cdist} ASC, c.cent_id ASC) AS rk
+        FROM qq q, {cfin} c
+    ) WHERE rk <= {nprobe}
+),
+lut AS (
+    SELECT q.query_id, b.j, b.code,
+           list_sum(list_transform(range({dsub}),
+               i -> q.qv[b.j*{dsub}+i+1] * b.cv[i+1])) AS t
+    FROM qq q, {bfin} b
+),
+scored AS (
+    SELECT p.query_id, e.cand_id,
+           round(CAST(sum(l.t) + p.off AS DOUBLE) / {scale * scale}.0, 6) AS adc_score
+    FROM enc e
+    JOIN probes p ON p.list_id = e.list_id
+    JOIN lut l ON l.query_id = p.query_id AND l.j = e.j AND l.code = e.code
+    WHERE e.cand_id != p.query_id
+    GROUP BY p.query_id, e.cand_id, p.off
+)
+SELECT query_id, cand_id, adc_score, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_score DESC, cand_id ASC) AS rank
+      FROM scored)
+WHERE rank <= {k}
+"""
+
+    o["embed_ivfpq_residual_fp"] = _fp_ivfpq_sql()
 
     o["dedup_exact"] = """
 SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS n_copies

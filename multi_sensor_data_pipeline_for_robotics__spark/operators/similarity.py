@@ -1132,8 +1132,6 @@ def pq_codebooks_fixedpoint(
     round: ONE scan computes every subspace's assignment codes and one
     posexplode + groupBy yields all (subspace, code, dim) integer
     sums. Returns [m][ksub][dsub] ints."""
-    import math
-
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
@@ -1141,6 +1139,15 @@ def pq_codebooks_fixedpoint(
         F.col(id_col).alias("__id"), to_double(F.col(vec_col)).alias("__vd")
     ).select("__id", _fp_quantize(F.col("__vd"), scale).alias("__qv"))
     qd = maybe_persist(qd)
+    return _pq_train_fp(qd, m, ksub, iters, dsub)
+
+
+def _pq_train_fp(qd: DataFrame, m: int, ksub: int, iters: int, dsub: int) -> list:
+    """The shared integer-lattice PQ training loop over a prepared
+    (__id, __qv bigint-array) frame — also reused by the residual
+    IVFPQ, whose training input is integer residual vectors."""
+    import math
+
     init = qd.orderBy("__id").limit(ksub).select("__qv").collect()
     books = [
         [
@@ -1265,6 +1272,143 @@ def pq_topk_fixedpoint(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "adc_score", "rank")
+    )
+
+
+def ivfpq_topk_fixedpoint(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """FAISS-style residual IVFPQ where EVERY stage lives on the
+    integer lattice: coarse quantizer trained by
+    :func:`kmeans_centroids_fixedpoint`, residuals ``qv - c(qv)`` are
+    exact integer subtractions, the PQ books train on those residuals
+    (:func:`_pq_train_fp`), and the ADC score is
+    ``<q, c_list> + sum_j <q_sub_j, book_j[code_j]>`` — all int64 dot
+    products with associative sums, so the most complex ANN
+    composition in the repo is cross-engine hash-checkable end to end
+    (reported as round(score/scale², 6)).
+
+    Plan: training as in the component operators; scoring joins the
+    m-exploded codes against a broadcast per-(query, probed-list)
+    offset table and a broadcast (query, subspace, code) LUT, then one
+    keyed integer aggregation — broadcast joins + one shuffle with
+    map-side combine."""
+    spark = embeddings.sparkSession
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    cents = kmeans_centroids_fixedpoint(
+        embeddings, nlist, iters, scale, id_col, vec_col
+    )
+    cents_df = spark.createDataFrame(
+        [(cid, [int(x) for x in vec]) for cid, vec in cents],
+        "cent_id int, cv array<bigint>",
+    )
+    qd = embeddings.select(
+        F.col(id_col).alias("__id"), to_double(F.col(vec_col)).alias("__vd")
+    ).select("__id", _fp_quantize(F.col("__vd"), scale).alias("__qv"))
+    assigned = qd.withColumn("__list", _fp_argmin_expr(F.col("__qv"), cents))
+    resid = maybe_persist(
+        assigned.join(
+            F.broadcast(cents_df), assigned["__list"] == cents_df["cent_id"]
+        ).select(
+            "__id",
+            F.col("__list").alias("list_id"),
+            F.zip_with("__qv", "cv", lambda a, b: a - b).alias("__qv"),
+        )
+    )
+    books = _pq_train_fp(resid.select("__id", "__qv"), m, ksub, iters, dsub)
+    codes_expr = F.array(
+        *[
+            _fp_argmin_expr(
+                F.slice(F.col("__qv"), j * dsub + 1, dsub),
+                list(enumerate(books[j])),
+            )
+            for j in range(m)
+        ]
+    )
+    enc = resid.select(
+        F.col("__id").alias("cand_id"),
+        "list_id",
+        F.posexplode(codes_expr).alias("j", "code"),
+    )
+    books_df = spark.createDataFrame(
+        [
+            (j, c, [int(x) for x in books[j][c]])
+            for j in range(m)
+            for c in range(ksub)
+        ],
+        "j int, code int, cv array<bigint>",
+    )
+    qn = queries.select(
+        F.col(query_id_col).alias("query_id"), to_double(F.col(vec_col)).alias("__vd")
+    ).select("query_id", _fp_quantize(F.col("__vd"), scale).alias("__qv"))
+    idot = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("cv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    idist = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("__d").asc(), F.col("cent_id").asc())
+    probes = (
+        qn.join(F.broadcast(cents_df), how="cross")
+        .withColumn("__d", idist)
+        .withColumn("__off", idot)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= nprobe)
+        .select(
+            "query_id", F.col("cent_id").alias("list_id"), F.col("__off").alias("off")
+        )
+    )
+    term = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("__qv"), F.col("j") * dsub + 1, dsub),
+            F.col("cv"),
+            lambda a, b: a * b,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    lut = qn.join(F.broadcast(books_df), how="cross").select(
+        "query_id", "j", "code", term.alias("t")
+    )
+    scored = (
+        enc.join(F.broadcast(probes), "list_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .join(F.broadcast(lut), ["query_id", "j", "code"])
+        .groupBy("query_id", "cand_id", "off")
+        .agg(F.sum("t").alias("s"))
+        .withColumn(
+            "adc_score",
+            F.round(
+                (F.col("s") + F.col("off")) / F.lit(float(scale) ** 2), round_to
+            ),
+        )
+    )
+    wk = W.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "adc_score", "rank")
     )

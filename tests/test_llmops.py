@@ -690,6 +690,12 @@ def test_ann_variants_recall_at_25_vs_exact(spark):
             SIM.pq_topk_fixedpoint(emb, qs, k=K, m=8, ksub=16, iters=2),
             0.35,
         ),
+        "embed_ivfpq_residual_fp": (
+            SIM.ivfpq_topk_fixedpoint(
+                emb, qs, k=K, nlist=16, nprobe=8, m=8, ksub=16, iters=2
+            ),
+            0.35,
+        ),
     }
     got = {name: recall(df) for name, (df, _) in floors.items()}
     print("recall@25:", {k: round(v, 3) for k, v in got.items()})
