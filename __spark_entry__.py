@@ -1773,6 +1773,21 @@ def _q_embed_ivfpq_residual_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embed_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup [Abbas et al., arXiv:2303.09540] on the integer
+    lattice (new in r6): fixed-point k-means clusters, then the
+    keep-lowest-id within-cluster cosine screen — training, assignment
+    and the threshold compare are all exact integer arithmetic, so the
+    full pipeline (not just the survivor count) hash-matches a DuckDB
+    replica. threshold=0.35 sits in the discriminative range for the
+    near-random synthetic embeddings (real text embeddings would use
+    ~0.95+ per the paper)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup_fixedpoint(
+        emb, nlist=16, iters=2, threshold=0.35
+    )
+
+
 def _q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # head_bytes is projected to a CSV string for the graded row — the
     # driver's canonicalizer can't sort/hash array cells; the operator
@@ -2351,6 +2366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf_topk_trained_fp": _q_embed_ivf_trained_fp,
         "embed_pq_topk_fp": _q_embed_pq_fp,
         "embed_ivfpq_residual_fp": _q_embed_ivfpq_residual_fp,
+        "embed_semantic_dedup": _q_embed_semantic_dedup,
         "embed_pq_topk": _q_embed_pq,
         "embed_ivfpq_topk": _q_embed_ivfpq,
         "embed_ivfpq_residual_topk": _q_embed_ivfpq_residual,
@@ -3521,6 +3537,83 @@ WHERE rank <= {k}
 """
 
     o["embed_ivfpq_residual_fp"] = _fp_ivfpq_sql()
+
+    # replays similarity.semantic_dedup_fixedpoint: the same integer
+    # k-means CTE chain as _fp_ivf_sql, then the within-cluster
+    # earlier-neighbor argmax and the integer threshold compare
+    def _fp_semdedup_sql(nlist=16, iters=2, scale=1_000_000, threshold=0.35):
+        import math as _math
+
+        thr_int = int(_math.floor(threshold * float(scale) * float(scale)))
+        nrm = ("greatest(sqrt(list_aggregate(list_transform(v, y -> y * y), "
+               "'sum')), 1e-12)")
+        idist = ("list_sum(list_transform(range(len(q.qv)), "
+                 "i -> (q.qv[i+1]-c.cv[i+1])*(q.qv[i+1]-c.cv[i+1])))")
+        ctes = [f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (
+    SELECT vec_id,
+           list_transform(v, x -> CAST(floor(x / {nrm} * {scale}.0) AS BIGINT)) AS qv
+    FROM e
+),
+cents0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, qv AS cv
+    FROM q QUALIFY row_number() OVER (ORDER BY vec_id) <= {nlist}
+)"""]
+        prev = "cents0"
+        for r in range(1, iters + 1):
+            ctes.append(f"""a{r} AS (
+    SELECT vec_id, qv, cent_id FROM (
+        SELECT q.vec_id, q.qv, c.cent_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {idist} ASC, c.cent_id ASC) AS rk
+        FROM q, {prev} c
+    ) WHERE rk = 1
+),
+upd{r} AS (
+    SELECT cent_id, list(cq ORDER BY pos) AS cv FROM (
+        SELECT cent_id, t.pos AS pos,
+               CAST(floor(CAST(sum(qv[t.pos + 1]) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+        FROM a{r}, UNNEST(range(len(qv))) AS t(pos)
+        GROUP BY cent_id, t.pos
+    ) GROUP BY cent_id
+),
+cents{r} AS (
+    SELECT * FROM upd{r}
+    UNION ALL
+    SELECT c.* FROM {prev} c WHERE c.cent_id NOT IN (SELECT cent_id FROM upd{r})
+)""")
+            prev = f"cents{r}"
+        return "WITH " + ",\n".join(ctes) + f""",
+asg AS (
+    SELECT vec_id, qv, cent_id AS cluster_id FROM (
+        SELECT q.vec_id, q.qv, c.cent_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {idist} ASC, c.cent_id ASC) AS rk
+        FROM q, {prev} c
+    ) WHERE rk = 1
+),
+pairs AS (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           list_sum(list_transform(range(len(a.qv)),
+               i -> a.qv[i+1] * b.qv[i+1])) AS s
+    FROM asg a JOIN asg b
+      ON a.cluster_id = b.cluster_id AND b.vec_id < a.vec_id
+),
+best AS (
+    SELECT a_id, b_id, s FROM (
+        SELECT *, row_number() OVER (PARTITION BY a_id
+                      ORDER BY s DESC, b_id ASC) AS rk
+        FROM pairs
+    ) WHERE rk = 1
+)
+SELECT g.vec_id, g.cluster_id,
+       round(CAST(best.s AS DOUBLE) / {scale * scale}.0, 6) AS max_sim,
+       best.b_id AS dup_of,
+       coalesce(best.s >= {thr_int}, FALSE) AS is_dup
+FROM asg g LEFT JOIN best ON best.a_id = g.vec_id
+"""
+
+    o["embed_semantic_dedup"] = _fp_semdedup_sql()
 
     o["dedup_exact"] = """
 SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS n_copies

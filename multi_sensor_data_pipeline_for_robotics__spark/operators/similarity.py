@@ -1412,3 +1412,83 @@ def ivfpq_topk_fixedpoint(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "adc_score", "rank")
     )
+
+
+def semantic_dedup_fixedpoint(
+    embeddings: DataFrame,
+    nlist: int = 16,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    threshold: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup [Abbas et al., arXiv:2303.09540] on the integer
+    lattice: cluster the corpus with the fixed-point coarse quantizer
+    (:func:`kmeans_centroids_fixedpoint`), then WITHIN each cluster
+    mark a vector as a semantic duplicate when its cosine similarity
+    to any earlier (lower-id) cluster member reaches ``threshold`` —
+    the keep-lowest-id policy that makes the survivor set
+    deterministic. Cosine is the int64 dot product of the quantized
+    unit vectors over scale^2, so assignment, similarity and the
+    threshold test are all exact integer arithmetic a SQL replica
+    reproduces bit-for-bit.
+
+    Output, one row per input vector:
+      (vec_id, cluster_id, max_sim double?, dup_of bigint?, is_dup)
+    ``max_sim``/``dup_of`` are the best earlier in-cluster neighbor
+    (tie -> lowest id); NULL when the vector is its cluster's first
+    member. Filter ``NOT is_dup`` for the deduplicated corpus.
+
+    Scale shape: training is iters x (one scan + one (nlist x dim)
+    integer groupBy with map-side combine); the pair stage shuffles
+    once on cluster_id and is quadratic only WITHIN a cluster — the
+    paper's own regime (nlist grows with the corpus, ~N/100 clusters,
+    so per-cluster membership stays bounded); a pathologically hot
+    cluster would need the same df-cap/sub-bucket treatment as
+    `dedup.py`'s shingle blocks. The threshold compare happens on
+    integers (s >= floor(threshold*scale^2)) — no float-boundary flip
+    between engines.
+    """
+    thr_int = int(np.floor(threshold * float(scale) * float(scale)))
+    cents = kmeans_centroids_fixedpoint(
+        embeddings, nlist, iters, scale, id_col, vec_col
+    )
+    qd = embeddings.select(
+        F.col(id_col).alias("__id"), to_double(F.col(vec_col)).alias("__vd")
+    ).select("__id", _fp_quantize(F.col("__vd"), scale).alias("__qv"))
+    asg = maybe_persist(
+        qd.withColumn("cluster_id", _fp_argmin_expr(F.col("__qv"), cents))
+    )
+    a = asg.select(
+        F.col("__id").alias("a_id"), "cluster_id", F.col("__qv").alias("va")
+    )
+    b = asg.select(
+        F.col("__id").alias("b_id"), "cluster_id", F.col("__qv").alias("vb")
+    )
+    s = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    best = (
+        a.join(b, "cluster_id")
+        .filter(F.col("b_id") < F.col("a_id"))
+        .select("a_id", s.alias("s"), F.col("b_id"))
+        .groupBy("a_id")
+        # max of (s, -b_id): highest similarity, tie -> lowest earlier id
+        .agg(F.max(F.struct(F.col("s"), (-F.col("b_id")).alias("nb"))).alias("m"))
+    )
+    return (
+        asg.join(best, asg["__id"] == best["a_id"], "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "cluster_id",
+            F.round(
+                F.col("m")["s"] / F.lit(float(scale) ** 2), round_to
+            ).alias("max_sim"),
+            (-F.col("m")["nb"]).alias("dup_of"),
+            F.coalesce(F.col("m")["s"] >= thr_int, F.lit(False)).alias("is_dup"),
+        )
+    )

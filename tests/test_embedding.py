@@ -79,3 +79,57 @@ def test_l2_normalize_unit_norm(spark, sf_dir):
         .toPandas()["n"]
     )
     assert np.allclose(norms, 1.0, atol=1e-9)
+
+
+def test_semantic_dedup_matches_numpy_and_survivor_invariant(spark, sf_dir):
+    """Differential check of semantic_dedup_fixedpoint's pair stage:
+    given the operator's own cluster assignment, a NumPy replica of the
+    integer-lattice arithmetic must reproduce max_sim/dup_of/is_dup
+    exactly; and the SemDeDup survivor invariant must hold — within a
+    cluster, survivors are pairwise below threshold (each survivor is
+    an 'earlier member' of every later survivor's screen)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale, thr = 1_000_000, 0.35
+    out = (
+        SIM.semantic_dedup_fixedpoint(emb, nlist=16, iters=2, threshold=thr)
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    pdf = emb.select("vec_id", "embedding").orderBy("vec_id").toPandas()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    nrm = np.maximum(np.sqrt((X * X).sum(axis=1)), 1e-12)
+    Q = np.floor(X / nrm[:, None] * scale).astype(np.int64)
+    ids = pdf["vec_id"].to_numpy()
+    thr_int = int(np.floor(thr * float(scale) * float(scale)))
+
+    by_cluster: dict[int, list[int]] = {}
+    for i, c in zip(range(len(out)), out["cluster_id"]):
+        by_cluster.setdefault(int(c), []).append(i)
+
+    n_dup = 0
+    for members in by_cluster.values():
+        members.sort(key=lambda i: ids[i])
+        for rank, i in enumerate(members):
+            row = out.iloc[i]
+            if rank == 0:
+                assert pd.isna(row["max_sim"]) and not row["is_dup"]
+                continue
+            sims = {
+                ids[j]: int(Q[i] @ Q[j]) for j in members[:rank]
+            }
+            best_s = max(sims.values())
+            best_id = min(b for b, s in sims.items() if s == best_s)
+            assert row["dup_of"] == best_id
+            assert row["max_sim"] == round(best_s / float(scale) ** 2, 6)
+            assert bool(row["is_dup"]) == (best_s >= thr_int)
+            n_dup += int(row["is_dup"])
+        # survivor invariant: pairwise integer sims below threshold
+        surv = [i for i in members if not out.iloc[i]["is_dup"]]
+        for a in range(len(surv)):
+            for b in range(a + 1, len(surv)):
+                assert int(Q[surv[a]] @ Q[surv[b]]) < thr_int
+    assert n_dup > 0  # the threshold is discriminative on this corpus
