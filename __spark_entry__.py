@@ -1773,6 +1773,15 @@ def _q_embed_ivfpq_residual_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (new in r6): the distributed
+    approximation of Lee et al.'s suffix-array dedup — k-char windows
+    hashed to 60-bit md5 prefixes, cross-doc duplicated windows merged
+    into maximal per-doc spans via a gaps-and-islands window."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.duplicated_spans(docs, k=40, min_docs=2)
+
+
 def _q_embed_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup [Abbas et al., arXiv:2303.09540] on the integer
     lattice (new in r6): fixed-point k-means clusters, then the
@@ -2367,6 +2376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_pq_topk_fp": _q_embed_pq_fp,
         "embed_ivfpq_residual_fp": _q_embed_ivfpq_residual_fp,
         "embed_semantic_dedup": _q_embed_semantic_dedup,
+        "dedup_substring_spans": _q_dedup_substring_spans,
         "embed_pq_topk": _q_embed_pq,
         "embed_ivfpq_topk": _q_embed_ivfpq,
         "embed_ivfpq_residual_topk": _q_embed_ivfpq_residual,
@@ -3614,6 +3624,34 @@ FROM asg g LEFT JOIN best ON best.a_id = g.vec_id
 """
 
     o["embed_semantic_dedup"] = _fp_semdedup_sql()
+
+    # replays dedup.duplicated_spans: same 60-bit md5-prefix gram hash
+    # (the engines' md5 agree byte-for-byte), same >= min_docs distinct
+    # screen, same gaps-and-islands merge
+    o["dedup_substring_spans"] = """
+WITH w AS (
+  SELECT doc_id, t.p AS pos,
+         cast(concat('0x', substr(md5(substr(text, t.p, 40)), 1, 15)) AS BIGINT) AS gh
+  FROM documents,
+       UNNEST(range(1, greatest(length(text) - 39, 0) + 1)) AS t(p)
+),
+hot AS (SELECT gh FROM w GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+d AS (SELECT doc_id, pos FROM w JOIN hot USING (gh)),
+flg AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 40
+              THEN 1 ELSE 0 END AS nf
+  FROM d
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(nf) OVER (PARTITION BY doc_id ORDER BY pos) AS i
+  FROM flg
+)
+SELECT doc_id, min(pos) AS span_start, max(pos) + 39 AS span_end,
+       count(*) AS n_windows
+FROM isl GROUP BY doc_id, i
+"""
 
     o["dedup_exact"] = """
 SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS n_copies

@@ -978,3 +978,81 @@ def connected_components_star(
         .agg(F.min("label").alias("component"))
     )
     return labels.select(F.col("id").alias(node_id), "component")
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    k: int = 40,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplicate spans, the distributed approximation
+    of suffix-array dedup [Lee et al., ACL 2022, "Deduplicating
+    Training Data Makes Language Models Better"]: every doc position
+    opens a k-char window; a window whose exact text occurs in >=
+    ``min_docs`` DISTINCT docs is duplicated; per doc, overlapping
+    duplicated windows merge into maximal spans (so a shared 200-char
+    passage reports as ONE span, not 161 windows).
+
+    Output: (doc_id, span_start 1-based, span_end inclusive,
+    n_windows) per maximal duplicated span.
+
+    Scale shape: the window stream is ~total_chars rows but each row
+    shrinks to (id, pos, 8-byte md5-prefix hash) before the shuffle —
+    the gram TEXT never leaves the map side. Hot-gram df is bounded
+    by the distinct-doc aggregation (count-distinct on a 60-bit key,
+    map-side partial); the span merge is a per-doc window — parallel
+    across docs. The 60-bit hash admits ~2^-60 false-positive window
+    collisions (vs the paper's exact suffix array) — at 100 TB use
+    128-bit (two prefixes) if that matters. A boilerplate gram shared
+    by EVERY doc costs |docs| join rows for that gram — same
+    inverted-index cost law as `ngram_jaccard_pairs`, whose
+    `max_shingle_df` treatment applies if boilerplate dominates.
+    """
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sketch import (
+        kmv_hash,
+    )
+    from pyspark.sql import Window as W
+
+    n_win = F.greatest(F.length(text_col) - F.lit(k - 1), F.lit(0))
+    wins = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n_win),
+                lambda p: F.struct(
+                    p.alias("pos"),
+                    kmv_hash(F.substring(F.col(text_col), p, F.lit(k))).alias(
+                        "gh"
+                    ),
+                ),
+            )
+        ).alias("w"),
+    ).select(id_col, F.col("w.pos").alias("pos"), F.col("w.gh").alias("gh"))
+    wins = maybe_persist(wins)
+    hot = (
+        wins.groupBy("gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    dup = wins.join(hot, "gh").select(id_col, "pos")
+    ww = W.partitionBy(id_col).orderBy("pos")
+    # windows are fixed-length, so span ends are monotone in pos: a new
+    # island starts when the gap to the previous window exceeds k
+    island = F.sum(
+        F.when(
+            F.col("pos") - F.lag("pos").over(ww) > k, F.lit(1)
+        ).otherwise(F.lit(0))
+    ).over(ww)
+    return (
+        dup.withColumn("__i", island)
+        .groupBy(id_col, "__i")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_end", "n_windows")
+    )

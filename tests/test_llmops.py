@@ -1028,3 +1028,34 @@ def test_dedup_against_empty_corpus_keeps_everything(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     kept = sorted(r.doc_id for r in D.dedup_against_corpus(new, empty).collect())
     assert kept == [1, 2]
+
+
+def test_duplicated_spans_known_passage(spark):
+    """A 60-char passage shared by two docs (at different offsets) must
+    come back as ONE maximal merged span per doc covering exactly the
+    passage; the unique remainder must not appear; a doc shorter than k
+    contributes nothing."""
+    passage = "0123456789" * 6  # 60 chars, unique vs the filler
+    a = "A" * 25 + passage + "B" * 25   # passage at pos 26..85
+    b = passage + "C" * 40              # passage at pos 1..60
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": [a, b, "short"]})
+    )
+    k = 40
+    got = {
+        r.doc_id: (r.span_start, r.span_end, r.n_windows)
+        for r in D.duplicated_spans(df, k=k, min_docs=2).collect()
+    }
+    # 60-char passage -> 60-k+1 = 21 duplicated windows merging to one
+    # span of exactly the passage extent
+    assert got == {1: (26, 85, 21), 2: (1, 60, 21)}
+
+
+def test_duplicated_spans_within_doc_not_flagged(spark):
+    """min_docs=2 counts DISTINCT docs: a passage repeated twice inside
+    ONE doc is not cross-doc duplication."""
+    rep = "x" * 50
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": [rep + "-sep-" + rep]})
+    )
+    assert D.duplicated_spans(df, k=40, min_docs=2).count() == 0
