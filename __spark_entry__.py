@@ -2225,6 +2225,37 @@ def _q_stream_corpus_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(base + "/kept").select("doc_id", "lang", "source")
 
 
+def _q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-streaming representative #6 (new in r6): the KMV
+    distinct sketch maintained AS stream state — per key the k smallest
+    md5-prefix hashes, merged incrementally per micro-batch. KMV merge
+    is associative and order-insensitive, so the final emitted row per
+    key is bit-identical to batch kmv_distinct over the same file —
+    graded with the SAME DuckDB oracle as kmv_distinct_users."""
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.stateful import (
+        kmv_stream,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.sync_stream import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    sm = kmv_stream(stream, value_col="user_id", key_col="event_type", k=64)
+    run_to_memory(sm, "stream_kmv_tbl", output_mode="append")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("key").orderBy(F.col("batch_seq").desc())
+    return (
+        spark.table("stream_kmv_tbl")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("key").alias("event_type"), "approx_distinct", "sketch_m"
+        )
+    )
+
+
 def _q_stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful-streaming representative #3: a STREAM-STREAM inner join
     — each purchase event paired with same-user clicks from the
@@ -2397,6 +2428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_anomaly": _q_ts_anomaly,
         "dedup_incremental": _q_dedup_incremental,
         "stream_ewma": _q_stream_ewma,
+        "stream_kmv_distinct": _q_stream_kmv,
         "q_hopping_window": _q_hopping_window,
         "stream_corpus_screen": _q_stream_corpus_screen,
         "graph_triangles": _q_graph_triangles,
@@ -4753,6 +4785,11 @@ SELECT doc_id, lang, source, n_chars FROM (
     )
 
     o["kmv_distinct_users"] = SK.kmv_oracle_sql(
+        "events", "user_id", k=64, group_col="event_type"
+    )
+    # streaming KMV's final per-key row == the batch sketch (associative,
+    # order-insensitive merge) -> same oracle
+    o["stream_kmv_distinct"] = SK.kmv_oracle_sql(
         "events", "user_id", k=64, group_col="event_type"
     )
 

@@ -240,3 +240,92 @@ def ewma_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+KMV_OUTPUT_SCHEMA = (
+    "key string, batch_seq long, approx_distinct double, sketch_m long"
+)
+KMV_STATE_SCHEMA = "hashes array<long>, seq long"
+
+
+def _make_kmv_fn(k: int, round_to: int):
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sketch import (
+        _DENOM,
+    )
+
+    def _kmv_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        hs, seq = ([], 0)
+        if state.exists:
+            hs, seq = state.get
+            hs = list(hs)
+        cur = set(hs)
+        for pdf in pdfs:
+            for v in pdf["value"]:
+                # the same bytes Spark's md5(cast(value AS string)) sees
+                cur.add(int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16))
+        # KMV merge law: the k smallest of the union equal the k
+        # smallest of (previous k smallest ∪ new hashes) — the k-th
+        # smallest only ever decreases, so discarded hashes can never
+        # re-enter. State stays O(k) per key forever.
+        hs = sorted(cur)[:k]
+        seq += 1
+        m = len(hs)
+        if m < k:
+            est = float(m)  # sketch not saturated -> the count is exact
+        else:
+            est = float(_round_half_up([(k - 1) / (hs[-1] / _DENOM)], round_to)[0])
+        state.update(([int(h) for h in hs], int(seq)))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "batch_seq": [seq],
+                "approx_distinct": [est],
+                "sketch_m": [m],
+            }
+        )
+
+    return _kmv_fn
+
+
+def kmv_stream(
+    stream: DataFrame,
+    value_col: str,
+    key_col: str,
+    k: int = 64,
+    round_to: int = 4,
+) -> DataFrame:
+    """Streaming twin of ``functions.sketch.kmv_distinct``: per key the
+    state is the k smallest distinct 60-bit md5-prefix hashes seen so
+    far (the KMV sketch itself — O(keys x k) forever), and each
+    micro-batch emits the key's refreshed estimate stamped with a
+    monotone ``batch_seq``. Because KMV merge is associative and
+    insensitive to arrival order, the LAST emitted row per key is
+    bit-identical to the batch ``kmv_distinct`` over the same rows —
+    hashes via hashlib.md5 on the value's string form, the exact bytes
+    Spark's ``md5(cast(v AS string))`` hashes, and the same
+    ``(k-1)/u_k`` estimate with the same HALF_UP rounding.
+
+    Late/duplicate data: a re-delivered value hashes to a hash already
+    in (or above) the sketch — the estimate is naturally idempotent
+    under at-least-once delivery, a property HLL shares but exact
+    counters do not.
+    """
+    from pyspark.sql import functions as F
+
+    keyed = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("string").alias("value"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _make_kmv_fn(k, round_to),
+        outputStructType=KMV_OUTPUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

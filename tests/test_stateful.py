@@ -134,3 +134,52 @@ def test_ewma_stream_state_carries_across_microbatches(spark, tmp_path):
     }
     assert len(got) == len(want) == 100
     assert got == want  # bit-identical: same summation order + round(6)
+
+
+def test_kmv_stream_state_carries_and_matches_batch(spark, tmp_path):
+    """Two micro-batches with OVERLAPPING values: the final per-key
+    sketch must equal batch kmv_distinct over the union (associative,
+    duplicate-insensitive merge), and batch_seq must show the state
+    actually crossed the batch boundary."""
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sketch import (
+        kmv_distinct,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.stateful import (
+        kmv_stream,
+    )
+
+    rows = [("a", i % 40) for i in range(100)] + [("b", i % 300) for i in range(400)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    src = str(tmp_path / "kmv_src")
+    # overlapping halves -> re-delivered values must not inflate the sketch
+    df.filter(F.col("v") < 220).coalesce(1).write.mode("append").parquet(src)
+    df.filter(F.col("v") >= 150).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("k string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = kmv_stream(stream, value_col="v", key_col="k", k=64)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("kmv_test")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    emitted = spark.table("kmv_test").collect()
+    assert max(r["batch_seq"] for r in emitted) == 2  # two micro-batches ran
+    final = {
+        r["key"]: (r["approx_distinct"], r["sketch_m"])
+        for r in sorted(emitted, key=lambda r: r["batch_seq"])
+    }
+    want = {
+        r["k"]: (r["approx_distinct"], r["sketch_m"])
+        for r in kmv_distinct(df, "v", k=64, group_col="k").collect()
+    }
+    assert final == want
+    # key "a" has 40 < k distinct values -> exact path
+    assert final["a"] == (40.0, 40)
