@@ -1782,6 +1782,15 @@ def _q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicated_spans(docs, k=40, min_docs=2)
 
 
+def _q_dedup_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical substring dedup (new in r6): cut every cross-doc
+    duplicated passage from all but its lowest-doc-id copy — the
+    rewrite half of Lee et al.'s pipeline. Cleaned text itself is part
+    of the hash-checked result."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.remove_duplicated_spans(docs, k=40, min_docs=2)
+
+
 def _q_embed_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup [Abbas et al., arXiv:2303.09540] on the integer
     lattice (new in r6): fixed-point k-means clusters, then the
@@ -2408,6 +2417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivfpq_residual_fp": _q_embed_ivfpq_residual_fp,
         "embed_semantic_dedup": _q_embed_semantic_dedup,
         "dedup_substring_spans": _q_dedup_substring_spans,
+        "dedup_substring_remove": _q_dedup_substring_remove,
         "embed_pq_topk": _q_embed_pq,
         "embed_ivfpq_topk": _q_embed_ivfpq,
         "embed_ivfpq_residual_topk": _q_embed_ivfpq_residual,
@@ -3683,6 +3693,61 @@ isl AS (
 SELECT doc_id, min(pos) AS span_start, max(pos) + 39 AS span_end,
        count(*) AS n_windows
 FROM isl GROUP BY doc_id, i
+"""
+
+    o["dedup_substring_remove"] = """
+WITH w AS (
+  SELECT doc_id, t.p AS pos,
+         cast(concat('0x', substr(md5(substr(text, t.p, 40)), 1, 15)) AS BIGINT) AS gh
+  FROM documents,
+       UNNEST(range(1, greatest(length(text) - 39, 0) + 1)) AS t(p)
+),
+hot AS (
+  SELECT gh, min(doc_id) AS keeper FROM w
+  GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+),
+cut AS (
+  SELECT DISTINCT doc_id, pos FROM w JOIN hot USING (gh)
+  WHERE doc_id != keeper
+),
+flg AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 40
+              THEN 1 ELSE 0 END AS nf
+  FROM cut
+),
+isl AS (
+  SELECT doc_id, pos, sum(nf) OVER (PARTITION BY doc_id ORDER BY pos) AS i
+  FROM flg
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 39 AS e
+  FROM isl GROUP BY doc_id, i
+),
+segs AS (
+  SELECT doc_id,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS gs,
+         s - 1 AS ge
+  FROM spans
+  UNION ALL
+  SELECT doc_id, max(e) + 1 AS gs, NULL AS ge FROM spans GROUP BY doc_id
+),
+cleaned AS (
+  SELECT d.doc_id,
+         string_agg(
+           substr(d.text, g.gs,
+                  CASE WHEN g.ge IS NULL THEN length(d.text) - g.gs + 1
+                       ELSE g.ge - g.gs + 1 END),
+           '' ORDER BY g.gs) AS ct,
+         count(*) - 1 AS n_spans
+  FROM documents d JOIN segs g USING (doc_id)
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id,
+       coalesce(c.ct, d.text) AS cleaned_text,
+       cast(coalesce(c.n_spans, 0) AS int) AS n_spans_cut,
+       cast(length(d.text) - length(coalesce(c.ct, d.text)) AS bigint) AS chars_cut
+FROM documents d LEFT JOIN cleaned c USING (doc_id)
 """
 
     o["dedup_exact"] = """

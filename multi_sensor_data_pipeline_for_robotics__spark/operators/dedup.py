@@ -1010,10 +1010,25 @@ def duplicated_spans(
     inverted-index cost law as `ngram_jaccard_pairs`, whose
     `max_shingle_df` treatment applies if boilerplate dominates.
     """
+    wins = _gram_windows(docs, k, id_col, text_col)
+    hot = (
+        wins.groupBy("gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    dup = wins.join(hot, "gh").select(id_col, "pos")
+    return _merge_islands(dup, k, id_col)
+
+
+def _gram_windows(
+    docs: DataFrame, k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, pos, gh): every 1-based doc position's k-char window, as a
+    60-bit md5-prefix hash — the text never crosses the shuffle."""
     from multi_sensor_data_pipeline_for_robotics__spark.functions.sketch import (
         kmv_hash,
     )
-    from pyspark.sql import Window as W
 
     n_win = F.greatest(F.length(text_col) - F.lit(k - 1), F.lit(0))
     wins = docs.select(
@@ -1030,17 +1045,16 @@ def duplicated_spans(
             )
         ).alias("w"),
     ).select(id_col, F.col("w.pos").alias("pos"), F.col("w.gh").alias("gh"))
-    wins = maybe_persist(wins)
-    hot = (
-        wins.groupBy("gh")
-        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-        .select("gh")
-    )
-    dup = wins.join(hot, "gh").select(id_col, "pos")
+    return maybe_persist(wins)
+
+
+def _merge_islands(dup: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Merge overlapping fixed-length windows (id, pos) into maximal
+    spans: ends are monotone in pos, so a new island starts when the
+    gap to the previous window exceeds k."""
+    from pyspark.sql import Window as W
+
     ww = W.partitionBy(id_col).orderBy("pos")
-    # windows are fixed-length, so span ends are monotone in pos: a new
-    # island starts when the gap to the previous window exceeds k
     island = F.sum(
         F.when(
             F.col("pos") - F.lag("pos").over(ww) > k, F.lit(1)
@@ -1055,4 +1069,91 @@ def duplicated_spans(
             F.count(F.lit(1)).alias("n_windows"),
         )
         .select(id_col, "span_start", "span_end", "n_windows")
+    )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    k: int = 40,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The surgical half of Lee et al.'s substring dedup: CUT each
+    cross-doc duplicated passage out of every doc EXCEPT the canonical
+    copy (the lowest doc id containing that gram), so exactly one
+    occurrence survives the corpus. Window-level keeper rule: a window
+    is cut iff its doc id differs from its gram's min doc id; cut
+    windows merge into maximal spans (:func:`_merge_islands`), and the
+    spans are excised by one fold over the doc's sorted span array —
+    no per-char processing, no UDFs.
+
+    Output: (doc_id, cleaned_text, n_spans_cut, chars_cut) — one row
+    per input doc, untouched docs pass through with 0/0.
+
+    Scale shape: identical to :func:`duplicated_spans` (the same
+    window stream and distinct-doc aggregation, plus a min(doc_id)
+    that rides the same groupBy) up to the final doc-keyed join of the
+    tiny span table back onto the corpus — a hash join on doc id whose
+    build side holds only docs that lose at least one span.
+    """
+    wins = _gram_windows(docs, k, id_col, text_col)
+    hot = (
+        wins.groupBy("gh")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("nd"),
+            F.min(F.col(id_col)).alias("__keeper"),
+        )
+        .filter(F.col("nd") >= min_docs)
+        .select("gh", "__keeper")
+    )
+    cut = (
+        wins.join(hot, "gh")
+        .filter(F.col(id_col) != F.col("__keeper"))
+        .select(id_col, "pos")
+        # a position can be duplicated under SEVERAL grams' keeper
+        # rules; the island merge needs each window once
+        .distinct()
+    )
+    spans = _merge_islands(cut, k, id_col)
+    sp = spans.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("__sp")
+    )
+    text = F.col(text_col)
+    # fold over the sorted, non-overlapping spans: acc = (emitted text,
+    # 1-based cursor); each span emits the gap before it and jumps the
+    # cursor past it; finish emits the tail
+    cleaned = F.aggregate(
+        F.col("__sp"),
+        F.struct(F.lit("").alias("o"), F.lit(1).cast("int").alias("c")),
+        lambda acc, s: F.struct(
+            F.concat(
+                acc["o"],
+                F.substring(text, acc["c"], s["span_start"] - acc["c"]),
+            ).alias("o"),
+            (s["span_end"] + 1).cast("int").alias("c"),
+        ),
+        lambda acc: F.concat(
+            acc["o"], F.substring(text, acc["c"], F.length(text) - acc["c"] + 1)
+        ),
+    )
+    return (
+        docs.join(sp, id_col, "left")
+        .withColumn(
+            "cleaned_text",
+            F.when(F.col("__sp").isNull(), text).otherwise(cleaned),
+        )
+        .select(
+            F.col(id_col),
+            "cleaned_text",
+            F.when(F.col("__sp").isNull(), F.lit(0))
+            .otherwise(F.size("__sp"))
+            .cast("int")
+            .alias("n_spans_cut"),
+            (F.length(text) - F.length("cleaned_text"))
+            .cast("long")
+            .alias("chars_cut"),
+        )
     )

@@ -1059,3 +1059,44 @@ def test_duplicated_spans_within_doc_not_flagged(spark):
         pd.DataFrame({"doc_id": [1], "text": [rep + "-sep-" + rep]})
     )
     assert D.duplicated_spans(df, k=40, min_docs=2).count() == 0
+
+
+def test_remove_duplicated_spans_keeps_canonical_copy(spark):
+    """The lowest-doc-id copy of a shared passage survives untouched;
+    every other doc loses exactly the passage; docs without duplicated
+    grams pass through with 0/0."""
+    passage = "0123456789" * 6
+    a = "A" * 25 + passage + "B" * 25
+    b = passage + "C" * 40
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": [a, b, "short"]})
+    )
+    got = {
+        r.doc_id: (r.cleaned_text, r.n_spans_cut, r.chars_cut)
+        for r in D.remove_duplicated_spans(df, k=40, min_docs=2).collect()
+    }
+    assert got == {
+        1: (a, 0, 0),          # keeper: untouched
+        2: ("C" * 40, 1, 60),  # passage excised
+        3: ("short", 0, 0),    # shorter than k: no windows
+    }
+
+
+def test_remove_duplicated_spans_multiple_spans_one_doc(spark):
+    """Two disjoint shared passages in one doc cut as two spans; the
+    glue between them survives."""
+    p1, p2 = "x" * 45, "y" * 45
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [p1, p2, p1 + "-GLUE-" + p2],
+            }
+        )
+    )
+    got = {
+        r.doc_id: (r.cleaned_text, r.n_spans_cut, r.chars_cut)
+        for r in D.remove_duplicated_spans(df, k=40, min_docs=2).collect()
+    }
+    assert got[3] == ("-GLUE-", 2, 90)
+    assert got[1] == (p1, 0, 0) and got[2] == (p2, 0, 0)
