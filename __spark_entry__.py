@@ -2265,6 +2265,37 @@ def _q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-streaming representative #7 (new in r6): the fixed-bin
+    histogram-quantile sketch maintained AS stream state. Bin counts
+    merge associatively, so the final per-key quantiles are
+    bit-identical to batch histogram_quantiles — graded with the SAME
+    DuckDB oracle as hist_quantiles."""
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.stateful import (
+        hist_stream,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.sync_stream import (
+        read_events_stream,
+        run_to_memory,
+    )
+    from pyspark.sql import Window as W
+
+    stream = read_events_stream(spark, sf_dir)
+    sm = hist_stream(
+        stream, value_col="value", key_col="event_type",
+        qs=_HISTQ_ARGS["qs"], bins=_HISTQ_ARGS["bins"],
+        lo=_HISTQ_ARGS["lo"], hi=_HISTQ_ARGS["hi"],
+    )
+    run_to_memory(sm, "stream_hist_tbl", output_mode="append")
+    w = W.partitionBy("key", "q").orderBy(F.col("batch_seq").desc())
+    return (
+        spark.table("stream_hist_tbl")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("key").alias("event_type"), "q", "quantile")
+    )
+
+
 def _q_stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful-streaming representative #3: a STREAM-STREAM inner join
     — each purchase event paired with same-user clicks from the
@@ -2439,6 +2470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _q_dedup_incremental,
         "stream_ewma": _q_stream_ewma,
         "stream_kmv_distinct": _q_stream_kmv,
+        "stream_hist_quantiles": _q_stream_hist,
         "q_hopping_window": _q_hopping_window,
         "stream_corpus_screen": _q_stream_corpus_screen,
         "graph_triangles": _q_graph_triangles,
@@ -4879,6 +4911,9 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
     o["hist_quantiles"] = SK.histogram_quantiles_oracle_sql(
         "events", "value", group_col="event_type", **_HISTQ_ARGS
     )
+    # streaming histogram's final per-key rows == the batch sketch
+    # (associative bin-count merge) -> same oracle
+    o["stream_hist_quantiles"] = o["hist_quantiles"]
 
     from multi_sensor_data_pipeline_for_robotics__spark.operators import timeseries as _TS
 

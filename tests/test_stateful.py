@@ -183,3 +183,54 @@ def test_kmv_stream_state_carries_and_matches_batch(spark, tmp_path):
     assert final == want
     # key "a" has 40 < k distinct values -> exact path
     assert final["a"] == (40.0, 40)
+
+
+def test_hist_stream_state_carries_and_matches_batch(spark, tmp_path):
+    """Two micro-batches: the final per-key quantiles must equal batch
+    histogram_quantiles over the union (associative bin-count merge)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sketch import (
+        histogram_quantiles,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.stateful import (
+        hist_stream,
+    )
+
+    rows = [("a", float((i * 37) % 500)) for i in range(400)] + [
+        ("b", float((i * 17) % 100)) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    src = str(tmp_path / "hist_src")
+    df.filter(F.col("v") < 200).coalesce(1).write.mode("append").parquet(src)
+    df.filter(F.col("v") >= 200).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("k string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = hist_stream(
+        stream, value_col="v", key_col="k", qs=(0.5, 0.9, 0.99),
+        bins=2048, lo=0.0, hi=512.0,
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("hist_test")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    emitted = spark.table("hist_test").collect()
+    assert max(r["batch_seq"] for r in emitted) == 2
+    final = {}
+    for r in sorted(emitted, key=lambda r: r["batch_seq"]):
+        final[(r["key"], r["q"])] = r["quantile"]
+    want = {
+        (r["k"], r["q"]): r["quantile"]
+        for r in histogram_quantiles(
+            df, "v", qs=(0.5, 0.9, 0.99), bins=2048, group_col="k",
+            lo=0.0, hi=512.0,
+        ).collect()
+    }
+    assert final == want
