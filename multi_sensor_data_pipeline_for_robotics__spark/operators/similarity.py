@@ -993,6 +993,43 @@ def _fp_argmin_expr(qv, cents: list) -> "F.Column":
     return F.array_min(pairs)["cid"]
 
 
+def _fp_assign(qd, cents: list, qv_col: str = "__qv", out_col: str = "__list"):
+    """Attach the nearest-centroid assignment to ``qd`` — result
+    identical to ``withColumn(out, _fp_argmin_expr(qv, cents))`` (same
+    integer distances, same lowest-cent-id tie rule) but chosen per
+    nlist: the literal expression tree is fastest for small centroid
+    sets, while beyond ~32 centroids its nlist x dim literals blow
+    past whole-stage codegen and fall back to interpreted evaluation
+    (measured 72 s for 5k rows at nlist=64). The scale path ships the
+    centroids as ONE broadcast row holding an array<struct<cid,cv>>
+    and folds over it at runtime — no literal explosion, no shuffle,
+    still a single narrow projection."""
+    if len(cents) <= 32:
+        return qd.withColumn(out_col, _fp_argmin_expr(F.col(qv_col), cents))
+    spark = qd.sparkSession
+    cdf = spark.createDataFrame(
+        [([(int(cid), [int(x) for x in vec]) for cid, vec in cents],)],
+        "__cs array<struct<cid:int,cv:array<bigint>>>",
+    )
+    qv = F.col(qv_col)
+    pairs = F.transform(
+        F.col("__cs"),
+        lambda s: F.struct(
+            F.aggregate(
+                F.zip_with(qv, s["cv"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+            s["cid"],
+        ).cast("struct<dist:bigint,cid:int>"),
+    )
+    return (
+        qd.crossJoin(F.broadcast(cdf))
+        .withColumn(out_col, F.array_min(pairs)["cid"])
+        .drop("__cs")
+    )
+
+
 def kmeans_centroids_fixedpoint(
     embeddings: DataFrame,
     nlist: int = 16,
@@ -1026,8 +1063,8 @@ def kmeans_centroids_fixedpoint(
     init = qd.orderBy("__id").limit(nlist).select("__qv").collect()
     cents = [(i, [int(x) for x in r["__qv"]]) for i, r in enumerate(init)]
     for _ in range(iters):
-        assigned = qd.select(
-            _fp_argmin_expr(F.col("__qv"), cents).alias("__list"),
+        assigned = _fp_assign(qd, cents).select(
+            F.col("__list"),
             F.posexplode("__qv").alias("__pos", "__qi"),
         )
         rows = (
@@ -1458,9 +1495,7 @@ def semantic_dedup_fixedpoint(
     qd = embeddings.select(
         F.col(id_col).alias("__id"), to_double(F.col(vec_col)).alias("__vd")
     ).select("__id", _fp_quantize(F.col("__vd"), scale).alias("__qv"))
-    asg = maybe_persist(
-        qd.withColumn("cluster_id", _fp_argmin_expr(F.col("__qv"), cents))
-    )
+    asg = maybe_persist(_fp_assign(qd, cents, out_col="cluster_id"))
     a = asg.select(
         F.col("__id").alias("a_id"), "cluster_id", F.col("__qv").alias("va")
     )

@@ -44,7 +44,8 @@ def main() -> None:
     quick = "--quick" in sys.argv
     div = 10 if quick else 1
     fams = [a for a in sys.argv[1:] if not a.startswith("--")] or [
-        "sync", "keyed_asof", "dedup", "ann", "retrieval", "timeseries"
+        "sync", "keyed_asof", "dedup", "ann", "retrieval", "timeseries",
+        "substring", "semdedup"
     ]
     spark = get_session(app_name="scale_smoke")
     scratch = tempfile.mkdtemp(prefix="spark_graft_scale_")
@@ -62,6 +63,10 @@ def main() -> None:
             smoke_retrieval_sketches(spark, scratch, n_docs=2_000_000 // div)
         if "timeseries" in fams:
             smoke_timeseries(spark, scratch, n=20_000_000 // div)
+        if "substring" in fams:
+            smoke_substring(spark, scratch, n_docs=500_000 // div)
+        if "semdedup" in fams:
+            smoke_semdedup(spark, scratch, n_vecs=50_000 // div)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -353,6 +358,90 @@ def smoke_timeseries(spark, scratch, n):
         "ewma(alpha=0.3, W=32)",
         lambda: ewma(t, "k", "t", "v", alpha=0.3, window_rows=32)
         .agg(F.count(F.lit(1)).alias("rows"), F.round(F.sum("ewma"), 0).alias("s"))
+        .first(),
+    )
+
+
+
+
+def smoke_substring(spark, scratch, n_docs):
+    """Exact-substring span dedup at n_docs synthetic ~200-char docs,
+    10% of which embed a shared 80-char passage (one of n_docs/200
+    bases, so true duplicated volume stays linear in corpus size).
+    The window stream is ~n_docs x 160 rows — the operator's real cost
+    driver — and the span output should be ~the number of passage
+    carriers."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.dedup import (
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
+
+    print(f"\n## duplicated_spans @ {n_docs:,} docs (~10% share a passage)")
+    h = F.abs(F.hash(F.col("id").cast("string")))
+    n_bases = max(n_docs // 200, 1)
+    base_id = (h % n_bases).cast("long")
+    is_dup = (h % 10) == 0
+    # unique filler from the doc id; shared passage from the base id
+    chunk = lambda s, i, ln: F.substring(
+        F.md5(F.concat(s.cast("string"), F.lit("_"), i.cast("string"))), 1, ln
+    )
+    filler = F.concat(*[chunk(F.col("id") + 7_000_000_000, F.lit(i), 32) for i in range(6)])
+    passage = F.concat(*[chunk(base_id, F.lit(i), 32) for i in range(10, 13)])  # 96 chars? 3x32
+    text = F.when(
+        is_dup, F.concat(F.substring(filler, 1, 60), passage, F.substring(filler, 61, 60))
+    ).otherwise(filler)
+    docs = spark.range(n_docs).select(F.col("id").alias("doc_id"), text.alias("text"))
+    docs.write.mode("overwrite").parquet(f"{scratch}/subdocs")
+    d = spark.read.parquet(f"{scratch}/subdocs")
+    timed(
+        "duplicated_spans(k=40)",
+        lambda: duplicated_spans(d, k=40)
+        .agg(F.count(F.lit(1)).alias("spans"), F.sum("n_windows").alias("wins"))
+        .first(),
+    )
+    timed(
+        "remove_duplicated_spans(k=40)",
+        lambda: remove_duplicated_spans(d, k=40)
+        .agg(
+            F.sum("chars_cut").alias("chars_cut"),
+            F.sum("n_spans_cut").alias("spans_cut"),
+        )
+        .first(),
+    )
+
+
+def smoke_semdedup(spark, scratch, n_vecs):
+    """SemDeDup at n_vecs synthetic 64-dim vectors drawn around
+    n_vecs/100 cluster centers (the paper's regime: nlist grows with
+    the corpus so per-cluster membership stays bounded — here nlist=64
+    on a synthetic corpus whose natural cluster count is smaller, so
+    within-cluster pair volume is the dominant, measured cost)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.similarity import (
+        semantic_dedup_fixedpoint,
+    )
+
+    print(f"\n## semantic_dedup_fixedpoint @ {n_vecs:,} vectors, nlist=64")
+    dim = 64
+    # n_vecs/100 natural centers, tight 5% noise — the clustered shape
+    # SemDeDup assumes; a structureless corpus would put thousands of
+    # vectors in one trained cluster and the within-cluster pair stage
+    # would rightly go quadratic
+    ncent = max(n_vecs // 100, 1)
+    base = (F.col("id") % ncent).cast("string")
+    comp = lambda i: (
+        F.hash(base, F.lit(i)).cast("double") / 2147483647.0
+        + 0.05 * F.hash(F.col("id").cast("string"), F.lit(i)).cast("double") / 2147483647.0
+    )
+    vecs = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[comp(i).cast("float") for i in range(dim)]).alias("embedding"),
+    )
+    vecs.write.mode("overwrite").parquet(f"{scratch}/semvecs")
+    v = spark.read.parquet(f"{scratch}/semvecs")
+    timed(
+        "semantic_dedup_fixedpoint(nlist=64)",
+        lambda: semantic_dedup_fixedpoint(v, nlist=64, iters=2, threshold=0.9)
+        .agg(F.count(F.lit(1)).alias("rows"), F.sum(F.col("is_dup").cast("long")).alias("dups"))
         .first(),
     )
 
