@@ -1547,6 +1547,7 @@ def _q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _HISTQ_ARGS = dict(qs=(0.5, 0.9, 0.99), bins=2048, lo=0.0, hi=512.0)
+_ZORDER_BOUNDS = {"user_id": (0.0, 4096.0), "value": (0.0, 512.0)}
 
 
 def _q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1804,6 +1805,38 @@ def _q_embed_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.semantic_dedup_fixedpoint(
         emb, nlist=16, iters=2, threshold=0.35
     )
+
+
+def _q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key (new in r6): quantize-and-
+    bit-interleave user_id x value — the lakehouse OPTIMIZE ZORDER
+    layout key, exact integer arithmetic hash-checked in DuckDB. The
+    layout rewrite is repartitionByRange(z_key) + write; the key is
+    the checkable part."""
+    from multi_sensor_data_pipeline_for_robotics__spark.functions import zorder as Z
+
+    ev = load_table(spark, sf_dir, "events")
+    return Z.zorder_layout(
+        ev.select("event_id", "user_id", "value"), _ZORDER_BOUNDS, bits=12
+    ).select("event_id", "z_key")
+
+
+def _q_bloom_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction (new in r6): lineitem rows
+    pre-filtered by an md5-position bloom bitmap built from URGENT
+    orders' keys — the explicit form of runtime bloom pruning. The
+    kept set (true matches + deterministic false positives) is itself
+    hash-checked against a DuckDB replay of the identical bitmap."""
+    from multi_sensor_data_pipeline_for_robotics__spark.functions import bloom as B
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    red = B.bloom_semi_filter(li, od, "l_orderkey", "o_orderkey")
+    return red.select("l_orderkey", "l_linenumber", "l_quantity")
 
 
 def _q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2449,6 +2482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_semantic_dedup": _q_embed_semantic_dedup,
         "dedup_substring_spans": _q_dedup_substring_spans,
         "dedup_substring_remove": _q_dedup_substring_remove,
+        "zorder_cluster_key": _q_zorder_key,
+        "bloom_join_reduce": _q_bloom_reduce,
         "embed_pq_topk": _q_embed_pq,
         "embed_ivfpq_topk": _q_embed_ivfpq,
         "embed_ivfpq_residual_topk": _q_embed_ivfpq_residual,
@@ -3781,6 +3816,25 @@ SELECT d.doc_id,
        cast(length(d.text) - length(coalesce(c.ct, d.text)) AS bigint) AS chars_cut
 FROM documents d LEFT JOIN cleaned c USING (doc_id)
 """
+
+    from multi_sensor_data_pipeline_for_robotics__spark.functions import bloom as _BL
+    from multi_sensor_data_pipeline_for_robotics__spark.functions import zorder as _ZO
+
+    o["zorder_cluster_key"] = (
+        "SELECT event_id, "
+        + _ZO.zorder_oracle_expr(_ZORDER_BOUNDS, bits=12)
+        + " AS z_key FROM events"
+    )
+    o["bloom_join_reduce"] = (
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM ("
+        + _BL.bloom_oracle_sql(
+            "lineitem",
+            "SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'",
+            "l_orderkey",
+            "o_orderkey",
+        )
+        + ")"
+    )
 
     o["dedup_exact"] = """
 SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS n_copies

@@ -1,0 +1,107 @@
+"""Z-order clustering keys + Bloom-filter semi-join reduction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from multi_sensor_data_pipeline_for_robotics__spark.functions import bloom as B
+from multi_sensor_data_pipeline_for_robotics__spark.functions import zorder as Z
+from multi_sensor_data_pipeline_for_robotics__spark.sources.tables import load_table
+
+
+def test_zorder_layout_prunes_blocks_on_both_dimensions(spark):
+    """The point of the layout, measured as min/max block pruning (the
+    mechanism parquet row-group skipping actually uses): group the
+    sorted table into 128-row blocks, keep each block's [min, max] per
+    column, and count blocks a range predicate must read. The x-sorted
+    layout prunes x-predicates perfectly but reads EVERY block for a
+    y-predicate; the z-sorted layout prunes BOTH dimensions well."""
+    from pyspark.sql import Window as W
+
+    n, bits = 1 << 14, 7
+    df = spark.range(n).select(
+        F.abs(F.hash(F.col("id").cast("string"), F.lit(1)) % (1 << bits)).alias("x"),
+        F.abs(F.hash(F.col("id").cast("string"), F.lit(2)) % (1 << bits)).alias("y"),
+    )
+    zk = Z.zorder_key([F.col("x"), F.col("y")], bits=bits)
+
+    def blocks_touched(order_cols, col, lo, hi):
+        blk = (
+            (F.row_number().over(W.orderBy(*order_cols)) - 1) / 128
+        ).cast("long").alias("blk")
+        stats = (
+            df.withColumn("blk", blk)
+            .groupBy("blk")
+            .agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
+        )
+        total = stats.count()
+        touched = stats.filter(
+            (F.col("mx") >= lo) & (F.col("mn") <= hi)
+        ).count()
+        return touched, total
+
+    # predicate: a 1/8-of-domain stripe on y (the column x-sort ignores)
+    y_lo, y_hi = 0, (1 << bits) // 8 - 1
+    tx, total = blocks_touched(["x", "y"], "y", y_lo, y_hi)
+    tz, _ = blocks_touched([zk], "y", y_lo, y_hi)
+    print(f"y-stripe blocks touched: x-sort={tx}/{total} z-sort={tz}/{total}")
+    assert tx == total          # x-sort cannot prune a y predicate
+    assert tz <= total / 4      # z-sort reads a small fraction
+
+    # and the z-layout still prunes x predicates too
+    tzx, _ = blocks_touched([zk], "x", y_lo, y_hi)
+    assert tzx <= total / 4
+
+
+def test_zorder_key_bit_interleave_exact(spark):
+    """Hand-computed Morton codes for known coordinates."""
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (3, 5)], "x long, y long"
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            Z.zorder_key([F.col("x"), F.col("y")], bits=3)
+        ).collect()
+    ]
+    # interleave(x,y): bit b of x -> 2b, bit b of y -> 2b+1
+    def morton(x, y):
+        out = 0
+        for b in range(3):
+            out |= ((x >> b) & 1) << (2 * b)
+            out |= ((y >> b) & 1) << (2 * b + 1)
+        return out
+
+    assert got == [morton(x, y) for x, y in [(0, 0), (1, 0), (0, 1), (1, 1), (3, 5)]]
+
+
+def test_bloom_reduction_preserves_join_and_is_selective(spark, sf_dir):
+    """The reduced join equals the unfiltered join row-for-row (false
+    positives are dropped by the real join), and the filter actually
+    prunes: kept fraction stays near the true fraction + the ~1%
+    designed false-positive rate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    red = B.bloom_semi_filter(li, od, "l_orderkey", "o_orderkey")
+    n_all, n_red = li.count(), red.count()
+    n_true = li.join(od, li.l_orderkey == od.o_orderkey, "left_semi").count()
+    assert n_true <= n_red  # no false negatives, ever
+    # false positives bounded: <= 5% of the non-matching rows
+    assert (n_red - n_true) <= 0.05 * (n_all - n_true)
+    assert n_red < 0.5 * n_all  # genuinely selective on this data
+
+    plain = li.join(od, li.l_orderkey == od.o_orderkey).count()
+    reduced = red.join(od, red.l_orderkey == od.o_orderkey).count()
+    assert plain == reduced
+
+
+def test_bloom_empty_small_side(spark, sf_dir):
+    """An empty build side yields an all-zero bitmap that keeps
+    nothing."""
+    li = load_table(spark, sf_dir, "lineitem")
+    empty = li.select(F.col("l_orderkey")).limit(0)
+    assert B.bloom_semi_filter(li, empty, "l_orderkey").count() == 0
