@@ -1839,6 +1839,19 @@ def _q_bloom_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return red.select("l_orderkey", "l_linenumber", "l_quantity")
 
 
+def _q_kmv_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AKMV join-cardinality estimate (new in r6): sizes
+    orders JOIN customer ON custkey from two 256-hash synopses WITHOUT
+    running the join — the cost-based-optimizer primitive, in portable
+    md5 arithmetic so the estimate itself is hash-checked. Accuracy vs
+    the true cardinality is floored in tests/test_sketch_properties.py."""
+    return SK.kmv_join_cardinality(
+        load_table(spark, sf_dir, "orders"), "o_custkey",
+        load_table(spark, sf_dir, "customer"), "c_custkey",
+        k=256,
+    )
+
+
 def _q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # head_bytes is projected to a CSV string for the graded row — the
     # driver's canonicalizer can't sort/hash array cells; the operator
@@ -2484,6 +2497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_remove": _q_dedup_substring_remove,
         "zorder_cluster_key": _q_zorder_key,
         "bloom_join_reduce": _q_bloom_reduce,
+        "kmv_join_estimate": _q_kmv_join_estimate,
         "embed_pq_topk": _q_embed_pq,
         "embed_ivfpq_topk": _q_embed_ivfpq,
         "embed_ivfpq_residual_topk": _q_embed_ivfpq_residual,
@@ -3834,6 +3848,11 @@ FROM documents d LEFT JOIN cleaned c USING (doc_id)
             "o_orderkey",
         )
         + ")"
+    )
+
+    o["kmv_join_estimate"] = SK.kmv_join_oracle_sql(
+        "SELECT * FROM orders", "o_custkey",
+        "SELECT * FROM customer", "c_custkey", k=256,
     )
 
     o["dedup_exact"] = """

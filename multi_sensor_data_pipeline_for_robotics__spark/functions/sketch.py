@@ -357,3 +357,128 @@ def hist_merge_quantiles(
         round_to,
     )
     return hit.select("q", est.alias("quantile"))
+
+
+def _akmv(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """AKMV synopsis [Beyer et al., SIGMOD 2007]: the k smallest
+    distinct key hashes, each carrying its exact multiplicity — the
+    sketch that sizes JOINS, not just distinct counts."""
+    return (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(kmv_hash(key_col).alias("h"), "cnt")
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_join_cardinality(
+    a: DataFrame,
+    a_key: str,
+    b: DataFrame,
+    b_key: str,
+    k: int = 256,
+    round_to: int = 4,
+) -> DataFrame:
+    """Pre-join cardinality estimate from two AKMV sketches — what a
+    cost-based optimizer does before committing to a join strategy,
+    here in portable md5 arithmetic so the ESTIMATE ITSELF is
+    hash-checkable cross-engine.
+
+    Estimator: with S_A, S_B the k-smallest key-hash synopses and U
+    the k smallest of S_A ∪ S_B (u_k its max), D_U estimates the
+    distinct-key union; the hashes present in BOTH synopses and in U
+    form an unbiased sample of the key intersection, so
+    D_∩ = (|I|/|U|)·D_U, and the join size is D_∩ times the mean
+    multiplicity product over the sampled intersection:
+    |A ⋈ B| ≈ D_∩ · mean(cntA·cntB | I). Both sides' sketches build
+    in one groupBy + TakeOrdered each (map-side combinable; k rows
+    cross the wire) — the join itself never runs.
+
+    Output (1 row): est_join_rows, est_distinct_intersection,
+    est_distinct_union (doubles), sample_pairs (long)."""
+    sa = _akmv(a, a_key, k)
+    sb = _akmv(b, b_key, k)
+    u = (
+        sa.select("h")
+        .unionByName(sb.select("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    uagg = u.agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("mu"))
+    inter = (
+        sa.withColumnRenamed("cnt", "ca")
+        .join(sb.withColumnRenamed("cnt", "cb"), "h")
+        .join(u, "h")
+    )
+    iagg = inter.agg(
+        F.count(F.lit(1)).alias("mi"),
+        F.sum(F.col("ca") * F.col("cb")).alias("spp"),
+    )
+    du = F.when(F.col("mu") < k, F.col("mu").cast("double")).otherwise(
+        (k - 1) / (F.col("hk").cast("double") / _DENOM)
+    )
+    di = F.col("mi").cast("double") / F.col("mu").cast("double") * du
+    ej = F.when(F.col("mi") == 0, F.lit(0.0)).otherwise(
+        di * F.col("spp").cast("double") / F.col("mi").cast("double")
+    )
+    return uagg.crossJoin(iagg).select(
+        F.round(ej, round_to).alias("est_join_rows"),
+        F.round(di, round_to).alias("est_distinct_intersection"),
+        F.round(du, round_to).alias("est_distinct_union"),
+        F.coalesce(F.col("mi"), F.lit(0)).cast("long").alias("sample_pairs"),
+    )
+
+
+def kmv_join_oracle_sql(
+    a_sql: str,
+    a_key: str,
+    b_sql: str,
+    b_key: str,
+    k: int = 256,
+    round_to: int = 4,
+) -> str:
+    """DuckDB twin of :func:`kmv_join_cardinality` — same md5 prefix
+    hashes, same synopses, same estimator arithmetic."""
+
+    def hx(col):
+        return (
+            f"cast(concat('0x', substr(md5(cast({col} as varchar)), 1, "
+            f"{_PREFIX_HEX_DIGITS})) as bigint)"
+        )
+
+    return f"""
+WITH sa AS (
+    SELECT {hx(a_key)} AS h, count(*) AS ca FROM ({a_sql}) GROUP BY {a_key}
+    ORDER BY h LIMIT {k}
+),
+sb AS (
+    SELECT {hx(b_key)} AS h, count(*) AS cb FROM ({b_sql}) GROUP BY {b_key}
+    ORDER BY h LIMIT {k}
+),
+u AS (
+    SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+    ORDER BY h LIMIT {k}
+),
+uagg AS (SELECT max(h) AS hk, count(*) AS mu FROM u),
+iagg AS (
+    SELECT count(*) AS mi, sum(ca * cb) AS spp
+    FROM sa JOIN sb USING (h) JOIN u USING (h)
+)
+SELECT
+  round(CASE WHEN mi = 0 THEN 0.0
+        ELSE (CAST(mi AS DOUBLE) / mu
+              * CASE WHEN mu < {k} THEN CAST(mu AS DOUBLE)
+                     ELSE ({k} - 1) / (CAST(hk AS DOUBLE) / {_DENOM!r}) END)
+             * CAST(spp AS DOUBLE) / mi END, {round_to}) AS est_join_rows,
+  round(CAST(mi AS DOUBLE) / mu
+        * CASE WHEN mu < {k} THEN CAST(mu AS DOUBLE)
+               ELSE ({k} - 1) / (CAST(hk AS DOUBLE) / {_DENOM!r}) END,
+        {round_to}) AS est_distinct_intersection,
+  round(CASE WHEN mu < {k} THEN CAST(mu AS DOUBLE)
+        ELSE ({k} - 1) / (CAST(hk AS DOUBLE) / {_DENOM!r}) END,
+        {round_to}) AS est_distinct_union,
+  CAST(coalesce(mi, 0) AS BIGINT) AS sample_pairs
+FROM uagg CROSS JOIN iagg
+"""

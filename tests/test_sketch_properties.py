@@ -212,3 +212,47 @@ def test_stream_round_half_up_matches_spark_round_on_ties():
     assert np.array_equal(got, want), got
     # and np.round really does disagree on the .5 ties (sanity)
     assert np.round(y[0], 6) == 0.0
+
+
+def test_kmv_join_cardinality_accuracy(spark, sf_dir):
+    """The AKMV estimate must land within ~3/sqrt(k) of the true join
+    cardinality on the FK-shaped orders x customer join (k=256 ->
+    ~19% bound; measured ~7%), and the intersection estimate within
+    the same bound of the true matched-key count."""
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sketch import (
+        kmv_join_cardinality,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.sources.tables import (
+        load_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    row = kmv_join_cardinality(orders, "o_custkey", cust, "c_custkey", k=256).first()
+    true_join = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).count()
+    true_inter = (
+        orders.select("o_custkey")
+        .distinct()
+        .join(cust, orders.o_custkey == cust.c_custkey, "left_semi")
+        .count()
+    )
+    tol = 3.0 / (256 ** 0.5)
+    assert abs(row.est_join_rows - true_join) <= tol * true_join, (
+        row.est_join_rows, true_join,
+    )
+    assert abs(row.est_distinct_intersection - true_inter) <= tol * max(true_inter, 1)
+
+
+def test_kmv_join_cardinality_disjoint_keys(spark):
+    """Disjoint key domains -> zero estimated join rows, zero sampled
+    pairs."""
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sketch import (
+        kmv_join_cardinality,
+    )
+
+    a = spark.range(1000).selectExpr("id AS ka")
+    b = spark.range(1000).selectExpr("id + 1000000 AS kb")
+    row = kmv_join_cardinality(a, "ka", b, "kb", k=128).first()
+    assert row.est_join_rows == 0.0 and row.sample_pairs == 0
