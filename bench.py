@@ -138,6 +138,11 @@ def main() -> None:
     # relies on
     NEW_FAMILY = [
         "bm25_topk",
+        "dedup_substring_spans",
+        "embed_semantic_dedup",
+        "bloom_join_reduce",
+        "zorder_cluster_key",
+        "kmv_join_estimate",
         "kmv_distinct_users",
         "hist_quantiles",
         "ts_ewma",
