@@ -45,7 +45,7 @@ def main() -> None:
     div = 10 if quick else 1
     fams = [a for a in sys.argv[1:] if not a.startswith("--")] or [
         "sync", "keyed_asof", "dedup", "ann", "retrieval", "timeseries",
-        "substring", "semdedup"
+        "substring", "semdedup", "layout"
     ]
     spark = get_session(app_name="scale_smoke")
     scratch = tempfile.mkdtemp(prefix="spark_graft_scale_")
@@ -67,6 +67,8 @@ def main() -> None:
             smoke_substring(spark, scratch, n_docs=500_000 // div)
         if "semdedup" in fams:
             smoke_semdedup(spark, scratch, n_vecs=50_000 // div)
+        if "layout" in fams:
+            smoke_layout(spark, scratch, n=20_000_000 // div)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -443,6 +445,60 @@ def smoke_semdedup(spark, scratch, n_vecs):
         lambda: semantic_dedup_fixedpoint(v, nlist=64, iters=2, threshold=0.9)
         .agg(F.count(F.lit(1)).alias("rows"), F.sum(F.col("is_dup").cast("long")).alias("dups"))
         .first(),
+    )
+
+
+def smoke_layout(spark, scratch, n):
+    """Bloom semi-join reduction + Z-order keying at n fact rows.
+    Bloom: 100k-key dim side (10% of the 1M key domain), m_bits sized
+    at ~13 bits/key; the measure is bitmap build + reduced-count vs
+    the plain join count. Z-order: key computation + range-sort write,
+    the OPTIMIZE ZORDER critical path."""
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.bloom import (
+        bloom_semi_filter,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.zorder import (
+        zorder_layout,
+    )
+
+    print(f"\n## bloom + zorder @ {n:,} fact rows")
+    fact = spark.range(n).select(
+        F.col("id"),
+        (F.abs(F.hash(F.col("id").cast("string"))) % 1_000_000).alias("k"),
+        (F.abs(F.hash(F.col("id").cast("string"), F.lit(1))) % 100_000
+         / 100.0).alias("x"),
+        (F.abs(F.hash(F.col("id").cast("string"), F.lit(2))) % 100_000
+         / 100.0).alias("y"),
+    )
+    fact.write.mode("overwrite").parquet(f"{scratch}/fact")
+    f = spark.read.parquet(f"{scratch}/fact")
+    dim = spark.range(100_000).select(
+        (F.col("id") * 10).alias("k")  # 10% of the key domain
+    )
+    dim.write.mode("overwrite").parquet(f"{scratch}/dim")
+    d = spark.read.parquet(f"{scratch}/dim")
+
+    timed(
+        "bloom_semi_filter(100k keys, m=2^20, k=4)",
+        lambda: bloom_semi_filter(f, d, "k", m_bits=20).count(),
+    )
+    timed(
+        "bloom_semi_filter xxhash64 (production hash)",
+        lambda: bloom_semi_filter(f, d, "k", m_bits=20, hash_fn="xxhash64").count(),
+    )
+    timed(
+        "plain left_semi join (the baseline)",
+        lambda: f.join(d, "k", "left_semi").count(),
+    )
+    timed(
+        "zorder key + range-sort write",
+        lambda: zorder_layout(
+            f, {"x": (0.0, 1000.0), "y": (0.0, 1000.0)}, bits=16
+        )
+        .repartitionByRange(32, "z_key")
+        .sortWithinPartitions("z_key")
+        .write.mode("overwrite")
+        .parquet(f"{scratch}/zsorted"),
     )
 
 
