@@ -1852,6 +1852,21 @@ def _q_kmv_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column stats (new in r6): row/null counts,
+    string-form min/max and a portable KMV ndv estimate, all from a
+    narrow exploded stream — the CBO inputs, themselves hash-checked.
+    Graded on int/string columns where the string form is
+    byte-identical across engines (doubles format differently; the
+    operator handles them, the oracle contract doesn't cover them)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans import stats as ST
+
+    return ST.analyze_table(
+        load_table(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
 def _q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # head_bytes is projected to a CSV string for the graded row — the
     # driver's canonicalizer can't sort/hash array cells; the operator
@@ -2498,6 +2513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_cluster_key": _q_zorder_key,
         "bloom_join_reduce": _q_bloom_reduce,
         "kmv_join_estimate": _q_kmv_join_estimate,
+        "analyze_table_stats": _q_analyze_stats,
         "embed_pq_topk": _q_embed_pq,
         "embed_ivfpq_topk": _q_embed_ivfpq,
         "embed_ivfpq_residual_topk": _q_embed_ivfpq_residual,
@@ -3853,6 +3869,12 @@ FROM documents d LEFT JOIN cleaned c USING (doc_id)
     o["kmv_join_estimate"] = SK.kmv_join_oracle_sql(
         "SELECT * FROM orders", "o_custkey",
         "SELECT * FROM customer", "c_custkey", k=256,
+    )
+
+    from multi_sensor_data_pipeline_for_robotics__spark.plans import stats as _ST
+
+    o["analyze_table_stats"] = _ST.analyze_oracle_sql(
+        "orders", ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
     )
 
     o["dedup_exact"] = """

@@ -216,3 +216,43 @@ def test_user_journeys_order_and_truncation(spark):
         ).collect()
     }
     assert again == got
+
+
+def test_analyze_table_stats(spark):
+    """Exact ndv below k, null accounting, and string min/max."""
+    import pandas as pd
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.stats import (
+        analyze_table,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "a": [1, 2, 2, 3, None],
+                "s": ["x", "y", None, None, "x"],
+            }
+        ).astype({"a": "Int64"})
+    )
+    got = {r["column"]: r.asDict() for r in analyze_table(df, k=256).collect()}
+    assert got["a"]["n_rows"] == 5 and got["a"]["n_null"] == 1
+    assert got["a"]["approx_ndv"] == 3.0  # below k -> exact
+    assert got["s"]["n_null"] == 2 and got["s"]["approx_ndv"] == 2.0
+    assert got["s"]["min_value"] == "x" and got["s"]["max_value"] == "y"
+
+
+def test_analyze_table_ndv_estimate_accuracy(spark, sf_dir):
+    """Above k the KMV estimate must land within 3/sqrt(k) of truth."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.stats import (
+        analyze_table,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.sources.tables import (
+        load_table,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    got = {
+        r["column"]: r["approx_ndv"]
+        for r in analyze_table(li, ["l_orderkey"], k=256).collect()
+    }
+    true_ndv = li.select("l_orderkey").distinct().count()
+    assert abs(got["l_orderkey"] - true_ndv) <= 3.0 / (256 ** 0.5) * true_ndv
