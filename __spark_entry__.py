@@ -1285,14 +1285,12 @@ def _q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(dim, updates, "c_custkey", ["c_mktsegment"])
 
 
-def _q_scd2_merge_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # raw multi-update CDC batch in ONE call (new in r6): every 20th
-    # customer first sends a no-op snapshot (dropped), every 10th then
-    # changes segment in June, repeats the same attrs in August
-    # (run-length-collapsed) and changes again in September — the June
-    # version must chain-close at September's eff_ts
-    from multi_sensor_data_pipeline_for_robotics__spark.operators.scd import scd2_apply
-
+def _scd2_multi_inputs(spark: SparkSession, sf_dir: str):
+    """Shared fixture for the multi-update SCD2 rows: every 20th
+    customer first sends a no-op snapshot (dropped), every 10th then
+    changes segment in June, repeats the same attrs in August
+    (run-length-collapsed) and changes again in September — the June
+    version must chain-close at September's eff_ts."""
     cust = load_table(spark, sf_dir, "customer")
     dim = cust.select(
         "c_custkey", "c_mktsegment",
@@ -1328,7 +1326,69 @@ def _q_scd2_merge_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    return dim, updates
+
+
+def _q_scd2_merge_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # raw multi-update CDC batch in ONE call (new in r6) — see
+    # _scd2_multi_inputs for the scenario
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.scd import scd2_apply
+
+    dim, updates = _scd2_multi_inputs(spark, sf_dir)
     return scd2_apply(dim, updates, "c_custkey", ["c_mktsegment"])
+
+
+def _q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-streaming representative #8 (new in r6): the SCD2
+    dimension maintained FROM a CDC stream — foreachBatch folds each
+    ts-ordered micro-batch through scd2_apply into versioned parquet
+    snapshots with an epoch guard (retried batches are no-ops). The
+    batch operator's sequential-replay property makes the final
+    snapshot bit-identical to the one-shot merge, so this row shares
+    scd2_merge_multi's oracle. Three micro-batches: March snapshots,
+    June+August changes, September changes."""
+    import shutil
+
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.scd_stream import (
+        read_current_dim,
+        scd2_stream_to_parquet,
+    )
+
+    dim, updates = _scd2_multi_inputs(spark, sf_dir)
+    base = _csv_scratch() + "/scd2_stream"
+    shutil.rmtree(base, ignore_errors=True)
+    src_dir, eff = f"{base}/updates", F.col("eff_ts")
+    for i, (lo, hi) in enumerate(
+        [("2024-01-01", "2024-04-01"), ("2024-04-01", "2024-08-15"),
+         ("2024-08-15", "2025-01-01")]
+    ):
+        part = updates.filter(
+            (eff >= F.lit(lo).cast("timestamp"))
+            & (eff < F.lit(hi).cast("timestamp"))
+        )
+        part.coalesce(1).write.mode("append").parquet(src_dir)
+        # distinct mtimes pin the file-source processing order to the
+        # CDC (eff_ts) order the fold requires
+        import os as _os
+        import time as _time
+
+        for f in sorted(_os.listdir(src_dir)):
+            if f.endswith(".parquet"):
+                p = _os.path.join(src_dir, f)
+                if _os.path.getmtime(p) > _time.time() - 5:
+                    _os.utime(p, (1700000000 + i, 1700000000 + i))
+    stream = (
+        spark.readStream.schema(updates.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = scd2_stream_to_parquet(
+        stream, dim, f"{base}/dim", f"{base}/ckpt",
+        "c_custkey", ["c_mktsegment"],
+    )
+    q.processAllAvailable()
+    q.stop()
+    return read_current_dim(spark, f"{base}/dim")
 
 
 def _q_scd2_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2536,6 +2596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ewma": _q_stream_ewma,
         "stream_kmv_distinct": _q_stream_kmv,
         "stream_hist_quantiles": _q_stream_hist,
+        "stream_scd2_dimension": _q_stream_scd2,
         "q_hopping_window": _q_hopping_window,
         "stream_corpus_screen": _q_stream_corpus_screen,
         "graph_triangles": _q_graph_triangles,
@@ -4503,6 +4564,8 @@ SELECT k, seg, eff,
        lead(eff) OVER (PARTITION BY k ORDER BY eff, seg)
 FROM chg
 """
+    # streaming fold == one-shot merge (sequential-replay property)
+    o["stream_scd2_dimension"] = o["scd2_merge_multi"]
 
     o["scd2_timetravel"] = """
 WITH dim0 AS (

@@ -234,3 +234,68 @@ def test_hist_stream_state_carries_and_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert final == want
+
+
+def test_scd2_stream_fold_equals_batch_and_retries_are_noops(spark, tmp_path):
+    """Three ts-ordered CDC micro-batches fold into the same dimension
+    as one batch scd2_apply; reprocessing the whole stream against the
+    advanced store (a fresh checkpoint replays every epoch — the
+    at-least-once worst case) must change nothing thanks to the epoch
+    guard."""
+    import datetime as dtm
+
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.scd import (
+        scd2_apply,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.scd_stream import (
+        read_current_dim,
+        scd2_stream_to_parquet,
+    )
+
+    t = lambda m: dtm.datetime(2024, m, 1)
+    dim = spark.createDataFrame(
+        [(k, "a", t(1), None) for k in range(20)],
+        "k long, attr string, valid_from timestamp, valid_to timestamp",
+    )
+    ups = [
+        [(k, "b", t(3)) for k in range(0, 20, 2)],          # evens change
+        [(k, "b", t(6)) for k in range(20)],                # no-op for evens
+        [(k, "c", t(9)) for k in range(0, 20, 4)],          # every 4th again
+    ]
+    src = str(tmp_path / "cdc")
+    for i, rows in enumerate(ups):
+        spark.createDataFrame(
+            rows, "k long, attr string, eff_ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+        import os, time
+
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                p = os.path.join(src, f)
+                if os.path.getmtime(p) > time.time() - 5:
+                    os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("k long, attr string, eff_ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = scd2_stream_to_parquet(
+            stream, dim, str(tmp_path / "dim"), str(tmp_path / ckpt),
+            "k", ["attr"],
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run("ckpt1")
+    got = sorted(map(tuple, read_current_dim(spark, str(tmp_path / "dim")).collect()))
+    allups = spark.createDataFrame(
+        [r for rows in ups for r in rows], "k long, attr string, eff_ts timestamp"
+    )
+    want = sorted(map(tuple, scd2_apply(dim, allups, "k", ["attr"]).collect()))
+    assert got == want
+
+    run("ckpt2")  # full replay, fresh checkpoint -> every epoch retried
+    again = sorted(map(tuple, read_current_dim(spark, str(tmp_path / "dim")).collect()))
+    assert again == got
