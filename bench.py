@@ -160,32 +160,45 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             extras[f"new_{name}_error"] = str(e)[:200]
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf),
-                "passes": PASSES,
-                "pass_totals": pass_totals,
-                "extras": extras,
-                "extra_checks": extra_checks,
-                # parquet layout fingerprint: the driver regenerates the
-                # test data between rounds, and layout drift (row-group
-                # geometry, encodings) has shifted scan-bound timings by
-                # 1.5x before — record it so a drift is visible in the
-                # artifact instead of inferred from timing archaeology
-                "data_fingerprint": data_fingerprint(sf_dir),
-                # ambient machine state: boot-window noise has produced
-                # 1.2-1.3x per-query swings between otherwise identical
-                # runs — the artifact carries the context a reader needs
-                # to judge whether a delta is code or environment
-                "ambient": ambient_context(),
-            }
-        )
+    # STDOUT gets exactly ONE COMPACT line (metric/value/queries) — the
+    # round-6 artifact was unparseable because the extras + fingerprint
+    # blocks grew the line past the driver's tail capture. Everything
+    # supplementary goes to a side file + stderr instead.
+    compact = {
+        "metric": "headline_queries_total_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf),
+        "passes": PASSES,
+        "pass_totals": pass_totals,
+    }
+    full = dict(
+        compact,
+        extras=extras,
+        extra_checks=extra_checks,
+        # parquet layout fingerprint: the driver regenerates the
+        # test data between rounds, and layout drift (row-group
+        # geometry, encodings) has shifted scan-bound timings by
+        # 1.5x before — record it so a drift is visible in the
+        # artifact instead of inferred from timing archaeology
+        data_fingerprint=data_fingerprint(sf_dir),
+        # ambient machine state: boot-window noise has produced
+        # 1.2-1.3x per-query swings between otherwise identical
+        # runs — the artifact carries the context a reader needs
+        # to judge whether a delta is code or environment
+        ambient=ambient_context(),
     )
+    side = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_extras_last.json"
+    )
+    try:
+        with open(side, "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError as e:
+        print(f"# side-file write failed: {e}", file=sys.stderr)
+    print(f"# full payload: {json.dumps(full)}", file=sys.stderr)
+    print(json.dumps(compact))
 
 
 def ambient_context() -> dict:

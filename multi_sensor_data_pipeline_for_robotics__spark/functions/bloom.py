@@ -78,14 +78,21 @@ def bloom_build(
 
 
 def bloom_might_contain(
-    key: Column, bitmap: list[int], k: int = 4, m_bits: int = 16
+    key: Column, bitmap: list[int], k: int = 4, m_bits: int = 16,
+    hash_fn: str = "md5",
 ) -> Column:
     """Membership-test Column over the broadcast literal word array —
-    ANDs the k probed bits via ``getbit``; pure codegen, no UDF."""
+    ANDs the k probed bits via ``getbit``; pure codegen, no UDF.
+
+    ``hash_fn`` MUST match the one the bitmap was built with
+    (:func:`bloom_build`'s ``hash_fn``): probing an xxhash64-built
+    bitmap with md5 positions (or vice versa) yields silent FALSE
+    NEGATIVES, voiding the no-false-negative guarantee the reduced-join
+    == unfiltered-join law rests on."""
     words = F.array(*[F.lit(int(w)).cast("long") for w in bitmap])
     cond = None
     for j in range(k):
-        p = _position(key, j, m_bits)
+        p = _position(key, j, m_bits, hash_fn)
         w = F.element_at(words, F.shiftright(p, 5).cast("int") + 1)
         c = F.getbit(w, p % 32) == 1
         cond = c if cond is None else cond & c

@@ -12,13 +12,19 @@ the ESTIMATE ITSELF is bit-reproducible across engines and hash-checked
 by the oracle gate, not merely bounded.
 
 Scale shape: the only wide op is a distinct on (group, hash-prefix) —
-8-byte keys with map-side partial dedup — followed by a per-GROUP
-ranking window (partitioned, parallel across groups; the global variant
-uses ``orderBy().limit(k)`` → TakeOrderedAndProject, never a
-single-partition sort of corpus data). Like any KMV, per-partition
-partial sketches (local k-smallest) merge associatively; at 100 TB the
-distinct's map-side combine delivers exactly that partial-merge
-behavior — each map task emits at most its local distinct hashes.
+8-byte keys with map-side partial dedup — followed by a TWO-PHASE
+bottom-k (the global variant uses ``orderBy().limit(k)`` →
+TakeOrderedAndProject, never a single-partition sort of corpus data).
+The grouped bottom-k salts on ``h % S`` first: phase 1 ranks within
+(group, salt) — S parallel sorts of ~1/S of the group's hashes each —
+and phase 2 ranks the surviving ≤ k·S rows per group. The KMV merge
+law (the k smallest of a union are among the union of each part's k
+smallest) makes the split LOSSLESS, so a 10^9-ndv group never funnels
+through one task: the largest single sort is max(ndv/S, k·S) rows.
+Like any KMV, per-partition partial sketches merge associatively; at
+100 TB the distinct's map-side combine delivers exactly that
+partial-merge behavior — each map task emits at most its local
+distinct hashes.
 
 Determinism note: the estimate divides doubles, but both engines
 perform the same IEEE-754 ops on the same integers, so results agree
@@ -47,12 +53,46 @@ def kmv_hash(col: Column | str) -> Column:
     ).cast("bigint")
 
 
+def grouped_bottom_k(
+    d: DataFrame,
+    group_cols: list[str],
+    k: int,
+    salt_buckets: int = 64,
+    h_col: str = "h",
+) -> DataFrame:
+    """The k smallest DISTINCT hashes per group, without ever sorting a
+    whole group in one task. Phase 1 ranks within (group, ``h % S``) —
+    S parallel sorts per group; phase 2 ranks the ≤ k·S survivors per
+    group. Lossless by the KMV merge law: every global bottom-k hash is
+    its salt bucket's bottom-k. Input must already be distinct on
+    (group, h); output is (group_cols..., h) in no particular order.
+
+    The salt derives from the hash itself, so the result is
+    deterministic and identical to a single global per-group ranking —
+    the DuckDB oracle twins keep the one-window form and still
+    hash-match."""
+    salted = d.withColumn("__salt", F.pmod(F.col(h_col), F.lit(salt_buckets)))
+    w1 = W.partitionBy(*group_cols, "__salt").orderBy(h_col)
+    local = (
+        salted.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__salt", "__rn")
+    )
+    w2 = W.partitionBy(*group_cols).orderBy(h_col)
+    return (
+        local.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     value_col: str,
     k: int = 256,
     group_col: str | None = None,
     round_to: int = 4,
+    salt_buckets: int = 64,
 ) -> DataFrame:
     """Approximate distinct count of ``value_col`` (optionally per
     ``group_col``) via a k-minimum-values sketch.
@@ -62,19 +102,22 @@ def kmv_distinct(
     saturated; below k the count is EXACT and returned as-is — the
     standard small-cardinality fallback).
     """
+    # COUNT(DISTINCT) semantics: NULL values contribute nothing. The
+    # filter also matters cross-engine — kmv_hash(NULL) is NULL, which
+    # Spark's ascending sort ranks FIRST but DuckDB ranks LAST, so an
+    # unfiltered null would silently skew a saturated sketch by one on
+    # exactly one engine.
+    nn = df.filter(F.col(value_col).isNotNull())
     h = kmv_hash(value_col).alias("h")
     if group_col is None:
-        d = df.select(h).distinct()
+        d = nn.select(h).distinct()
         mins = d.orderBy("h").limit(k)
         agg = mins.agg(
             F.max("h").alias("hk"), F.count(F.lit(1)).alias("m")
         )
     else:
-        d = df.select(F.col(group_col), h).distinct()
-        rw = W.partitionBy(group_col).orderBy("h")
-        mins = d.withColumn("rn", F.row_number().over(rw)).filter(
-            F.col("rn") <= k
-        )
+        d = nn.select(F.col(group_col), h).distinct()
+        mins = grouped_bottom_k(d, [group_col], k, salt_buckets)
         agg = mins.groupBy(group_col).agg(
             F.max("h").alias("hk"), F.count(F.lit(1)).alias("m")
         )
@@ -106,7 +149,8 @@ def kmv_oracle_sql(
     )
     if group_col is None:
         return f"""
-            WITH d AS (SELECT DISTINCT {hx} AS h FROM {table}),
+            WITH d AS (SELECT DISTINCT {hx} AS h FROM {table}
+                       WHERE {value_col} IS NOT NULL),
             mins AS (SELECT h FROM d ORDER BY h LIMIT {k}),
             agg AS (SELECT max(h) AS hk, count(*) AS m FROM mins)
             SELECT CASE WHEN m < {k} THEN cast(m AS double)
@@ -116,7 +160,8 @@ def kmv_oracle_sql(
             FROM agg
         """
     return f"""
-        WITH d AS (SELECT DISTINCT {group_col}, {hx} AS h FROM {table}),
+        WITH d AS (SELECT DISTINCT {group_col}, {hx} AS h FROM {table}
+                   WHERE {value_col} IS NOT NULL),
         mins AS (
             SELECT {group_col}, h,
                    row_number() OVER (PARTITION BY {group_col} ORDER BY h) AS rn
@@ -278,8 +323,15 @@ def kmv_sketch(
     :func:`kmv_merge_estimate` unions any subset for a combined count.
     KMV is closed under union-then-top-k, so merging loses NOTHING:
     the merged estimate is bit-identical to sketching the union
-    directly (asserted by the graded twin)."""
-    return df.select(kmv_hash(value_col).alias("h")).distinct().orderBy("h").limit(k)
+    directly (asserted by the graded twin). NULL values contribute
+    nothing (COUNT(DISTINCT) semantics, matching kmv_distinct)."""
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(kmv_hash(value_col).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
 
 
 def kmv_merge_estimate(
@@ -362,9 +414,12 @@ def hist_merge_quantiles(
 def _akmv(df: DataFrame, key_col: str, k: int) -> DataFrame:
     """AKMV synopsis [Beyer et al., SIGMOD 2007]: the k smallest
     distinct key hashes, each carrying its exact multiplicity — the
-    sketch that sizes JOINS, not just distinct counts."""
+    sketch that sizes JOINS, not just distinct counts. NULL keys never
+    join, so they are excluded (and kmv_hash(NULL) is NULL, which the
+    two engines would rank at opposite ends of the sort anyway)."""
     return (
-        df.groupBy(key_col)
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(kmv_hash(key_col).alias("h"), "cnt")
         .orderBy("h")
@@ -450,11 +505,13 @@ def kmv_join_oracle_sql(
 
     return f"""
 WITH sa AS (
-    SELECT {hx(a_key)} AS h, count(*) AS ca FROM ({a_sql}) GROUP BY {a_key}
+    SELECT {hx(a_key)} AS h, count(*) AS ca FROM ({a_sql})
+    WHERE {a_key} IS NOT NULL GROUP BY {a_key}
     ORDER BY h LIMIT {k}
 ),
 sb AS (
-    SELECT {hx(b_key)} AS h, count(*) AS cb FROM ({b_sql}) GROUP BY {b_key}
+    SELECT {hx(b_key)} AS h, count(*) AS cb FROM ({b_sql})
+    WHERE {b_key} IS NOT NULL GROUP BY {b_key}
     ORDER BY h LIMIT {k}
 ),
 u AS (

@@ -986,6 +986,7 @@ def duplicated_spans(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """Exact-substring duplicate spans, the distributed approximation
     of suffix-array dedup [Lee et al., ACL 2022, "Deduplicating
@@ -1005,19 +1006,26 @@ def duplicated_spans(
     map-side partial); the span merge is a per-doc window — parallel
     across docs. The 60-bit hash admits ~2^-60 false-positive window
     collisions (vs the paper's exact suffix array) — at 100 TB use
-    128-bit (two prefixes) if that matters. A boilerplate gram shared
-    by EVERY doc costs |docs| join rows for that gram — same
-    inverted-index cost law as `ngram_jaccard_pairs`, whose
-    `max_shingle_df` treatment applies if boilerplate dominates.
+    128-bit (two prefixes) if that matters.
+
+    ``max_gram_df``: a boilerplate gram shared by EVERY doc (headers,
+    license banners) costs |docs| join rows for that gram — the same
+    inverted-index cost law as `ngram_jaccard_pairs`. Setting the cap
+    drops grams whose distinct-doc count EXCEEDS it before the span
+    join, bounding per-gram fan-out at the cost of not reporting spans
+    made ONLY of ubiquitous boilerplate (a deliberate recall trade —
+    such passages are usually removed by a dedicated boilerplate pass,
+    not span surgery). None (default) keeps exact Lee-et-al semantics.
     """
     wins = _gram_windows(docs, k, id_col, text_col)
     hot = (
         wins.groupBy("gh")
         .agg(F.count_distinct(F.col(id_col)).alias("nd"))
         .filter(F.col("nd") >= min_docs)
-        .select("gh")
     )
-    dup = wins.join(hot, "gh").select(id_col, "pos")
+    if max_gram_df is not None:
+        hot = hot.filter(F.col("nd") <= max_gram_df)
+    dup = wins.join(hot.select("gh"), "gh").select(id_col, "pos")
     return _merge_islands(dup, k, id_col)
 
 
@@ -1030,12 +1038,21 @@ def _gram_windows(
         kmv_hash,
     )
 
-    n_win = F.greatest(F.length(text_col) - F.lit(k - 1), F.lit(0))
+    n_win = F.length(text_col) - F.lit(k - 1)
+    # docs shorter than k have NO windows. The guard matters: Spark's
+    # sequence(1, n) DESCENDS when n < 1 (sequence(1, 0) = [1, 0]), so
+    # an unguarded short/empty doc would emit phantom windows hashing
+    # its full text — and remove_duplicated_spans would then erase
+    # whole short duplicate docs the contract says it cannot touch
+    # (same trap linkage.py's _one_deletions guards against).
+    positions = F.when(
+        F.length(text_col) >= k, F.sequence(F.lit(1), n_win)
+    ).otherwise(F.array().cast("array<int>"))
     wins = docs.select(
         F.col(id_col),
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), n_win),
+                positions,
                 lambda p: F.struct(
                     p.alias("pos"),
                     kmv_hash(F.substring(F.col(text_col), p, F.lit(k))).alias(
@@ -1078,6 +1095,7 @@ def remove_duplicated_spans(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """The surgical half of Lee et al.'s substring dedup: CUT each
     cross-doc duplicated passage out of every doc EXCEPT the canonical
@@ -1096,6 +1114,9 @@ def remove_duplicated_spans(
     that rides the same groupBy) up to the final doc-keyed join of the
     tiny span table back onto the corpus — a hash join on doc id whose
     build side holds only docs that lose at least one span.
+    ``max_gram_df`` bounds boilerplate-gram fan-out exactly as in
+    :func:`duplicated_spans` (capped grams are left in place in every
+    doc rather than excised everywhere-but-one).
     """
     wins = _gram_windows(docs, k, id_col, text_col)
     hot = (
@@ -1105,8 +1126,10 @@ def remove_duplicated_spans(
             F.min(F.col(id_col)).alias("__keeper"),
         )
         .filter(F.col("nd") >= min_docs)
-        .select("gh", "__keeper")
     )
+    if max_gram_df is not None:
+        hot = hot.filter(F.col("nd") <= max_gram_df)
+    hot = hot.select("gh", "__keeper")
     cut = (
         wins.join(hot, "gh")
         .filter(F.col(id_col) != F.col("__keeper"))

@@ -28,6 +28,19 @@ by key, and the three joins against the current slice are plain hash
 joins on the same key, so one partitioning serves the whole plan. No
 collects, no global windows; the output unions four already-keyed
 legs.
+
+Chained application (the nightly-CDC loop): the output references the
+input dimension in FOUR legs, so N naive chained applies would build a
+~4^N-leaf logical plan and OOM the driver around N=4. ``scd2_apply``
+therefore snaps a complex input dimension to a ``localCheckpoint``
+leaf before merging (see :func:`_bounded_lineage`), bounding the plan
+of every apply to one merge's worth regardless of chain length — the
+same lineage-truncation law ``connected_components`` applies per
+iteration. A parquet/leaf-backed dimension (the normal warehouse read)
+is left untouched, keeping scan pruning intact. On a real cluster
+prefer persisting the dimension between nightly runs anyway (the
+checkpoint is per-session state); the truncation makes in-session
+chains safe, not durable.
 """
 
 from __future__ import annotations
@@ -35,6 +48,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
+
+# an analyzed-plan render longer than this marks the dimension as the
+# output of a previous merge (one apply adds ~50 lines); leaf scans and
+# simple projections stay well under it
+_LINEAGE_PLAN_LINES = 40
+
+
+def _bounded_lineage(dim: DataFrame) -> DataFrame:
+    """Return ``dim`` as-is when its logical plan is simple (a scan /
+    in-memory relation / light projection), else a lazily
+    local-checkpointed leaf. The check renders the ANALYZED plan (never
+    the optimized one — analysis is linear in the tree the caller
+    built), so chained applies pay one small render per merge."""
+    try:
+        n_lines = dim._jdf.queryExecution().analyzed().toString().count("\n")
+    except Exception:  # non-JVM-backed (connect, mocks): be safe
+        n_lines = _LINEAGE_PLAN_LINES + 1
+    if n_lines <= _LINEAGE_PLAN_LINES:
+        return dim
+    return dim.localCheckpoint(eager=False)
 
 
 def scd2_apply(
@@ -50,8 +83,9 @@ def scd2_apply(
     rows per key) into an SCD2 ``dim`` (key, tracked attrs, valid_from,
     valid_to NULL=current). Returns the full new dimension (history +
     revised versions); see the module docstring for the replay
-    semantics.
+    semantics and the chained-application lineage contract.
     """
+    dim = _bounded_lineage(dim)
     cur = dim.filter(F.col(to_col).isNull())
     hist = dim.filter(F.col(to_col).isNotNull())
     ucols = [f"__u_{c}" for c in tracked_cols]

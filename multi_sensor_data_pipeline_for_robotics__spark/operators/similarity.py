@@ -1453,13 +1453,14 @@ def ivfpq_topk_fixedpoint(
 
 def semantic_dedup_fixedpoint(
     embeddings: DataFrame,
-    nlist: int = 16,
+    nlist: int | None = None,
     iters: int = 2,
     scale: int = 1_000_000,
     threshold: float = 0.7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup [Abbas et al., arXiv:2303.09540] on the integer
     lattice: cluster the corpus with the fixed-point coarse quantizer
@@ -1481,14 +1482,24 @@ def semantic_dedup_fixedpoint(
     Scale shape: training is iters x (one scan + one (nlist x dim)
     integer groupBy with map-side combine); the pair stage shuffles
     once on cluster_id and is quadratic only WITHIN a cluster — the
-    paper's own regime (nlist grows with the corpus, ~N/100 clusters,
-    so per-cluster membership stays bounded); a pathologically hot
-    cluster would need the same df-cap/sub-bucket treatment as
-    `dedup.py`'s shingle blocks. The threshold compare happens on
-    integers (s >= floor(threshold*scale^2)) — no float-boundary flip
-    between engines.
+    paper's own regime. ``nlist=None`` (default) auto-scales to the
+    paper's ~N/100 clusters (``max(16, n // 100)``, one count to size
+    it — take it from ANALYZE stats when you already have them), so
+    expected cluster membership stays ~100 as the corpus grows instead
+    of the quadratic term growing as N²/nlist. ``max_cluster_size``
+    additionally caps a PATHOLOGICALLY hot cluster (mode collapse,
+    dense boilerplate embeddings): members of a cluster bigger than
+    the cap are hash-split into ceil(size/cap) sub-buckets and pairs
+    form only WITHIN a sub-bucket — the same recall trade as
+    `dedup.py`'s shingle df-cap (a duplicate pair split across
+    sub-buckets is missed; the paper's random-within-cluster keep rule
+    has the same flavor). The threshold compare happens on integers
+    (s >= floor(threshold*scale^2)) — no float-boundary flip between
+    engines.
     """
     thr_int = int(np.floor(threshold * float(scale) * float(scale)))
+    if nlist is None:
+        nlist = max(16, embeddings.count() // 100)
     cents = kmeans_centroids_fixedpoint(
         embeddings, nlist, iters, scale, id_col, vec_col
     )
@@ -1496,11 +1507,28 @@ def semantic_dedup_fixedpoint(
         F.col(id_col).alias("__id"), to_double(F.col(vec_col)).alias("__vd")
     ).select("__id", _fp_quantize(F.col("__vd"), scale).alias("__qv"))
     asg = maybe_persist(_fp_assign(qd, cents, out_col="cluster_id"))
+    pair_keys = ["cluster_id"]
+    if max_cluster_size is not None:
+        # sub-bucket hot clusters: nsub = ceil(size/cap) buckets, member
+        # -> bucket by a deterministic id hash; cold clusters get nsub=1
+        # (sub 0 on both sides — no behavior change)
+        sizes = asg.groupBy("cluster_id").agg(
+            F.ceil(
+                F.count(F.lit(1)) / F.lit(max_cluster_size)
+            ).cast("int").alias("__nsub")
+        )
+        asg = asg.join(F.broadcast(sizes), "cluster_id").withColumn(
+            "__sub",
+            F.pmod(F.abs(F.xxhash64(F.col("__id"))), F.col("__nsub")).cast(
+                "int"
+            ),
+        ).drop("__nsub")
+        pair_keys = ["cluster_id", "__sub"]
     a = asg.select(
-        F.col("__id").alias("a_id"), "cluster_id", F.col("__qv").alias("va")
+        F.col("__id").alias("a_id"), *pair_keys, F.col("__qv").alias("va")
     )
     b = asg.select(
-        F.col("__id").alias("b_id"), "cluster_id", F.col("__qv").alias("vb")
+        F.col("__id").alias("b_id"), *pair_keys, F.col("__qv").alias("vb")
     )
     s = F.aggregate(
         F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
@@ -1508,7 +1536,7 @@ def semantic_dedup_fixedpoint(
         lambda acc, x: acc + x,
     )
     best = (
-        a.join(b, "cluster_id")
+        a.join(b, pair_keys)
         .filter(F.col("b_id") < F.col("a_id"))
         .select("a_id", s.alias("s"), F.col("b_id"))
         .groupBy("a_id")

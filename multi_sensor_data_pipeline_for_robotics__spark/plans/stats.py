@@ -9,8 +9,11 @@ stats themselves are hash-checkable cross-engine.
 Plan shape: the table is projected once into a narrow exploded
 (column, value-string, hash) stream — C small rows per input row —
 then ONE groupBy per statistic family: exact n/nulls/min/max from a
-single aggregation, the KMV ndv from a distinct + per-column top-k
-window (k rows per column survive the shuffle). Min/max compare the
+single aggregation, the KMV ndv from a distinct + two-phase salted
+bottom-k (``functions.sketch.grouped_bottom_k`` — every COLUMN is a
+group here, so a single-window form would sort a 10^9-ndv id column's
+full hash set in one task; the salted split caps the largest sort at
+max(ndv/S, k·S) rows and is lossless by the KMV merge law). Min/max compare the
 STRING form (deterministic, engine-identical for the fixed-format
 columns it is applied to); numeric columns additionally report
 numeric min/max cast from double.
@@ -26,10 +29,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 from multi_sensor_data_pipeline_for_robotics__spark.functions.sketch import (
     _DENOM,
+    grouped_bottom_k,
     kmv_hash,
 )
 
@@ -39,6 +42,7 @@ def analyze_table(
     columns: list[str] | None = None,
     k: int = 256,
     round_to: int = 4,
+    salt_buckets: int = 64,
 ) -> DataFrame:
     """Per-column statistics in two scans of a narrow projection.
 
@@ -72,8 +76,7 @@ def analyze_table(
         .select("column", kmv_hash(F.col("v")).alias("h"))
         .distinct()
     )
-    rw = W.partitionBy("column").orderBy("h")
-    mins = d.withColumn("rn", F.row_number().over(rw)).filter(F.col("rn") <= k)
+    mins = grouped_bottom_k(d, ["column"], k, salt_buckets)
     ndv = mins.groupBy("column").agg(
         F.max("h").alias("hk"), F.count(F.lit(1)).alias("m")
     )

@@ -65,20 +65,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     All downstream operators see TimestampType.
 
-    The returned DataFrame is memoized per (session, sf_dir, name):
-    DataFrames are immutable plan handles, so reuse is safe, and it
-    saves ~60 ms of parquet footer/reader setup per repeated load — a
-    query building three series over `events` paid that three times.
-    File CHANGES under an sf_dir are picked up lazily by Spark's scan
-    (paths are re-listed per job), so memoization does not pin data.
+    The returned DataFrame is memoized per (applicationId, sf_dir,
+    name): DataFrames are immutable plan handles, so reuse is safe, and
+    it saves ~60 ms of parquet footer/reader setup per repeated load —
+    a query building three series over `events` paid that three times.
+    The key is the session's applicationId, NOT ``id(spark)`` — after a
+    stopped session is garbage-collected CPython can reuse its id for a
+    new session, which would resurrect DataFrames bound to the dead
+    JVM plan (the test-suite session-cycling trap). The conf pins run
+    BEFORE the cache lookup so a session whose first load was a cache
+    hit is still pinned. File CHANGES under an sf_dir are picked up
+    lazily by Spark's scan (paths are re-listed per job), so
+    memoization does not pin data.
     """
-    key = (id(spark), sf_dir, name)
-    hit = _LOAD_CACHE.get(key)
-    if hit is not None:
-        return hit
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    hit = _LOAD_CACHE.get(key)
+    if hit is not None:
+        return hit
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for f in df.schema.fields:
         if f.name == "ts" and isinstance(f.dataType, T.LongType):

@@ -267,6 +267,12 @@ def _make_kmv_fn(k: int, round_to: int):
         cur = set(hs)
         for pdf in pdfs:
             for v in pdf["value"]:
+                # batch parity: Spark's md5(cast(NULL AS string)) is
+                # NULL, so nulls contribute NOTHING to the batch sketch
+                # — str(None) would hash the literal 'None' and count a
+                # phantom distinct value
+                if v is None or pd.isna(v):
+                    continue
                 # the same bytes Spark's md5(cast(value AS string)) sees
                 cur.add(int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16))
         # KMV merge law: the k smallest of the union equal the k

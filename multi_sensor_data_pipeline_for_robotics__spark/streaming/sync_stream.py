@@ -162,11 +162,18 @@ def windowed_asof_align(
          a max-deduplicated series.
 
     The watermark is declared on the DERIVED grid timestamp with delay
-    ``late_ms + tolerance_ms``: an observation ``late_ms`` late can
-    still feed a grid point ``tolerance_ms`` before it, so that sum is
-    exactly the horizon after which a grid row is immutable. State is
-    one candidate row per open grid point — bounded by
-    (late_ms + tol) / step, independent of input rate.
+    ``late_ms + 2 * tolerance_ms``. Two tolerance terms, not one: an
+    observation ``late_ms`` late must still feed grid points up to
+    ``tolerance_ms`` BEFORE it (backward reach, the first ``tol``),
+    but the watermark clock itself runs on the expanded grid_ts — an
+    on-time observation advances it by its FORWARD candidates up to
+    ``obs_ts + tolerance_ms`` (the second ``tol``). With only one
+    ``tol`` the effective allowed lateness for backward grid points
+    would be ``late_ms - tolerance_ms``: an observation exactly
+    ``late_ms`` late would find those rows already finalized, breaking
+    the batch-parity contract. State is one candidate row per open
+    grid point — bounded by (late_ms + 2·tol) / step, independent of
+    input rate.
 
     Late-vs-batch divergence: observations later than ``late_ms`` are
     dropped by the watermark (batch, seeing everything, would use
@@ -221,7 +228,9 @@ def windowed_asof_align(
         ),
     ).alias("best")
     return (
-        cand.withWatermark("grid_ts", f"{late_ms + tolerance_ms} milliseconds")
+        cand.withWatermark(
+            "grid_ts", f"{late_ms + 2 * tolerance_ms} milliseconds"
+        )
         .groupBy("grid_ts")
         .agg(best)
         .select(

@@ -105,3 +105,18 @@ def test_bloom_empty_small_side(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     empty = li.select(F.col("l_orderkey")).limit(0)
     assert B.bloom_semi_filter(li, empty, "l_orderkey").count() == 0
+
+
+def test_bloom_probe_hash_fn_matches_build(spark):
+    """bloom_might_contain must probe with the SAME hash family the
+    bitmap was built with — an xxhash64 bitmap probed via md5 positions
+    yields silent false negatives. Every inserted key must test True
+    under both families when build and probe agree."""
+    keys = spark.range(200).select((F.col("id") * 7).alias("k"))
+    probe = spark.range(200).select((F.col("id") * 7).alias("k"))
+    for fn in ("md5", "xxhash64"):
+        bm = B.bloom_build(keys, "k", k=4, m_bits=14, hash_fn=fn)
+        hits = probe.filter(
+            B.bloom_might_contain(F.col("k"), bm, k=4, m_bits=14, hash_fn=fn)
+        ).count()
+        assert hits == 200, fn  # no false negatives, ever

@@ -1100,3 +1100,63 @@ def test_remove_duplicated_spans_multiple_spans_one_doc(spark):
     }
     assert got[3] == ("-GLUE-", 2, 90)
     assert got[1] == (p1, 0, 0) and got[2] == (p2, 0, 0)
+
+
+def test_substring_dedup_short_identical_docs_untouched(spark):
+    """Docs shorter than k have NO k-char windows — even when they are
+    exact duplicates of each other. Regression: Spark's sequence(1, 0)
+    DESCENDS to [1, 0], so unguarded short docs emitted phantom windows
+    and remove_duplicated_spans erased the whole non-keeper doc."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["hello", "hello", ""]})
+    )
+    assert D.duplicated_spans(df, k=40, min_docs=2).count() == 0
+    got = {
+        r.doc_id: (r.cleaned_text, r.n_spans_cut, r.chars_cut)
+        for r in D.remove_duplicated_spans(df, k=40, min_docs=2).collect()
+    }
+    assert got == {1: ("hello", 0, 0), 2: ("hello", 0, 0), 3: ("", 0, 0)}
+
+
+def test_substring_dedup_max_gram_df_caps_boilerplate(spark):
+    """A header shared by EVERY doc (gram df = n_docs) is dropped by
+    max_gram_df before the span join; a passage shared by only two docs
+    still reports. The cap bounds the join fan-out: with it, the hot
+    gram set excludes all |docs|-df boilerplate grams."""
+    header = "=" * 50  # boilerplate on every doc
+    passage = "0123456789" * 6
+    texts = [header + f"-unique{i:02d}-" + "z" * 40 for i in range(8)]
+    texts[3] = header + "-a-" + passage
+    texts[7] = header + "-b-" + passage
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(8)), "text": texts})
+    )
+    spans = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in D.duplicated_spans(
+            df, k=40, min_docs=2, max_gram_df=4
+        ).collect()
+    }
+    # only the two passage docs report, and the span never reaches back
+    # into the capped header region (header is 50 chars, passage starts
+    # at 54)
+    assert set(spans) == {3, 7}
+    assert all(start > 50 for start, _ in spans.values())
+    # uncapped, every doc reports a span starting in the header
+    uncapped = {
+        r.doc_id
+        for r in D.duplicated_spans(df, k=40, min_docs=2).collect()
+    }
+    assert uncapped == set(range(8))
+    # surgical removal under the cap: boilerplate left in place, the
+    # passage excised everywhere but the lowest doc id
+    cleaned = {
+        r.doc_id: (r.cleaned_text, r.n_spans_cut)
+        for r in D.remove_duplicated_spans(
+            df, k=40, min_docs=2, max_gram_df=4
+        ).collect()
+    }
+    assert cleaned[3][0].startswith(header) and cleaned[3][1] == 0
+    # the "-" right before the passage is itself shared ("-0123..." in
+    # both docs), so the maximal excised span includes it
+    assert cleaned[7] == (header + "-b", 1)

@@ -144,3 +144,26 @@ def test_scd2_multi_batch_equals_sequential_replay(spark):
     m = {(r.k, r.seg, r.valid_from, r.valid_to) for r in multi.collect()}
     s = {(r.k, r.seg, r.valid_from, r.valid_to) for r in seq.collect()}
     assert m == s
+
+
+def test_scd2_long_chain_has_bounded_plan(spark):
+    """Twelve chained applies (the nightly-CDC loop) must keep the
+    logical plan bounded — the 4-legs-per-merge output would otherwise
+    grow ~4^N and OOM the driver around N=4 (the round-6 regression).
+    Asserts both the invariants and the plan-size bound directly."""
+    dim = _dim(spark, [(k, "init", T0, None) for k in range(3)])
+    for step in range(1, 13):
+        eff = T0 + dt.timedelta(days=step)
+        seg = f"s{step % 3}"
+        dim = scd2_apply(dim, _up(spark, [(step % 3, seg, eff)]), "k", ["seg"])
+        n_lines = dim._jdf.queryExecution().analyzed().toString().count("\n")
+        assert n_lines < 200, (step, n_lines)
+    rows = dim.collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.k, []).append((r.valid_from, r.valid_to))
+    for k, ivs in by_key.items():
+        assert sum(1 for _, t in ivs if t is None) == 1, (k, ivs)
+        ivs_sorted = sorted(ivs)
+        for (_, t1), (f2, _) in zip(ivs_sorted, ivs_sorted[1:]):
+            assert t1 == f2, (k, ivs_sorted)

@@ -299,3 +299,41 @@ def test_scd2_stream_fold_equals_batch_and_retries_are_noops(spark, tmp_path):
     run("ckpt2")  # full replay, fresh checkpoint -> every epoch retried
     again = sorted(map(tuple, read_current_dim(spark, str(tmp_path / "dim")).collect()))
     assert again == got
+
+
+def test_kmv_stream_nulls_match_batch(spark, tmp_path):
+    """Null values must contribute NOTHING to the streaming sketch —
+    batch kmv_distinct hashes md5(cast(NULL as string)) = NULL, so a
+    str(None)='None' phantom hash would diverge the estimates."""
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sketch import (
+        kmv_distinct,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.stateful import (
+        kmv_stream,
+    )
+
+    rows = [("a", i % 30 if i % 5 else None) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    src = str(tmp_path / "kmv_null_src")
+    df.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("k string, v long").parquet(src)
+    out = kmv_stream(stream, value_col="v", key_col="k", k=64)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("kmv_null_test")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["key"]: (r["approx_distinct"], r["sketch_m"])
+        for r in spark.table("kmv_null_test").collect()
+    }
+    want = {
+        r["k"]: (r["approx_distinct"], r["sketch_m"])
+        for r in kmv_distinct(df, "v", k=64, group_col="k").collect()
+    }
+    assert got == want
+    # 24 non-null distinct values (i%5!=0 -> i%30 hits 24 residues): exact path
+    assert got["a"][1] < 64
