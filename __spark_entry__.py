@@ -28,8 +28,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from multi_sensor_data_pipeline_for_robotics__spark.functions import freq as FQ
 from multi_sensor_data_pipeline_for_robotics__spark.functions import text as TX
 from multi_sensor_data_pipeline_for_robotics__spark.functions import vector as V
+from multi_sensor_data_pipeline_for_robotics__spark.plans import drift as _DR
 from multi_sensor_data_pipeline_for_robotics__spark.operators import embedding as EMB
 from multi_sensor_data_pipeline_for_robotics__spark.operators import clean as C
 from multi_sensor_data_pipeline_for_robotics__spark.operators import dedup as D
@@ -2441,6 +2443,94 @@ def _q_stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_attrib_tbl")
 
 
+# fixed Count-Min geometry + probe set shared by the batch query, the
+# streaming twin and both oracles (user_id domain is 0..~150 per sf;
+# the last probe is deliberately absent -> estimate 0)
+_CMS_ARGS = dict(depth=4, width=1024)
+_CMS_PROBES = (1, 17, 89, 149, 987654)
+
+
+def _q_freq_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point estimates (new in r7): build the (d, w, cnt)
+    cell table over events.user_id, then estimate the frequency of a
+    fixed probe set as the min over each probe's depth counters. The
+    positions are md5-prefix arithmetic, so the sketch INCLUDING its
+    collisions — hence the estimates themselves — replay bit-for-bit
+    in DuckDB (functions/freq.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = FQ.cms_sketch(ev, "user_id", **_CMS_ARGS)
+    keys = spark.createDataFrame([(p,) for p in _CMS_PROBES], "user_id long")
+    return FQ.cms_estimate(sk, keys, "user_id", **_CMS_ARGS)
+
+
+def _q_freq_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus-vocabulary heavy hitters (new in r7): tokens
+    appearing in >= 0.5% of the token stream — one map-side-combined
+    groupBy plus a broadcast 1-row total; output bounded at 1/phi rows
+    regardless of corpus size (functions/freq.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+    return FQ.heavy_hitters(tok, "token", phi=0.005)
+
+
+def _q_freq_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k frequent values (new in r7): the 20 most active user_ids,
+    ties to the smaller id — TakeOrderedAndProject over map-side-
+    combined count partials, never a global sort (functions/freq.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return FQ.top_k_frequent(ev, "user_id", k=20)
+
+
+def _q_drift_click_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift (new in r7): KL/JS/TVD between the `value`
+    distributions of click vs view events over a fixed 256-bin grid
+    with Laplace smoothing — two histogram scans plus a <=256-row
+    aggregate, every number engine-portable (plans/drift.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return _DR.distribution_drift(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "view"),
+        "value",
+        bins=256,
+        lo=0.0,
+        hi=512.0,
+    )
+
+
+def _q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-streaming representative #8 (new in r7): the Count-Min
+    cell map maintained AS stream state per event_type; counters are
+    additive and order-insensitive, so the final emitted estimates per
+    key are bit-identical to the batch sketch over the same file —
+    graded against a DuckDB replay of the grouped sketch."""
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.stateful import (
+        cms_stream,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.sync_stream import (
+        read_events_stream,
+        run_to_memory,
+    )
+    from pyspark.sql import Window as W
+
+    stream = read_events_stream(spark, sf_dir)
+    sm = cms_stream(
+        stream, value_col="user_id", key_col="event_type",
+        probes=tuple(str(p) for p in _CMS_PROBES), **_CMS_ARGS,
+    )
+    run_to_memory(sm, "stream_cms_tbl", output_mode="append")
+    w = W.partitionBy("key", "value").orderBy(F.col("batch_seq").desc())
+    return (
+        spark.table("stream_cms_tbl")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("key").alias("event_type"),
+            F.col("value").alias("user_id"),
+            "est_count",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator.
 
@@ -2618,6 +2708,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup_lsh_portable": _q_embed_lsh_portable,
         "fuzzy_match_names": _q_fuzzy_match,
         "fuzzy_match_names_d2": _q_fuzzy_match_d2,
+        # --- r7: frequency sketches + drift ------------------------------
+        "freq_cms_counts": _q_freq_cms_counts,
+        "freq_heavy_hitters": _q_freq_heavy_hitters,
+        "freq_top_users": _q_freq_top_users,
+        "drift_click_vs_view": _q_drift_click_vs_view,
+        "stream_cms_counts": _q_stream_cms,
     }
 
 
@@ -5105,4 +5201,72 @@ WITH r AS ({_TS.rolling_stats_oracle_sql("events", "event_type", "ts", "value", 
 SELECT key, ts, value, roll_mean, roll_std FROM r
 WHERE roll_std IS NOT NULL AND abs(value - roll_mean) > 2.0 * roll_std
 """
+
+    # --- r7: frequency sketches + drift ----------------------------------
+    probes_sql = (
+        "SELECT unnest(["
+        + ", ".join(str(p) for p in _CMS_PROBES)
+        + "]) AS user_id"
+    )
+    o["freq_cms_counts"] = FQ.cms_oracle_sql(
+        "SELECT user_id FROM events", probes_sql, "user_id", **_CMS_ARGS
+    )
+    o["freq_heavy_hitters"] = FQ.heavy_hitters_oracle_sql(
+        "SELECT unnest(string_split(text, ' ')) AS token FROM documents",
+        "token",
+        phi=0.005,
+    )
+    o["freq_top_users"] = FQ.top_k_frequent_oracle_sql(
+        "SELECT user_id FROM events", "user_id", k=20
+    )
+    o["drift_click_vs_view"] = _DR.drift_oracle_sql(
+        "SELECT value FROM events WHERE event_type = 'click'",
+        "SELECT value FROM events WHERE event_type = 'view'",
+        "value",
+        bins=256,
+        lo=0.0,
+        hi=512.0,
+    )
+    # streaming CMS state is additive/order-insensitive, so the final
+    # per-(event_type, probe) estimates replay as the batch sketch
+    # grouped by event_type
+    o["stream_cms_counts"] = _stream_cms_oracle_sql()
     return o
+
+
+def _stream_cms_oracle_sql() -> str:
+    """DuckDB replay of _q_stream_cms: the Count-Min cell table built
+    PER event_type, probed for the fixed user_id set — same md5
+    positions and min-over-depth arithmetic as functions/freq.py. The
+    streamed value column is the STRING form of user_id (the state fn
+    hashes str(v)), so probes compare as varchar."""
+    depth, width = _CMS_ARGS["depth"], _CMS_ARGS["width"]
+
+    def pos(expr: str, d: int) -> str:
+        return (
+            f"(CAST(concat('0x', substr(md5(concat(CAST({expr} AS VARCHAR),"
+            f" '#cms{d}')), 1, 15)) AS BIGINT) % {width})"
+        )
+
+    cell_rows = " UNION ALL ".join(
+        f"SELECT event_type, {d} AS d, {pos('user_id', d)} AS w FROM events"
+        f" WHERE user_id IS NOT NULL"
+        for d in range(depth)
+    )
+    ests = ", ".join(
+        f"coalesce((SELECT cnt FROM cells c WHERE c.event_type = k.event_type"
+        f" AND c.d = {d} AND c.w = {pos('p.user_id', d)}), 0)"
+        for d in range(depth)
+    )
+    probes = ", ".join(f"'{p}'" for p in _CMS_PROBES)
+    return f"""
+WITH cells AS (
+    SELECT event_type, d, w, count(*) AS cnt
+    FROM ({cell_rows}) GROUP BY event_type, d, w
+),
+k AS (SELECT DISTINCT event_type FROM events),
+p AS (SELECT unnest([{probes}]) AS user_id)
+SELECT k.event_type, p.user_id,
+       CAST(least({ests}) AS BIGINT) AS est_count
+FROM k CROSS JOIN p
+"""

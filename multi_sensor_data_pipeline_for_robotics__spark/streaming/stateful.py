@@ -441,3 +441,101 @@ def hist_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CMS_OUTPUT_SCHEMA = "key string, batch_seq long, value string, est_count long"
+CMS_STATE_SCHEMA = "ds array<int>, ws array<long>, cnts array<long>, seq long"
+
+
+def _make_cms_fn(probes: tuple, depth: int, width: int):
+    def _positions(v: str) -> list[int]:
+        import hashlib
+
+        # the same bytes functions.freq._cms_position hashes:
+        # md5(concat(value_string, '#cms{d}')), 15-hex prefix, mod width
+        return [
+            int(
+                hashlib.md5(f"{v}#cms{d}".encode()).hexdigest()[:15], 16
+            )
+            % width
+            for d in range(depth)
+        ]
+
+    def _cms_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        cells: dict[tuple[int, int], int] = {}
+        seq = 0
+        if state.exists:
+            ds, ws, cs, seq = state.get
+            cells = {(int(d), int(w)): int(c) for d, w, c in zip(ds, ws, cs)}
+        for pdf in pdfs:
+            for v in pdf["value"]:
+                if v is None or pd.isna(v):
+                    continue  # batch parity: md5(NULL) is NULL -> no cell
+                for d, w in enumerate(_positions(str(v))):
+                    cells[(d, w)] = cells.get((d, w), 0) + 1
+        seq += 1
+        items = sorted(cells)
+        state.update(
+            (
+                [d for d, _ in items],
+                [w for _, w in items],
+                [cells[k] for k in items],
+                int(seq),
+            )
+        )
+        ests = [
+            min(cells.get((d, w), 0) for d, w in enumerate(_positions(p)))
+            for p in probes
+        ]
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(probes),
+                "batch_seq": [seq] * len(probes),
+                "value": list(probes),
+                "est_count": [int(e) for e in ests],
+            }
+        )
+
+    return _cms_fn
+
+
+def cms_stream(
+    stream: DataFrame,
+    value_col: str,
+    key_col: str,
+    probes: tuple,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Streaming twin of ``functions.freq.cms_sketch`` +
+    ``cms_estimate``: per key the state is the sparse Count-Min cell
+    map — non-empty (d, w, count) triples, O(keys x depth x width)
+    worst case forever — and each micro-batch re-emits the point
+    estimates for the fixed ``probes`` stamped with a monotone
+    ``batch_seq``. Counters are additive and order-insensitive (unlike
+    Misra-Gries summaries), so the final per-key rows are bit-identical
+    to the batch sketch over the same data: the same md5 cell
+    positions via hashlib, the same min-over-depth estimate — graded
+    with the same DuckDB oracle as the batch pair.
+
+    Note at-least-once delivery semantics: a REPLAYED value increments
+    its counters again (counts are not idempotent, unlike the KMV
+    set-union state) — feed exactly-once sources or dedup upstream.
+    """
+    from pyspark.sql import functions as F
+
+    keyed = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("string").alias("value"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _make_cms_fn(tuple(str(p) for p in probes), depth, width),
+        outputStructType=CMS_OUTPUT_SCHEMA,
+        stateStructType=CMS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,186 @@
+"""Frequency sketches (Count-Min, heavy hitters, top-k) + drift."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from multi_sensor_data_pipeline_for_robotics__spark.functions import freq as FR
+from multi_sensor_data_pipeline_for_robotics__spark.plans.drift import (
+    distribution_drift,
+)
+
+
+def _zipfish(spark, n=5000, vals=50):
+    # value v occurs ~ n/(v+1) times — a skewed frequency profile
+    return spark.range(n).select(
+        (
+            F.floor(
+                F.lit(float(vals))
+                ** (F.abs(F.hash(F.col("id").cast("string"))) % 1000 / 1000.0)
+            )
+            - 1
+        ).cast("long").alias("v")
+    )
+
+
+def test_cms_estimate_never_underestimates_and_is_exact_when_wide(spark):
+    df = _zipfish(spark)
+    true = {r["v"]: r["cnt"] for r in df.groupBy("v").count().withColumnRenamed("count", "cnt").collect()}
+    keys = df.select("v").distinct()
+    # wide sketch: collisions essentially impossible for 50 keys
+    sk = FR.cms_sketch(df, "v", depth=4, width=8192)
+    est = {
+        r["v"]: r["est_count"]
+        for r in FR.cms_estimate(sk, keys, "v", depth=4, width=8192).collect()
+    }
+    assert est == true
+    # narrow sketch: collisions now certain — the estimate must only
+    # ever OVERestimate (the Count-Min one-sided error law)
+    sk2 = FR.cms_sketch(df, "v", depth=3, width=16)
+    est2 = {
+        r["v"]: r["est_count"]
+        for r in FR.cms_estimate(sk2, keys, "v", depth=3, width=16).collect()
+    }
+    assert all(est2[v] >= c for v, c in true.items())
+    assert sum(est2.values()) > sum(true.values())  # some collision happened
+
+
+def test_cms_merge_is_lossless(spark):
+    df = _zipfish(spark)
+    whole = {
+        (r["d"], r["w"]): r["cnt"]
+        for r in FR.cms_sketch(df, "v", depth=4, width=256).collect()
+    }
+    halves = FR.cms_merge(
+        [
+            FR.cms_sketch(df.filter(F.col("id") % 2 == 0), "v", 4, 256),
+            FR.cms_sketch(df.filter(F.col("id") % 2 == 1), "v", 4, 256),
+        ]
+    )
+    merged = {(r["d"], r["w"]): r["cnt"] for r in halves.collect()}
+    assert merged == whole
+
+
+def test_cms_nulls_contribute_nothing(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,), ("b",)], "v string"
+    )
+    sk = FR.cms_sketch(df, "v", depth=2, width=64)
+    assert sk.agg(F.sum("cnt")).first()[0] == 3 * 2  # 3 non-null rows x depth
+
+
+def test_heavy_hitters_exact_threshold(spark):
+    rows = (
+        [("x",)] * 60 + [("y",)] * 25 + [("z",)] * 10 + [(None,)] * 5
+        + [("w",)] * 5
+    )
+    df = spark.createDataFrame(rows, "v string")
+    got = {
+        r["v"]: (r["cnt"], r["freq"])
+        for r in FR.heavy_hitters(df, "v", phi=0.1).collect()
+    }
+    assert got == {"x": (60, 0.6), "y": (25, 0.25), "z": (10, 0.1)}
+
+
+def test_top_k_frequent_deterministic_ties(spark):
+    rows = [("a",)] * 3 + [("b",)] * 3 + [("c",)] * 5 + [("d",)] * 1
+    df = spark.createDataFrame(rows, "v string")
+    got = [(r["v"], r["cnt"], r["rank"]) for r in FR.top_k_frequent(df, "v", k=3).collect()]
+    assert sorted(got, key=lambda t: t[2]) == [("c", 5, 1), ("a", 3, 2), ("b", 3, 3)]
+
+
+def test_distribution_drift_zero_for_identical_and_positive_for_shift(spark):
+    a = spark.range(2000).select(
+        ((F.abs(F.hash(F.col("id").cast("string"))) % 1000) / 1000.0).alias("x")
+    )
+    row = distribution_drift(a, a, "x", bins=64, lo=0.0, hi=1.0).first()
+    assert row["kl_ab"] == 0.0 and row["js_divergence"] == 0.0 and row["tvd"] == 0.0
+    b = a.select((F.col("x") * 0.5 + 0.5).alias("x"))  # mass shifted right
+    row2 = distribution_drift(a, b, "x", bins=64, lo=0.0, hi=1.0).first()
+    assert row2["kl_ab"] > 0.1 and row2["tvd"] > 0.3
+    assert row2["js_divergence"] <= math.log(2) + 1e-9
+
+
+def test_distribution_drift_matches_numpy_reference(spark):
+    import numpy as np
+
+    xs = [(i * 37 % 100) / 100.0 for i in range(500)]
+    ys = [((i * 53 % 100) / 100.0) ** 2 for i in range(400)]
+    a = spark.createDataFrame([(x,) for x in xs], "x double")
+    b = spark.createDataFrame([(y,) for y in ys], "x double")
+    bins, lo, hi, alpha = 32, 0.0, 1.0, 0.5
+    w = (hi - lo) / bins
+
+    def hist(vals):
+        h = np.zeros(bins)
+        for v in vals:
+            h[min(max(int((v - lo) // w), 0), bins - 1)] += 1
+        return h
+
+    ca, cb = hist(xs), hist(ys)
+    p = (ca + alpha) / (ca.sum() + alpha * bins)
+    q = (cb + alpha) / (cb.sum() + alpha * bins)
+    m = (p + q) / 2
+    want = {
+        "kl_ab": round(float((p * np.log(p / q)).sum()), 6),
+        "kl_ba": round(float((q * np.log(q / p)).sum()), 6),
+        "js_divergence": round(
+            float((p * np.log(p / m)).sum() / 2 + (q * np.log(q / m)).sum() / 2), 6
+        ),
+        "tvd": round(float(np.abs(p - q).sum() / 2), 6),
+    }
+    got = distribution_drift(a, b, "x", bins=bins, lo=lo, hi=hi, alpha=alpha).first()
+    for k, v in want.items():
+        assert abs(got[k] - v) < 2e-6, (k, got[k], v)
+
+
+def test_cms_stream_state_carries_and_matches_batch(spark, tmp_path):
+    """Two micro-batches: final streamed estimates must equal the batch
+    sketch+estimate over the union (counters are additive and
+    order-insensitive); nulls contribute nothing on either path."""
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.stateful import (
+        cms_stream,
+    )
+
+    rows = [("a", str(i % 20) if i % 7 else None) for i in range(300)]
+    df = spark.createDataFrame(rows, "k string, v string")
+    src = str(tmp_path / "cms_src")
+    df.filter(F.col("v").isNull() | (F.col("v") < "15")).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    df.filter(F.col("v").isNotNull() & (F.col("v") >= "15")).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    probes = ("3", "15", "19", "absent")
+    stream = (
+        spark.readStream.schema("k string, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = cms_stream(stream, "v", "k", probes, depth=4, width=512)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cms_test")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    emitted = spark.table("cms_test").collect()
+    assert max(r["batch_seq"] for r in emitted) == 2
+    final = {
+        r["value"]: r["est_count"]
+        for r in emitted
+        if r["batch_seq"] == 2
+    }
+    sk = FR.cms_sketch(df, "v", depth=4, width=512)
+    keys = spark.createDataFrame([(p,) for p in probes], "v string")
+    want = {
+        r["v"]: r["est_count"]
+        for r in FR.cms_estimate(sk, keys, "v", depth=4, width=512).collect()
+    }
+    assert final == want
+    assert want["absent"] == 0

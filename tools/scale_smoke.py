@@ -45,7 +45,7 @@ def main() -> None:
     div = 10 if quick else 1
     fams = [a for a in sys.argv[1:] if not a.startswith("--")] or [
         "sync", "keyed_asof", "dedup", "ann", "retrieval", "timeseries",
-        "substring", "semdedup", "layout"
+        "substring", "semdedup", "layout", "kmv_hot", "semdedup_cap"
     ]
     spark = get_session(app_name="scale_smoke")
     scratch = tempfile.mkdtemp(prefix="spark_graft_scale_")
@@ -69,6 +69,10 @@ def main() -> None:
             smoke_semdedup(spark, scratch, n_vecs=50_000 // div)
         if "layout" in fams:
             smoke_layout(spark, scratch, n=20_000_000 // div)
+        if "kmv_hot" in fams:
+            smoke_kmv_hot_group(spark, scratch, n=24_000_000 // div)
+        if "semdedup_cap" in fams:
+            smoke_semdedup_hot_cluster(spark, scratch, n_vecs=60_000 // div)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -499,6 +503,155 @@ def smoke_layout(spark, scratch, n):
         .sortWithinPartitions("z_key")
         .write.mode("overwrite")
         .parquet(f"{scratch}/zsorted"),
+    )
+
+
+def smoke_kmv_hot_group(spark, scratch, n):
+    """Grouped KMV ndv with ONE group holding ~n distinct values — the
+    high-cardinality-column shape `analyze_table` hits on every id
+    column. The round-6 one-window form funneled the whole group's
+    distinct-hash set through a single task's sort; the two-phase
+    salted bottom-k caps the largest sort at max(ndv/S, k*S) rows.
+    Both variants are timed on the same input, and their estimates must
+    agree exactly (the split is lossless by the KMV merge law)."""
+    from pyspark.sql import Window as W
+
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sketch import (
+        kmv_distinct,
+        kmv_hash,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.stats import (
+        analyze_table,
+    )
+
+    print(f"\n## grouped KMV ndv, hot group @ {n:,} distinct values")
+    rows = spark.range(n).select(
+        F.lit("hot").alias("g"), F.col("id").alias("v")
+    ).unionByName(
+        spark.range(n // 100).select(
+            (F.col("id") % 4).cast("string").alias("g"),
+            (F.col("id") + 10 * n).alias("v"),
+        )
+    )
+    rows.write.mode("overwrite").parquet(f"{scratch}/kmvhot")
+    t = spark.read.parquet(f"{scratch}/kmvhot")
+
+    def one_window_form():
+        # the pre-r7 plan, inlined for comparison: per-group global
+        # ranking window — the whole hot group sorts in ONE task
+        d = t.select("g", kmv_hash("v").alias("h")).distinct()
+        rw = W.partitionBy("g").orderBy("h")
+        mins = d.withColumn("rn", F.row_number().over(rw)).filter(
+            F.col("rn") <= 256
+        )
+        return (
+            mins.groupBy("g")
+            .agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("m"))
+            .agg(F.sum("hk").alias("s"), F.sum("m").alias("m"))
+            .first()
+        )
+
+    def two_phase_form():
+        return (
+            kmv_distinct(t, "v", k=256, group_col="g")
+            .agg(
+                F.round(F.sum("approx_distinct"), 0).alias("est_sum"),
+                F.sum("sketch_m").alias("m"),
+            )
+            .first()
+        )
+
+    timed("grouped kmv ndv, two-phase bottom-k (r7)", two_phase_form)
+    timed("grouped kmv ndv, one-window form (pre-r7)", one_window_form)
+    timed(
+        "analyze_table(2 cols incl. unique id)",
+        lambda: analyze_table(t)
+        .agg(F.round(F.sum("approx_ndv"), 0).alias("ndv_sum"))
+        .first(),
+    )
+
+
+def smoke_semdedup_hot_cluster(spark, scratch, n_vecs):
+    """SemDeDup on a PATHOLOGICAL corpus: half the vectors collapse
+    into one tight blob (mode collapse / boilerplate embeddings), so
+    one trained cluster holds ~n/2 members and the uncapped pair stage
+    would build ~n^2/8 pairs. max_cluster_size sub-buckets the hot
+    cluster; the smoke measures the capped run and reports the pair
+    volume each variant WOULD build (computed from cluster sizes, no
+    pair materialization)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.similarity import (
+        semantic_dedup_fixedpoint,
+    )
+
+    print(f"\n## semdedup hot-cluster cap @ {n_vecs:,} vectors (half in one blob)")
+    dim = 32
+    ncent = max(n_vecs // 200, 2)
+    # ids < n/2: all near center 0 (the blob); rest spread over ncent
+    base = F.when(F.col("id") < n_vecs // 2, F.lit("0")).otherwise(
+        (F.col("id") % ncent).cast("string")
+    )
+    comp = lambda i: (
+        F.hash(base, F.lit(i)).cast("double") / 2147483647.0
+        + 0.02
+        * F.hash(F.col("id").cast("string"), F.lit(i)).cast("double")
+        / 2147483647.0
+    )
+    vecs = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[comp(i).cast("float") for i in range(dim)]).alias("embedding"),
+    )
+    vecs.write.mode("overwrite").parquet(f"{scratch}/hotvecs")
+    v = spark.read.parquet(f"{scratch}/hotvecs")
+    cap = 2000
+    timed(
+        f"semantic_dedup_fixedpoint(auto nlist, cap={cap})",
+        lambda: semantic_dedup_fixedpoint(
+            v, nlist=None, iters=2, threshold=0.9, max_cluster_size=cap
+        )
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("is_dup").cast("long")).alias("dups"),
+        )
+        .first(),
+    )
+    # pair-volume ledger from the SAME trained assignment: sum m*(m-1)/2
+    # per cluster (uncapped) vs per (cluster, ceil-split sub-bucket)
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.vector import (
+        to_double,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.similarity import (
+        _fp_assign,
+        _fp_quantize,
+        kmeans_centroids_fixedpoint,
+    )
+
+    nlist = max(16, n_vecs // 100)
+    cents = kmeans_centroids_fixedpoint(v, nlist, 2, 1_000_000)
+    qd = v.select(
+        F.col("vec_id").alias("__id"), to_double(F.col("embedding")).alias("__vd")
+    ).select("__id", _fp_quantize(F.col("__vd"), 1_000_000).alias("__qv"))
+    sizes = (
+        _fp_assign(qd, cents, out_col="cluster_id")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    ledger = sizes.agg(
+        F.sum(F.col("m") * (F.col("m") - 1) / 2).alias("pairs_uncapped"),
+        F.sum(
+            F.ceil(F.col("m") / cap)
+            * (
+                (F.col("m") / F.ceil(F.col("m") / cap))
+                * ((F.col("m") / F.ceil(F.col("m") / cap)) - 1)
+                / 2
+            )
+        ).alias("pairs_capped_approx"),
+        F.max("m").alias("hottest_cluster"),
+    ).first()
+    print(
+        f"{'pair volume uncapped vs capped':44s} "
+        f"{int(ledger['pairs_uncapped']):,} -> "
+        f"{int(ledger['pairs_capped_approx']):,} "
+        f"(hottest cluster {ledger['hottest_cluster']:,})"
     )
 
 
