@@ -72,7 +72,7 @@ def main() -> None:
         if "kmv_hot" in fams:
             smoke_kmv_hot_group(spark, scratch, n=24_000_000 // div)
         if "semdedup_cap" in fams:
-            smoke_semdedup_hot_cluster(spark, scratch, n_vecs=60_000 // div)
+            smoke_semdedup_hot_cluster(spark, scratch, n_vecs=20_000 // div)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -572,29 +572,37 @@ def smoke_kmv_hot_group(spark, scratch, n):
 
 
 def smoke_semdedup_hot_cluster(spark, scratch, n_vecs):
-    """SemDeDup on a PATHOLOGICAL corpus: half the vectors collapse
-    into one tight blob (mode collapse / boilerplate embeddings), so
-    one trained cluster holds ~n/2 members and the uncapped pair stage
-    would build ~n^2/8 pairs. max_cluster_size sub-buckets the hot
-    cluster; the smoke measures the capped run and reports the pair
-    volume each variant WOULD build (computed from cluster sizes, no
-    pair materialization)."""
+    """SemDeDup on a PATHOLOGICAL corpus: half the vectors are EXACT
+    duplicates of one embedding (mode collapse / boilerplate pages all
+    embedding identically) — auto-scaled nlist cannot split an exact
+    point mass, so ONE trained cluster holds ~n/2 members and the
+    uncapped pair stage would build ~n^2/8 pairs. max_cluster_size
+    sub-buckets the hot cluster; the smoke measures the capped run and
+    reports the pair volume each variant WOULD build (computed from
+    cluster sizes, no pair materialization). (A merely TIGHT blob with
+    noise is already handled by auto-nlist alone: k-means spends many
+    centroids inside the dense region — measured hottest cluster 200
+    of 30k blob members at n=60k. The cap exists for the exact-dup
+    extreme below.)"""
     from multi_sensor_data_pipeline_for_robotics__spark.operators.similarity import (
         semantic_dedup_fixedpoint,
     )
 
-    print(f"\n## semdedup hot-cluster cap @ {n_vecs:,} vectors (half in one blob)")
+    print(f"\n## semdedup hot-cluster cap @ {n_vecs:,} vectors (half exact dups)")
     dim = 32
     ncent = max(n_vecs // 200, 2)
-    # ids < n/2: all near center 0 (the blob); rest spread over ncent
-    base = F.when(F.col("id") < n_vecs // 2, F.lit("0")).otherwise(
+    blob = F.col("id") < n_vecs // 2
+    base = F.when(blob, F.lit("0")).otherwise(
         (F.col("id") % ncent).cast("string")
     )
+    # blob members get ZERO noise -> one exact point mass
     comp = lambda i: (
         F.hash(base, F.lit(i)).cast("double") / 2147483647.0
-        + 0.02
-        * F.hash(F.col("id").cast("string"), F.lit(i)).cast("double")
-        / 2147483647.0
+        + F.when(blob, F.lit(0.0)).otherwise(
+            0.02
+            * F.hash(F.col("id").cast("string"), F.lit(i)).cast("double")
+            / 2147483647.0
+        )
     )
     vecs = spark.range(n_vecs).select(
         F.col("id").alias("vec_id"),
@@ -602,7 +610,7 @@ def smoke_semdedup_hot_cluster(spark, scratch, n_vecs):
     )
     vecs.write.mode("overwrite").parquet(f"{scratch}/hotvecs")
     v = spark.read.parquet(f"{scratch}/hotvecs")
-    cap = 2000
+    cap = 500
     timed(
         f"semantic_dedup_fixedpoint(auto nlist, cap={cap})",
         lambda: semantic_dedup_fixedpoint(
