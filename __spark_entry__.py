@@ -2531,6 +2531,39 @@ def _q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle (new in r7): every doc gets
+    a 52-bit sha256 permutation key and the corpus is realized in that
+    order via repartitionByRange + sortWithinPartitions — a uniform,
+    seed-switchable global order with NO single-task sort
+    (functions/sampling.py). The oracle hash-checks the permutation
+    keys themselves (the order is their sort)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        epoch_shuffle,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_shuffle(docs, "doc_id", seed=1).select(
+        "doc_id", "shuffle_key"
+    )
+
+
+def _q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture resampling (new in r7): the largest hash-
+    deterministic subsample of `documents` whose expected language
+    composition is 50% en / 30% zh / 20% de — per-source keep rates
+    derived from availability (binding source keeps 100%), decisions
+    pure functions of doc_id (functions/sampling.py)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        mixture_resample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_resample(
+        docs, "doc_id", "lang", {"en": 0.5, "zh": 0.3, "de": 0.2}
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator.
 
@@ -2714,6 +2747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freq_top_users": _q_freq_top_users,
         "drift_click_vs_view": _q_drift_click_vs_view,
         "stream_cms_counts": _q_stream_cms,
+        "sample_epoch_shuffle": _q_sample_epoch_shuffle,
+        "sample_mixture": _q_sample_mixture,
     }
 
 
@@ -5231,6 +5266,21 @@ WHERE roll_std IS NOT NULL AND abs(value - roll_mean) > 2.0 * roll_std
     # per-(event_type, probe) estimates replay as the batch sketch
     # grouped by event_type
     o["stream_cms_counts"] = _stream_cms_oracle_sql()
+    o["sample_epoch_shuffle"] = """
+SELECT doc_id,
+       CAST(('0x' || substr(sha256(concat(CAST(doc_id AS VARCHAR), '#epoch1')), 1, 13)) AS BIGINT) AS shuffle_key
+FROM documents
+"""
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        mixture_oracle_sql,
+    )
+
+    o["sample_mixture"] = mixture_oracle_sql(
+        "SELECT doc_id, lang, source, n_chars FROM documents",
+        "doc_id",
+        "lang",
+        {"en": 0.5, "zh": 0.3, "de": 0.2},
+    )
     return o
 
 

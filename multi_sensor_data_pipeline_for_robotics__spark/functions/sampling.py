@@ -145,3 +145,137 @@ def weighted_sample_topk(
         .filter(F.col("__rn") <= k)
         .drop("__aes", "__rn")
     )
+
+
+def epoch_shuffle_key(key: Column, seed: int = 0) -> Column:
+    """Deterministic training-epoch shuffle key: the first 13 hex
+    digits (52 bits) of sha256(key '#epoch' seed) as a long. Sorting by
+    (shuffle_key, key) is a uniform permutation of the corpus that any
+    engine reproduces bit-for-bit; a different seed is a fresh,
+    uncorrelated permutation — epoch reshuffling without ever
+    materializing an order column driver-side."""
+    return F.conv(
+        F.substring(
+            F.sha2(F.concat(key.cast("string"), F.lit(f"#epoch{seed}")), 256),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key: str,
+    seed: int = 0,
+    num_partitions: int | None = None,
+    key_out: str = "shuffle_key",
+) -> DataFrame:
+    """Globally shuffle a corpus into deterministic training order:
+    append :func:`epoch_shuffle_key` and realize the order as
+    ``repartitionByRange(shuffle_key, key) + sortWithinPartitions`` —
+    partition i holds the i-th contiguous slice of the permutation, so
+    a sequential reader (or a parquet write) sees the full shuffled
+    order WITHOUT any single-task global sort (range partitioning
+    samples boundaries, then each partition sorts locally). The tie
+    column ``key`` makes the order total even on 52-bit collisions."""
+    out = df.withColumn(key_out, epoch_shuffle_key(F.col(key), seed))
+    parts = [F.col(key_out), F.col(key)]
+    if num_partitions is None:
+        rp = out.repartitionByRange(*parts)
+    else:
+        rp = out.repartitionByRange(num_partitions, *parts)
+    return rp.sortWithinPartitions(*parts)
+
+
+def mixture_resample(
+    df: DataFrame,
+    key: str,
+    source_col: str,
+    target_shares: dict[str, float],
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Resample a multi-source corpus to TARGET mixture proportions —
+    the dataset-mixing primitive (`stratified_hash_sample` takes
+    per-source RATES; this takes the desired output SHARES and derives
+    the rates from what is actually available).
+
+    The output is the LARGEST hash-deterministic subsample whose
+    expected composition matches ``target_shares``: with n_s rows
+    available of source s and t_s its (normalized) share, the binding
+    source fixes the total at c = min_s(n_s / t_s), and each source
+    keeps c * t_s / n_s of its rows by key-hash threshold — the
+    binding source keeps 100%, all sampling decisions remain pure
+    functions of the key (rerun/engine/partitioning stable). Sources
+    absent from ``target_shares`` are dropped.
+
+    Scale shape: one tiny groupBy(source) count (map-side combined),
+    driver-free threshold arithmetic on the ≤|sources|-row side, one
+    broadcast join back, one hash filter. Output columns: the input's
+    plus nothing — filtering only.
+    """
+    tot = float(sum(target_shares.values()))
+    if tot <= 0:
+        raise ValueError("target_shares must sum to a positive value")
+    shares = {s: w / tot for s, w in target_shares.items()}
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(s, float(w)) for s, w in shares.items()], "__src string, __t double"
+    )
+    cnts = df.groupBy(F.col(source_col).alias("__src")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    j = cnts.join(tgt, "__src")
+    # c = min_s n_s / t_s  (the largest total preserving the shares)
+    c = j.agg(F.min(F.col("__n") / F.col("__t")).alias("__c"))
+    thr = (
+        j.crossJoin(F.broadcast(c))
+        .select(
+            "__src",
+            F.floor(
+                F.col("__c") * F.col("__t") / F.col("__n") * n_buckets
+            ).alias("__thr"),
+        )
+    )
+    b = hash_bucket(F.col(key), n_buckets)
+    return (
+        df.join(
+            F.broadcast(thr), F.col(source_col) == F.col("__src"), "inner"
+        )
+        .filter(b < F.col("__thr"))
+        .drop("__src", "__thr")
+    )
+
+
+def mixture_oracle_sql(
+    table_sql: str,
+    key: str,
+    source_col: str,
+    target_shares: dict[str, float],
+    n_buckets: int = N_BUCKETS,
+) -> str:
+    """DuckDB twin of :func:`mixture_resample` — same sha256 bucket,
+    same min(n/t) total, same floor'd per-source thresholds."""
+    tot = float(sum(target_shares.values()))
+    shares = {s: w / tot for s, w in target_shares.items()}
+    tgt_rows = ", ".join(
+        f"('{s}', CAST({w!r} AS DOUBLE))" for s, w in shares.items()
+    )
+    bucket = (
+        f"(CAST(('0x' || substr(sha256(CAST({key} AS VARCHAR)), 1, 7))"
+        f" AS BIGINT) % {n_buckets})"
+    )
+    return f"""
+WITH src AS ({table_sql}),
+tgt(__src, __t) AS (VALUES {tgt_rows}),
+cnts AS (SELECT {source_col} AS __src, count(*) AS __n FROM src GROUP BY 1),
+j AS (SELECT * FROM cnts JOIN tgt USING (__src)),
+c AS (SELECT min(__n / __t) AS __c FROM j),
+thr AS (
+    SELECT __src, floor(__c * __t / __n * {n_buckets}) AS __thr
+    FROM j CROSS JOIN c
+)
+SELECT src.* FROM src JOIN thr ON src.{source_col} = thr.__src
+WHERE {bucket} < thr.__thr
+"""

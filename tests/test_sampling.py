@@ -150,3 +150,64 @@ def test_weighted_sample_k_exceeding_population_returns_all(spark):
     df = spark.range(5).selectExpr("id", "1.0 + id AS w")
     got = sorted(r.id for r in weighted_sample_topk(df, "id", "w", k=50).collect())
     assert got == [0, 1, 2, 3, 4]
+
+
+def test_epoch_shuffle_is_uniform_permutation_and_seed_switchable(spark, ids):
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        epoch_shuffle,
+    )
+
+    out = epoch_shuffle(ids, "key", seed=0, num_partitions=8)
+    rows = out.collect()  # collect preserves partition order: the global order
+    assert len(rows) == 20_000
+    keys = [r["shuffle_key"] for r in rows]
+    assert keys == sorted(keys)  # realized order IS the permutation order
+    assert sorted(r["key"] for r in rows) == list(range(20_000))  # a permutation
+    # partition-count independence: same order at any parallelism
+    rows2 = epoch_shuffle(ids.repartition(13), "key", seed=0, num_partitions=3).collect()
+    assert [r["key"] for r in rows2] == [r["key"] for r in rows]
+    # a different seed is a different permutation, uncorrelated with id order
+    rows_s1 = epoch_shuffle(ids, "key", seed=1, num_partitions=8).collect()
+    order0 = [r["key"] for r in rows]
+    order1 = [r["key"] for r in rows_s1]
+    assert order0 != order1
+    agree = sum(a == b for a, b in zip(order0, order1))
+    assert agree < 20  # ~n/n! chance of fixed points beyond Poisson(1) scale
+
+
+def test_mixture_resample_hits_target_shares(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        mixture_resample,
+    )
+
+    # availability: en 12000, de 6000, fr 2000; target 50/30/20
+    # binding source: fr (2000 / 0.2 = 10k total) -> en keeps 5000/12000,
+    # de keeps 3000/6000, fr keeps all
+    rows = spark.range(20_000).select(
+        F.col("id").alias("key"),
+        F.when(F.col("id") < 12_000, "en")
+        .when(F.col("id") < 18_000, "de")
+        .otherwise("fr")
+        .alias("lang"),
+    )
+    out = mixture_resample(
+        rows, "key", "lang", {"en": 0.5, "de": 0.3, "fr": 0.2}
+    )
+    got = {r["lang"]: r["cnt"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got["fr"] == 2000  # binding source keeps everything
+    n = sum(got.values())
+    assert abs(got["en"] / n - 0.5) < 0.02
+    assert abs(got["de"] / n - 0.3) < 0.02
+    # deterministic: same rows on a different partitioning
+    out2 = mixture_resample(
+        rows.repartition(17), "key", "lang", {"en": 0.5, "de": 0.3, "fr": 0.2}
+    )
+    assert sorted(r["key"] for r in out.collect()) == sorted(
+        r["key"] for r in out2.collect()
+    )
+    # sources absent from the target mix are dropped
+    extra = rows.withColumn(
+        "lang", F.when(F.col("key") % 100 == 0, "xx").otherwise(F.col("lang"))
+    )
+    out3 = mixture_resample(extra, "key", "lang", {"en": 0.5, "de": 0.3, "fr": 0.2})
+    assert out3.filter(F.col("lang") == "xx").count() == 0
