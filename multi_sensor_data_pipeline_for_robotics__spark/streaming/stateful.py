@@ -539,3 +539,117 @@ def cms_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DRIFT_OUTPUT_SCHEMA = (
+    "key string, batch_seq long, kl_ab double, kl_ba double,"
+    " js_divergence double, tvd double"
+)
+DRIFT_STATE_SCHEMA = "bins array<long>, cnts array<long>, seq long"
+
+
+def _make_drift_fn(
+    ref_counts: dict, bins: int, lo: float, hi: float, alpha: float,
+    round_to: int,
+):
+    w = (hi - lo) / bins
+
+    def _drift_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        d: dict[int, int] = {}
+        seq = 0
+        if state.exists:
+            bs, cs, seq = state.get
+            d = dict(zip(bs, cs))
+        for pdf in pdfs:
+            v = pdf["value"].to_numpy(dtype=np.float64)
+            v = v[~np.isnan(v)]
+            if not len(v):
+                continue
+            b = np.clip(np.floor((v - lo) / w), 0, bins - 1).astype(np.int64)
+            u, c = np.unique(b, return_counts=True)
+            for bi, ci in zip(u, c):
+                d[int(bi)] = d.get(int(bi), 0) + int(ci)
+        seq += 1
+        sb = sorted(d)
+        state.update(([int(b) for b in sb], [int(d[b]) for b in sb], int(seq)))
+        # the batch histogram_drift arithmetic over the full bin spine:
+        # a = the accumulated stream, b = the broadcast reference
+        ca = np.zeros(bins)
+        for bi, ci in d.items():
+            ca[bi] = ci
+        cb = np.zeros(bins)
+        for bi, ci in ref_counts.items():
+            cb[int(bi)] = ci
+        p = (ca + alpha) / (ca.sum() + alpha * bins)
+        q = (cb + alpha) / (cb.sum() + alpha * bins)
+        m = (p + q) / 2
+        vals = [
+            float((p * np.log(p / q)).sum()),
+            float((q * np.log(q / p)).sum()),
+            float((p * np.log(p / m)).sum() / 2 + (q * np.log(q / m)).sum() / 2),
+            float(np.abs(p - q).sum() / 2),
+        ]
+        vals = [float(_round_half_up([x], round_to)[0]) for x in vals]
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "batch_seq": [seq],
+                "kl_ab": [vals[0]],
+                "kl_ba": [vals[1]],
+                "js_divergence": [vals[2]],
+                "tvd": [vals[3]],
+            }
+        )
+
+    return _drift_fn
+
+
+def drift_stream(
+    stream: DataFrame,
+    value_col: str,
+    key_col: str,
+    reference_hist: DataFrame,
+    bins: int = 256,
+    lo: float = 0.0,
+    hi: float = 512.0,
+    alpha: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Streaming drift monitor: per key, accumulate the fixed-bin
+    histogram of arriving values AS STATE (the ``hist_stream`` state)
+    and each micro-batch re-emit the divergences of the accumulated
+    stream distribution against a REFERENCE histogram (a stored
+    ``hist_sketch`` / ``plans.drift._binned`` table, collected once —
+    ≤ ``bins`` rows — and closed over). The standing question a
+    training-data intake pipeline asks of every ingest: "does
+    yesterday-plus-today still look like the corpus we trained on?"
+
+    Bin counts merge associatively, so after the last micro-batch the
+    emitted row per key is bit-identical to batch
+    ``plans.drift.histogram_drift(stream_hist, reference_hist)`` over
+    the same rows (same spine, same smoothing, same divergence
+    arithmetic, same HALF_UP rounding) — graded against the same
+    DuckDB replay as the batch operator.
+    """
+    from pyspark.sql import functions as F
+
+    ref = {
+        int(r["bin"]): int(r["cnt"]) for r in reference_hist.collect()
+    }
+    keyed = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _make_drift_fn(ref, bins, lo, hi, alpha, round_to),
+        outputStructType=DRIFT_OUTPUT_SCHEMA,
+        stateStructType=DRIFT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

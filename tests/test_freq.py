@@ -184,3 +184,59 @@ def test_cms_stream_state_carries_and_matches_batch(spark, tmp_path):
     }
     assert final == want
     assert want["absent"] == 0
+
+
+def test_drift_stream_matches_batch_histogram_drift(spark, tmp_path):
+    """Final streamed drift per key == batch histogram_drift over the
+    same rows vs the same reference (bin counts merge associatively)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.drift import (
+        _binned,
+        histogram_drift,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.stateful import (
+        drift_stream,
+    )
+
+    bins, lo, hi = 64, 0.0, 100.0
+    ref_rows = spark.createDataFrame(
+        [(float((i * 13) % 100),) for i in range(500)], "value double"
+    )
+    ref = _binned(ref_rows, "value", bins, lo, hi)
+    rows = spark.createDataFrame(
+        [("a", float(((i * 29) % 100) ** 0.9)) for i in range(400)]
+        + [("b", float((i * 3) % 40)) for i in range(300)],
+        "k string, value double",
+    )
+    src = str(tmp_path / "drift_src")
+    rows.filter(F.col("value") < 50).coalesce(1).write.mode("append").parquet(src)
+    rows.filter(F.col("value") >= 50).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("k string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = drift_stream(stream, "value", "k", ref, bins=bins, lo=lo, hi=hi)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("drift_test")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    emitted = spark.table("drift_test").collect()
+    assert max(r["batch_seq"] for r in emitted) == 2
+    final = {
+        r["key"]: (r["kl_ab"], r["kl_ba"], r["js_divergence"], r["tvd"])
+        for r in emitted
+        if r["batch_seq"] == max(e["batch_seq"] for e in emitted if e["key"] == r["key"])
+    }
+    for k in ("a", "b"):
+        want = histogram_drift(
+            _binned(rows.filter(F.col("k") == k), "value", bins, lo, hi),
+            ref,
+            bins,
+        ).first()
+        got = final[k]
+        for i, c in enumerate(("kl_ab", "kl_ba", "js_divergence", "tvd")):
+            assert abs(got[i] - want[c]) < 2e-6, (k, c, got[i], want[c])
