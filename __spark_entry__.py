@@ -2531,6 +2531,28 @@ def _q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_feat_scale_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature scaling (new in r7): z-score of event values from a
+    1-row broadcast param frame — fit and transform in one plan, no
+    shuffle of data rows (plans/stats.py)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.stats import (
+        scale_features,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return scale_features(ev, ["value"], ["event_id"], method="zscore")
+
+
+def _q_feat_scale_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max variant of :func:`_q_feat_scale_zscore`."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.stats import (
+        scale_features,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return scale_features(ev, ["value"], ["event_id"], method="minmax")
+
+
 _DRIFT_ARGS = dict(bins=256, lo=0.0, hi=512.0, alpha=0.5)
 
 
@@ -2795,6 +2817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_epoch_shuffle": _q_sample_epoch_shuffle,
         "sample_mixture": _q_sample_mixture,
         "stream_drift_monitor": _q_stream_drift,
+        "feat_scale_zscore": _q_feat_scale_zscore,
+        "feat_scale_minmax": _q_feat_scale_minmax,
     }
 
 
@@ -5328,6 +5352,16 @@ FROM documents
         {"en": 0.5, "zh": 0.3, "de": 0.2},
     )
     o["stream_drift_monitor"] = _stream_drift_oracle_sql()
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.stats import (
+        scale_features_oracle_sql,
+    )
+
+    o["feat_scale_zscore"] = scale_features_oracle_sql(
+        "events", ["value"], ["event_id"], method="zscore"
+    )
+    o["feat_scale_minmax"] = scale_features_oracle_sql(
+        "events", ["value"], ["event_id"], method="minmax"
+    )
     return o
 
 

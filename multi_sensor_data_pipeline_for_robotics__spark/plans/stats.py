@@ -132,3 +132,90 @@ SELECT b.col AS "column", b.n_rows, b.n_null,
        b.min_value, b.max_value
 FROM base b LEFT JOIN ndv n ON b.col = n.col
 """
+
+
+def scale_features(
+    df: DataFrame,
+    cols: list[str],
+    key_cols: list[str],
+    method: str = "zscore",
+    round_to: int = 6,
+) -> DataFrame:
+    """Feature scaling from one aggregate pass — the ML-prep companion
+    of :func:`analyze_table`: z-score ((v - mean) / stddev_samp) or
+    min-max ((v - min) / (max - min)) per column, the scaling params
+    computed over the SAME frame (fit == transform here; persist the
+    1-row param frame to reuse a training fit on serving data).
+
+    Output: key_cols + one scaled double per input col (same names).
+    Plan shape: one map-side-combinable aggregation into a 1-row param
+    frame, broadcast back onto the scan — no shuffle of data rows, no
+    window. Degenerate columns (zero variance / constant) scale to
+    NULL rather than dividing by zero.
+    """
+    if method not in ("zscore", "minmax"):
+        raise ValueError(f"unknown scaling method: {method}")
+    aggs = []
+    for c in cols:
+        v = F.col(c).cast("double")
+        if method == "zscore":
+            aggs += [
+                F.avg(v).alias(f"__mu_{c}"),
+                F.stddev_samp(v).alias(f"__sd_{c}"),
+            ]
+        else:
+            aggs += [
+                F.min(v).alias(f"__lo_{c}"),
+                F.max(v).alias(f"__hi_{c}"),
+            ]
+    params = df.agg(*aggs)
+    out_cols = [F.col(k) for k in key_cols]
+    for c in cols:
+        v = F.col(c).cast("double")
+        if method == "zscore":
+            denom = F.col(f"__sd_{c}")
+            scaled = (v - F.col(f"__mu_{c}")) / F.when(denom != 0, denom)
+        else:
+            rng = F.col(f"__hi_{c}") - F.col(f"__lo_{c}")
+            scaled = (v - F.col(f"__lo_{c}")) / F.when(rng != 0, rng)
+        out_cols.append(F.round(scaled, round_to).alias(c))
+    return df.crossJoin(F.broadcast(params)).select(*out_cols)
+
+
+def scale_features_oracle_sql(
+    table: str,
+    cols: list[str],
+    key_cols: list[str],
+    method: str = "zscore",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`scale_features` — same params, same
+    arithmetic, same NULL-on-degenerate behavior."""
+    if method == "zscore":
+        params = ", ".join(
+            f"avg(CAST({c} AS DOUBLE)) AS mu_{c},"
+            f" stddev_samp(CAST({c} AS DOUBLE)) AS sd_{c}"
+            for c in cols
+        )
+        scaled = ", ".join(
+            f"round((CAST(t.{c} AS DOUBLE) - p.mu_{c})"
+            f" / (CASE WHEN p.sd_{c} <> 0 THEN p.sd_{c} END), {round_to}) AS {c}"
+            for c in cols
+        )
+    else:
+        params = ", ".join(
+            f"min(CAST({c} AS DOUBLE)) AS lo_{c},"
+            f" max(CAST({c} AS DOUBLE)) AS hi_{c}"
+            for c in cols
+        )
+        scaled = ", ".join(
+            f"round((CAST(t.{c} AS DOUBLE) - p.lo_{c})"
+            f" / (CASE WHEN p.hi_{c} - p.lo_{c} <> 0"
+            f" THEN p.hi_{c} - p.lo_{c} END), {round_to}) AS {c}"
+            for c in cols
+        )
+    keys = ", ".join(f"t.{k}" for k in key_cols)
+    return f"""
+WITH p AS (SELECT {params} FROM {table})
+SELECT {keys}, {scaled} FROM {table} t CROSS JOIN p
+"""

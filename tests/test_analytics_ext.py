@@ -256,3 +256,35 @@ def test_analyze_table_ndv_estimate_accuracy(spark, sf_dir):
     }
     true_ndv = li.select("l_orderkey").distinct().count()
     assert abs(got["l_orderkey"] - true_ndv) <= 3.0 / (256 ** 0.5) * true_ndv
+
+
+def test_scale_features_zscore_and_minmax(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.stats import (
+        scale_features,
+    )
+    import statistics
+
+    vals = [3.0, 7.0, 11.0, 9.0, 5.0, None, 13.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, value double"
+    )
+    mu = statistics.fmean([v for v in vals if v is not None])
+    sd = statistics.stdev([v for v in vals if v is not None])
+    got = {
+        r["id"]: r["value"]
+        for r in scale_features(df, ["value"], ["id"], "zscore").collect()
+    }
+    for i, v in enumerate(vals):
+        if v is None:
+            assert got[i] is None
+        else:
+            assert abs(got[i] - round((v - mu) / sd, 6)) < 1e-9
+    mm = {
+        r["id"]: r["value"]
+        for r in scale_features(df, ["value"], ["id"], "minmax").collect()
+    }
+    assert mm[0] == 0.0 and mm[6] == 1.0
+    # constant column -> NULL, not a divide-by-zero
+    const = spark.createDataFrame([(1, 5.0), (2, 5.0)], "id long, value double")
+    out = scale_features(const, ["value"], ["id"], "minmax").collect()
+    assert all(r["value"] is None for r in out)
