@@ -2473,6 +2473,25 @@ def _q_freq_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FQ.heavy_hitters(tok, "token", phi=0.005)
 
 
+def _q_freq_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped heavy hitters (new in r7): tokens >= 1% of EACH
+    language's token stream — per-group thresholds, totals joined back
+    (AQE-broadcast when small), at most 1/phi rows per group."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(TX.tokens(F.col("text"))).alias("token")
+    )
+    return FQ.heavy_hitters(tok, "token", phi=0.01, group_col="lang")
+
+
+def _q_freq_top_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k frequent (new in r7): the 5 most active user_ids
+    per event_type — per-group ranking window over count partials,
+    parallel across groups."""
+    ev = load_table(spark, sf_dir, "events")
+    return FQ.top_k_frequent(ev, "user_id", k=5, group_col="event_type")
+
+
 def _q_freq_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k frequent values (new in r7): the 20 most active user_ids,
     ties to the smaller id — TakeOrderedAndProject over map-side-
@@ -2819,6 +2838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_drift_monitor": _q_stream_drift,
         "feat_scale_zscore": _q_feat_scale_zscore,
         "feat_scale_minmax": _q_feat_scale_minmax,
+        "freq_tokens_by_lang": _q_freq_tokens_by_lang,
+        "freq_top_by_type": _q_freq_top_by_type,
     }
 
 
@@ -5362,6 +5383,27 @@ FROM documents
     o["feat_scale_minmax"] = scale_features_oracle_sql(
         "events", ["value"], ["event_id"], method="minmax"
     )
+    o["freq_tokens_by_lang"] = FQ.heavy_hitters_oracle_sql(
+        "SELECT lang, unnest(string_split(text, ' ')) AS token"
+        " FROM documents",
+        "token",
+        phi=0.01,
+        group_col="lang",
+    )
+    o["freq_top_by_type"] = """
+WITH counts AS (
+    SELECT event_type, user_id, count(*) AS cnt FROM events
+    WHERE user_id IS NOT NULL GROUP BY event_type, user_id
+),
+ranked AS (
+    SELECT event_type, user_id, cnt,
+           CAST(row_number() OVER (
+               PARTITION BY event_type ORDER BY cnt DESC, user_id ASC
+           ) AS INT) AS rank
+    FROM counts
+)
+SELECT event_type, user_id, cnt, rank FROM ranked WHERE rank <= 5
+"""
     return o
 
 

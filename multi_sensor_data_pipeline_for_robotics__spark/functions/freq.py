@@ -177,30 +177,46 @@ def heavy_hitters(
     value_col: str,
     phi: float = 0.01,
     round_to: int = 6,
+    group_col: str | None = None,
 ) -> DataFrame:
-    """EXACT values occurring in at least ``phi`` of non-null rows.
-    Output: (value_col, cnt long, freq double), at most 1/phi rows.
-    One map-side-combined groupBy + a 1-row total broadcast — the
-    batch answer to the heavy-hitters question (see module docstring
-    for why not Misra-Gries here)."""
+    """EXACT values occurring in at least ``phi`` of non-null rows —
+    per ``group_col`` when given (the threshold is then per-group:
+    each group contributes at most 1/phi rows). Output: (group?,
+    value_col, cnt long, freq double). One map-side-combined groupBy
+    + a broadcast totals side — the batch answer to the heavy-hitters
+    question (see module docstring for why not Misra-Gries here)."""
     nn = df.filter(F.col(value_col).isNotNull())
-    counts = nn.groupBy(value_col).agg(F.count(F.lit(1)).alias("cnt"))
-    total = nn.agg(F.count(F.lit(1)).alias("__n"))
-    return (
-        counts.crossJoin(F.broadcast(total))
-        .filter(F.col("cnt") >= F.col("__n") * phi)
-        .select(
-            value_col,
-            "cnt",
-            F.round(F.col("cnt") / F.col("__n"), round_to).alias("freq"),
+    if group_col is None:
+        counts = nn.groupBy(value_col).agg(F.count(F.lit(1)).alias("cnt"))
+        total = nn.agg(F.count(F.lit(1)).alias("__n"))
+        joined = counts.crossJoin(F.broadcast(total))
+        keys = []
+    else:
+        counts = nn.groupBy(group_col, value_col).agg(
+            F.count(F.lit(1)).alias("cnt")
         )
+        total = nn.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+        # no broadcast hint: |groups| is unbounded — AQE broadcasts the
+        # totals side when it is actually small
+        joined = counts.join(total, group_col)
+        keys = [group_col]
+    return joined.filter(F.col("cnt") >= F.col("__n") * phi).select(
+        *keys,
+        value_col,
+        "cnt",
+        F.round(F.col("cnt") / F.col("__n"), round_to).alias("freq"),
     )
 
 
 def heavy_hitters_oracle_sql(
-    table_sql: str, value_col: str, phi: float = 0.01, round_to: int = 6
+    table_sql: str,
+    value_col: str,
+    phi: float = 0.01,
+    round_to: int = 6,
+    group_col: str | None = None,
 ) -> str:
-    return f"""
+    if group_col is None:
+        return f"""
 WITH src AS ({table_sql}),
 nn AS (SELECT {value_col} FROM src WHERE {value_col} IS NOT NULL),
 counts AS (SELECT {value_col}, count(*) AS cnt FROM nn GROUP BY {value_col}),
@@ -210,27 +226,56 @@ SELECT c.{value_col}, c.cnt,
 FROM counts c CROSS JOIN total t
 WHERE c.cnt >= t.n * {phi!r}
 """
+    return f"""
+WITH src AS ({table_sql}),
+nn AS (
+    SELECT {group_col}, {value_col} FROM src WHERE {value_col} IS NOT NULL
+),
+counts AS (
+    SELECT {group_col}, {value_col}, count(*) AS cnt
+    FROM nn GROUP BY {group_col}, {value_col}
+),
+total AS (SELECT {group_col}, count(*) AS n FROM nn GROUP BY {group_col})
+SELECT c.{group_col}, c.{value_col}, c.cnt,
+       round(CAST(c.cnt AS DOUBLE) / t.n, {round_to}) AS freq
+FROM counts c JOIN total t ON c.{group_col} = t.{group_col}
+WHERE c.cnt >= t.n * {phi!r}
+"""
 
 
 def top_k_frequent(
-    df: DataFrame, value_col: str, k: int = 10
+    df: DataFrame, value_col: str, k: int = 10, group_col: str | None = None
 ) -> DataFrame:
-    """The k most frequent non-null values, ties broken by value
-    ascending (deterministic). Output: (value_col, cnt long, rank int).
-    orderBy().limit(k) compiles to TakeOrderedAndProject over the
-    map-side-combined count partials — no global sort, no window."""
-    counts = (
-        df.filter(F.col(value_col).isNotNull())
-        .groupBy(value_col)
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    top = counts.orderBy(F.col("cnt").desc(), F.col(value_col).asc()).limit(k)
-    # rank assigned AFTER the take: a row_number window over k rows
+    """The k most frequent non-null values — per ``group_col`` when
+    given — ties broken by value ascending (deterministic). Output:
+    (group?, value_col, cnt long, rank int). Global: orderBy().limit(k)
+    compiles to TakeOrderedAndProject over the map-side-combined count
+    partials — no global sort (the rank window runs over the k
+    surviving rows only). Grouped: a per-group ranking window over the
+    count partials — parallel across groups."""
     from pyspark.sql import Window as W
 
-    w = W.orderBy(F.col("cnt").desc(), F.col(value_col).asc())
-    return top.select(
-        value_col, "cnt", F.row_number().over(w).cast("int").alias("rank")
+    nn = df.filter(F.col(value_col).isNotNull())
+    if group_col is None:
+        counts = nn.groupBy(value_col).agg(F.count(F.lit(1)).alias("cnt"))
+        top = counts.orderBy(
+            F.col("cnt").desc(), F.col(value_col).asc()
+        ).limit(k)
+        # rank assigned AFTER the take: a row_number window over k rows
+        w = W.orderBy(F.col("cnt").desc(), F.col(value_col).asc())
+        return top.select(
+            value_col, "cnt", F.row_number().over(w).cast("int").alias("rank")
+        )
+    counts = nn.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.partitionBy(group_col).orderBy(
+        F.col("cnt").desc(), F.col(value_col).asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(group_col, value_col, "cnt", "rank")
     )
 
 

@@ -987,6 +987,7 @@ def duplicated_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_gram_df: int | None = None,
+    wide_hash: bool = False,
 ) -> DataFrame:
     """Exact-substring duplicate spans, the distributed approximation
     of suffix-array dedup [Lee et al., ACL 2022, "Deduplicating
@@ -1005,8 +1006,9 @@ def duplicated_spans(
     by the distinct-doc aggregation (count-distinct on a 60-bit key,
     map-side partial); the span merge is a per-doc window — parallel
     across docs. The 60-bit hash admits ~2^-60 false-positive window
-    collisions (vs the paper's exact suffix array) — at 100 TB use
-    128-bit (two prefixes) if that matters.
+    collisions (vs the paper's exact suffix array) — pass
+    ``wide_hash=True`` for a 120-bit two-prefix key when corpus-scale
+    window counts (~10^14 at 100 TB) make that bound matter.
 
     ``max_gram_df``: a boilerplate gram shared by EVERY doc (headers,
     license banners) costs |docs| join rows for that gram — the same
@@ -1017,7 +1019,7 @@ def duplicated_spans(
     such passages are usually removed by a dedicated boilerplate pass,
     not span surgery). None (default) keeps exact Lee-et-al semantics.
     """
-    wins = _gram_windows(docs, k, id_col, text_col)
+    wins = _gram_windows(docs, k, id_col, text_col, wide_hash)
     hot = (
         wins.groupBy("gh")
         .agg(F.count_distinct(F.col(id_col)).alias("nd"))
@@ -1030,10 +1032,19 @@ def duplicated_spans(
 
 
 def _gram_windows(
-    docs: DataFrame, k: int, id_col: str, text_col: str
+    docs: DataFrame,
+    k: int,
+    id_col: str,
+    text_col: str,
+    wide_hash: bool = False,
 ) -> DataFrame:
-    """(id, pos, gh): every 1-based doc position's k-char window, as a
-    60-bit md5-prefix hash — the text never crosses the shuffle."""
+    """(id, pos, gh): every 1-based doc position's k-char window as a
+    60-bit md5-prefix hash — the text never crosses the shuffle.
+    ``wide_hash`` keys each window on TWO independent 60-bit prefixes
+    (a struct; 120 bits total) — at 100 TB window counts (~10^14) the
+    single-prefix birthday bound (~2^-60 per pair) stops being
+    negligible, the doubled key restores it, at 2x the shuffled key
+    bytes."""
     from multi_sensor_data_pipeline_for_robotics__spark.functions.sketch import (
         kmv_hash,
     )
@@ -1048,17 +1059,22 @@ def _gram_windows(
     positions = F.when(
         F.length(text_col) >= k, F.sequence(F.lit(1), n_win)
     ).otherwise(F.array().cast("array<int>"))
+
+    def gram_key(p):
+        g = F.substring(F.col(text_col), p, F.lit(k))
+        if wide_hash:
+            return F.struct(
+                kmv_hash(g).alias("h1"),
+                kmv_hash(F.concat(g, F.lit("#w"))).alias("h2"),
+            )
+        return kmv_hash(g)
+
     wins = docs.select(
         F.col(id_col),
         F.explode(
             F.transform(
                 positions,
-                lambda p: F.struct(
-                    p.alias("pos"),
-                    kmv_hash(F.substring(F.col(text_col), p, F.lit(k))).alias(
-                        "gh"
-                    ),
-                ),
+                lambda p: F.struct(p.alias("pos"), gram_key(p).alias("gh")),
             )
         ).alias("w"),
     ).select(id_col, F.col("w.pos").alias("pos"), F.col("w.gh").alias("gh"))
@@ -1096,6 +1112,7 @@ def remove_duplicated_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_gram_df: int | None = None,
+    wide_hash: bool = False,
 ) -> DataFrame:
     """The surgical half of Lee et al.'s substring dedup: CUT each
     cross-doc duplicated passage out of every doc EXCEPT the canonical
@@ -1114,11 +1131,12 @@ def remove_duplicated_spans(
     that rides the same groupBy) up to the final doc-keyed join of the
     tiny span table back onto the corpus — a hash join on doc id whose
     build side holds only docs that lose at least one span.
-    ``max_gram_df`` bounds boilerplate-gram fan-out exactly as in
-    :func:`duplicated_spans` (capped grams are left in place in every
-    doc rather than excised everywhere-but-one).
+    ``max_gram_df`` bounds boilerplate-gram fan-out and ``wide_hash``
+    doubles the gram key exactly as in :func:`duplicated_spans`
+    (capped grams are left in place in every doc rather than excised
+    everywhere-but-one).
     """
-    wins = _gram_windows(docs, k, id_col, text_col)
+    wins = _gram_windows(docs, k, id_col, text_col, wide_hash)
     hot = (
         wins.groupBy("gh")
         .agg(

@@ -13,10 +13,10 @@ single aggregation, the KMV ndv from a distinct + two-phase salted
 bottom-k (``functions.sketch.grouped_bottom_k`` — every COLUMN is a
 group here, so a single-window form would sort a 10^9-ndv id column's
 full hash set in one task; the salted split caps the largest sort at
-max(ndv/S, k·S) rows and is lossless by the KMV merge law). Min/max compare the
-STRING form (deterministic, engine-identical for the fixed-format
-columns it is applied to); numeric columns additionally report
-numeric min/max cast from double.
+max(ndv/S, k·S) rows and is lossless by the KMV merge law). Min/max
+compare the STRING form (deterministic, engine-identical for the
+fixed-format columns it is applied to) — callers needing NUMERIC
+min/max compose a plain agg or `scale_features`' param frame.
 
 At 100 TB: C× row multiplication sounds expensive, but each exploded
 row is ~30 bytes and every aggregate is map-side combinable — the

@@ -240,3 +240,30 @@ def test_drift_stream_matches_batch_histogram_drift(spark, tmp_path):
         got = final[k]
         for i, c in enumerate(("kl_ab", "kl_ba", "js_divergence", "tvd")):
             assert abs(got[i] - want[c]) < 2e-6, (k, c, got[i], want[c])
+
+
+def test_heavy_hitters_and_topk_grouped(spark):
+    rows = (
+        [("g1", "x")] * 8 + [("g1", "y")] * 2
+        + [("g2", "y")] * 5 + [("g2", "z")] * 5 + [("g2", "w")] * 1
+    )
+    df = spark.createDataFrame(rows, "g string, v string")
+    hh = {
+        (r["g"], r["v"]): (r["cnt"], r["freq"])
+        for r in FR.heavy_hitters(df, "v", phi=0.2, group_col="g").collect()
+    }
+    # per-GROUP thresholds: y is 20% of g1 (kept) though 2 rows overall
+    assert hh == {
+        ("g1", "x"): (8, 0.8),
+        ("g1", "y"): (2, 0.2),
+        ("g2", "y"): (5, round(5 / 11, 6)),
+        ("g2", "z"): (5, round(5 / 11, 6)),
+    }
+    tk = {
+        (r["g"], r["rank"]): r["v"]
+        for r in FR.top_k_frequent(df, "v", k=2, group_col="g").collect()
+    }
+    assert tk == {
+        ("g1", 1): "x", ("g1", 2): "y",
+        ("g2", 1): "y", ("g2", 2): "z",  # tie 5/5 -> value asc
+    }

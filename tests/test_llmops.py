@@ -1160,3 +1160,35 @@ def test_substring_dedup_max_gram_df_caps_boilerplate(spark):
     # the "-" right before the passage is itself shared ("-0123..." in
     # both docs), so the maximal excised span includes it
     assert cleaned[7] == (header + "-b", 1)
+
+
+def test_substring_dedup_wide_hash_same_results(spark):
+    """The 120-bit two-prefix gram key must produce identical spans and
+    surgical output as the 60-bit default on a collision-free corpus."""
+    passage = "0123456789" * 6
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["A" * 25 + passage, passage + "C" * 40, "short"],
+            }
+        )
+    )
+    narrow = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in D.duplicated_spans(df, k=40, min_docs=2).collect()
+    )
+    wide = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in D.duplicated_spans(
+            df, k=40, min_docs=2, wide_hash=True
+        ).collect()
+    )
+    assert narrow == wide and len(narrow) == 2
+    cleaned = {
+        r.doc_id: r.cleaned_text
+        for r in D.remove_duplicated_spans(
+            df, k=40, min_docs=2, wide_hash=True
+        ).collect()
+    }
+    assert cleaned == {1: "A" * 25 + passage, 2: "C" * 40, 3: "short"}
