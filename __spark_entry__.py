@@ -2473,6 +2473,15 @@ def _q_freq_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FQ.heavy_hitters(tok, "token", phi=0.005)
 
 
+def _q_text_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical similarity join (new in r7): all doc pairs with
+    tf-idf cosine >= 0.5 via an inverted-index postings self-join
+    (shared tokens only, df-capped at 200) — the lexical complement of
+    the dense embedding near-dup family (operators/retrieval.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return RT.tfidf_cosine_pairs(docs, threshold=0.5, max_token_df=200)
+
+
 def _q_freq_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped heavy hitters (new in r7): tokens >= 1% of EACH
     language's token stream — per-group thresholds, totals joined back
@@ -2840,6 +2849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feat_scale_minmax": _q_feat_scale_minmax,
         "freq_tokens_by_lang": _q_freq_tokens_by_lang,
         "freq_top_by_type": _q_freq_top_by_type,
+        "text_tfidf_cosine": _q_text_tfidf_cosine,
     }
 
 
@@ -5403,6 +5413,35 @@ ranked AS (
     FROM counts
 )
 SELECT event_type, user_id, cnt, rank FROM ranked WHERE rank <= 5
+"""
+    o["text_tfidf_cosine"] = """
+WITH tok AS (
+    SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS token
+    FROM documents
+),
+n AS (SELECT count(*) AS nd FROM documents),
+tf AS (SELECT doc, token, count(*) AS tf FROM tok GROUP BY doc, token),
+dfreq AS (
+    SELECT token, count(*) AS df FROM tf GROUP BY token
+    HAVING count(*) <= 200
+),
+w AS (
+    SELECT doc, tf.token,
+           tf * (ln((1 + nd) / (1.0 + df)) + 1.0) AS w
+    FROM tf JOIN dfreq USING (token) CROSS JOIN n
+),
+norms AS (SELECT doc, sqrt(sum(w * w)) AS norm FROM w GROUP BY doc),
+wn AS (
+    SELECT w.doc, w.token, w.w / norms.norm AS wn
+    FROM w JOIN norms ON w.doc = norms.doc
+),
+pairs AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           round(sum(a.wn * b.wn), 6) AS cosine
+    FROM wn a JOIN wn b ON a.token = b.token AND a.doc < b.doc
+    GROUP BY a.doc, b.doc
+)
+SELECT * FROM pairs WHERE cosine >= 0.5
 """
     return o
 

@@ -169,3 +169,70 @@ def bm25_topk_multi(
         .filter(F.col("rank") <= k)
         .select(F.col("qid").alias("query_id"), "doc", "score", "rank")
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.3,
+    max_token_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Sparse LEXICAL similarity join: all document pairs whose tf-idf
+    cosine reaches ``threshold`` — the inverted-index complement of the
+    dense-embedding near-dup family (`similarity.neardup_pairs`), and
+    the classical pre-embedding dedup/citation-detection primitive.
+
+    Weights: tf x smooth idf (ln((1+N)/(1+df)) + 1, the text_tfidf
+    convention), L2-normalized per doc so the postings dot product IS
+    the cosine. Pairs form ONLY through shared tokens (a (token,
+    doc_a, doc_b) equi-join on the postings table — never all-pairs),
+    so cost follows the inverted-index law: a token shared by df docs
+    contributes df^2 join rows. ``max_token_df`` drops tokens above
+    the cap before the join (the `max_shingle_df` treatment;
+    high-df tokens carry the least idf weight, so the cosine loss is
+    bounded and skewed toward exactly the pairs that only stopwords
+    connect).
+
+    Output: (doc_a, doc_b, cosine double) with doc_a < doc_b,
+    cosine rounded; deterministic given the cap.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    )
+    n_docs = docs.count()
+    tf = (
+        tok.groupBy("doc", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    if max_token_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_token_df)
+    idf = F.log(
+        F.lit(float(1 + n_docs)) / (F.lit(1.0) + F.col("df"))
+    ) + F.lit(1.0)
+    w = tf.join(dfreq, "token").select(
+        "doc", "token", (F.col("tf") * idf).alias("w")
+    )
+    norms = w.groupBy("doc").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    )
+    wn = w.join(norms, "doc").select(
+        "doc", "token", (F.col("w") / F.col("norm")).alias("wn")
+    )
+    a = wn.select(
+        F.col("doc").alias("doc_a"), "token", F.col("wn").alias("wa")
+    )
+    b = wn.select(
+        F.col("doc").alias("doc_b"), "token", F.col("wn").alias("wb")
+    )
+    return (
+        a.join(b, "token")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.round(F.sum(F.col("wa") * F.col("wb")), round_to).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

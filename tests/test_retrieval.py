@@ -304,3 +304,43 @@ def test_bm25_multi_empty_terms_query(spark, docs_df):
     )
     out = bm25_topk_multi(docs_df, qs, k=5).collect()
     assert {r.query_id for r in out} == {1}  # empty-terms query yields no rows
+
+
+def test_tfidf_cosine_pairs_identical_and_disjoint(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.retrieval import (
+        tfidf_cosine_pairs,
+    )
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "alpha beta gamma delta",
+                    "alpha beta gamma delta",        # identical to 1
+                    "alpha beta gamma epsilon",      # 3/4 shared tokens
+                    "zeta eta theta iota",           # disjoint
+                ],
+            }
+        )
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in tfidf_cosine_pairs(df, threshold=0.1).collect()
+    }
+    assert got[(1, 2)] == 1.0  # identical docs -> exact cosine 1
+    assert 0.3 < got[(1, 3)] < 1.0 and got[(1, 3)] == got[(2, 3)]
+    assert not any(4 in p for p in got)  # disjoint doc pairs with nobody
+    # df cap drops the universally shared token: pairs connected ONLY
+    # through it vanish
+    df2 = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["common one", "common two", "common three"],
+            }
+        )
+    )
+    capped = tfidf_cosine_pairs(df2, threshold=0.01, max_token_df=2)
+    assert capped.count() == 0
