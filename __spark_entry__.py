@@ -2473,6 +2473,43 @@ def _q_freq_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FQ.heavy_hitters(tok, "token", phi=0.005)
 
 
+_FK_RELATIONS = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem_orders"),
+    ("orders", "o_custkey", "customer", "c_custkey", "orders_customer"),
+    ("customer", "c_nationkey", "nation", "n_nationkey", "customer_nation"),
+    ("nation", "n_regionkey", "region", "r_regionkey", "nation_region"),
+]
+
+
+def _q_quality_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (new in r7): orphan counts for the
+    four TPC-H FK relationships — one left-anti join each (broadcast
+    when the parent is small), NULL keys reported separately
+    (operators/quality.py)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.quality import (
+        check_foreign_keys,
+    )
+
+    rels = [
+        (load_table(spark, sf_dir, c), ck, load_table(spark, sf_dir, p), pk, n)
+        for c, ck, p, pk, n in _FK_RELATIONS
+    ]
+    return check_foreign_keys(rels)
+
+
+def _q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnosis (new in r7): would shuffling events on
+    user_id hotspot one reducer? top1_share / skew_ratio / normalized
+    entropy from one groupBy + one 1-row aggregate (plans/stats.py) —
+    the companion of the AKMV join-size estimate."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.stats import (
+        key_skew_report,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return key_skew_report(ev, "user_id")
+
+
 def _q_text_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse lexical similarity join (new in r7): all doc pairs with
     tf-idf cosine >= 0.5 via an inverted-index postings self-join
@@ -2850,6 +2887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freq_tokens_by_lang": _q_freq_tokens_by_lang,
         "freq_top_by_type": _q_freq_top_by_type,
         "text_tfidf_cosine": _q_text_tfidf_cosine,
+        "quality_fk_checks": _q_quality_fk,
+        "q_key_skew": _q_key_skew,
     }
 
 
@@ -5443,6 +5482,26 @@ pairs AS (
 )
 SELECT * FROM pairs WHERE cosine >= 0.5
 """
+    fk_parts = []
+    for c, ck, p, pk, name in _FK_RELATIONS:
+        fk_parts.append(f"""
+SELECT '{name}' AS relationship,
+       (SELECT count(*) FROM {c}) AS n_child,
+       (SELECT count(*) FROM {c} WHERE {ck} IS NULL) AS n_null_key,
+       (SELECT count(*) FROM {c} ch WHERE ch.{ck} IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM {p} pa WHERE pa.{pk} = ch.{ck})
+       ) AS n_orphans,
+       (SELECT count(*) FROM {c} ch WHERE ch.{ck} IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM {p} pa WHERE pa.{pk} = ch.{ck})
+       ) = 0 AS ok""")
+    o["quality_fk_checks"] = " UNION ALL ".join(fk_parts)
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.stats import (
+        key_skew_oracle_sql,
+    )
+
+    o["q_key_skew"] = key_skew_oracle_sql(
+        "SELECT user_id FROM events", "user_id"
+    )
     return o
 
 

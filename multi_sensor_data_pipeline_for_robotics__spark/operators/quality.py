@@ -107,3 +107,50 @@ def check_constraints(df: DataFrame, rules: list[tuple]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def check_foreign_keys(
+    relations: list[tuple[DataFrame, str, DataFrame, str, str]],
+) -> DataFrame:
+    """Referential-integrity audit across a star/snowflake schema: for
+    each (child, child_key, parent, parent_key, name) relationship,
+    count child rows whose non-null key has NO matching parent row —
+    the orphan count a warehouse checks before trusting a join.
+
+    Each relationship costs one LEFT ANTI join on the key (broadcast
+    when the parent is small, AQE's call) + a 1-row count; NULL child
+    keys are reported separately (SQL FK semantics: NULL references
+    nothing and violates nothing). Output, one row per relationship:
+    (relationship, n_child, n_null_key, n_orphans, ok boolean).
+    """
+    spark = relations[0][0].sparkSession
+    out = None
+    for child, ck, parent, pk, name in relations:
+        nn = child.filter(F.col(ck).isNotNull())
+        orphans = nn.join(
+            parent.select(F.col(pk).alias("__pk")),
+            F.col(ck) == F.col("__pk"),
+            "left_anti",
+        )
+        row = (
+            child.agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(
+                    F.when(F.col(ck).isNull(), 1).otherwise(0)
+                ).alias("n_null_key"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+                )
+            )
+            .select(
+                F.lit(name).alias("relationship"),
+                "n_child",
+                F.col("n_null_key").cast("long").alias("n_null_key"),
+                "n_orphans",
+                (F.col("n_orphans") == 0).alias("ok"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

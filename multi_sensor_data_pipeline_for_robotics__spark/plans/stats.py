@@ -219,3 +219,74 @@ def scale_features_oracle_sql(
 WITH p AS (SELECT {params} FROM {table})
 SELECT {keys}, {scaled} FROM {table} t CROSS JOIN p
 """
+
+
+def key_skew_report(
+    df: DataFrame, key_col: str, round_to: int = 6
+) -> DataFrame:
+    """Join/aggregation SKEW diagnosis for a key column — the question
+    to ask before shuffling 100 TB on it (pairs with
+    ``functions.sketch.kmv_join_cardinality``: that sizes the join,
+    this says whether one reducer eats it). One groupBy(key) into
+    (key, cnt) partials, one 1-row aggregate over them.
+
+    Output (1 row): n_rows, n_keys, max_count, top1_share (largest
+    key's row fraction), skew_ratio (max/mean count — 1.0 is
+    perfectly uniform), entropy_norm (Shannon entropy of the key
+    distribution / ln(n_keys); 1.0 uniform, →0 degenerate). NULL keys
+    count as a key (they hash-collide into one reducer too).
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    agg = counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_count"),
+        F.sum(F.col("cnt") * F.log("cnt")).alias("__clogc"),
+    )
+    ent = (
+        F.log(F.col("n_rows"))
+        - F.col("__clogc") / F.col("n_rows")
+    )
+    return agg.select(
+        "n_rows",
+        "n_keys",
+        "max_count",
+        F.round(F.col("max_count") / F.col("n_rows"), round_to).alias(
+            "top1_share"
+        ),
+        F.round(
+            F.col("max_count") / (F.col("n_rows") / F.col("n_keys")),
+            round_to,
+        ).alias("skew_ratio"),
+        F.round(
+            F.when(
+                F.col("n_keys") > 1, ent / F.log(F.col("n_keys"))
+            ).otherwise(F.lit(0.0)),
+            round_to,
+        ).alias("entropy_norm"),
+    )
+
+
+def key_skew_oracle_sql(
+    table_sql: str, key_col: str, round_to: int = 6
+) -> str:
+    """DuckDB twin of :func:`key_skew_report` — same entropy identity
+    H = ln(n) - sum(c*ln c)/n, same rounding."""
+    return f"""
+WITH counts AS (
+    SELECT {key_col} AS k, count(*) AS cnt FROM ({table_sql}) GROUP BY 1
+),
+agg AS (
+    SELECT sum(cnt) AS n_rows, count(*) AS n_keys, max(cnt) AS max_count,
+           sum(cnt * ln(cnt)) AS clogc
+    FROM counts
+)
+SELECT n_rows, n_keys, max_count,
+       round(CAST(max_count AS DOUBLE) / n_rows, {round_to}) AS top1_share,
+       round(CAST(max_count AS DOUBLE) / (CAST(n_rows AS DOUBLE) / n_keys),
+             {round_to}) AS skew_ratio,
+       round(CASE WHEN n_keys > 1
+             THEN (ln(n_rows) - clogc / n_rows) / ln(n_keys)
+             ELSE 0.0 END, {round_to}) AS entropy_norm
+FROM agg
+"""

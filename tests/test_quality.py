@@ -55,3 +55,46 @@ def test_check_constraints_unique_only_and_clean_table(spark):
 def test_check_constraints_unknown_rule(spark, messy):
     with pytest.raises(ValueError):
         check_constraints(messy, [("made_up", "x")])
+
+
+def test_check_foreign_keys_orphans_and_nulls(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.quality import (
+        check_foreign_keys,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    row = check_foreign_keys([(child, "fk", parent, "pk", "c_p")]).first()
+    assert (
+        row["relationship"], row["n_child"], row["n_null_key"],
+        row["n_orphans"], row["ok"],
+    ) == ("c_p", 4, 1, 1, False)
+    clean = spark.createDataFrame([(1, 10), (2, 20)], "id long, fk long")
+    row2 = check_foreign_keys([(clean, "fk", parent, "pk", "ok_rel")]).first()
+    assert row2["n_orphans"] == 0 and row2["ok"] is True
+
+
+def test_key_skew_report_uniform_vs_degenerate(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.stats import (
+        key_skew_report,
+    )
+
+    uniform = spark.range(1000).select((F.col("id") % 10).alias("k"))
+    r = key_skew_report(uniform, "k").first()
+    assert (r["n_rows"], r["n_keys"], r["max_count"]) == (1000, 10, 100)
+    assert r["skew_ratio"] == 1.0 and r["entropy_norm"] == 1.0
+    hot = spark.range(1000).select(
+        F.when(F.col("id") < 991, 0).otherwise(F.col("id")).alias("k")
+    )
+    r2 = key_skew_report(hot, "k").first()
+    assert r2["top1_share"] == 0.991 and r2["n_keys"] == 10
+    assert r2["entropy_norm"] < 0.1
+    # single-key degenerate: entropy_norm defined as 0
+    one = spark.range(5).select(F.lit(1).alias("k"))
+    assert key_skew_report(one, "k").first()["entropy_norm"] == 0.0
