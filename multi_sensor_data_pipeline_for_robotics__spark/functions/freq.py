@@ -37,7 +37,9 @@ map-side combine regardless of input rows; `cms_estimate` is depth
 broadcast-hash probes of that cell table per query key (the same
 probe pattern as `functions.bloom`); `heavy_hitters` / `top_k_
 frequent` shuffle map-side-combined (value, count) partials, with the
-top-k taken by TakeOrderedAndProject — never a global sort.
+top-k taken by TakeOrderedAndProject (global) or a salted two-phase
+per-group ranking (grouped) — never a global sort, never a whole
+group's count table in one task.
 """
 
 from __future__ import annotations
@@ -244,15 +246,28 @@ WHERE c.cnt >= t.n * {phi!r}
 
 
 def top_k_frequent(
-    df: DataFrame, value_col: str, k: int = 10, group_col: str | None = None
+    df: DataFrame,
+    value_col: str,
+    k: int = 10,
+    group_col: str | None = None,
+    salt_buckets: int = 64,
 ) -> DataFrame:
     """The k most frequent non-null values — per ``group_col`` when
     given — ties broken by value ascending (deterministic). Output:
     (group?, value_col, cnt long, rank int). Global: orderBy().limit(k)
     compiles to TakeOrderedAndProject over the map-side-combined count
     partials — no global sort (the rank window runs over the k
-    surviving rows only). Grouped: a per-group ranking window over the
-    count partials — parallel across groups."""
+    surviving rows only). Grouped: a lossless two-phase ranking — rank
+    within (group, value-hash % ``salt_buckets``) first (S parallel
+    windows per group), then re-rank the ≤ k·S survivors per group —
+    so a group with 10^9 distinct values never funnels its whole count
+    table through one task. Lossless by the same law as
+    ``sketch.grouped_bottom_k``: after the groupBy each (group, value)
+    row is unique, so the salt partitions a group's rows, and any row
+    outranked by ≥ k rows in its own bucket is outranked by ≥ k rows
+    globally. The salt derives from the value, so the output is
+    deterministic and identical to a single per-group window — oracle
+    twins keep the one-window SQL form and still hash-match."""
     from pyspark.sql import Window as W
 
     nn = df.filter(F.col(value_col).isNotNull())
@@ -269,11 +284,19 @@ def top_k_frequent(
     counts = nn.groupBy(group_col, value_col).agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    w = W.partitionBy(group_col).orderBy(
-        F.col("cnt").desc(), F.col(value_col).asc()
+    order = [F.col("cnt").desc(), F.col(value_col).asc()]
+    salted = counts.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(value_col)), F.lit(salt_buckets))
     )
+    w1 = W.partitionBy(group_col, "__salt").orderBy(*order)
+    local = (
+        salted.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__salt", "__rn")
+    )
+    w2 = W.partitionBy(group_col).orderBy(*order)
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        local.withColumn("rank", F.row_number().over(w2).cast("int"))
         .filter(F.col("rank") <= k)
         .select(group_col, value_col, "cnt", "rank")
     )

@@ -208,7 +208,12 @@ def mixture_resample(
     keeps c * t_s / n_s of its rows by key-hash threshold — the
     binding source keeps 100%, all sampling decisions remain pure
     functions of the key (rerun/engine/partitioning stable). Sources
-    absent from ``target_shares`` are dropped.
+    absent from ``target_shares`` are dropped. A source NAMED in
+    ``target_shares`` but absent from the data fails the job with a
+    clear error when the plan executes (strictly, the largest sample
+    preserving the requested shares would be EMPTY — silently ignoring
+    the missing source would ship a composition that deviates from the
+    contract without signal).
 
     Scale shape: one tiny groupBy(source) count (map-side combined),
     driver-free threshold arithmetic on the ≤|sources|-row side, one
@@ -226,7 +231,29 @@ def mixture_resample(
     cnts = df.groupBy(F.col(source_col).alias("__src")).agg(
         F.count(F.lit(1)).alias("__n")
     )
-    j = cnts.join(tgt, "__src")
+    # LEFT join from the requested shares so a zero-row source surfaces
+    # as a NULL __n — turned into a lazy runtime error rather than a
+    # silent composition drift (raise_error keeps the plan action-free
+    # at build time; the check costs nothing extra, the groupBy count
+    # was needed anyway).
+    j = tgt.join(cnts, "__src", "left").select(
+        "__src",
+        "__t",
+        F.when(F.col("__n").isNotNull(), F.col("__n"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("mixture_resample: source '"),
+                    F.col("__src"),
+                    F.lit(
+                        f"' is named in target_shares but has no rows in"
+                        f" column '{source_col}'"
+                    ),
+                )
+            ).cast("long")
+        )
+        .alias("__n"),
+    )
     # c = min_s n_s / t_s  (the largest total preserving the shares)
     c = j.agg(F.min(F.col("__n") / F.col("__t")).alias("__c"))
     thr = (

@@ -135,8 +135,13 @@ def check_foreign_keys(
         row = (
             child.agg(
                 F.count(F.lit(1)).alias("n_child"),
-                F.sum(
-                    F.when(F.col(ck).isNull(), 1).otherwise(0)
+                # coalesce: SUM over ZERO rows is NULL in Spark, but an
+                # empty child table has 0 null keys (and DuckDB's
+                # count(*)-based oracle says 0) — engine parity on the
+                # empty-relation edge
+                F.coalesce(
+                    F.sum(F.when(F.col(ck).isNull(), 1).otherwise(0)),
+                    F.lit(0),
                 ).alias("n_null_key"),
             )
             .crossJoin(

@@ -1461,6 +1461,7 @@ def semantic_dedup_fixedpoint(
     vec_col: str = "embedding",
     round_to: int = 6,
     max_cluster_size: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup [Abbas et al., arXiv:2303.09540] on the integer
     lattice: cluster the corpus with the fixed-point coarse quantizer
@@ -1483,8 +1484,10 @@ def semantic_dedup_fixedpoint(
     integer groupBy with map-side combine); the pair stage shuffles
     once on cluster_id and is quadratic only WITHIN a cluster — the
     paper's own regime. ``nlist=None`` (default) auto-scales to the
-    paper's ~N/100 clusters (``max(16, n // 100)``, one count to size
-    it — take it from ANALYZE stats when you already have them), so
+    paper's ~N/100 clusters (``max(16, n // 100)``; NOTE this fires an
+    eager ``count()`` action at plan-build time, and re-counts on every
+    call — pass ``n_rows`` (e.g. from ANALYZE stats or a count you
+    already have) to keep construction fully lazy), so
     expected cluster membership stays ~100 as the corpus grows instead
     of the quadratic term growing as N²/nlist. ``max_cluster_size``
     additionally caps a PATHOLOGICALLY hot cluster (mode collapse,
@@ -1499,7 +1502,8 @@ def semantic_dedup_fixedpoint(
     """
     thr_int = int(np.floor(threshold * float(scale) * float(scale)))
     if nlist is None:
-        nlist = max(16, embeddings.count() // 100)
+        n = n_rows if n_rows is not None else embeddings.count()
+        nlist = max(16, n // 100)
     cents = kmeans_centroids_fixedpoint(
         embeddings, nlist, iters, scale, id_col, vec_col
     )

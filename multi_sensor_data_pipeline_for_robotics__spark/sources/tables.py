@@ -72,7 +72,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     The key is the session's applicationId, NOT ``id(spark)`` — after a
     stopped session is garbage-collected CPython can reuse its id for a
     new session, which would resurrect DataFrames bound to the dead
-    JVM plan (the test-suite session-cycling trap). The conf pins run
+    JVM plan (the test-suite session-cycling trap). On Spark Connect
+    (no ``sparkContext``) the key falls back to the ``spark.app.id``
+    conf, then ``id(spark)``. The conf pins run
     BEFORE the cache lookup so a session whose first load was a cache
     hit is still pinned. File CHANGES under an sf_dir are picked up
     lazily by Spark's scan (paths are re-listed per job), so
@@ -81,7 +83,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:
+        # Spark Connect sessions expose no sparkContext; spark.app.id is
+        # the same value via conf, and id(spark) is the last resort (a
+        # Connect session object outlives its plans, so id-reuse after GC
+        # — the classic-session trap this key avoids — is the lesser
+        # risk there).
+        try:
+            app_id = spark.conf.get("spark.app.id")
+        except Exception:
+            app_id = f"py-id-{id(spark)}"
+    key = (app_id, sf_dir, name)
     hit = _LOAD_CACHE.get(key)
     if hit is not None:
         return hit

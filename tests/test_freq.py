@@ -267,3 +267,39 @@ def test_heavy_hitters_and_topk_grouped(spark):
         ("g1", 1): "x", ("g1", 2): "y",
         ("g2", 1): "y", ("g2", 2): "z",  # tie 5/5 -> value asc
     }
+
+
+def test_top_k_grouped_two_phase_matches_single_window(spark):
+    # skewed multi-group corpus; salt_buckets small enough that both phases
+    # prune (k=3, S=4 -> phase-2 sees <= 12 rows/group, not all 40)
+    from pyspark.sql import Window as W
+
+    df = _zipfish(spark, n=4000).select(
+        (F.col("v") % 3).cast("string").alias("g"), F.col("v")
+    )
+    got = {
+        (r["g"], r["rank"]): (r["v"], r["cnt"])
+        for r in FR.top_k_frequent(
+            df, "v", k=3, group_col="g", salt_buckets=4
+        ).collect()
+    }
+    # reference: single per-group window over exact counts
+    counts = df.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("g").orderBy(F.col("cnt").desc(), F.col("v").asc())
+    want = {
+        (r["g"], r["rank"]): (r["v"], r["cnt"])
+        for r in counts.withColumn(
+            "rank", F.row_number().over(w).cast("int")
+        ).filter(F.col("rank") <= 3).collect()
+    }
+    assert got == want and len(got) == 9
+    # partition-count independence: salt derives from the value only
+    for nparts in (3, 13):
+        again = {
+            (r["g"], r["rank"]): (r["v"], r["cnt"])
+            for r in FR.top_k_frequent(
+                df.repartition(nparts), "v", k=3, group_col="g",
+                salt_buckets=4,
+            ).collect()
+        }
+        assert again == want

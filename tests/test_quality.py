@@ -98,3 +98,18 @@ def test_key_skew_report_uniform_vs_degenerate(spark):
     # single-key degenerate: entropy_norm defined as 0
     one = spark.range(5).select(F.lit(1).alias("k"))
     assert key_skew_report(one, "k").first()["entropy_norm"] == 0.0
+
+
+def test_check_foreign_keys_empty_child_is_all_zero(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.quality import (
+        check_foreign_keys,
+    )
+
+    child = spark.createDataFrame([], "fk long")
+    parent = spark.createDataFrame([(1,)], "pk long")
+    row = check_foreign_keys([(child, "fk", parent, "pk", "empty")]).first()
+    # SUM over zero rows is NULL in Spark; the operator must report 0
+    # (DuckDB-oracle parity on the empty-relation edge)
+    assert (row["n_child"], row["n_null_key"], row["n_orphans"], row["ok"]) == (
+        0, 0, 0, True,
+    )

@@ -211,3 +211,18 @@ def test_mixture_resample_hits_target_shares(spark):
     )
     out3 = mixture_resample(extra, "key", "lang", {"en": 0.5, "de": 0.3, "fr": 0.2})
     assert out3.filter(F.col("lang") == "xx").count() == 0
+
+
+def test_mixture_resample_missing_source_fails_loudly(spark):
+    import pytest
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        mixture_resample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(50)], "key long, lang string"
+    )
+    plan = mixture_resample(df, "key", "lang", {"en": 0.5, "xx": 0.5})
+    # lazy: construction succeeds, execution surfaces the missing source
+    with pytest.raises(Exception, match="xx.*has no rows|has no rows.*xx"):
+        plan.count()
