@@ -1915,12 +1915,11 @@ def _q_kmv_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANALYZE-style per-column stats (new in r6): row/null counts,
-    string-form min/max and a portable KMV ndv estimate, all from a
-    narrow exploded stream — the CBO inputs, themselves hash-checked.
-    Graded on int/string columns where the string form is
-    byte-identical across engines (doubles format differently; the
-    operator handles them, the oracle contract doesn't cover them)."""
+    """ANALYZE-style per-column stats (new in r6; r8 adds typed
+    numeric min/max/mean): row/null counts, string-form min/max, typed
+    num_min/num_max/num_mean doubles (NULL on non-numeric columns) and
+    a portable KMV ndv estimate, all from a narrow exploded stream —
+    the CBO inputs, themselves hash-checked."""
     from multi_sensor_data_pipeline_for_robotics__spark.plans import stats as ST
 
     return ST.analyze_table(
@@ -4206,7 +4205,9 @@ FROM documents d LEFT JOIN cleaned c USING (doc_id)
     from multi_sensor_data_pipeline_for_robotics__spark.plans import stats as _ST
 
     o["analyze_table_stats"] = _ST.analyze_oracle_sql(
-        "orders", ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+        numeric_cols=["o_orderkey", "o_custkey"],
     )
 
     o["dedup_exact"] = """

@@ -14,9 +14,11 @@ bottom-k (``functions.sketch.grouped_bottom_k`` — every COLUMN is a
 group here, so a single-window form would sort a 10^9-ndv id column's
 full hash set in one task; the salted split caps the largest sort at
 max(ndv/S, k·S) rows and is lossless by the KMV merge law). Min/max
-compare the STRING form (deterministic, engine-identical for the
-fixed-format columns it is applied to) — callers needing NUMERIC
-min/max compose a plain agg or `scale_features`' param frame.
+come in BOTH forms: the string form (deterministic, engine-identical,
+defined for every type) AND typed numeric min/max/mean (`num_min`/
+`num_max`/`num_mean`, NULL for non-numeric columns) — the numbers a
+join planner or range-pruner actually consumes; lexicographic "min"
+of an int column ("10" < "9") is not a bound.
 
 At 100 TB: C× row multiplication sounds expensive, but each exploded
 row is ~30 bytes and every aggregate is map-side combinable — the
@@ -47,28 +49,43 @@ def analyze_table(
     """Per-column statistics in two scans of a narrow projection.
 
     Output: (column, n_rows, n_null, approx_ndv double, min_value,
-    max_value) — min/max as the value's string form (null-safe),
-    approx_ndv exact below k.
+    max_value, num_min, num_max, num_mean) — min/max as the value's
+    string form (null-safe, every type), num_* as doubles for numeric
+    columns (NULL otherwise; mean rounded to ``round_to`` for
+    cross-engine hashability; integers above 2^53 lose low bits to the
+    double cast — the usual stats-table caveat), approx_ndv exact
+    below k.
     """
+    from pyspark.sql import types as T
+
     cols = columns or df.columns
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
     pairs = F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(c).alias("column"),
                     F.col(c).cast("string").alias("v"),
+                    (
+                        F.col(c).cast("double")
+                        if isinstance(dtypes[c], T.NumericType)
+                        else F.lit(None).cast("double")
+                    ).alias("vn"),
                 )
                 for c in cols
             ]
         )
     ).alias("p")
-    narrow = df.select(pairs).select("p.column", "p.v")
+    narrow = df.select(pairs).select("p.column", "p.v", "p.vn")
 
     base = narrow.groupBy("column").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null"),
         F.min("v").alias("min_value"),
         F.max("v").alias("max_value"),
+        F.min("vn").alias("num_min"),
+        F.max("vn").alias("num_max"),
+        F.round(F.avg("vn"), round_to).alias("num_mean"),
     )
 
     d = (
@@ -92,20 +109,36 @@ def analyze_table(
             F.coalesce("approx_ndv", F.lit(0.0)).alias("approx_ndv"),
             "min_value",
             "max_value",
+            "num_min",
+            "num_max",
+            "num_mean",
         )
     )
 
 
 def analyze_oracle_sql(
-    table: str, columns: list[str], k: int = 256, round_to: int = 4
+    table: str,
+    columns: list[str],
+    k: int = 256,
+    round_to: int = 4,
+    numeric_cols: list[str] | None = None,
 ) -> str:
     """DuckDB twin of :func:`analyze_table` — same exploded stream,
-    same md5 KMV estimator, same string min/max."""
+    same md5 KMV estimator, same string min/max, same typed numeric
+    min/max/mean for the columns named in ``numeric_cols`` (SQL has no
+    schema introspection here, so the caller declares them)."""
     hx = (
         f"cast(concat('0x', substr(md5(v), 1, 15)) as bigint)"
     )
+    nset = set(numeric_cols or [])
     selects = " UNION ALL ".join(
-        f"SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS v FROM {table}"
+        f"SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS v,"
+        + (
+            f" CAST({c} AS DOUBLE) AS vn"
+            if c in nset
+            else " CAST(NULL AS DOUBLE) AS vn"
+        )
+        + f" FROM {table}"
         for c in columns
     )
     return f"""
@@ -113,7 +146,9 @@ WITH narrow AS ({selects}),
 base AS (
     SELECT col, count(*) AS n_rows,
            sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null,
-           min(v) AS min_value, max(v) AS max_value
+           min(v) AS min_value, max(v) AS max_value,
+           min(vn) AS num_min, max(vn) AS num_max,
+           round(avg(vn), {round_to}) AS num_mean
     FROM narrow GROUP BY col
 ),
 d AS (SELECT DISTINCT col, {hx} AS h FROM narrow WHERE v IS NOT NULL),
@@ -129,7 +164,7 @@ SELECT b.col AS "column", b.n_rows, b.n_null,
        coalesce(CASE WHEN n.m < {k} THEN CAST(n.m AS DOUBLE)
                 ELSE round(({k} - 1) / (CAST(n.hk AS DOUBLE) / {_DENOM!r}),
                            {round_to}) END, 0.0) AS approx_ndv,
-       b.min_value, b.max_value
+       b.min_value, b.max_value, b.num_min, b.num_max, b.num_mean
 FROM base b LEFT JOIN ndv n ON b.col = n.col
 """
 

@@ -238,6 +238,10 @@ def test_analyze_table_stats(spark):
     assert got["a"]["approx_ndv"] == 3.0  # below k -> exact
     assert got["s"]["n_null"] == 2 and got["s"]["approx_ndv"] == 2.0
     assert got["s"]["min_value"] == "x" and got["s"]["max_value"] == "y"
+    # typed numeric stats: doubles on numeric columns, NULL otherwise
+    assert (got["a"]["num_min"], got["a"]["num_max"]) == (1.0, 3.0)
+    assert got["a"]["num_mean"] == 2.0  # (1+2+2+3)/4, nulls excluded
+    assert got["s"]["num_min"] is None and got["s"]["num_mean"] is None
 
 
 def test_analyze_table_ndv_estimate_accuracy(spark, sf_dir):

@@ -45,7 +45,8 @@ def main() -> None:
     div = 10 if quick else 1
     fams = [a for a in sys.argv[1:] if not a.startswith("--")] or [
         "sync", "keyed_asof", "dedup", "ann", "retrieval", "timeseries",
-        "substring", "semdedup", "layout", "kmv_hot", "semdedup_cap"
+        "substring", "semdedup", "layout", "kmv_hot", "semdedup_cap",
+        "topk_hot",
     ]
     spark = get_session(app_name="scale_smoke")
     scratch = tempfile.mkdtemp(prefix="spark_graft_scale_")
@@ -73,6 +74,8 @@ def main() -> None:
             smoke_kmv_hot_group(spark, scratch, n=24_000_000 // div)
         if "semdedup_cap" in fams:
             smoke_semdedup_hot_cluster(spark, scratch, n_vecs=20_000 // div)
+        if "topk_hot" in fams:
+            smoke_topk_hot_group(spark, scratch, n=24_000_000 // div)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -661,6 +664,68 @@ def smoke_semdedup_hot_cluster(spark, scratch, n_vecs):
         f"{int(ledger['pairs_capped_approx']):,} "
         f"(hottest cluster {ledger['hottest_cluster']:,})"
     )
+
+
+
+
+def smoke_topk_hot_group(spark, scratch, n):
+    """Grouped top-k frequent with ONE group holding ~n distinct values
+    (tokens-per-language, the module's motivating example). The pre-r8
+    form ranked each group's count partials in a single-task window —
+    the same shape the grouped-KMV smoke above measures; the r8
+    two-phase salted ranking caps the largest single sort at
+    max(ndv/S, k*S) rows. Both variants are timed on the same input and
+    must agree exactly (the split is lossless: every global top-k row
+    is its salt bucket's top-k)."""
+    from pyspark.sql import Window as W
+
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.freq import (
+        top_k_frequent,
+    )
+
+    print(f"\n## grouped top-k frequent, hot group @ {n:,} distinct values")
+    # hot group: n distinct values with a deterministic skewed count
+    # profile (value v repeats 1 + (v % 37 == 0 ? 40 : 0) times is too
+    # costly to materialize at 24M; instead repeat a 2% slice 3x so the
+    # top-k is non-trivial), plus 4 small groups
+    base = spark.range(n).select(
+        F.lit("hot").alias("g"), F.col("id").alias("v")
+    )
+    heavy = spark.range(n // 50).select(
+        F.lit("hot").alias("g"), (F.col("id") * 50).alias("v")
+    )
+    small = spark.range(n // 100).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        (F.col("id") % 1000).alias("v"),
+    )
+    base.unionByName(heavy).unionByName(heavy).unionByName(small).write.mode(
+        "overwrite"
+    ).parquet(f"{scratch}/topkhot")
+    t = spark.read.parquet(f"{scratch}/topkhot")
+
+    def one_window_form():
+        # the pre-r8 plan, inlined for comparison: per-group ranking
+        # window over the full count table — the hot group's n-row
+        # count table sorts in ONE task
+        counts = t.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cnt"))
+        w = W.partitionBy("g").orderBy(F.col("cnt").desc(), F.col("v").asc())
+        top = counts.withColumn(
+            "rank", F.row_number().over(w).cast("int")
+        ).filter(F.col("rank") <= 10)
+        return sorted(
+            (r["g"], r["rank"], r["v"], r["cnt"]) for r in top.collect()
+        )
+
+    def two_phase_form():
+        top = top_k_frequent(t, "v", k=10, group_col="g")
+        return sorted(
+            (r["g"], r["rank"], r["v"], r["cnt"]) for r in top.collect()
+        )
+
+    _, a = timed("grouped top-k, one-window (pre-r8)", one_window_form)
+    _, b = timed("grouped top-k, two-phase salted (r8)", two_phase_form)
+    assert a == b, "two-phase grouped top-k diverged from one-window form"
+    print("   results identical (lossless split confirmed)")
 
 
 if __name__ == "__main__":
