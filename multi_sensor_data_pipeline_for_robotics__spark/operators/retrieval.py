@@ -178,6 +178,7 @@ def tfidf_cosine_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_to: int = 6,
+    fanout_budget: int | None = 2_000_000_000,
 ) -> DataFrame:
     """Sparse LEXICAL similarity join: all document pairs whose tf-idf
     cosine reaches ``threshold`` — the inverted-index complement of the
@@ -197,6 +198,17 @@ def tfidf_cosine_pairs(
 
     Output: (doc_a, doc_b, cosine double) with doc_a < doc_b,
     cosine rounded; deterministic given the cap.
+
+    UNCAPPED runs (``max_token_df=None``, the exact semantics) are
+    guarded: the worst-case postings fan-out sum(df^2) is computed in
+    the same pass that builds the df table, and the job FAILS FAST
+    with the offending numbers and the remediation (set
+    ``max_token_df``) when it exceeds ``fanout_budget`` — at 100 TB a
+    single corpus-wide stopword otherwise turns the self-join into an
+    N^2 shuffle the user discovers hours in. The guard is lazy (a
+    1-row broadcast folded into the weight projection, no extra
+    action) and skipped entirely when a cap is set or
+    ``fanout_budget=None``.
     """
     tok = docs.select(
         F.col(id_col).alias("doc"),
@@ -217,6 +229,44 @@ def tfidf_cosine_pairs(
     w = tf.join(dfreq, "token").select(
         "doc", "token", (F.col("tf") * idf).alias("w")
     )
+    if max_token_df is None and fanout_budget is not None:
+        # sum(df^2) IS the pair-join row count; evaluated lazily from
+        # the tiny <=|vocab|-row df table and folded into the weights
+        # as a multiply-by-1.0 broadcast (consumed, so never pruned)
+        guard = dfreq.agg(
+            F.sum(F.col("df") * F.col("df")).alias("__fanout"),
+            F.max("df").alias("__maxdf"),
+        ).select(
+            F.when(
+                F.coalesce(F.col("__fanout"), F.lit(0))
+                <= F.lit(int(fanout_budget)),
+                F.lit(1.0),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "tfidf_cosine_pairs: uncapped postings"
+                            " self-join would produce "
+                        ),
+                        F.col("__fanout").cast("string"),
+                        F.lit(
+                            f" candidate rows (> fanout_budget="
+                            f"{int(fanout_budget)}); hottest token df="
+                        ),
+                        F.col("__maxdf").cast("string"),
+                        F.lit(
+                            ". Set max_token_df to cap stopword fan-out"
+                            " (or raise fanout_budget)."
+                        ),
+                    )
+                ).cast("double")
+            )
+            .alias("__g")
+        )
+        w = w.crossJoin(F.broadcast(guard)).select(
+            "doc", "token", (F.col("w") * F.col("__g")).alias("w")
+        )
     norms = w.groupBy("doc").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
     )

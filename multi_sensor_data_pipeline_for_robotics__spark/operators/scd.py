@@ -54,13 +54,30 @@ from pyspark.sql import Window as W
 # simple projections stay well under it
 _LINEAGE_PLAN_LINES = 40
 
+# Python-side attribute scd2_apply stamps on every DataFrame it
+# returns: the render-format-INDEPENDENT chained-apply signal. The
+# nightly-CDC loop threads the returned handle straight back in, so
+# the marker survives exactly where lineage grows.
+_SCD2_MERGED_ATTR = "_sensorpipe_scd2_merged"
+
 
 def _bounded_lineage(dim: DataFrame) -> DataFrame:
     """Return ``dim`` as-is when its logical plan is simple (a scan /
     in-memory relation / light projection), else a lazily
-    local-checkpointed leaf. The check renders the ANALYZED plan (never
+    local-checkpointed leaf.
+
+    Two independent detectors, either sufficient: (1) the explicit
+    ``_SCD2_MERGED_ATTR`` marker a previous :func:`scd2_apply` stamped
+    on its output — exact and immune to plan-render format changes;
+    (2) the analyzed-plan line count (renders the ANALYZED plan, never
     the optimized one — analysis is linear in the tree the caller
-    built), so chained applies pay one small render per merge."""
+    built), which also catches dimensions built by OTHER multi-leg
+    plans. A render that raises (Spark Connect, mocks) or shrinks to
+    under the threshold in some future format still fails SAFE for
+    chained applies via the marker; the residual risk is only
+    over-eager checkpointing, never an unbounded plan."""
+    if getattr(dim, _SCD2_MERGED_ATTR, False):
+        return dim.localCheckpoint(eager=False)
     try:
         n_lines = dim._jdf.queryExecution().analyzed().toString().count("\n")
     except Exception:  # non-JVM-backed (connect, mocks): be safe
@@ -150,4 +167,8 @@ def scd2_apply(
     untouched = cur.join(
         first_eff, cur[key_col] == first_eff["__k"], "left_anti"
     ).select(dim.columns)
-    return hist.unionByName(untouched).unionByName(closed).unionByName(opened)
+    out = hist.unionByName(untouched).unionByName(closed).unionByName(opened)
+    # stamp the chained-apply marker (see _bounded_lineage): a Python
+    # attribute on the handle, no plan or JVM interaction
+    setattr(out, _SCD2_MERGED_ATTR, True)
+    return out

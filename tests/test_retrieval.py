@@ -344,3 +344,27 @@ def test_tfidf_cosine_pairs_identical_and_disjoint(spark):
     )
     capped = tfidf_cosine_pairs(df2, threshold=0.01, max_token_df=2)
     assert capped.count() == 0
+
+
+def test_tfidf_cosine_uncapped_fanout_guard_fires(spark):
+    import pytest
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.retrieval import (
+        tfidf_cosine_pairs,
+    )
+
+    # a corpus-wide stopword: 60 docs all share "the" -> sum(df^2) >= 3600
+    docs = spark.createDataFrame(
+        [(i, f"the unique{i} word{i % 7}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    plan = tfidf_cosine_pairs(docs, threshold=0.1, fanout_budget=1000)
+    with pytest.raises(Exception, match="fanout_budget|max_token_df"):
+        plan.count()
+    # under budget: runs clean; with a cap: guard skipped entirely
+    assert tfidf_cosine_pairs(docs, threshold=0.1, fanout_budget=10**9).count() >= 0
+    assert (
+        tfidf_cosine_pairs(
+            docs, threshold=0.1, max_token_df=2, fanout_budget=1000
+        ).count()
+        >= 0
+    )

@@ -167,3 +167,45 @@ def test_scd2_long_chain_has_bounded_plan(spark):
         ivs_sorted = sorted(ivs)
         for (_, t1), (f2, _) in zip(ivs_sorted, ivs_sorted[1:]):
             assert t1 == f2, (k, ivs_sorted)
+
+
+def test_scd2_marker_bounds_chain_without_plan_render(spark):
+    """The chained-apply signal must not depend on the analyzed-plan
+    render format: scd2_apply stamps a Python-side marker on its
+    output, and _bounded_lineage checkpoints on the marker alone —
+    pinned here by making the render path unusable (the non-JVM /
+    Spark Connect shape) and asserting a 6-chain still stays bounded
+    and correct."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators import scd
+
+    dim = _dim(spark, [(k, "init", T0, None) for k in range(3)])
+    out = scd2_apply(dim, _up(spark, [(0, "s1", T1)]), "k", ["seg"])
+    assert getattr(out, scd._SCD2_MERGED_ATTR, False) is True
+
+    # simulate a render that lies (returns a tiny plan): the marker
+    # must still force the checkpoint on the next apply
+    class _LyingJdf:
+        def __init__(self, real):
+            self._real = real
+
+        def queryExecution(self):
+            raise RuntimeError("no JVM plan access (connect-like)")
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+    chained = out
+    for step in range(2, 8):
+        chained._jdf = _LyingJdf(chained._jdf)  # break the render path
+        eff = T0 + dt.timedelta(days=step)
+        chained = scd2_apply(
+            chained, _up(spark, [(step % 3, f"s{step}", eff)]), "k", ["seg"]
+        )
+        n_lines = (
+            chained._jdf.queryExecution().analyzed().toString().count("\n")
+        )
+        assert n_lines < 200, (step, n_lines)
+    # one current version per key after the chain
+    rows = chained.collect()
+    cur = [r for r in rows if r.valid_to is None]
+    assert sorted(r.k for r in cur) == [0, 1, 2]
