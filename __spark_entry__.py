@@ -1854,6 +1854,33 @@ def _q_dedup_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.remove_duplicated_spans(docs, k=40, min_docs=2)
 
 
+def _q_dedup_substring_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of substring-span dedup (new in r8): the
+    boilerplate cap (`max_gram_df=2` drops grams shared by more than 2
+    distinct docs before the span join — the 100 TB fan-out bound) AND
+    the 120-bit `wide_hash` key (two independent md5 prefixes; at
+    ~10^14 windows the single-prefix birthday bound stops being
+    negligible). Both knobs replayed exactly by the DuckDB twin, so
+    the capped semantics are hash-graded, not pytest-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.duplicated_spans(
+        docs, k=40, min_docs=2, max_gram_df=2, wide_hash=True
+    )
+
+
+def _q_embed_semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of SemDeDup (new in r8): `max_cluster_size`
+    hash-sub-buckets any cluster bigger than the cap (mode collapse /
+    dense-boilerplate protection — pairs form only within a
+    sub-bucket). The sub-bucket hash is the portable md5-prefix
+    kmv_hash, so the DuckDB twin replays the ENTIRE capped pipeline —
+    training, assignment, sub-bucketing, pairing — bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup_fixedpoint(
+        emb, nlist=16, iters=2, threshold=0.35, max_cluster_size=20
+    )
+
+
 def _q_embed_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup [Abbas et al., arXiv:2303.09540] on the integer
     lattice (new in r6): fixed-point k-means clusters, then the
@@ -2595,6 +2622,45 @@ def _q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-streaming representative #10 (new in r8): the exact
+    per-event-type (user_id -> count) table maintained AS stream
+    state; each micro-batch re-emits the current phi-heavy set, so the
+    LAST batch per key is bit-identical to batch
+    ``freq.heavy_hitters(group_col=...)`` over the same file — graded
+    against the same DuckDB twin as the batch operator. Closes the r7
+    gap: freq was the only family without a streaming surface."""
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.stateful import (
+        heavy_hitters_stream,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.sync_stream import (
+        read_events_stream,
+        run_to_memory,
+    )
+    from pyspark.sql import Window as W
+
+    stream = read_events_stream(spark, sf_dir)
+    sm = heavy_hitters_stream(
+        stream, value_col="user_id", key_col="event_type", phi=0.005
+    )
+    run_to_memory(sm, "stream_hh_tbl", output_mode="append")
+    # the final heavy set per key is the LAST batch's emission (a value
+    # can fall below phi as n grows, so latest-per-(key,value) would
+    # resurrect stale rows — filter on the key's max batch_seq)
+    wk = W.partitionBy("key")
+    return (
+        spark.table("stream_hh_tbl")
+        .withColumn("__mx", F.max("batch_seq").over(wk))
+        .filter(F.col("batch_seq") == F.col("__mx"))
+        .select(
+            F.col("key").alias("event_type"),
+            F.col("value").alias("user_id"),
+            "cnt",
+            "freq",
+        )
+    )
+
+
 def _q_feat_scale_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature scaling (new in r7): z-score of event values from a
     1-row broadcast param frame — fit and transform in one plan, no
@@ -2888,6 +2954,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_cosine": _q_text_tfidf_cosine,
         "quality_fk_checks": _q_quality_fk,
         "q_key_skew": _q_key_skew,
+        # --- r8: production cap modes, hash-graded ------------------------
+        "dedup_substring_capped": _q_dedup_substring_capped,
+        "embed_semantic_dedup_capped": _q_embed_semantic_dedup_capped,
+        "stream_heavy_hitters": _q_stream_heavy_hitters,
     }
 
 
@@ -4021,7 +4091,10 @@ WHERE rank <= {k}
     # replays similarity.semantic_dedup_fixedpoint: the same integer
     # k-means CTE chain as _fp_ivf_sql, then the within-cluster
     # earlier-neighbor argmax and the integer threshold compare
-    def _fp_semdedup_sql(nlist=16, iters=2, scale=1_000_000, threshold=0.35):
+    def _fp_semdedup_sql(
+        nlist=16, iters=2, scale=1_000_000, threshold=0.35,
+        max_cluster_size=None,
+    ):
         import math as _math
 
         thr_int = int(_math.floor(threshold * float(scale) * float(scale)))
@@ -4063,6 +4136,26 @@ cents{r} AS (
     SELECT c.* FROM {prev} c WHERE c.cent_id NOT IN (SELECT cent_id FROM upd{r})
 )""")
             prev = f"cents{r}"
+        if max_cluster_size is None:
+            bucket_ctes = ""
+            pair_src, pair_cond = "asg", "a.cluster_id = b.cluster_id"
+        else:
+            # replays the operator's hash-sub-bucketing: nsub =
+            # ceil(size/cap) per cluster, member -> bucket by the
+            # portable md5-prefix kmv_hash of its id
+            bucket_ctes = f"""sized AS (
+    SELECT cluster_id, CAST(ceil(count(*) / {max_cluster_size}.0) AS INT) AS nsub
+    FROM asg GROUP BY cluster_id
+),
+asgb AS (
+    SELECT a.vec_id, a.qv, a.cluster_id,
+           CAST(CAST(concat('0x', substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) % s.nsub AS INT) AS sub
+    FROM asg a JOIN sized s USING (cluster_id)
+),
+"""
+            pair_src = "asgb"
+            pair_cond = "a.cluster_id = b.cluster_id AND a.sub = b.sub"
         return "WITH " + ",\n".join(ctes) + f""",
 asg AS (
     SELECT vec_id, qv, cent_id AS cluster_id FROM (
@@ -4072,12 +4165,12 @@ asg AS (
         FROM q, {prev} c
     ) WHERE rk = 1
 ),
-pairs AS (
+{bucket_ctes}pairs AS (
     SELECT a.vec_id AS a_id, b.vec_id AS b_id,
            list_sum(list_transform(range(len(a.qv)),
                i -> a.qv[i+1] * b.qv[i+1])) AS s
-    FROM asg a JOIN asg b
-      ON a.cluster_id = b.cluster_id AND b.vec_id < a.vec_id
+    FROM {pair_src} a JOIN {pair_src} b
+      ON {pair_cond} AND b.vec_id < a.vec_id
 ),
 best AS (
     SELECT a_id, b_id, s FROM (
@@ -4094,6 +4187,39 @@ FROM asg g LEFT JOIN best ON best.a_id = g.vec_id
 """
 
     o["embed_semantic_dedup"] = _fp_semdedup_sql()
+    o["embed_semantic_dedup_capped"] = _fp_semdedup_sql(max_cluster_size=20)
+
+    # the r8 production-cap twin: 120-bit wide hash = gram keyed on TWO
+    # independent md5 prefixes (gram and gram||'#w'); max_gram_df=2
+    # drops grams in MORE than 2 distinct docs before the span join
+    o["dedup_substring_capped"] = """
+WITH w AS (
+  SELECT doc_id, t.p AS pos,
+         cast(concat('0x', substr(md5(substr(text, t.p, 40)), 1, 15)) AS BIGINT) AS h1,
+         cast(concat('0x', substr(md5(substr(text, t.p, 40) || '#w'), 1, 15)) AS BIGINT) AS h2
+  FROM documents,
+       UNNEST(range(1, greatest(length(text) - 39, 0) + 1)) AS t(p)
+),
+hot AS (
+  SELECT h1, h2 FROM w GROUP BY h1, h2
+  HAVING count(DISTINCT doc_id) >= 2 AND count(DISTINCT doc_id) <= 2
+),
+d AS (SELECT doc_id, pos FROM w JOIN hot USING (h1, h2)),
+flg AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 40
+              THEN 1 ELSE 0 END AS nf
+  FROM d
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(nf) OVER (PARTITION BY doc_id ORDER BY pos) AS i
+  FROM flg
+)
+SELECT doc_id, min(pos) AS span_start, max(pos) + 39 AS span_end,
+       count(*) AS n_windows
+FROM isl GROUP BY doc_id, i
+"""
 
     # replays dedup.duplicated_spans: same 60-bit md5-prefix gram hash
     # (the engines' md5 agree byte-for-byte), same >= min_docs distinct
@@ -5391,6 +5517,13 @@ WHERE roll_std IS NOT NULL AND abs(value - roll_mean) > 2.0 * roll_std
         "SELECT unnest(string_split(text, ' ')) AS token FROM documents",
         "token",
         phi=0.005,
+    )
+    o["stream_heavy_hitters"] = FQ.heavy_hitters_oracle_sql(
+        "SELECT event_type, CAST(user_id AS VARCHAR) AS user_id FROM events"
+        " WHERE user_id IS NOT NULL",
+        "user_id",
+        phi=0.005,
+        group_col="event_type",
     )
     o["freq_top_users"] = FQ.top_k_frequent_oracle_sql(
         "SELECT user_id FROM events", "user_id", k=20

@@ -1521,11 +1521,17 @@ def semantic_dedup_fixedpoint(
                 F.count(F.lit(1)) / F.lit(max_cluster_size)
             ).cast("int").alias("__nsub")
         )
+        # portable md5-prefix hash (not xxhash64): the sub-bucket choice
+        # is part of the OUTPUT (which pairs form), and this keeps the
+        # capped mode bit-reproducible in any engine with md5 — the
+        # same portability stance as every sketch in functions/
+        from multi_sensor_data_pipeline_for_robotics__spark.functions.sketch import (
+            kmv_hash,
+        )
+
         asg = asg.join(F.broadcast(sizes), "cluster_id").withColumn(
             "__sub",
-            F.pmod(F.abs(F.xxhash64(F.col("__id"))), F.col("__nsub")).cast(
-                "int"
-            ),
+            F.pmod(kmv_hash(F.col("__id")), F.col("__nsub")).cast("int"),
         ).drop("__nsub")
         pair_keys = ["cluster_id", "__sub"]
     a = asg.select(

@@ -653,3 +653,89 @@ def drift_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HH_OUTPUT_SCHEMA = (
+    "key string, batch_seq long, value string, cnt long, freq double"
+)
+HH_STATE_SCHEMA = "vals array<string>, cnts array<long>, seq long"
+
+
+def _make_hh_fn(phi: float, round_to: int):
+    def _hh_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        d: dict[str, int] = {}
+        seq = 0
+        if state.exists:
+            vs, cs, seq = state.get
+            d = {v: int(c) for v, c in zip(vs, cs)}
+        for pdf in pdfs:
+            for v in pdf["value"]:
+                if v is None or pd.isna(v):
+                    continue  # batch parity: heavy_hitters drops nulls
+                s = str(v)
+                d[s] = d.get(s, 0) + 1
+        seq += 1
+        items = sorted(d.items())
+        state.update(
+            ([v for v, _ in items], [int(c) for _, c in items], int(seq))
+        )
+        n = sum(d.values())
+        hh = [(v, c) for v, c in items if n and c >= n * phi]
+        freqs = _round_half_up([c / n for _, c in hh], round_to) if hh else []
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(hh),
+                "batch_seq": [seq] * len(hh),
+                "value": [v for v, _ in hh],
+                "cnt": [int(c) for _, c in hh],
+                "freq": [float(f) for f in freqs],
+            }
+        )
+
+    return _hh_fn
+
+
+def heavy_hitters_stream(
+    stream: DataFrame,
+    value_col: str,
+    key_col: str,
+    phi: float = 0.01,
+    round_to: int = 6,
+) -> DataFrame:
+    """Streaming twin of ``functions.freq.heavy_hitters(group_col=...)``
+    — the readout the r7 freq family lacked: per key the state is the
+    EXACT (value -> count) table, and each micro-batch re-emits every
+    value currently at or above ``phi`` of the key's non-null rows,
+    stamped with a monotone ``batch_seq``. Counts merge additively and
+    order-insensitively, so after the last micro-batch the emitted
+    rows per key are bit-identical to batch ``heavy_hitters`` over the
+    same rows (same threshold compare, same HALF_UP-rounded freq) —
+    hash-graded against the same DuckDB twin as the batch operator.
+
+    State shape: O(distinct values per key) — EXACT, like the batch
+    groupBy, and honest about it. The classical bounded-memory
+    alternatives (Misra-Gries / Space-Saving) keep O(1/phi) state but
+    their summaries are arrival-order-dependent (no batch equivalence,
+    no hash-grading) and only approximate counts; use the
+    ``cms_stream`` state (O(depth x width) forever) plus known probes
+    when the value domain is unbounded and exactness can be traded.
+    At-least-once delivery replays inflate counts (not idempotent,
+    unlike ``kmv_stream``'s set state) — dedup upstream.
+    """
+    from pyspark.sql import functions as F
+
+    keyed = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("string").alias("value"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _make_hh_fn(phi, round_to),
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -303,3 +303,57 @@ def test_top_k_grouped_two_phase_matches_single_window(spark):
             ).collect()
         }
         assert again == want
+
+
+def test_heavy_hitters_stream_matches_batch_and_drops_stale(spark, tmp_path):
+    """Two micro-batches: the LAST batch's emission per key must equal
+    batch heavy_hitters over the union — including a value that was
+    heavy after batch 1 but fell below phi once batch 2 grew n (the
+    stale-row trap the graded query's max-batch_seq filter guards)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.stateful import (
+        heavy_hitters_stream,
+    )
+
+    # batch 1: 'x' 5/10 rows (heavy at phi=0.3); batch 2 adds 40 rows
+    # of other values -> x is 5/50 = 0.1, below phi
+    b1 = [("g", "x")] * 5 + [("g", "y")] * 5
+    b2 = [("g", f"z{i % 2}") for i in range(40)]
+    src = str(tmp_path / "hh_src")
+    spark.createDataFrame(b1, "k string, v string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(b2, "k string, v string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("k string, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = heavy_hitters_stream(stream, "v", "k", phi=0.3)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("hh_test")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    emitted = spark.table("hh_test").collect()
+    assert max(r["batch_seq"] for r in emitted) == 2
+    # batch 1 emitted x and y as heavy; they must NOT be in batch 2's set
+    seq1 = {r["value"] for r in emitted if r["batch_seq"] == 1}
+    assert seq1 == {"x", "y"}
+    final = {
+        r["value"]: (r["cnt"], r["freq"])
+        for r in emitted
+        if r["batch_seq"] == 2
+    }
+    union = spark.createDataFrame(b1 + b2, "k string, v string")
+    want = {
+        r["v"]: (r["cnt"], r["freq"])
+        for r in FR.heavy_hitters(
+            union, "v", phi=0.3, group_col="k"
+        ).collect()
+    }
+    assert final == want == {"z0": (20, 0.4), "z1": (20, 0.4)}
