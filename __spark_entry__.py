@@ -1941,6 +1941,28 @@ def _q_kmv_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_analyze_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANALYZE (new in r8): per-partition mergeable stats
+    sketches (additive counters + extrema + the bottom-k KMV hash
+    array) built on three disjoint shards of orders, merged, and read
+    out — graded against the SAME DuckDB oracle as the direct
+    analyze_table over the full table, proving the merge law
+    (stats(merge(per-part sketches)) == stats(union)) end-to-end in a
+    cross-engine hash compare. This is the nightly-stats shape at
+    100 TB: new partitions contribute tiny sketch rows; history is
+    never rescanned."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans import stats as ST
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    ords = load_table(spark, sf_dir, "orders")
+    parts = [
+        ords.filter(F.pmod(F.col("o_orderkey"), F.lit(3)) == i)
+        for i in range(3)
+    ]
+    sks = [ST.analyze_sketch(p, cols) for p in parts]
+    return ST.stats_from_sketches(ST.merge_analyze_sketches(sks))
+
+
 def _q_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style per-column stats (new in r6; r8 adds typed
     numeric min/max/mean): row/null counts, string-form min/max, typed
@@ -2661,6 +2683,41 @@ def _q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-streaming representative #11 (new in r8): per-event-
+    type exact count state re-emitting the current top-5 users each
+    micro-batch; the LAST batch per key is bit-identical to batch
+    ``freq.top_k_frequent(group_col=...)`` over the same file (note
+    the stream casts user_id to STRING, so ties and the value-asc law
+    order as varchar — the DuckDB twin casts before ranking)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.stateful import (
+        top_k_frequent_stream,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.sync_stream import (
+        read_events_stream,
+        run_to_memory,
+    )
+    from pyspark.sql import Window as W
+
+    stream = read_events_stream(spark, sf_dir)
+    sm = top_k_frequent_stream(
+        stream, value_col="user_id", key_col="event_type", k=5
+    )
+    run_to_memory(sm, "stream_topk_tbl", output_mode="append")
+    wk = W.partitionBy("key")
+    return (
+        spark.table("stream_topk_tbl")
+        .withColumn("__mx", F.max("batch_seq").over(wk))
+        .filter(F.col("batch_seq") == F.col("__mx"))
+        .select(
+            F.col("key").alias("event_type"),
+            F.col("value").alias("user_id"),
+            "cnt",
+            "rank",
+        )
+    )
+
+
 def _q_feat_scale_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature scaling (new in r7): z-score of event values from a
     1-row broadcast param frame — fit and transform in one plan, no
@@ -2958,6 +3015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_capped": _q_dedup_substring_capped,
         "embed_semantic_dedup_capped": _q_embed_semantic_dedup_capped,
         "stream_heavy_hitters": _q_stream_heavy_hitters,
+        "stream_top_k": _q_stream_top_k,
+        "analyze_incremental_stats": _q_analyze_incremental,
     }
 
 
@@ -4335,6 +4394,13 @@ FROM documents d LEFT JOIN cleaned c USING (doc_id)
         ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
         numeric_cols=["o_orderkey", "o_custkey"],
     )
+    # the incremental path grades against the SAME full-table oracle:
+    # the merge law is the thing under test
+    o["analyze_incremental_stats"] = _ST.analyze_oracle_sql(
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+        numeric_cols=["o_orderkey", "o_custkey"],
+    )
 
     o["dedup_exact"] = """
 SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS n_copies
@@ -5525,6 +5591,20 @@ WHERE roll_std IS NOT NULL AND abs(value - roll_mean) > 2.0 * roll_std
         phi=0.005,
         group_col="event_type",
     )
+    o["stream_top_k"] = """
+WITH counts AS (
+    SELECT event_type, CAST(user_id AS VARCHAR) AS user_id, count(*) AS cnt
+    FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+),
+ranked AS (
+    SELECT event_type, user_id, cnt,
+           CAST(row_number() OVER (
+               PARTITION BY event_type ORDER BY cnt DESC, user_id ASC
+           ) AS INT) AS rank
+    FROM counts
+)
+SELECT event_type, user_id, cnt, rank FROM ranked WHERE rank <= 5
+"""
     o["freq_top_users"] = FQ.top_k_frequent_oracle_sql(
         "SELECT user_id FROM events", "user_id", k=20
     )

@@ -39,23 +39,10 @@ from multi_sensor_data_pipeline_for_robotics__spark.functions.sketch import (
 )
 
 
-def analyze_table(
-    df: DataFrame,
-    columns: list[str] | None = None,
-    k: int = 256,
-    round_to: int = 4,
-    salt_buckets: int = 64,
-) -> DataFrame:
-    """Per-column statistics in two scans of a narrow projection.
-
-    Output: (column, n_rows, n_null, approx_ndv double, min_value,
-    max_value, num_min, num_max, num_mean) — min/max as the value's
-    string form (null-safe, every type), num_* as doubles for numeric
-    columns (NULL otherwise; mean rounded to ``round_to`` for
-    cross-engine hashability; integers above 2^53 lose low bits to the
-    double cast — the usual stats-table caveat), approx_ndv exact
-    below k.
-    """
+def _narrow_stream(df: DataFrame, columns: list[str] | None) -> DataFrame:
+    """The exploded (column, value-string, value-double) stream both
+    ANALYZE forms aggregate: C small rows per input row, numeric
+    columns carrying a typed double twin (NULL otherwise)."""
     from pyspark.sql import types as T
 
     cols = columns or df.columns
@@ -76,7 +63,27 @@ def analyze_table(
             ]
         )
     ).alias("p")
-    narrow = df.select(pairs).select("p.column", "p.v", "p.vn")
+    return df.select(pairs).select("p.column", "p.v", "p.vn")
+
+
+def analyze_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    k: int = 256,
+    round_to: int = 4,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Per-column statistics in two scans of a narrow projection.
+
+    Output: (column, n_rows, n_null, approx_ndv double, min_value,
+    max_value, num_min, num_max, num_mean) — min/max as the value's
+    string form (null-safe, every type), num_* as doubles for numeric
+    columns (NULL otherwise; mean rounded to ``round_to`` for
+    cross-engine hashability; integers above 2^53 lose low bits to the
+    double cast — the usual stats-table caveat), approx_ndv exact
+    below k.
+    """
+    narrow = _narrow_stream(df, columns)
 
     base = narrow.groupBy("column").agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -167,6 +174,123 @@ SELECT b.col AS "column", b.n_rows, b.n_null,
        b.min_value, b.max_value, b.num_min, b.num_max, b.num_mean
 FROM base b LEFT JOIN ndv n ON b.col = n.col
 """
+
+
+def analyze_sketch(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    k: int = 256,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """The STORED, MERGEABLE form of :func:`analyze_table` — what a
+    nightly 100 TB stats job computes PER PARTITION (day, file batch,
+    table shard) and keeps, so table-level stats come from merging
+    tiny sketch rows instead of rescanning history.
+
+    One row per column: additive counters (n_rows, n_null, num_sum,
+    num_cnt), extrema (min/max string form, typed num_min/num_max) and
+    the bottom-k KMV hash ARRAY (the distinct-count sketch itself, <= k
+    longs). Every field merges losslessly (:func:`merge_analyze_sketches`):
+    counters add, extrema take min/max, and the union's bottom-k equals
+    the bottom-k of unioned bottom-k's — the KMV merge law — so
+    ``stats_from_sketches(merge(per-partition sketches))`` is
+    bit-identical to ``analyze_table`` over the union (num_mean
+    included: it is derived from the unrounded sum/count at readout).
+
+    Scale shape: identical to analyze_table's (one exploded narrow
+    stream, map-side-combinable aggs, salted bottom-k) — the sketch
+    adds only a collect_list over <= k already-reduced hashes per
+    column."""
+    narrow = _narrow_stream(df, columns)
+    base = narrow.groupBy("column").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null"),
+        F.min("v").alias("min_value"),
+        F.max("v").alias("max_value"),
+        F.min("vn").alias("num_min"),
+        F.max("vn").alias("num_max"),
+        F.sum("vn").alias("num_sum"),
+        F.count("vn").alias("num_cnt"),
+    )
+    d = (
+        narrow.filter(F.col("v").isNotNull())
+        .select("column", kmv_hash(F.col("v")).alias("h"))
+        .distinct()
+    )
+    mins = grouped_bottom_k(d, ["column"], k, salt_buckets)
+    hs = mins.groupBy("column").agg(
+        F.sort_array(F.collect_list("h")).alias("kmv_hashes")
+    )
+    return base.join(hs, "column", "left").select(
+        "column",
+        "n_rows",
+        "n_null",
+        "min_value",
+        "max_value",
+        "num_min",
+        "num_max",
+        "num_sum",
+        "num_cnt",
+        F.coalesce("kmv_hashes", F.array().cast("array<bigint>")).alias(
+            "kmv_hashes"
+        ),
+    )
+
+
+def merge_analyze_sketches(sketches: list[DataFrame], k: int = 256) -> DataFrame:
+    """Lossless merge of stored :func:`analyze_sketch` outputs (same k
+    required): counters add, extrema min/max, hash arrays union ->
+    distinct -> bottom-k. Any subset of partitions merges to exactly
+    the sketch of their unioned rows."""
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    merged_hs = F.slice(
+        F.sort_array(F.array_distinct(F.flatten(F.collect_list("kmv_hashes")))),
+        1,
+        k,
+    )
+    return u.groupBy("column").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_null").alias("n_null"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+        F.min("num_min").alias("num_min"),
+        F.max("num_max").alias("num_max"),
+        F.sum("num_sum").alias("num_sum"),
+        F.sum("num_cnt").alias("num_cnt"),
+        merged_hs.alias("kmv_hashes"),
+    )
+
+
+def stats_from_sketches(
+    sketch: DataFrame, k: int = 256, round_to: int = 4
+) -> DataFrame:
+    """Readout: a (possibly merged) :func:`analyze_sketch` row ->
+    the exact :func:`analyze_table` output schema, same estimator,
+    same rounding — so stored-and-merged stats are hash-checkable
+    against a direct ANALYZE of the union."""
+    m = F.size("kmv_hashes")
+    hk = F.element_at("kmv_hashes", m).cast("double")
+    est = F.when(m < k, m.cast("double")).otherwise(
+        F.round((k - 1) / (hk / _DENOM), round_to)
+    )
+    return sketch.select(
+        "column",
+        "n_rows",
+        "n_null",
+        F.coalesce(
+            F.when(m > 0, est), F.lit(0.0)
+        ).alias("approx_ndv"),
+        "min_value",
+        "max_value",
+        "num_min",
+        "num_max",
+        F.when(
+            F.col("num_cnt") > 0,
+            F.round(F.col("num_sum") / F.col("num_cnt"), round_to),
+        ).alias("num_mean"),
+    )
 
 
 def scale_features(

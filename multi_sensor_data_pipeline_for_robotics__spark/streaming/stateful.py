@@ -739,3 +739,74 @@ def heavy_hitters_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TOPK_OUTPUT_SCHEMA = (
+    "key string, batch_seq long, value string, cnt long, rank int"
+)
+
+
+def _make_topk_fn(k: int):
+    def _topk_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        d: dict[str, int] = {}
+        seq = 0
+        if state.exists:
+            vs, cs, seq = state.get
+            d = {v: int(c) for v, c in zip(vs, cs)}
+        for pdf in pdfs:
+            for v in pdf["value"]:
+                if v is None or pd.isna(v):
+                    continue
+                s = str(v)
+                d[s] = d.get(s, 0) + 1
+        seq += 1
+        items = sorted(d.items())
+        state.update(
+            ([v for v, _ in items], [int(c) for _, c in items], int(seq))
+        )
+        # batch tie law: cnt desc, value asc
+        top = sorted(d.items(), key=lambda vc: (-vc[1], vc[0]))[:k]
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(top),
+                "batch_seq": [seq] * len(top),
+                "value": [v for v, _ in top],
+                "cnt": [int(c) for _, c in top],
+                "rank": [i + 1 for i in range(len(top))],
+            }
+        )
+
+    return _topk_fn
+
+
+def top_k_frequent_stream(
+    stream: DataFrame,
+    value_col: str,
+    key_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Streaming twin of ``functions.freq.top_k_frequent(group_col=
+    ...)``: the same exact per-key count state as
+    :func:`heavy_hitters_stream`, with each micro-batch re-emitting
+    the key's current top-k (cnt desc, value asc — the batch tie law),
+    so the LAST batch per key is bit-identical to the batch operator
+    over the same rows. Same state-shape caveats as
+    ``heavy_hitters_stream`` (exact O(distinct/key) state;
+    at-least-once replays inflate counts)."""
+    from pyspark.sql import functions as F
+
+    keyed = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("string").alias("value"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _make_topk_fn(k),
+        outputStructType=TOPK_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -292,3 +292,46 @@ def test_scale_features_zscore_and_minmax(spark):
     const = spark.createDataFrame([(1, 5.0), (2, 5.0)], "id long, value double")
     out = scale_features(const, ["value"], ["id"], "minmax").collect()
     assert all(r["value"] is None for r in out)
+
+
+def test_analyze_sketch_merge_law(spark):
+    """stats_from_sketches(merge(per-part sketches)) must equal
+    analyze_table over the union — including the saturated-KMV ndv
+    (k < ndv so the estimator actually engages), nulls, extrema and
+    the sum/count-derived mean."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.stats import (
+        analyze_sketch,
+        analyze_table,
+        merge_analyze_sketches,
+        stats_from_sketches,
+    )
+
+    df = spark.range(3000).select(
+        F.col("id").alias("a"),
+        F.when(F.col("id") % 7 != 0, (F.col("id") % 500).cast("double"))
+        .alias("b"),
+        F.concat(F.lit("s"), (F.col("id") % 40).cast("string")).alias("s"),
+    )
+    want = {
+        r["column"]: r.asDict()
+        for r in analyze_table(df, k=64).collect()
+    }
+    parts = [df.filter(F.pmod(F.col("a"), F.lit(4)) == i) for i in range(4)]
+    sks = [analyze_sketch(p, k=64) for p in parts]
+    merged = merge_analyze_sketches(sks, k=64)
+    got = {
+        r["column"]: r.asDict()
+        for r in stats_from_sketches(merged, k=64).collect()
+    }
+    assert got == want
+    # saturation sanity: 'a' has 3000 distinct > k=64 -> estimate path
+    assert want["a"]["approx_ndv"] not in (3000.0,)
+    # empty-partition robustness: merging in an empty shard is a no-op
+    empty = analyze_sketch(df.filter(F.lit(False)), k=64)
+    got2 = {
+        r["column"]: r.asDict()
+        for r in stats_from_sketches(
+            merge_analyze_sketches(sks + [empty], k=64), k=64
+        ).collect()
+    }
+    assert got2 == want
