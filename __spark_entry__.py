@@ -1022,6 +1022,20 @@ def _q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (new in r8): connected
+    components over the 3-gram Jaccard near-dup graph, then the
+    deterministic sha256 bucket split applied to the COMPONENT id — so
+    a test doc can never have a near-copy in train. The DuckDB twin
+    replays the pair graph, a recursive-CTE CC, and the same bucket
+    arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=None)
+    return D.leakage_safe_split(
+        docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
 def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=None)
@@ -3017,6 +3031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_heavy_hitters": _q_stream_heavy_hitters,
         "stream_top_k": _q_stream_top_k,
         "analyze_incremental_stats": _q_analyze_incremental,
+        "leakage_safe_split": _q_leakage_safe_split,
     }
 
 
@@ -4603,6 +4618,25 @@ SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
 """
     # same graph, same answer, different engine-side algorithm
     o["dedup_components_star"] = o["dedup_components"]
+    # r8: same component law + the hash_split bucket arithmetic on the
+    # component id (cumulative edges 8000/9000/10000 of 10000)
+    _cc_body = o["dedup_components"].rsplit("SELECT id AS doc_id", 1)[0]
+    o["leakage_safe_split"] = _cc_body.rstrip().rstrip(")").rstrip() + """),
+comp AS (
+    SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+),
+bkt AS (
+    SELECT doc_id, component,
+           CAST(('0x' || substr(sha256(CAST(component AS VARCHAR)), 1, 7))
+                AS BIGINT) % 10000 AS b
+    FROM comp
+)
+SELECT doc_id, component,
+       CASE WHEN b < 8000 THEN 'train'
+            WHEN b < 9000 THEN 'val'
+            WHEN b < 10000 THEN 'test' END AS split
+FROM bkt
+"""
 
     o["text_chunks"] = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

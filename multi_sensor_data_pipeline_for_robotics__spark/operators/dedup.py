@@ -1198,3 +1198,56 @@ def remove_duplicated_spans(
             .alias("chars_cut"),
         )
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    split_col: str = "split",
+    n_buckets: int = 10_000,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Train/val/test assignment with a NO-LEAKAGE guarantee across
+    near-duplicate links: rows that ``pairs`` connects (directly or
+    transitively) always land in the SAME split, so a test document
+    can never have a near-copy in train — the contamination mode a
+    plain per-row hash split silently permits [Lee et al., ACL 2022
+    measure it; the fix is splitting by duplicate CLUSTER].
+
+    Composition: :func:`connected_components` over the pair graph
+    (component = min linked id), then the deterministic cumulative
+    hash-bucket split of ``functions.sampling.hash_split`` applied to
+    the COMPONENT id — a pure function of the cluster, stable under
+    rerun, engine, partitioning and corpus growth that doesn't touch a
+    cluster. Rows past the last cumulative edge are dropped (weights
+    summing to 1 keep everything), exactly like hash_split.
+
+    Output: (id_col, component, split string). Scale shape: CC's
+    log-diameter join rounds dominate; the split itself adds one
+    sha256 projection — no extra shuffle.
+    """
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        hash_bucket,
+    )
+
+    total = sum(weights.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split weights sum to {total} > 1")
+    comp = connected_components(
+        pairs, nodes=docs, id_a=id_a, id_b=id_b, node_id=id_col,
+        max_iter=max_iter,
+    )
+    b = hash_bucket(F.col("component"), n_buckets)
+    expr = None
+    edge = 0
+    for name, w in weights.items():
+        edge += int(w * n_buckets)
+        expr = F.when(b < edge, name) if expr is None else expr.when(
+            b < edge, name
+        )
+    out = comp.select(id_col, "component", expr.alias(split_col))
+    return out.filter(F.col(split_col).isNotNull())

@@ -1192,3 +1192,40 @@ def test_substring_dedup_wide_hash_same_results(spark):
         ).collect()
     }
     assert cleaned == {1: "A" * 25 + passage, 2: "C" * 40, 3: "short"}
+
+
+def test_leakage_safe_split_colocates_linked_docs(spark):
+    """Every pair-linked (transitively) doc set lands in ONE split;
+    proportions follow weights; assignment is partition-independent."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.dedup import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    # chains {0,1,2}, {10,11}, and a 4-cluster {20,21,22,23}
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long",
+    )
+    out = leakage_safe_split(
+        docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).collect()
+    assert len(out) == 300  # weights sum to 1 -> nothing dropped
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    comp_of = {r["doc_id"]: r["component"] for r in out}
+    for grp in ([0, 1, 2], [10, 11], [20, 21, 22, 23]):
+        assert len({split_of[d] for d in grp}) == 1, grp
+        assert len({comp_of[d] for d in grp}) == 1, grp
+        assert comp_of[grp[0]] == min(grp)
+    from collections import Counter
+    c = Counter(split_of.values())
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+    # partition-count independence
+    again = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(
+            docs.repartition(7), pairs.repartition(3),
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+        ).collect()
+    }
+    assert again == split_of
