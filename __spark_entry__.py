@@ -1955,6 +1955,45 @@ def _q_kmv_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (new in r8): diff orders against a
+    deterministically mutated rebuild of itself — removals (keys %13),
+    status rewrites (%7), price bumps (%11) and additions (%17, key-
+    shifted) — one full outer hash join on the key, per-row null-safe
+    column compare, changed column NAMES in the output. The audit a
+    warehouse runs before publishing a backfill (operators/quality.py)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.quality import (
+        table_diff,
+    )
+
+    ords = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    new = (
+        ords.filter(F.pmod(k, F.lit(13)) != 0)
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.pmod(k, F.lit(7)) == 0, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.pmod(k, F.lit(11)) == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            ords.filter(F.pmod(k, F.lit(17)) == 0).withColumn(
+                "o_orderkey", k + F.lit(100000000)
+            )
+        )
+    )
+    return table_diff(
+        ords, new, ["o_orderkey"],
+        compare_cols=["o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )
+
+
 def _q_analyze_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ANALYZE (new in r8): per-partition mergeable stats
     sketches (additive counters + extrema + the bottom-k KMV hash
@@ -3032,6 +3071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_top_k": _q_stream_top_k,
         "analyze_incremental_stats": _q_analyze_incremental,
         "leakage_safe_split": _q_leakage_safe_split,
+        "q_table_diff": _q_table_diff,
     }
 
 
@@ -4404,6 +4444,43 @@ FROM documents d LEFT JOIN cleaned c USING (doc_id)
 
     from multi_sensor_data_pipeline_for_robotics__spark.plans import stats as _ST
 
+    o["q_table_diff"] = """
+WITH oldt AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders
+),
+newt AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 13 != 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 17 = 0
+),
+j AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+                OR (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+                THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         concat_ws(',',
+           CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                THEN 'o_orderstatus' END,
+           CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                THEN 'o_totalprice' END,
+           CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                THEN 'o_orderpriority' END) AS cc
+  FROM oldt o FULL OUTER JOIN newt n USING (o_orderkey)
+)
+SELECT o_orderkey, status,
+       CASE WHEN status = 'changed' THEN cc ELSE '' END AS changed_cols
+FROM j WHERE status != 'unchanged'
+"""
     o["analyze_table_stats"] = _ST.analyze_oracle_sql(
         "orders",
         ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],

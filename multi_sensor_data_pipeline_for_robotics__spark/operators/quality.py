@@ -159,3 +159,79 @@ def check_foreign_keys(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Row-level reconciliation between two snapshots of a keyed table
+    — the audit a warehouse runs before publishing a rebuilt /
+    migrated / backfilled table: what was added, what vanished, what
+    changed and IN WHICH COLUMNS.
+
+    Output, one row per key present in either side: (*key_cols, status
+    'added'|'removed'|'changed'[|'unchanged'], changed_cols — a
+    comma-joined string of differing column names, '' unless changed).
+    Comparison is null-safe per column (NULL == NULL); keys must be
+    unique per side (it is a snapshot diff, not a bag diff — feed
+    ``check_quality``'s uniqueness rule first when unsure).
+
+    Scale shape: ONE full outer hash join on the key columns (both
+    sides shuffle-partitioned by the same key, or co-located for free
+    when both snapshots are bucketed on it) + a per-row column
+    compare; output prunes to changed rows unless
+    ``include_unchanged``. changed_cols is a string, not an array, so
+    results stay sortable/hashable by any downstream engine.
+    """
+    cmp_cols = compare_cols or [
+        c for c in old.columns if c in set(new.columns) and c not in key_cols
+    ]
+    o = old.select(
+        *[F.col(c).alias(f"__ko_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__o_{c}") for c in cmp_cols],
+        F.lit(1).alias("__in_o"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"__kn_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__n_{c}") for c in cmp_cols],
+        F.lit(1).alias("__in_n"),
+    )
+    cond = None
+    for c in key_cols:
+        eq = F.col(f"__ko_{c}") == F.col(f"__kn_{c}")
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, cond, "full_outer")
+    diffs = [
+        (c, ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")))
+        for c in cmp_cols
+    ]
+    any_diff = None
+    for _, d in diffs:
+        any_diff = d if any_diff is None else (any_diff | d)
+    status = (
+        F.when(F.col("__in_o").isNull(), F.lit("added"))
+        .when(F.col("__in_n").isNull(), F.lit("removed"))
+        .when(any_diff if any_diff is not None else F.lit(False), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    changed = F.concat_ws(
+        ",",
+        *[F.when(d, F.lit(c)) for c, d in diffs],
+    ) if diffs else F.lit("")
+    out = j.select(
+        *[
+            F.coalesce(F.col(f"__ko_{c}"), F.col(f"__kn_{c}")).alias(c)
+            for c in key_cols
+        ],
+        status.alias("status"),
+        F.when(status == "changed", changed).otherwise(F.lit("")).alias(
+            "changed_cols"
+        ),
+    )
+    if include_unchanged:
+        return out
+    return out.filter(F.col("status") != "unchanged")

@@ -113,3 +113,33 @@ def test_check_foreign_keys_empty_child_is_all_zero(spark):
     assert (row["n_child"], row["n_null_key"], row["n_orphans"], row["ok"]) == (
         0, 0, 0, True,
     )
+
+
+def test_table_diff_statuses_and_changed_cols(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.quality import (
+        table_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, "d", 4.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0),        # unchanged
+         (2, "b2", None),      # s changed; v NULL==NULL -> not flagged
+         (3, "c", None),       # v 3.0 -> NULL flagged (null-safe)
+         (5, "e", 5.0)],       # added; 4 removed
+        "k long, s string, v double",
+    )
+    got = {
+        r["k"]: (r["status"], r["changed_cols"])
+        for r in table_diff(old, new, ["k"]).collect()
+    }
+    assert got == {
+        2: ("changed", "s"),
+        3: ("changed", "v"),
+        4: ("removed", ""),
+        5: ("added", ""),
+    }
+    full = table_diff(old, new, ["k"], include_unchanged=True).collect()
+    assert {r["k"]: r["status"] for r in full}[1] == "unchanged"
