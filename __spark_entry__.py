@@ -1924,6 +1924,24 @@ def _q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "z_key")
 
 
+def _q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert clustering key (new in r8): the locality-preserving
+    complement of `zorder_cluster_key` — same quantizer, same bounds,
+    but the per-bit rotate/reflect state machine instead of bit
+    interleave, so consecutive keys are always GRID NEIGHBORS (no
+    Z-diagonal jumps; fewer row groups touched per range predicate).
+    Exact integer arithmetic, hash-checked against a chained-CTE
+    DuckDB replay of the same levels."""
+    from multi_sensor_data_pipeline_for_robotics__spark.functions import (
+        hilbert as HB,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return HB.hilbert_layout(
+        ev.select("event_id", "user_id", "value"), _ZORDER_BOUNDS, bits=12
+    ).select("event_id", "h_key")
+
+
 def _q_bloom_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter semi-join reduction (new in r6): lineitem rows
     pre-filtered by an md5-position bloom bitmap built from URGENT
@@ -3072,6 +3090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analyze_incremental_stats": _q_analyze_incremental,
         "leakage_safe_split": _q_leakage_safe_split,
         "q_table_diff": _q_table_diff,
+        "hilbert_cluster_key": _q_hilbert_key,
     }
 
 
@@ -4425,6 +4444,16 @@ FROM documents d LEFT JOIN cleaned c USING (doc_id)
         "SELECT event_id, "
         + _ZO.zorder_oracle_expr(_ZORDER_BOUNDS, bits=12)
         + " AS z_key FROM events"
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.functions import (
+        hilbert as _HB,
+    )
+
+    o["hilbert_cluster_key"] = _HB.hilbert_oracle_sql(
+        "SELECT event_id, user_id, value FROM events",
+        _ZORDER_BOUNDS,
+        ["event_id"],
+        bits=12,
     )
     o["bloom_join_reduce"] = (
         "SELECT l_orderkey, l_linenumber, l_quantity FROM ("
