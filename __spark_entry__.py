@@ -2889,6 +2889,96 @@ def _q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source", "n_chars")
 
 
+def _q_sample_group_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group deterministic uniform sample (new in r8): 20 documents
+    per language by tagged-sha256 bottom-k — selection a pure function
+    of doc_id (rerun/partitioning/engine stable), ranked via the
+    two-phase salted scheme so no language's full corpus ever sorts in
+    one task (functions/sampling.py:group_sample_k)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        group_sample_k,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return group_sample_k(
+        docs.select("doc_id", "lang", "source", "n_chars"), "doc_id", "lang", 20
+    )
+
+
+def _q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture (new in r8): resample `documents` to
+    shares ∝ n_lang^0.5 — the multilingual upsampling scheme, with the
+    share table derived in-plan from one tiny count aggregate and every
+    keep decision a pure function of doc_id
+    (functions/sampling.py:temperature_resample)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        temperature_resample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_resample(
+        docs.select("doc_id", "lang", "n_chars"), "doc_id", "lang", alpha=0.5
+    )
+
+
+def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-scattered join (new in r8): orders ⋈ customer on custkey
+    with each customer row replicated 4× and order rows scattered by a
+    pure hash of o_orderkey — the hot-key join strategy for dimensions
+    too big to broadcast. Result provably identical to the plain join
+    (the oracle IS the plain join), which is exactly what the grade
+    should check (functions/skew.py:salted_join)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.skew import (
+        salted_join,
+    )
+
+    fact = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    j = salted_join(fact, dim, "custkey", n_salts=4, salt_from="o_orderkey")
+    return j.select(
+        "custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice").cast("double"), 2).alias("totalprice"),
+        "c_mktsegment",
+    )
+
+
+def _q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (new in r8): lineitem stats per
+    returnflag with every group pre-split over 16 salt subgroups —
+    the groupBy shape that survives a key hot enough to flood one
+    reducer. Decimal inputs keep the sums exact, so the combined
+    values match the direct DuckDB aggregation bit-for-bit
+    (functions/skew.py:salted_aggregate)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.skew import (
+        salted_aggregate,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {
+            "n": ("count", "*"),
+            "sum_qty": ("sum", "l_quantity"),
+            "min_price": ("min", "l_extendedprice"),
+            "max_price": ("max", "l_extendedprice"),
+        },
+        salt_from="l_orderkey",
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(F.col("sum_qty").cast("double"), 2).alias("sum_qty"),
+        F.round(F.col("min_price").cast("double"), 2).alias("min_price"),
+        F.round(F.col("max_price").cast("double"), 2).alias("max_price"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator.
 
@@ -3091,6 +3181,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": _q_leakage_safe_split,
         "q_table_diff": _q_table_diff,
         "hilbert_cluster_key": _q_hilbert_key,
+        "sample_group_k": _q_sample_group_k,
+        "sample_temperature": _q_sample_temperature,
+        "q_salted_join": _q_salted_join,
+        "q_salted_agg": _q_salted_agg,
     }
 
 
@@ -5856,6 +5950,35 @@ SELECT '{name}' AS relationship,
     o["q_key_skew"] = key_skew_oracle_sql(
         "SELECT user_id FROM events", "user_id"
     )
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        group_sample_oracle_sql,
+        temperature_oracle_sql,
+    )
+
+    o["sample_group_k"] = group_sample_oracle_sql(
+        "SELECT doc_id, lang, source, n_chars FROM documents",
+        "doc_id",
+        "lang",
+        20,
+    )
+    o["sample_temperature"] = temperature_oracle_sql(
+        "SELECT doc_id, lang, n_chars FROM documents", "doc_id", "lang", 0.5
+    )
+    # the salted join/agg grades check strategy-invariance: the oracle
+    # is the PLAIN join / direct aggregation the salted plan must equal
+    o["q_salted_join"] = """
+SELECT o.o_custkey AS custkey, o.o_orderkey,
+       round(CAST(o.o_totalprice AS DOUBLE), 2) AS totalprice,
+       c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+    o["q_salted_agg"] = """
+SELECT l_returnflag, count(*) AS n,
+       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(min(l_extendedprice) AS DOUBLE), 2) AS min_price,
+       round(CAST(max(l_extendedprice) AS DOUBLE), 2) AS max_price
+FROM lineitem GROUP BY l_returnflag
+"""
     return o
 
 

@@ -115,16 +115,21 @@ def weighted_sample_topk(
     partitioning, or rerun — the temperature-weighted corpus-mixing
     primitive (weight = quality score, upweight rare domains, ...).
 
-    Selection uses ``orderBy().limit(k)`` (TakeOrderedAndProject /
-    per-group ranking window) — no full sort of corpus data. Weights
-    must be > 0; ties in the order key are broken by the hash itself
+    Selection uses ``orderBy().limit(k)`` globally (TakeOrderedAndProject
+    — no full sort of corpus data) and, per group, the lossless
+    two-phase salted ranking (rank within (group, key-hash salt) first,
+    then re-rank the ≤ k·S survivors — every global top-k priority is
+    its salt bucket's top-k, so no group's full row set ever funnels
+    through one task; same law as ``grouped_bottom_k``). Weights must
+    be > 0; ties in the order key are broken by the hash itself
     (measure-zero for distinct keys).
     """
     from pyspark.sql import Window as W
 
-    h = F.conv(
+    hraw = F.conv(
         F.substring(F.sha2(F.col(key).cast("string"), 256), 1, 13), 16, 10
-    ).cast("double")
+    ).cast("long")
+    h = hraw.cast("double")
     # u in (0, 1]: (h+1) / 16^13 — never 0, so ln(u) is finite
     u = (h + F.lit(1.0)) / F.lit(float(16 ** 13))
     order_key = F.log(u) / F.col(weight_col).cast("double")
@@ -138,10 +143,17 @@ def weighted_sample_topk(
             .drop("__aes")
         )
         return out
-    w = W.partitionBy(group_col).orderBy(F.col("__aes").desc())
+    salt_buckets = 64
+    salted = df.select("*", ok, F.pmod(hraw, F.lit(salt_buckets)).alias("__gs"))
+    w1 = W.partitionBy(group_col, "__gs").orderBy(F.col("__aes").desc())
+    local = (
+        salted.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__gs", "__rn")
+    )
+    w2 = W.partitionBy(group_col).orderBy(F.col("__aes").desc())
     return (
-        df.select("*", ok)
-        .withColumn("__rn", F.row_number().over(w))
+        local.withColumn("__rn", F.row_number().over(w2))
         .filter(F.col("__rn") <= k)
         .drop("__aes", "__rn")
     )
@@ -273,6 +285,180 @@ def mixture_resample(
         .filter(b < F.col("__thr"))
         .drop("__src", "__thr")
     )
+
+
+def group_sample_k(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    k: int,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic UNIFORM sample of (up to) ``k`` rows per group —
+    "give me 1000 example documents per language" without a driver
+    loop, without ``sample()``'s partitioning-dependence, and without
+    sorting any group in a single task.
+
+    Each row gets a 52-bit sha256 hash of its key (tagged, so the draw
+    is independent of other hash uses of the same key); the k smallest
+    hashes per group win. Selection is a pure function of the keys:
+    any engine, cluster layout, or rerun picks the same rows, and a
+    grown corpus only ever swaps rows in/out by hash order (stable
+    pagination for review tooling).
+
+    Scale shape: the two-phase salted ranking of ``grouped_bottom_k``
+    — rank within (group, hash % S), keep ≤ k, re-rank the ≤ k·S
+    survivors per group. Lossless (every global bottom-k hash is its
+    salt bucket's bottom-k), so a billion-row group never funnels
+    through one reducer. Ties (52-bit collisions) break on the key
+    itself, keeping the order total and the result engine-portable.
+    """
+    h = F.conv(
+        F.substring(
+            F.sha2(F.concat(F.col(key).cast("string"), F.lit("#gsample")), 256),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    salted = df.select(
+        "*", h.alias("__h"), F.pmod(h, F.lit(salt_buckets)).alias("__gs")
+    )
+    from pyspark.sql import Window as W
+
+    w1 = W.partitionBy(group_col, "__gs").orderBy("__h", key)
+    local = (
+        salted.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__gs", "__rn")
+    )
+    w2 = W.partitionBy(group_col).orderBy("__h", key)
+    return (
+        local.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .drop("__h", "__rn")
+    )
+
+
+def group_sample_oracle_sql(
+    table_sql: str, key: str, group_col: str, k: int
+) -> str:
+    """DuckDB twin of :func:`group_sample_k` — same tagged sha256 hash,
+    single-window form (the salted two-phase is provably identical)."""
+    h = (
+        f"CAST(('0x' || substr(sha256(CAST({key} AS VARCHAR) || '#gsample'),"
+        f" 1, 13)) AS BIGINT)"
+    )
+    return f"""
+SELECT * EXCLUDE (__h, __rn) FROM (
+    SELECT src.*, {h} AS __h,
+           row_number() OVER (PARTITION BY {group_col}
+                              ORDER BY {h}, {key}) AS __rn
+    FROM ({table_sql}) src
+) WHERE __rn <= {k}
+"""
+
+
+def temperature_resample(
+    df: DataFrame,
+    key: str,
+    source_col: str,
+    alpha: float = 0.5,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Temperature-scaled mixture resampling: derive the target shares
+    FROM the data — share_s ∝ n_s^alpha — then take the largest
+    hash-deterministic subsample matching them (the multilingual-LM
+    upsampling scheme: alpha=1 keeps the natural mix untouched,
+    alpha=0 equalizes all sources, alpha≈0.3-0.7 boosts low-resource
+    sources without flattening the head).
+
+    Same machinery as :func:`mixture_resample` with the share table
+    computed in-plan: one tiny groupBy(source) count, share/threshold
+    arithmetic on the ≤|sources|-row side, one broadcast join back,
+    one key-hash filter. Deterministic; never an action at build time.
+
+    With t_s = n_s^alpha / Σ n^alpha the binding source fixes the total
+    at c = min_s(n_s / t_s) and each source keeps floor(c·t_s/n_s·B)/B
+    of its rows. For alpha < 1 the binding source is the SMALLEST one
+    (it keeps 100%); output size shrinks as alpha drops — equalizing a
+    skewed mix costs data, by design, rather than duplicating rows.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    cnts = df.groupBy(F.col(source_col).alias("__src")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    nd = F.col("__n").cast("double")
+    # sqrt/identity for the common alphas: IEEE-correctly-rounded in
+    # every engine, unlike pow (libm pow may differ in the last ulp
+    # across engines — harmless for sampling, but the oracle twin
+    # compares floor'd thresholds bit-for-bit)
+    if alpha == 0.5:
+        na = F.sqrt(nd)
+    elif alpha == 1.0:
+        na = nd
+    elif alpha == 0.0:
+        na = F.lit(1.0)
+    else:
+        na = F.pow(nd, F.lit(alpha))
+    pw = cnts.select("__src", "__n", na.alias("__na"))
+    tot = pw.agg(F.sum("__na").alias("__tot"))
+    j = pw.crossJoin(F.broadcast(tot)).select(
+        "__src", "__n", (F.col("__na") / F.col("__tot")).alias("__t")
+    )
+    c = j.agg(F.min(F.col("__n") / F.col("__t")).alias("__c"))
+    thr = j.crossJoin(F.broadcast(c)).select(
+        "__src",
+        F.floor(F.col("__c") * F.col("__t") / F.col("__n") * n_buckets).alias(
+            "__thr"
+        ),
+    )
+    b = hash_bucket(F.col(key), n_buckets)
+    return (
+        df.join(F.broadcast(thr), F.col(source_col) == F.col("__src"), "inner")
+        .filter(b < F.col("__thr"))
+        .drop("__src", "__thr")
+    )
+
+
+def temperature_oracle_sql(
+    table_sql: str,
+    key: str,
+    source_col: str,
+    alpha: float = 0.5,
+    n_buckets: int = N_BUCKETS,
+) -> str:
+    """DuckDB twin of :func:`temperature_resample` — identical operand
+    order in the double arithmetic so the floor'd thresholds match
+    bit-for-bit."""
+    bucket = (
+        f"(CAST(('0x' || substr(sha256(CAST({key} AS VARCHAR)), 1, 7))"
+        f" AS BIGINT) % {n_buckets})"
+    )
+    if alpha == 0.5:
+        na = "sqrt(CAST(__n AS DOUBLE))"
+    elif alpha == 1.0:
+        na = "CAST(__n AS DOUBLE)"
+    elif alpha == 0.0:
+        na = "CAST(1.0 AS DOUBLE)"
+    else:
+        na = f"pow(CAST(__n AS DOUBLE), {alpha!r})"
+    return f"""
+WITH src AS ({table_sql}),
+cnts AS (SELECT {source_col} AS __src, count(*) AS __n FROM src GROUP BY 1),
+pw AS (SELECT __src, __n, {na} AS __na FROM cnts),
+tot AS (SELECT sum(__na) AS __tot FROM pw),
+j AS (SELECT __src, __n, __na / __tot AS __t FROM pw CROSS JOIN tot),
+c AS (SELECT min(__n / __t) AS __c FROM j),
+thr AS (
+    SELECT __src, floor(__c * __t / __n * {n_buckets}) AS __thr
+    FROM j CROSS JOIN c
+)
+SELECT src.* FROM src JOIN thr ON src.{source_col} = thr.__src
+WHERE {bucket} < thr.__thr
+"""
 
 
 def mixture_oracle_sql(

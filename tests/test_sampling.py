@@ -226,3 +226,134 @@ def test_mixture_resample_missing_source_fails_loudly(spark):
     # lazy: construction succeeds, execution surfaces the missing source
     with pytest.raises(Exception, match="xx.*has no rows|has no rows.*xx"):
         plan.count()
+
+
+# ---------------------------------------------------------------------------
+# group_sample_k
+# ---------------------------------------------------------------------------
+def test_group_sample_k_size_and_determinism(spark):
+    df = spark.range(5_000).select(
+        F.col("id").alias("key"),
+        (F.col("id") % 4).cast("string").alias("grp"),
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        group_sample_k,
+    )
+
+    got = group_sample_k(df, "key", "grp", 10)
+    rows = got.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["grp"], set()).add(r["key"])
+    assert set(per) == {"0", "1", "2", "3"}
+    assert all(len(v) == 10 for v in per.values())
+    # partitioning-independent: same rows from a different layout
+    again = {
+        (r["grp"], r["key"])
+        for r in group_sample_k(df.repartition(11), "key", "grp", 10).collect()
+    }
+    assert again == {(g, k) for g, v in per.items() for k in v}
+
+
+def test_group_sample_k_small_group_returns_all(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "key long, grp string"
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        group_sample_k,
+    )
+
+    got = group_sample_k(df, "key", "grp", 10).collect()
+    assert len(got) == 3  # groups smaller than k are kept whole
+
+
+def test_group_sample_k_matches_single_window(spark):
+    # two-phase salted ranking == one global per-group ranking
+    from pyspark.sql import Window as W
+
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        group_sample_k,
+    )
+
+    df = spark.range(3_000).select(
+        F.col("id").alias("key"), (F.col("id") % 3).alias("grp")
+    )
+    h = F.conv(
+        F.substring(
+            F.sha2(F.concat(F.col("key").cast("string"), F.lit("#gsample")), 256),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = W.partitionBy("grp").orderBy(h, "key")
+    ref = {
+        (r["grp"], r["key"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 25")
+        .collect()
+    }
+    got = {
+        (r["grp"], r["key"])
+        for r in group_sample_k(df, "key", "grp", 25).collect()
+    }
+    assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# temperature_resample
+# ---------------------------------------------------------------------------
+def test_temperature_alpha1_keeps_everything(spark):
+    df = spark.range(2_000).select(
+        F.col("id").alias("key"),
+        F.when(F.col("id") % 10 < 8, "big").otherwise("small").alias("src"),
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        temperature_resample,
+    )
+
+    assert temperature_resample(df, "key", "src", alpha=1.0).count() == 2_000
+
+
+def test_temperature_alpha0_equalizes(spark):
+    # 1600 big / 400 small; alpha=0 -> equal shares -> ~400 of each
+    df = spark.range(2_000).select(
+        F.col("id").alias("key"),
+        F.when(F.col("id") % 5 < 4, "big").otherwise("small").alias("src"),
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        temperature_resample,
+    )
+
+    got = temperature_resample(df, "key", "src", alpha=0.0)
+    per = {r["src"]: r["n"] for r in got.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert per["small"] == 400  # binding source keeps 100%
+    assert 340 <= per["big"] <= 460  # hash-threshold noise around 400
+
+
+def test_temperature_midpoint_shares(spark):
+    # n = {big: 1600, small: 400}, alpha=0.5 -> shares 2:1
+    df = spark.range(2_000).select(
+        F.col("id").alias("key"),
+        F.when(F.col("id") % 5 < 4, "big").otherwise("small").alias("src"),
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        temperature_resample,
+    )
+
+    got = temperature_resample(df, "key", "src", alpha=0.5)
+    per = {r["src"]: r["n"] for r in got.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert per["small"] == 400
+    assert 700 <= per["big"] <= 900  # expected 800
+
+def test_temperature_rejects_bad_alpha(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        temperature_resample,
+    )
+
+    df = spark.range(10).select(F.col("id").alias("key"), F.lit("a").alias("src"))
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        temperature_resample(df, "key", "src", alpha=1.5)

@@ -90,3 +90,42 @@ def test_salted_join_rejects_right_outer(spark, skewed):
     dim = spark.createDataFrame([("hot", "H")], "k string, label string")
     with pytest.raises(ValueError):
         salted_join(skewed, dim, "k", how="right")
+
+
+def test_salted_join_deterministic_salt_matches_direct(spark, skewed):
+    # salt_from makes the scatter a pure function of the row: same
+    # result under any repartitioning, and still identical to direct
+    dim = spark.createDataFrame(
+        [("hot", "H")] + [(f"k{i}", f"D{i}") for i in range(50)],
+        "k string, label string",
+    )
+    src = skewed.withColumn("rid", F.monotonically_increasing_id().cast("string"))
+    direct = sorted(
+        map(tuple, src.join(dim, "k", "left").collect()), key=str
+    )
+    got = sorted(
+        map(
+            tuple,
+            salted_join(
+                src, dim, "k", n_salts=4, how="left", salt_from="rid"
+            ).collect(),
+        ),
+        key=str,
+    )
+    assert got == direct
+
+
+def test_salted_aggregate_deterministic_salt(spark, skewed):
+    src = skewed.withColumn("rid", F.concat(F.col("k"), F.col("v")))
+    a = salted_aggregate(
+        src, ["k"], {"n": ("count", "*"), "s": ("sum", "v")}, salt_from="rid"
+    )
+    b = salted_aggregate(
+        src.repartition(13),
+        ["k"],
+        {"n": ("count", "*"), "s": ("sum", "v")},
+        salt_from="rid",
+    )
+    da = {r["k"]: (r["n"], round(r["s"], 6)) for r in a.collect()}
+    db = {r["k"]: (r["n"], round(r["s"], 6)) for r in b.collect()}
+    assert da == db
