@@ -2979,6 +2979,57 @@ def _q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval coalescing (new in r8): each event
+    opens a 5-minute activity window; overlapping/touching windows per
+    user merge into maximal spans via running-max-of-previous-ends +
+    island numbering — two windows on ONE user-key partitioning, then
+    a groupBy (plans/analytics.py:merge_intervals)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.analytics import (
+        merge_intervals,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+    )
+    return merge_intervals(iv, ["user_id"], "s", "e")
+
+
+def _q_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile quality gate (new in r8): keep documents at or above
+    the corpus's 70th length percentile — the "train on the top X% by
+    score" filter, with the threshold a 1-row broadcast aggregate so
+    the plan stays lazy (operators/clean.py:filter_by_quantile)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.clean import (
+        filter_by_quantile,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return filter_by_quantile(
+        docs.select("doc_id", "lang", "n_chars"), "n_chars", 0.7
+    )
+
+
+def _q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (new in r8): documents ordered by
+    their lowercased 16-char prefix, candidate pairs = rank distance
+    < 3 — the classic complement to hash/LSH blocking (near-misses
+    that differ past a hashed prefix still sort adjacently). Global
+    rank via the two-phase prefix count, pairing via successor-bucket
+    equi-join — no global window, no self cross join
+    (operators/linkage.py:sorted_neighborhood_pairs)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.withColumn("k", F.lower(F.substring("text", 1, 16)))
+    return sorted_neighborhood_pairs(keyed, "doc_id", "k", window=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator.
 
@@ -3185,6 +3236,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_temperature": _q_sample_temperature,
         "q_salted_join": _q_salted_join,
         "q_salted_agg": _q_salted_agg,
+        "q_merge_intervals": _q_merge_intervals,
+        "text_quantile_filter": _q_quantile_filter,
+        "dedup_sorted_neighborhood": _q_dedup_sorted_neighborhood,
     }
 
 
@@ -5978,6 +6032,34 @@ SELECT l_returnflag, count(*) AS n,
        round(CAST(min(l_extendedprice) AS DOUBLE), 2) AS min_price,
        round(CAST(max(l_extendedprice) AS DOUBLE), 2) AS max_price
 FROM lineitem GROUP BY l_returnflag
+"""
+    o["q_merge_intervals"] = """
+WITH iv AS (SELECT user_id, ts AS s, ts + INTERVAL 5 MINUTE AS e FROM events),
+f AS (SELECT user_id, s, e,
+        CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        THEN 1 ELSE 0 END AS b FROM iv),
+g AS (SELECT *, sum(b) OVER (PARTITION BY user_id ORDER BY s, e
+                             ROWS UNBOUNDED PRECEDING) AS isl FROM f)
+SELECT user_id, min(s) AS span_start, max(e) AS span_end,
+       count(*) AS n_intervals
+FROM g GROUP BY user_id, isl
+"""
+    o["text_quantile_filter"] = """
+WITH t AS (SELECT quantile_cont(n_chars, 0.7) AS thr FROM documents)
+SELECT doc_id, lang, n_chars FROM documents, t WHERE n_chars >= thr
+"""
+    o["dedup_sorted_neighborhood"] = """
+WITH keyed AS (
+  SELECT doc_id AS id, lower(substr(text, 1, 16)) AS key FROM documents
+  WHERE text IS NOT NULL
+),
+r AS (SELECT id, key, row_number() OVER (ORDER BY key, id) AS rank FROM keyed)
+SELECT a.id AS id_a, c.id AS id_b, a.key AS key_a, c.key AS key_b,
+       c.rank - a.rank AS rank_dist
+FROM r a JOIN r c ON c.rank > a.rank AND c.rank - a.rank < 3
 """
     return o
 

@@ -134,6 +134,44 @@ def clamp_outliers(
     return out
 
 
+def filter_by_quantile(
+    df: DataFrame,
+    score_col: str,
+    q: float,
+    keep: str = "top",
+    exact: bool = True,
+    rel_err: float = 1e-4,
+) -> DataFrame:
+    """Keep the rows whose ``score_col`` clears the corpus's q-quantile
+    — "train on the top 30% by quality score" as one declarative step
+    (beyond-reference; the percentile-threshold filter every curated
+    training mix applies after scoring).
+
+    ``keep='top'`` keeps ``score >= quantile(q)`` (so q=0.7 keeps the
+    best ~30%); ``keep='bottom'`` keeps ``score <= quantile(q)``. NULL
+    scores never pass.
+
+    The threshold is a 1-row aggregate joined back by broadcast — the
+    plan stays lazy (no driver action at build time) and the filter is
+    a codegen'd comparison. ``exact=False`` swaps the exact percentile
+    for Greenwald-Khanna ``approx_percentile`` — the 100 TB path, same
+    trade as :func:`clamp_outliers`.
+    """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    if keep not in ("top", "bottom"):
+        raise ValueError(f"keep must be 'top' or 'bottom', got {keep!r}")
+    c = F.col(score_col)
+    thr_expr = (
+        F.percentile(c, F.lit(q))
+        if exact
+        else F.approx_percentile(c, F.lit(q), F.lit(int(1.0 / rel_err)))
+    )
+    thr = df.agg(thr_expr.alias("__thr"))
+    cond = (c >= F.col("__thr")) if keep == "top" else (c <= F.col("__thr"))
+    return df.crossJoin(F.broadcast(thr)).filter(cond).drop("__thr")
+
+
 def sort_by_time(df: DataFrame, on: str = "timestamp") -> DataFrame:
     """O11 — global ascending sort (app.py:133-135).
 

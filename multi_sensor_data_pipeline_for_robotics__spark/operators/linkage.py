@@ -155,3 +155,67 @@ def fuzzy_match_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    sort_col: str,
+    window: int = 4,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández-Stolfo): order the
+    corpus by a blocking key and emit every pair of rows whose ranks
+    are within ``window`` of each other — the classic complement to
+    hash/variant blocking (it catches near-misses that land in
+    DIFFERENT hash blocks but sort adjacently, e.g. typos past the
+    hashed prefix).
+
+    The global rank is the two-phase prefix count of
+    :func:`~..operators.pack.global_running_sum` (range shuffle +
+    per-partition windows + a tiny broadcast prefix — NO single-task
+    global window), with ``id_col`` as the tie-breaker so the rank is
+    total and partitioning-independent. Pairing never sorts or
+    self-joins the corpus at large: rank buckets of exactly ``window``
+    rows are equi-joined to themselves and their successor bucket
+    (each candidate pair spans at most two consecutive buckets), then
+    filtered to rank distance < ``window`` — output is exactly
+    N·(window-1) pairs minus the tail, shuffled on uniform bucket ids.
+
+    Output: (id_a, id_b, key_a, key_b, rank_dist) with id_a's rank the
+    smaller. Rows with NULL ``sort_col`` are dropped (a NULL key sorts
+    arbitrarily and would pair meaninglessly).
+    """
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.pack import (
+        global_running_sum,
+    )
+
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    keyed = df.filter(F.col(sort_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(sort_col).alias("key")
+    )
+    ranked = global_running_sum(
+        keyed, ["key", "id"], F.lit(1), "rank", num_partitions
+    )
+    b = ranked.withColumn("__b", ((F.col("rank") - 1) / window).cast("long"))
+    # a row pairs with the `window-1` ranks after it, all of which live
+    # in its own bucket or the next one -> two equi-join probes
+    probe = b.withColumn(
+        "__pb", F.explode(F.array(F.col("__b"), F.col("__b") + 1))
+    )
+    a, c = probe.alias("a"), b.alias("c")
+    return (
+        a.join(c, F.col("a.__pb") == F.col("c.__b"))
+        .filter(
+            (F.col("c.rank") > F.col("a.rank"))
+            & (F.col("c.rank") - F.col("a.rank") < window)
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("c.id").alias("id_b"),
+            F.col("a.key").alias("key_a"),
+            F.col("c.key").alias("key_b"),
+            (F.col("c.rank") - F.col("a.rank")).alias("rank_dist"),
+        )
+    )

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 def global_running_sum(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list[str],
     val_col: Column | str,
     out_col: str = "running",
     num_partitions: int | None = None,
@@ -42,11 +42,15 @@ def global_running_sum(
     """Exclusive-prefix-free global running sum of ``val_col`` in
     ``order_col`` order (the output INCLUDES the current row), without
     a single-partition window. Appends ``out_col``; also leaves the
-    input columns untouched.
+    input columns untouched. ``order_col`` may be a list for a
+    composite order (e.g. a sort key plus a unique tie-breaker — ties
+    across rows would otherwise make the running values
+    partitioning-dependent).
     """
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    d = df.repartitionByRange(n, F.col(order_col)).withColumn(
+    d = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).withColumn(
         "__pid", F.spark_partition_id()
     )
     # CRITICAL: the window branch and the totals branch below both
@@ -58,7 +62,7 @@ def global_running_sum(
     d = d.localCheckpoint(eager=False)
     w_local = (
         W.partitionBy("__pid")
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     d = d.withColumn("__local", F.sum(val_col).over(w_local))

@@ -422,6 +422,59 @@ def sessionize(
     )
 
 
+def merge_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Coalesce overlapping/touching intervals per key into maximal
+    spans — the gaps-and-islands plan (beyond-reference): sensor uptime
+    segments, user activity windows, validity ranges.
+
+    An interval starts a new island iff its start exceeds the running
+    max of all PREVIOUS ends (strictly: touching intervals, where
+    ``start == prev_end``, merge). Two windows over ONE partitioning of
+    the key (no second exchange), then a groupBy on (key, island):
+
+        prev_max_end = max(end) OVER (key ORDER BY start, end
+                                      ROWS UNBOUNDED PRECEDING TO 1 PRECEDING)
+        island       = running count of (start > prev_max_end)
+
+    The running max — not ``lag(end)`` — is what makes nested
+    intervals correct: [0,10) followed by [2,3) then [5,20) is ONE
+    island even though [5,20) starts after [2,3) ends.
+
+    Output: key_cols + (span_start, span_end, n_intervals). Partition
+    sizes are per-key interval counts — the same bound sessionize
+    lives with; keys hot enough to break that belong in a pre-split.
+    """
+    from pyspark.sql import Window as W
+
+    w_order = W.partitionBy(*key_cols).orderBy(start_col, end_col)
+    prev_end = F.max(end_col).over(
+        w_order.rowsBetween(W.unboundedPreceding, -1)
+    )
+    boundary = prev_end.isNull() | (F.col(start_col) > prev_end)
+    numbered = df.select(
+        *key_cols,
+        start_col,
+        end_col,
+        F.sum(F.when(boundary, 1).otherwise(0))
+        .over(w_order.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("__island"),
+    )
+    return (
+        numbered.groupBy(*key_cols, "__island")
+        .agg(
+            F.min(start_col).alias("span_start"),
+            F.max(end_col).alias("span_end"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .drop("__island")
+    )
+
+
 def top_revenue_orders(
     customer: DataFrame,
     orders: DataFrame,

@@ -335,3 +335,54 @@ def test_analyze_sketch_merge_law(spark):
         ).collect()
     }
     assert got2 == want
+
+
+# ---------------------------------------------------------------------------
+# merge_intervals (gaps-and-islands)
+# ---------------------------------------------------------------------------
+def test_merge_intervals_nested_and_touching(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.analytics import (
+        merge_intervals,
+    )
+
+    rows = [
+        # key a: [0,10) contains [2,3); [5,20) overlaps; [20,25) touches
+        # -> one island [0,25) x4 ... then a gap ... [30,31) alone
+        ("a", 0, 10), ("a", 2, 3), ("a", 5, 20), ("a", 20, 25), ("a", 30, 31),
+        ("b", 0, 1),
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = {
+        (r["k"], r["span_start"], r["span_end"]): r["n_intervals"]
+        for r in merge_intervals(df, ["k"], "s", "e").collect()
+    }
+    assert got == {("a", 0, 25): 4, ("a", 30, 31): 1, ("b", 0, 1): 1}
+
+
+def test_merge_intervals_partition_independence(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.analytics import (
+        merge_intervals,
+    )
+
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (f"k{i % 5}", s, s + rnd.randint(1, 40))
+        for i in range(400)
+        for s in [rnd.randint(0, 1000)]
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    a = sorted(map(tuple, merge_intervals(df, ["k"], "s", "e").collect()))
+    b = sorted(
+        map(tuple, merge_intervals(df.repartition(13), ["k"], "s", "e").collect())
+    )
+    assert a == b
+    # spans of one key never overlap each other
+    by_k = {}
+    for k, s, e, _ in a:
+        by_k.setdefault(k, []).append((s, e))
+    for spans in by_k.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 > e1  # strictly after: touching spans would have merged

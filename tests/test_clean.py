@@ -104,3 +104,46 @@ def test_clamp_outliers_approx_close_to_exact(spark, sf_dir):
     assert approx["s"] == pytest.approx(exact["s"], rel=1e-3)
     assert approx["lo"] == pytest.approx(exact["lo"], rel=0.05)
     assert approx["hi"] == pytest.approx(exact["hi"], rel=0.05)
+
+
+# ---------------------------------------------------------------------------
+# filter_by_quantile
+# ---------------------------------------------------------------------------
+def test_filter_by_quantile_top_and_bottom(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.clean import (
+        filter_by_quantile,
+    )
+
+    df = spark.range(100).select(F.col("id").cast("double").alias("score"))
+    top = filter_by_quantile(df, "score", 0.9).collect()
+    vals = sorted(r["score"] for r in top)
+    assert vals[0] >= 89.0 and len(vals) in (10, 11)
+    bot = filter_by_quantile(df, "score", 0.1, keep="bottom").collect()
+    bvals = sorted(r["score"] for r in bot)
+    assert bvals[-1] <= 10.0 and len(bvals) in (10, 11)
+
+
+def test_filter_by_quantile_nulls_never_pass(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.clean import (
+        filter_by_quantile,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (None,)], "score double"
+    )
+    got = filter_by_quantile(df, "score", 0.0).collect()
+    assert sorted(r["score"] for r in got) == [1.0, 2.0, 3.0]
+
+
+def test_filter_by_quantile_validates(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.clean import (
+        filter_by_quantile,
+    )
+
+    df = spark.range(5).select(F.col("id").cast("double").alias("s"))
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        filter_by_quantile(df, "s", 1.5)
+    with _pt.raises(ValueError):
+        filter_by_quantile(df, "s", 0.5, keep="middle")

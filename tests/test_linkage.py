@@ -148,3 +148,78 @@ def test_default_cap_is_inert_on_unskewed_data(spark):
             for r in fuzzy_match_pairs(df, "name", "id", max_dist=k).collect()
         }
         assert full == dflt
+
+
+# ---------------------------------------------------------------------------
+# sorted_neighborhood_pairs
+# ---------------------------------------------------------------------------
+def test_sorted_neighborhood_exact_pair_set(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    # keys sort as: a1 < a2 < b1 < zz; window=2 pairs consecutive ranks
+    df = spark.createDataFrame(
+        [(1, "a1"), (2, "a2"), (3, "b1"), (4, "zz")], "id long, k string"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["rank_dist"])
+        for r in sorted_neighborhood_pairs(df, "id", "k", window=2).collect()
+    }
+    assert got == {(1, 2, 1), (2, 3, 1), (3, 4, 1)}
+
+
+def test_sorted_neighborhood_count_and_partition_independence(spark):
+    from pyspark.sql import functions as F
+
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    n, w = 500, 4
+    df = spark.range(n).select(
+        F.col("id"), F.sha2(F.col("id").cast("string"), 256).alias("k")
+    )
+    pairs = sorted_neighborhood_pairs(df, "id", "k", window=w)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # exactly sum over rank distance d in 1..w-1 of (n - d) pairs
+    assert len(got) == sum(n - d for d in range(1, w))
+    again = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            df.repartition(17), "id", "k", window=w
+        ).collect()
+    }
+    assert got == again
+
+
+def test_sorted_neighborhood_catches_suffix_typo(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    # same long prefix, typo at the end: lands in one neighborhood even
+    # though a prefix-hash block of the full string would split them
+    rows = [
+        (1, "customer alpha 0001"),
+        (2, "customer alpha 0002"),
+        (3, "supplier omega 9999"),
+    ]
+    df = spark.createDataFrame(rows, "id long, k string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(df, "id", "k", window=2).collect()
+    }
+    assert (1, 2) in got
+
+
+def test_sorted_neighborhood_rejects_window_one(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id long, k string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sorted_neighborhood_pairs(df, "id", "k", window=1)
