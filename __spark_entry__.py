@@ -3030,6 +3030,53 @@ def _q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_neighborhood_pairs(keyed, "doc_id", "k", window=3)
 
 
+def _q_sample_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold CV assignment (new in r8): fold =
+    sha256-bucket(doc_id) mod 5 — engine/partitioning/rerun stable,
+    disjoint by construction, existing rows never move as the corpus
+    grows (functions/sampling.py:kfold_assign)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        kfold_assign,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return kfold_assign(docs.select("doc_id", "lang"), "doc_id", 5)
+
+
+def _q_quantile_filter_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group percentile gate (new in r8): top ~30% of documents BY
+    LANGUAGE — the stratified form of text_quantile_filter (a global
+    threshold silently deletes low-scoring languages wholesale; the
+    per-stratum gate keeps each language's best)
+    (operators/clean.py:filter_by_quantile group_cols=['lang'])."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.clean import (
+        filter_by_quantile,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return filter_by_quantile(
+        docs.select("doc_id", "lang", "n_chars"),
+        "n_chars",
+        0.7,
+        group_cols=["lang"],
+    )
+
+
+def _q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-rank score normalization (new in r8): the
+    distribution-free transform for incomparable quality signals,
+    computed WITHOUT Spark's single-task unpartitioned percent_rank
+    window — two-phase prefix count + per-value tie rank + 1-row n
+    (plans/stats.py:rank_normalize); graded against the plain window
+    form it must equal."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.stats import (
+        rank_normalize,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rank_normalize(docs.select("doc_id", "n_chars"), "n_chars", "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator.
 
@@ -3239,6 +3286,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_merge_intervals": _q_merge_intervals,
         "text_quantile_filter": _q_quantile_filter,
         "dedup_sorted_neighborhood": _q_dedup_sorted_neighborhood,
+        "sample_kfold": _q_sample_kfold,
+        "text_quantile_filter_by_lang": _q_quantile_filter_by_lang,
+        "feat_rank_normalize": _q_rank_normalize,
     }
 
 
@@ -6061,6 +6111,25 @@ SELECT a.id AS id_a, c.id AS id_b, a.key AS key_a, c.key AS key_b,
        c.rank - a.rank AS rank_dist
 FROM r a JOIN r c ON c.rank > a.rank AND c.rank - a.rank < 3
 """
+    o["sample_kfold"] = """
+SELECT doc_id, lang,
+       CAST((CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 7))
+             AS BIGINT) % 10000) % 5 AS INTEGER) AS fold
+FROM documents
+"""
+    o["text_quantile_filter_by_lang"] = """
+WITH t AS (SELECT lang AS gl, quantile_cont(n_chars, 0.7) AS thr
+           FROM documents GROUP BY 1)
+SELECT doc_id, lang, n_chars FROM documents JOIN t ON lang = gl
+WHERE n_chars >= thr
+"""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.stats import (
+        rank_normalize_oracle_sql,
+    )
+
+    o["feat_rank_normalize"] = rank_normalize_oracle_sql(
+        "SELECT doc_id, n_chars FROM documents", "n_chars"
+    )
     return o
 
 

@@ -287,6 +287,40 @@ def mixture_resample(
     )
 
 
+def kfold_assign(
+    df: DataFrame, key: str, k: int = 5, fold_col: str = "fold"
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    sha256-bucket(key) mod k. Pure function of the key — folds are
+    identical on any engine/partitioning/rerun, disjoint by
+    construction, and STABLE under corpus growth (a new row lands in
+    some fold; existing rows never move, unlike randomSplit).
+
+    Scale shape: a codegen'd projection, no shuffle, no state. Use
+    :func:`kfold_train_test` to expand one fold into the train/test
+    pair.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return df.withColumn(
+        fold_col, (hash_bucket(F.col(key), N_BUCKETS) % k).cast("int")
+    )
+
+
+def kfold_train_test(
+    df: DataFrame, key: str, k: int, fold: int, fold_col: str = "fold"
+) -> tuple[DataFrame, DataFrame]:
+    """(train, test) for CV round ``fold``: test = rows whose
+    :func:`kfold_assign` fold equals ``fold``, train = the rest. Both
+    are filters over one assignment — no data movement."""
+    if not 0 <= fold < k:
+        raise ValueError(f"fold must be in [0, {k}), got {fold}")
+    assigned = kfold_assign(df, key, k, fold_col)
+    test = assigned.filter(F.col(fold_col) == fold).drop(fold_col)
+    train = assigned.filter(F.col(fold_col) != fold).drop(fold_col)
+    return train, test
+
+
 def group_sample_k(
     df: DataFrame,
     key: str,

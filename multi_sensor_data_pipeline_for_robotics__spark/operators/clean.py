@@ -139,23 +139,29 @@ def filter_by_quantile(
     score_col: str,
     q: float,
     keep: str = "top",
+    group_cols: list[str] | None = None,
     exact: bool = True,
     rel_err: float = 1e-4,
 ) -> DataFrame:
-    """Keep the rows whose ``score_col`` clears the corpus's q-quantile
-    — "train on the top 30% by quality score" as one declarative step
+    """Keep the rows whose ``score_col`` clears the q-quantile — "train
+    on the top 30% by quality score" as one declarative step
     (beyond-reference; the percentile-threshold filter every curated
     training mix applies after scoring).
 
     ``keep='top'`` keeps ``score >= quantile(q)`` (so q=0.7 keeps the
     best ~30%); ``keep='bottom'`` keeps ``score <= quantile(q)``. NULL
-    scores never pass.
+    scores never pass. With ``group_cols`` the quantile is computed PER
+    GROUP ("top 30% per language" — the per-stratum gate that keeps a
+    strict global threshold from silently deleting low-scoring
+    languages wholesale).
 
-    The threshold is a 1-row aggregate joined back by broadcast — the
-    plan stays lazy (no driver action at build time) and the filter is
-    a codegen'd comparison. ``exact=False`` swaps the exact percentile
-    for Greenwald-Khanna ``approx_percentile`` — the 100 TB path, same
-    trade as :func:`clamp_outliers`.
+    The thresholds are one aggregate joined back by broadcast (1 row
+    globally, |groups| rows grouped) — the plan stays lazy (no driver
+    action at build time) and the filter is a codegen'd comparison.
+    ``exact=False`` swaps the exact percentile for Greenwald-Khanna
+    ``approx_percentile`` — the 100 TB path, same trade as
+    :func:`clamp_outliers`; the grouped aggregation combines map-side
+    either way.
     """
     if not 0.0 <= q <= 1.0:
         raise ValueError(f"q must be in [0, 1], got {q}")
@@ -167,9 +173,23 @@ def filter_by_quantile(
         if exact
         else F.approx_percentile(c, F.lit(q), F.lit(int(1.0 / rel_err)))
     )
-    thr = df.agg(thr_expr.alias("__thr"))
     cond = (c >= F.col("__thr")) if keep == "top" else (c <= F.col("__thr"))
-    return df.crossJoin(F.broadcast(thr)).filter(cond).drop("__thr")
+    if not group_cols:
+        thr = df.agg(thr_expr.alias("__thr"))
+        return df.crossJoin(F.broadcast(thr)).filter(cond).drop("__thr")
+    thr = df.groupBy(*group_cols).agg(thr_expr.alias("__thr"))
+    renamed = thr.select(
+        *[F.col(g).alias(f"__g_{g}") for g in group_cols], "__thr"
+    )
+    on = None
+    for g in group_cols:
+        eq = F.col(g) == F.col(f"__g_{g}")
+        on = eq if on is None else (on & eq)
+    return (
+        df.join(F.broadcast(renamed), on, "inner")
+        .filter(cond)
+        .drop("__thr", *[f"__g_{g}" for g in group_cols])
+    )
 
 
 def sort_by_time(df: DataFrame, on: str = "timestamp") -> DataFrame:

@@ -449,3 +449,67 @@ SELECT n_rows, n_keys, max_count,
              ELSE 0.0 END, {round_to}) AS entropy_norm
 FROM agg
 """
+
+
+def rank_normalize(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    out_col: str = "pct_rank",
+    round_to: int = 6,
+) -> DataFrame:
+    """Percent-rank transform of a score column — the distribution-free
+    normalization for heterogeneous quality signals (length, perplexity
+    and classifier scores live on incomparable scales; their ranks
+    don't). Output matches SQL ``percent_rank() OVER (ORDER BY score)``:
+    (rank_with_ties - 1) / (n - 1), ties share the rank of their first
+    row. NULL scores are dropped (they have no rank).
+
+    Spark's own ``percent_rank`` window has no partition key — the
+    whole table funnels through ONE task. This plan never does: row
+    numbers come from the two-phase prefix count
+    (``operators.pack.global_running_sum``: range shuffle +
+    per-partition windows + broadcast prefix), tie-groups take
+    ``min(row_number)`` per distinct score (one groupBy, map-side
+    combined, broadcast back), and n is a 1-row aggregate.
+    """
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.pack import (
+        global_running_sum,
+    )
+
+    scored = df.filter(F.col(score_col).isNotNull())
+    rn = global_running_sum(scored, [score_col, id_col], F.lit(1), "__rn")
+    # rank-with-ties = min row number among rows sharing the score.
+    # NOT broadcast: with continuous scores the distinct-value side is
+    # data-sized — a shuffle hash join on the value is the right plan
+    # (AQE will still broadcast it when it happens to be small).
+    tie_rank = rn.groupBy(F.col(score_col).alias("__v")).agg(
+        F.min("__rn").alias("__rank")
+    )
+    n = scored.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        rn.join(tie_rank, F.col(score_col) == F.col("__v"))
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            out_col,
+            F.round(
+                F.when(F.col("__n") > 1,
+                       (F.col("__rank") - 1) / (F.col("__n") - 1))
+                .otherwise(F.lit(0.0)),
+                round_to,
+            ),
+        )
+        .drop("__rn", "__v", "__rank", "__n")
+    )
+
+
+def rank_normalize_oracle_sql(
+    table_sql: str, score_col: str, round_to: int = 6
+) -> str:
+    """DuckDB twin of :func:`rank_normalize` — the plain window form
+    the two-phase plan must equal."""
+    return f"""
+SELECT *, round(percent_rank() OVER (ORDER BY {score_col}), {round_to})
+       AS pct_rank
+FROM ({table_sql}) WHERE {score_col} IS NOT NULL
+"""

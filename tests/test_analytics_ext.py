@@ -386,3 +386,41 @@ def test_merge_intervals_partition_independence(spark):
         spans.sort()
         for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
             assert s2 > e1  # strictly after: touching spans would have merged
+
+
+# ---------------------------------------------------------------------------
+# rank_normalize
+# ---------------------------------------------------------------------------
+def test_rank_normalize_matches_percent_rank(spark):
+    from pyspark.sql import Window as W
+
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.stats import (
+        rank_normalize,
+    )
+
+    # duplicate scores -> tie groups share the first row's rank
+    df = spark.createDataFrame(
+        [(i, float(i % 40)) for i in range(200)], "id long, s double"
+    )
+    got = {
+        (r["id"]): r["pct_rank"] for r in rank_normalize(df, "s", "id").collect()
+    }
+    ref = {
+        r["id"]: round(r["pr"], 6)
+        for r in df.withColumn(
+            "pr", F.percent_rank().over(W.orderBy("s"))
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_rank_normalize_null_scores_dropped_single_row_zero(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.stats import (
+        rank_normalize,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None)], "id long, s double"
+    )
+    got = rank_normalize(df, "s", "id").collect()
+    assert len(got) == 1 and got[0]["pct_rank"] == 0.0

@@ -147,3 +147,24 @@ def test_filter_by_quantile_validates(spark):
         filter_by_quantile(df, "s", 1.5)
     with _pt.raises(ValueError):
         filter_by_quantile(df, "s", 0.5, keep="middle")
+
+
+def test_filter_by_quantile_grouped(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.clean import (
+        filter_by_quantile,
+    )
+
+    # group a: scores 0..99, group b: scores 1000..1099 — a global
+    # threshold would drop ALL of group a; the grouped gate keeps the
+    # top of each
+    rows = [("a", float(i)) for i in range(100)] + [
+        ("b", float(1000 + i)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "g string, score double")
+    got = filter_by_quantile(df, "score", 0.9, group_cols=["g"])
+    per = {}
+    for r in got.collect():
+        per.setdefault(r["g"], []).append(r["score"])
+    assert set(per) == {"a", "b"}
+    assert len(per["a"]) in (10, 11) and min(per["a"]) >= 89.0
+    assert len(per["b"]) in (10, 11) and min(per["b"]) >= 1089.0

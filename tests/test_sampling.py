@@ -357,3 +357,46 @@ def test_temperature_rejects_bad_alpha(spark):
 
     with _pt.raises(ValueError):
         temperature_resample(df, "key", "src", alpha=1.5)
+
+
+# ---------------------------------------------------------------------------
+# kfold
+# ---------------------------------------------------------------------------
+def test_kfold_disjoint_complete_stable(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        kfold_assign,
+        kfold_train_test,
+    )
+
+    df = spark.range(5_000).select(F.col("id").alias("key"))
+    folds = kfold_assign(df, "key", 5)
+    per = {
+        r["fold"]: r["n"]
+        for r in folds.groupBy("fold").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(per) == {0, 1, 2, 3, 4}
+    assert sum(per.values()) == 5_000
+    assert all(850 <= n <= 1150 for n in per.values())
+    # partitioning independence
+    again = kfold_assign(df.repartition(13), "key", 5)
+    assert (
+        folds.exceptAll(again).count() == 0 and again.exceptAll(folds).count() == 0
+    )
+    tr, te = kfold_train_test(df, "key", 5, 2)
+    assert tr.count() + te.count() == 5_000
+    assert tr.join(te, "key").count() == 0
+
+
+def test_kfold_validates(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        kfold_assign,
+        kfold_train_test,
+    )
+
+    df = spark.range(5).select(F.col("id").alias("key"))
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        kfold_assign(df, "key", 1)
+    with _pt.raises(ValueError):
+        kfold_train_test(df, "key", 5, 5)
