@@ -2219,6 +2219,39 @@ def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram statistics (new in r8): the 20 most frequent
+    token bigrams — the tokenizer-development / boilerplate-discovery
+    readout (a bigram that dominates the corpus is a candidate for the
+    substring-dedup cap list). Explode is linear in corpus tokens;
+    ranking is TakeOrderedAndProject over map-side-combined counts
+    (functions/text.py:ngrams + functions/freq.py:top_k_frequent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(
+        F.explode(TX.ngrams(TX.tokens(F.col("text")), 2)).alias("bigram")
+    )
+    return FQ.top_k_frequent(bg, "bigram", k=20)
+
+
+def _q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → scan round trip over the events table (new in r8):
+    the Hive/Trino-side columnar interchange. Timestamps, doubles and
+    JSON-string props must survive byte-for-byte; the oracle is the
+    identity projection of the source parquet, so any ORC writer/reader
+    lossiness breaks the hash (sources/io.py:write_orc/read_orc)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.sources.io import (
+        read_orc,
+        write_orc,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    path = _csv_scratch() + "/events_orc"
+    write_orc(ev, path)
+    return read_orc(spark, path).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
 def _csv_scratch() -> str:
     global _CSV_SCRATCH
     if _CSV_SCRATCH is None:
@@ -3289,6 +3322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_kfold": _q_sample_kfold,
         "text_quantile_filter_by_lang": _q_quantile_filter_by_lang,
         "feat_rank_normalize": _q_rank_normalize,
+        "orc_roundtrip": _q_orc_roundtrip,
+        "text_top_bigrams": _q_text_top_bigrams,
     }
 
 
@@ -6130,6 +6165,25 @@ WHERE n_chars >= thr
     o["feat_rank_normalize"] = rank_normalize_oracle_sql(
         "SELECT doc_id, n_chars FROM documents", "n_chars"
     )
+    o["orc_roundtrip"] = (
+        "SELECT event_id, ts, user_id, event_type, value, props FROM events"
+    )
+    o["text_top_bigrams"] = """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents
+              WHERE text IS NOT NULL),
+bg AS (
+    SELECT t[CAST(i AS INTEGER)] || ' ' || t[CAST(i AS INTEGER) + 1] AS bigram
+    FROM toks, unnest(range(1, len(t))) AS u(i)
+),
+counts AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY 1),
+ranked AS (
+    SELECT bigram, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, bigram ASC) AS INT)
+           AS rank
+    FROM counts
+)
+SELECT bigram, cnt, rank FROM ranked WHERE rank <= 20
+"""
     return o
 
 

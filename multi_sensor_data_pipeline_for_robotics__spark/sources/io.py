@@ -143,3 +143,23 @@ def write_bucketed_table(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.format("parquet").saveAsTable(table)
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """ORC sink — the columnar interchange format for Hive/Trino-side
+    consumers (predicate pushdown, column pruning, and splittability
+    like parquet; zlib-block compressed by default). Parallel, one
+    file per partition."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan. Schema comes from the file footer (self-describing,
+    no inference pre-scan); filters and projections push down into the
+    reader exactly as with parquet."""
+    return spark.read.orc(path)

@@ -194,3 +194,21 @@ def test_partitioned_write_prunes_partitions_at_scan(spark, tmp_path, sf_dir):
     df_section = plan.split("DataFilters: [", 1)[1].split("]", 1)[0]
     assert "event_type" not in df_section
     assert n == ev.filter(F.col("event_type") == "click").count() > 0
+
+
+def test_orc_roundtrip_lossless(spark, sf_dir, tmp_path):
+    from multi_sensor_data_pipeline_for_robotics__spark.sources.io import (
+        read_orc,
+        write_orc,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.sources.tables import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_orc")
+    write_orc(ev, path)
+    back = read_orc(spark, path)
+    assert back.schema == ev.schema
+    assert back.exceptAll(ev).count() == 0
+    assert ev.exceptAll(back).count() == 0
