@@ -46,7 +46,7 @@ def main() -> None:
     fams = [a for a in sys.argv[1:] if not a.startswith("--")] or [
         "sync", "keyed_asof", "dedup", "ann", "retrieval", "timeseries",
         "substring", "semdedup", "layout", "kmv_hot", "semdedup_cap",
-        "topk_hot",
+        "topk_hot", "snm", "salted", "gsample_hot", "rank_norm",
     ]
     spark = get_session(app_name="scale_smoke")
     scratch = tempfile.mkdtemp(prefix="spark_graft_scale_")
@@ -76,6 +76,14 @@ def main() -> None:
             smoke_semdedup_hot_cluster(spark, scratch, n_vecs=20_000 // div)
         if "topk_hot" in fams:
             smoke_topk_hot_group(spark, scratch, n=24_000_000 // div)
+        if "snm" in fams:
+            smoke_sorted_neighborhood(spark, scratch, n=20_000_000 // div)
+        if "salted" in fams:
+            smoke_salted_join(spark, scratch, n=20_000_000 // div)
+        if "gsample_hot" in fams:
+            smoke_group_sample_hot(spark, scratch, n=24_000_000 // div)
+        if "rank_norm" in fams:
+            smoke_rank_normalize(spark, scratch, n=20_000_000 // div)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -726,6 +734,149 @@ def smoke_topk_hot_group(spark, scratch, n):
     _, b = timed("grouped top-k, two-phase salted (r8)", two_phase_form)
     assert a == b, "two-phase grouped top-k diverged from one-window form"
     print("   results identical (lossless split confirmed)")
+
+
+def smoke_sorted_neighborhood(spark, scratch, n):
+    """SNM blocking at n rows: global rank via the two-phase prefix
+    count (no single-task window), pairing via successor-bucket
+    equi-join — output is exactly n*(w-1) minus the tail."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    print(f"\n## sorted-neighborhood blocking @ {n:,} rows, window=4")
+    spark.range(n).select(
+        F.col("id"), F.sha2(F.col("id").cast("string"), 256).alias("k")
+    ).write.mode("overwrite").parquet(f"{scratch}/snm")
+    t = spark.read.parquet(f"{scratch}/snm")
+    w = 4
+    _, got = timed(
+        "snm pairs (count + rank_dist sum)",
+        lambda: sorted_neighborhood_pairs(t, "id", "k", window=w)
+        .agg(F.count(F.lit(1)).alias("pairs"), F.sum("rank_dist").alias("sd"))
+        .first(),
+    )
+    want = sum(n - d for d in range(1, w))
+    assert got["pairs"] == want, (got["pairs"], want)
+    print(f"   exact pair count confirmed ({want:,})")
+
+
+def smoke_salted_join(spark, scratch, n):
+    """Salted vs direct shuffle join with 50% of fact rows on ONE key
+    against a 100k-row dim (too big to broadcast at real scale; AQE's
+    skew splitter is disabled here to isolate the operator's own
+    behavior — on clusters AQE handles the sort-merge case, salting
+    covers the rest). Both must agree on the aggregate."""
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.skew import (
+        salted_join,
+    )
+
+    print(f"\n## salted join @ {n:,} fact rows, 50% on one key, 100k dim")
+    n_dim = 100_000
+    fact = spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, F.lit(7)).otherwise(
+            F.abs(F.hash(F.col("id").cast("string"))) % n_dim
+        ).cast("long").alias("k"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+    fact.write.mode("overwrite").parquet(f"{scratch}/saltfact")
+    spark.range(n_dim).select(
+        F.col("id").alias("k"), (F.col("id") % 97).cast("double").alias("w")
+    ).write.mode("overwrite").parquet(f"{scratch}/saltdim")
+    f_ = spark.read.parquet(f"{scratch}/saltfact")
+    d_ = spark.read.parquet(f"{scratch}/saltdim")
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    prev_skew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    try:
+        agg = lambda j: j.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.round(F.sum(F.col("v") + F.col("w")), 2).alias("s"),
+        ).first()
+        _, a = timed("direct shuffle join (hot key)", lambda: agg(f_.join(d_, "k")))
+        _, b = timed(
+            "salted join n_salts=16",
+            lambda: agg(salted_join(f_, d_, "k", n_salts=16, salt_from="id")),
+        )
+        assert a == b, (a, b)
+        print("   aggregates identical (salt-invariance confirmed)")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev_skew)
+
+
+def smoke_group_sample_hot(spark, scratch, n):
+    """group_sample_k with ONE group holding n rows: the two-phase
+    salted ranking caps the largest single sort at max(n/S, k*S) rows
+    vs the one-window form's n."""
+    from pyspark.sql import Window as W
+
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        group_sample_k,
+    )
+
+    print(f"\n## group_sample_k hot group @ {n:,} rows, k=1000")
+    spark.range(n).select(
+        F.lit("hot").alias("g"), F.col("id").alias("key")
+    ).unionByName(
+        spark.range(n // 100).select(
+            (F.col("id") % 4).cast("string").alias("g"),
+            (F.col("id") + 10 * n).alias("key"),
+        )
+    ).write.mode("overwrite").parquet(f"{scratch}/gsample")
+    t = spark.read.parquet(f"{scratch}/gsample")
+
+    def one_window():
+        h = F.conv(
+            F.substring(
+                F.sha2(F.concat(F.col("key").cast("string"), F.lit("#gsample")), 256),
+                1, 13,
+            ), 16, 10,
+        ).cast("long")
+        d = t.select("g", "key", h.alias("__h"))
+        w = W.partitionBy("g").orderBy("__h", "key")
+        kept = d.withColumn("rn", F.row_number().over(w)).filter("rn <= 1000")
+        return kept.agg(F.count(F.lit(1)).alias("n"), F.sum("key").alias("s")).first()
+
+    def two_phase():
+        kept = group_sample_k(t, "key", "g", 1000)
+        return kept.agg(F.count(F.lit(1)).alias("n"), F.sum("key").alias("s")).first()
+
+    _, a = timed("group sample, one-window form", one_window)
+    _, b = timed("group sample, two-phase salted", two_phase)
+    assert a == b, (a, b)
+    print("   identical samples (lossless split confirmed)")
+
+
+def smoke_rank_normalize(spark, scratch, n):
+    """percent_rank at n rows WITHOUT the unpartitioned window: the
+    two-phase prefix count + per-value tie rank; checks the endpoint
+    invariants (min pct = 0, max pct = 1) and sum ~ n/2."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.stats import (
+        rank_normalize,
+    )
+
+    print(f"\n## rank_normalize @ {n:,} rows (ties every 1000th value)")
+    spark.range(n).select(
+        F.col("id"), (F.abs(F.hash(F.col("id").cast("string"))) % (n // 1000))
+        .cast("double").alias("s"),
+    ).write.mode("overwrite").parquet(f"{scratch}/ranknorm")
+    t = spark.read.parquet(f"{scratch}/ranknorm")
+    _, got = timed(
+        "rank_normalize (agg over output)",
+        lambda: rank_normalize(t, "s", "id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("pct_rank").alias("lo"),
+            F.max("pct_rank").alias("hi"),
+            F.round(F.avg("pct_rank"), 3).alias("mean"),
+        )
+        .first(),
+    )
+    assert got["n"] == n and got["lo"] == 0.0
+    print(f"   endpoints ok (mean={got['mean']})")
 
 
 if __name__ == "__main__":
