@@ -2219,6 +2219,27 @@ def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning effectiveness (new in r8): lay events out in
+    z-key order, cut into 500-row simulated row-groups, and report per
+    filter column the expected fraction of groups a point predicate
+    reads (avg span / global range) vs the 1/n_groups ideal — the
+    measurement that arbitrates Z-order vs Hilbert vs plain sort
+    BEFORE a 100 TB rewrite (plans/layout.py:pruning_report)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.functions import zorder as Z
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.layout import (
+        pruning_report,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    keyed = Z.zorder_layout(
+        ev.select("event_id", "user_id", "value"), _ZORDER_BOUNDS, bits=12
+    )
+    return pruning_report(
+        keyed, "z_key", "event_id", ["user_id", "value"], rows_per_group=500
+    )
+
+
 def _q_text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level n-gram statistics (new in r8): the 20 most frequent
     token bigrams — the tokenizer-development / boilerplate-discovery
@@ -3324,6 +3345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feat_rank_normalize": _q_rank_normalize,
         "orc_roundtrip": _q_orc_roundtrip,
         "text_top_bigrams": _q_text_top_bigrams,
+        "layout_pruning_report": _q_layout_pruning,
     }
 
 
@@ -6184,6 +6206,17 @@ ranked AS (
 )
 SELECT bigram, cnt, rank FROM ranked WHERE rank <= 20
 """
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.layout import (
+        pruning_oracle_sql,
+    )
+
+    o["layout_pruning_report"] = pruning_oracle_sql(
+        "SELECT event_id, user_id, value FROM events",
+        _ZO.zorder_oracle_expr(_ZORDER_BOUNDS, bits=12),
+        "event_id",
+        ["user_id", "value"],
+        rows_per_group=500,
+    )
     return o
 
 

@@ -120,3 +120,50 @@ def test_bloom_probe_hash_fn_matches_build(spark):
             B.bloom_might_contain(F.col("k"), bm, k=4, m_bits=14, hash_fn=fn)
         ).count()
         assert hits == 200, fn  # no false negatives, ever
+
+
+# ---------------------------------------------------------------------------
+# pruning_report
+# ---------------------------------------------------------------------------
+def test_pruning_report_sorted_vs_shuffled(spark):
+    from pyspark.sql import functions as F
+
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.layout import (
+        pruning_report,
+    )
+
+    n, g = 10_000, 100
+    df = spark.range(n).select(
+        F.col("id"),
+        F.col("id").cast("double").alias("v"),
+        (F.abs(F.hash(F.col("id").cast("string"))) % 1_000_000)
+        .cast("double")
+        .alias("r"),
+    )
+    # layout = id order: v is perfectly clustered, r is shuffled
+    rep = {
+        r["column"]: r
+        for r in pruning_report(
+            df, "id", "id", ["v", "r"], rows_per_group=n // g
+        ).collect()
+    }
+    assert rep["v"]["n_groups"] == g
+    # perfectly clustered: avg span ~ ideal (each group covers 1/g of
+    # the range); allow quantization slack
+    assert rep["v"]["avg_span_frac"] < 2.0 / g
+    # shuffled: every group spans ~the whole range
+    assert rep["r"]["avg_span_frac"] > 0.9
+
+
+def test_pruning_report_validates(spark):
+    from pyspark.sql import functions as F
+
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.layout import (
+        pruning_report,
+    )
+
+    df = spark.range(5).select(F.col("id"), F.col("id").alias("v"))
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        pruning_report(df, "id", "id", ["v"], rows_per_group=0)

@@ -852,8 +852,10 @@ def smoke_group_sample_hot(spark, scratch, n):
 
 def smoke_rank_normalize(spark, scratch, n):
     """percent_rank at n rows WITHOUT the unpartitioned window: the
-    two-phase prefix count + per-value tie rank; checks the endpoint
-    invariants (min pct = 0, max pct = 1) and sum ~ n/2."""
+    two-phase prefix count + per-value tie rank; checks min pct = 0
+    and mean ~ 0.5 (max stays below 1 when the top value has ties —
+    its tie group shares the FIRST row's rank, standard percent_rank
+    semantics)."""
     from multi_sensor_data_pipeline_for_robotics__spark.plans.stats import (
         rank_normalize,
     )
