@@ -2219,6 +2219,22 @@ def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorizer (new in r8): each document embedded
+    into a fixed 16-dim integer vector with no vocabulary — token adds
+    ±1 (independent salted sign hash keeps collision noise zero-mean)
+    at md5(token) mod dim. The in-engine text→vector bridge to the ANN
+    family; exact integers, engine-portable. Exploded to scalar rows
+    for grading (functions/vector.py:feature_hash_vectors)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.vector import (
+        feature_hash_vectors,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fh = feature_hash_vectors(docs, dim=16)
+    return fh.select("doc_id", F.posexplode("vector").alias("pos", "val"))
+
+
 def _q_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map pruning effectiveness (new in r8): lay events out in
     z-key order, cut into 500-row simulated row-groups, and report per
@@ -3346,6 +3362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": _q_orc_roundtrip,
         "text_top_bigrams": _q_text_top_bigrams,
         "layout_pruning_report": _q_layout_pruning,
+        "text_feature_hash": _q_text_feature_hash,
     }
 
 
@@ -6210,6 +6227,22 @@ SELECT bigram, cnt, rank FROM ranked WHERE rank <= 20
         pruning_oracle_sql,
     )
 
+    o["text_feature_hash"] = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+             FROM documents WHERE text IS NOT NULL),
+hb AS (SELECT doc_id,
+              CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 16 AS b,
+              CASE WHEN CAST(('0x' || substr(md5(t || '#sign'), 1, 15))
+                        AS BIGINT) % 2 = 1
+                   THEN 1 ELSE -1 END AS sgn
+       FROM tok),
+c AS (SELECT doc_id, b, sum(sgn) AS v FROM hb GROUP BY 1, 2),
+spine AS (SELECT DISTINCT doc_id FROM tok),
+grid AS (SELECT doc_id, CAST(p AS INTEGER) AS pos
+         FROM spine, unnest(range(16)) AS u(p))
+SELECT grid.doc_id, grid.pos, CAST(coalesce(c.v, 0) AS BIGINT) AS val
+FROM grid LEFT JOIN c ON c.doc_id = grid.doc_id AND c.b = grid.pos
+"""
     o["layout_pruning_report"] = pruning_oracle_sql(
         "SELECT event_id, user_id, value FROM events",
         _ZO.zorder_oracle_expr(_ZORDER_BOUNDS, bits=12),

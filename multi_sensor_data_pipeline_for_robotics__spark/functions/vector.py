@@ -10,7 +10,7 @@ done in double regardless of storage type.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -114,3 +114,71 @@ def quantize_int8(v: Column, eps: float = 1e-12) -> Column:
 def dequantize_int8(qs: Column) -> Column:
     """Inverse of :func:`quantize_int8`: ``q * scale`` as array<double>."""
     return F.transform(qs["q"], lambda x: x.cast("double") * qs["scale"])
+
+
+def feature_hash_vectors(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    signed: bool = True,
+    vec_col: str = "vector",
+) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): embed text into a
+    fixed ``dim``-dimensional integer vector WITHOUT a vocabulary —
+    each token adds ±1 (or +1 when ``signed=False``) to component
+    ``md5(token) mod dim``; the sign comes from an independent salted
+    hash, which keeps collision noise zero-mean so hashed cosine
+    approximates token-space cosine.
+
+    This is the in-engine text→vector bridge to the ANN family: no
+    trained model, no vocabulary broadcast, one pass, and the output
+    feeds :func:`cosine` / IVF / LSH directly (cast to double first).
+    Values are exact INTEGERS (sums of ±1) — reproducible bit-for-bit
+    on any engine with md5, no float-order concerns.
+
+    Scale shape: explode (linear in corpus tokens) → groupBy
+    (id, bucket) with map-side combine → per-doc assembly of ≤ dim
+    entries via ``map_from_entries`` + a ``sequence`` zero-fill. State
+    per doc is bounded by ``dim``, never by vocabulary. Docs with NULL
+    ``text_col`` produce no row (they have no tokens).
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    tok = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("__t"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("__t")), 1, 15), 16, 10).cast("bigint")
+    if signed:
+        s = F.conv(
+            F.substring(F.md5(F.concat(F.col("__t"), F.lit("#sign"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        val = F.when(F.pmod(s, F.lit(2)) == 1, F.lit(1)).otherwise(F.lit(-1))
+    else:
+        val = F.lit(1)
+    cells = (
+        tok.select("__id", F.pmod(h, F.lit(dim)).alias("__b"), val.alias("__v"))
+        .groupBy("__id", "__b")
+        .agg(F.sum("__v").alias("__c"))
+    )
+    assembled = (
+        cells.groupBy("__id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("__b"), F.col("__c")))
+            ).alias("__m")
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)).cast("array<bigint>"),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("__m"), i), F.lit(0).cast("bigint")
+                ),
+            ).alias(vec_col),
+        )
+    )
+    return assembled

@@ -133,3 +133,78 @@ def test_semantic_dedup_matches_numpy_and_survivor_invariant(spark, sf_dir):
             for b in range(a + 1, len(surv)):
                 assert int(Q[surv[a]] @ Q[surv[b]]) < thr_int
     assert n_dup > 0  # the threshold is discriminative on this corpus
+
+
+# ---------------------------------------------------------------------------
+# feature_hash_vectors (hashing trick)
+# ---------------------------------------------------------------------------
+def test_feature_hash_shape_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.vector import (
+        feature_hash_vectors,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a"), (2, "a b"), (3, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["vector"] for r in feature_hash_vectors(docs, dim=8).collect()}
+    assert set(got) == {1, 2}  # NULL text -> no vector
+    assert all(len(v) == 8 for v in got.values())
+    # signed counts: total mass of doc 1 is 4 tokens -> sum of |v| <= 4
+    assert sum(abs(x) for x in got[1]) <= 4
+    # partitioning independence
+    again = {
+        r["doc_id"]: r["vector"]
+        for r in feature_hash_vectors(docs.repartition(5), dim=8).collect()
+    }
+    assert got == again
+
+
+def test_feature_hash_cosine_reflects_overlap(spark):
+    from pyspark.sql import functions as F
+
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.vector import (
+        cosine,
+        feature_hash_vectors,
+        to_double,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "entirely different words about spark engines here now"),
+        ],
+        "doc_id long, text string",
+    )
+    vecs = feature_hash_vectors(docs, dim=64)
+    a = vecs.alias("a")
+    b = vecs.alias("b")
+    sims = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("ia"),
+            F.col("b.doc_id").alias("ib"),
+            cosine(
+                to_double(F.col("a.vector")), to_double(F.col("b.vector"))
+            ).alias("sim"),
+        )
+        .collect()
+    )
+    s = {(r["ia"], r["ib"]): r["sim"] for r in sims}
+    # near-duplicate pair scores far above the unrelated pairs
+    assert s[(1, 2)] > 0.7
+    assert s[(1, 2)] > s[(1, 3)] + 0.3 and s[(1, 2)] > s[(2, 3)] + 0.3
+
+
+def test_feature_hash_rejects_bad_dim(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.vector import (
+        feature_hash_vectors,
+    )
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        feature_hash_vectors(docs, dim=0)
