@@ -2219,6 +2219,26 @@ def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-contamination audit (new in r8): apply the NAIVE per-row
+    hash split to documents and count near-dup pairs per split pair —
+    the cross-split rows are exactly the test-set contamination that
+    `leakage_safe_split` prevents; this report measures what
+    cluster-splitting buys on the corpus at hand
+    (operators/dedup.py:leakage_report)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        hash_split,
+    )
+
+    assign = hash_split(
+        docs.select("doc_id"), "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=None)
+    return D.leakage_report(assign, pairs)
+
+
 def _q_text_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick vectorizer (new in r8): each document embedded
     into a fixed 16-dim integer vector with no vocabulary — token adds
@@ -3363,6 +3383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_bigrams": _q_text_top_bigrams,
         "layout_pruning_report": _q_layout_pruning,
         "text_feature_hash": _q_text_feature_hash,
+        "split_leakage_report": _q_split_leakage,
     }
 
 
@@ -4871,6 +4892,31 @@ SELECT node, count(*) AS n_triangles FROM (
     UNION ALL SELECT c FROM tri
 ) GROUP BY node
 """.format(o_ngram=o["dedup_ngram_jaccard"])
+
+    _doc_bucket = (
+        "(CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 7))"
+        " AS BIGINT) % 10000)"
+    )
+    o["split_leakage_report"] = f"""
+WITH pairs AS ({o["dedup_ngram_jaccard"]}),
+assign AS (
+    SELECT doc_id,
+           CASE WHEN {_doc_bucket} < 8000 THEN 'train'
+                WHEN {_doc_bucket} < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+),
+j AS (
+    SELECT least(a.split, b.split) AS split_a,
+           greatest(a.split, b.split) AS split_b
+    FROM pairs
+    JOIN assign a ON a.doc_id = pairs.doc_a
+    JOIN assign b ON b.doc_id = pairs.doc_b
+)
+SELECT split_a, split_b, count(*) AS n_pairs,
+       split_a <> split_b AS leaky
+FROM j GROUP BY split_a, split_b
+"""
 
     o["graph_pagerank"] = """
 WITH edges AS ({o_ngram}),

@@ -1251,3 +1251,44 @@ def leakage_safe_split(
         )
     out = comp.select(id_col, "component", expr.alias(split_col))
     return out.filter(F.col(split_col).isNotNull())
+
+
+def leakage_report(
+    assign: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Quantify split contamination: the near-dup pair matrix BY split
+    pair. ``assign`` maps ids to splits (any splitter's output);
+    ``pairs`` is a near-dup edge list (Jaccard/MinHash/SemDeDup — any
+    of this module's pair producers). Output one row per unordered
+    split pair: (split_a, split_b, n_pairs, leaky) with ``leaky`` true
+    when the splits differ — those pairs are test/val documents with a
+    near-copy in another split, the contamination
+    :func:`leakage_safe_split` exists to prevent (run this report on a
+    NAIVE per-row split to measure what cluster-splitting buys; on a
+    leakage-safe split every ``leaky`` count is zero by construction).
+
+    Scale shape: two hash joins of the pair list against the (id,
+    split) projection, then a groupBy over ≤ |splits|² rows. Pairs
+    whose endpoints lack an assignment are dropped (inner joins) —
+    they have no split to leak across.
+    """
+    a = assign.select(
+        F.col(id_col).alias(id_a), F.col(split_col).alias("__sa")
+    )
+    b = assign.select(
+        F.col(id_col).alias(id_b), F.col(split_col).alias("__sb")
+    )
+    j = pairs.join(a, id_a).join(b, id_b)
+    return (
+        j.groupBy(
+            F.least("__sa", "__sb").alias("split_a"),
+            F.greatest("__sa", "__sb").alias("split_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("leaky", F.col("split_a") != F.col("split_b"))
+    )

@@ -1229,3 +1229,55 @@ def test_leakage_safe_split_colocates_linked_docs(spark):
         ).collect()
     }
     assert again == split_of
+
+
+# ---------------------------------------------------------------------------
+# leakage_report
+# ---------------------------------------------------------------------------
+def test_leakage_report_counts_cross_split_pairs(spark):
+    from pyspark.sql import functions as F
+
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.dedup import (
+        leakage_report,
+    )
+
+    assign = spark.createDataFrame(
+        [(1, "train"), (2, "train"), (3, "test"), (4, "val")],
+        "doc_id long, split string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (1, 99)],  # 99 unassigned -> dropped
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r["split_a"], r["split_b"]): (r["n_pairs"], r["leaky"])
+        for r in leakage_report(assign, pairs).collect()
+    }
+    assert got == {
+        ("train", "train"): (1, False),
+        ("test", "train"): (2, True),
+        ("test", "val"): (1, True),
+    }
+
+
+def test_leakage_report_zero_on_safe_split(spark):
+    # a split produced by leakage_safe_split has NO leaky rows
+    from pyspark.sql import functions as F
+
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.dedup import (
+        leakage_report,
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 38, 2)], "doc_a long, doc_b long"
+    )
+    safe = leakage_safe_split(
+        docs, pairs, {"train": 0.6, "val": 0.2, "test": 0.2}
+    )
+    rep = leakage_report(safe, pairs).collect()
+    assert rep  # linked pairs exist
+    assert all(not r["leaky"] for r in rep)
