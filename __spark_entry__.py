@@ -981,6 +981,25 @@ def _q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source", "n_chars")
 
 
+def _q_sample_weighted_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped A-ES weighted sampling (r8: the per-group ranking now
+    runs as the lossless two-phase salted scheme — this row pins the
+    changed path with a hash grade against the single-window oracle
+    it must equal): 10 docs per language, longer proportionally
+    likelier (functions/sampling.py:weighted_sample_topk)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        weighted_sample_topk,
+    )
+
+    return weighted_sample_topk(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "n_chars",
+        k=10,
+        group_col="lang",
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
 def _q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-node triangle participation over the exact near-dup pair
     # graph — clique-ness of dup clusters (components tell you WHO is
@@ -3384,6 +3403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_pruning_report": _q_layout_pruning,
         "text_feature_hash": _q_text_feature_hash,
         "split_leakage_report": _q_split_leakage,
+        "sample_weighted_grouped": _q_sample_weighted_grouped,
     }
 
 
@@ -5951,6 +5971,18 @@ SELECT doc_id, lang, source, n_chars FROM (
               / 4503599627370496.0) / CAST(n_chars AS DOUBLE) AS aes
     FROM documents
 ) ORDER BY aes DESC LIMIT 50
+"""
+
+    o["sample_weighted_grouped"] = """
+SELECT doc_id, lang, source, n_chars FROM (
+    SELECT doc_id, lang, source, n_chars,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ln((CAST(concat('0x', substr(sha256(cast(doc_id AS varchar)), 1, 13)) AS BIGINT) + 1.0)
+                           / 4503599627370496.0) / CAST(n_chars AS DOUBLE) DESC
+           ) AS rn
+    FROM documents
+) WHERE rn <= 10
 """
 
     # merged-sketch twin: oracle is the DIRECT global sketch — merge
