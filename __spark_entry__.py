@@ -2238,6 +2238,24 @@ def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen (new in r8): modified z-score (Iglewicz-
+    Hoaglin 0.6745·(x−med)/MAD, |z| > 3.5) per event_type — median/MAD
+    resist the outliers being hunted, unlike the mean/σ screen
+    (`ts_anomaly`); two broadcast-joined percentile passes
+    (operators/clean.py:mad_outliers)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.clean import (
+        mad_outliers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return mad_outliers(
+        ev.select("event_id", "event_type", "value"),
+        "value",
+        group_cols=["event_type"],
+    ).select("event_id", "event_type", "value", "robust_z", "is_outlier")
+
+
 def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-contamination audit (new in r8): apply the NAIVE per-row
     hash split to documents and count near-dup pairs per split pair —
@@ -3404,6 +3422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_feature_hash": _q_text_feature_hash,
         "split_leakage_report": _q_split_leakage,
         "sample_weighted_grouped": _q_sample_weighted_grouped,
+        "ts_mad_outliers": _q_mad_outliers,
     }
 
 
@@ -5971,6 +5990,25 @@ SELECT doc_id, lang, source, n_chars FROM (
               / 4503599627370496.0) / CAST(n_chars AS DOUBLE) AS aes
     FROM documents
 ) ORDER BY aes DESC LIMIT 50
+"""
+
+    o["ts_mad_outliers"] = """
+WITH med AS (SELECT event_type, quantile_cont(CAST(value AS DOUBLE), 0.5) AS med
+             FROM events GROUP BY 1),
+wm AS (SELECT e.event_id, e.event_type, e.value, m.med
+       FROM events e JOIN med m USING (event_type)),
+mad AS (SELECT event_type,
+               quantile_cont(abs(CAST(value AS DOUBLE) - med), 0.5) AS mad
+        FROM wm GROUP BY 1),
+s AS (SELECT wm.*, mad.mad FROM wm JOIN mad USING (event_type))
+SELECT event_id, event_type, value,
+       CASE WHEN mad > 0
+            THEN round(0.6745 * (CAST(value AS DOUBLE) - med) / mad, 6)
+       END AS robust_z,
+       coalesce(abs(CASE WHEN mad > 0
+            THEN round(0.6745 * (CAST(value AS DOUBLE) - med) / mad, 6)
+       END) > 3.5, FALSE) AS is_outlier
+FROM s
 """
 
     o["sample_weighted_grouped"] = """

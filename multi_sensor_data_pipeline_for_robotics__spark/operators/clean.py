@@ -192,6 +192,61 @@ def filter_by_quantile(
     )
 
 
+def mad_outliers(
+    df: DataFrame,
+    col: str,
+    k: float = 3.5,
+    group_cols: list[str] | None = None,
+    out_col: str = "robust_z",
+    flag_col: str = "is_outlier",
+    round_to: int = 6,
+) -> DataFrame:
+    """Robust outlier screen via the modified z-score (Iglewicz &
+    Hoaglin): ``robust_z = 0.6745 · (x − median) / MAD`` with
+    ``MAD = median(|x − median|)``; rows with ``|robust_z| > k``
+    (default 3.5, the published cut) are flagged. Median/MAD resist
+    the very outliers being hunted — unlike the mean/σ screen
+    (``ts_anomaly``), one wild sensor spike cannot drag the threshold
+    toward itself and mask its neighbors.
+
+    Two aggregation passes by construction (MAD needs the median
+    first), each a map-side-combinable percentile joined back by
+    broadcast (1 row globally, |groups| rows with ``group_cols``).
+    Degenerate MAD = 0 (>50% identical values) flags nothing —
+    deviation from a point mass has no robust scale; NULL values get
+    NULL z and a false flag.
+    """
+    c = F.col(col).cast("double")
+    gcols = group_cols or []
+    if gcols:
+        med = df.groupBy(*gcols).agg(F.percentile(c, F.lit(0.5)).alias("__med"))
+        with_med = df.join(F.broadcast(med), gcols)
+    else:
+        med = df.agg(F.percentile(c, F.lit(0.5)).alias("__med"))
+        with_med = df.crossJoin(F.broadcast(med))
+    dev = F.abs(c - F.col("__med"))
+    if gcols:
+        mad = with_med.groupBy(*gcols).agg(
+            F.percentile(dev, F.lit(0.5)).alias("__mad")
+        )
+        staged = with_med.join(F.broadcast(mad), gcols)
+    else:
+        mad = with_med.agg(F.percentile(dev, F.lit(0.5)).alias("__mad"))
+        staged = with_med.crossJoin(F.broadcast(mad))
+    z = F.lit(0.6745) * (c - F.col("__med")) / F.col("__mad")
+    return (
+        staged.withColumn(
+            out_col,
+            F.when(F.col("__mad") > 0, F.round(z, round_to)),
+        )
+        .withColumn(
+            flag_col,
+            F.coalesce(F.abs(F.col(out_col)) > k, F.lit(False)),
+        )
+        .drop("__med", "__mad")
+    )
+
+
 def sort_by_time(df: DataFrame, on: str = "timestamp") -> DataFrame:
     """O11 — global ascending sort (app.py:133-135).
 

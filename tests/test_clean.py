@@ -168,3 +168,51 @@ def test_filter_by_quantile_grouped(spark):
     assert set(per) == {"a", "b"}
     assert len(per["a"]) in (10, 11) and min(per["a"]) >= 89.0
     assert len(per["b"]) in (10, 11) and min(per["b"]) >= 1089.0
+
+
+# ---------------------------------------------------------------------------
+# mad_outliers
+# ---------------------------------------------------------------------------
+def test_mad_outliers_resists_masking(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.clean import (
+        mad_outliers,
+    )
+
+    # 20 inliers around 10 plus TWO wild spikes: the mean/sigma screen
+    # at 2 sigma would let the spikes inflate sigma; MAD doesn't move
+    vals = [float(10 + (i % 5)) for i in range(20)] + [1000.0, -1000.0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, v double")
+    got = {r["id"]: (r["robust_z"], r["is_outlier"]) for r in mad_outliers(df, "v").collect()}
+    assert got[20][1] is True and got[21][1] is True
+    assert sum(1 for z, f in got.values() if f) == 2  # only the spikes
+
+
+def test_mad_outliers_degenerate_mad_flags_nothing(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.clean import (
+        mad_outliers,
+    )
+
+    # >50% identical values -> MAD = 0 -> no robust scale, no flags
+    df = spark.createDataFrame(
+        [(i, 5.0) for i in range(10)] + [(99, 1e9)], "id long, v double"
+    )
+    got = mad_outliers(df, "v").collect()
+    assert all(not r["is_outlier"] for r in got)
+    assert all(r["robust_z"] is None for r in got)
+
+
+def test_mad_outliers_grouped_thresholds_independent(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.clean import (
+        mad_outliers,
+    )
+
+    # group a is tight around 10 (100 is wild); group b is wide, where
+    # 100 is ordinary
+    rows = [("a", float(10 + (i % 3))) for i in range(20)] + [("a", 100.0)]
+    rows += [("b", float(i * 50)) for i in range(20)]
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)], "id long, g string, v double"
+    )
+    got = {(r["g"], r["v"]): r["is_outlier"] for r in mad_outliers(df, "v", group_cols=["g"]).collect()}
+    assert got[("a", 100.0)] is True
+    assert not any(f for (g, v), f in got.items() if g == "b")
