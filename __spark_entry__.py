@@ -2238,6 +2238,20 @@ def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics (new in r8): per language × source the
+    doc count, char/token totals, mean token count, mean distinct-token
+    ratio and short-doc rate — the release summary a mixing decision
+    consumes, in ONE map-side-combinable aggregation pass
+    (plans/corpus.py:corpus_report)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.corpus import (
+        corpus_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_report(docs)
+
+
 def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier screen (new in r8): modified z-score (Iglewicz-
     Hoaglin 0.6745·(x−med)/MAD, |z| > 3.5) per event_type — median/MAD
@@ -3423,6 +3437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_report": _q_split_leakage,
         "sample_weighted_grouped": _q_sample_weighted_grouped,
         "ts_mad_outliers": _q_mad_outliers,
+        "corpus_report": _q_corpus_report,
     }
 
 
@@ -5990,6 +6005,26 @@ SELECT doc_id, lang, source, n_chars FROM (
               / 4503599627370496.0) / CAST(n_chars AS DOUBLE) AS aes
     FROM documents
 ) ORDER BY aes DESC LIMIT 50
+"""
+
+    o["corpus_report"] = """
+WITH t AS (
+    SELECT lang, source,
+           coalesce(length(text), 0) AS nc,
+           CASE WHEN text IS NULL THEN 0
+                ELSE len(string_split(text, ' ')) END AS nt,
+           CASE WHEN text IS NULL THEN 0
+                ELSE len(list_distinct(string_split(text, ' '))) END AS nd
+    FROM documents
+)
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(nc) AS BIGINT) AS total_chars,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       round(avg(nt), 4) AS avg_tokens,
+       round(avg(CASE WHEN nt > 0 THEN CAST(nd AS DOUBLE) / nt
+                      ELSE 0.0 END), 4) AS avg_distinct_ratio,
+       round(avg(CASE WHEN nt < 20 THEN 1.0 ELSE 0.0 END), 4) AS pct_short
+FROM t GROUP BY lang, source
 """
 
     o["ts_mad_outliers"] = """

@@ -151,3 +151,62 @@ def bigram_logprob_scores(
             F.count(F.lit(1)).alias("n_bigrams"),
         )
     )
+
+
+def corpus_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_cols: list[str] | None = None,
+    short_doc_tokens: int = 20,
+    round_to: int = 4,
+) -> DataFrame:
+    """Dataset-card statistics in one aggregation pass: per group
+    (default language × source) the document count, total characters,
+    total/mean token counts, mean distinct-token ratio, and the short-
+    document rate — the summary table a corpus release ships and a
+    mixing decision consumes. One groupBy, every metric map-side
+    combinable, no second scan.
+
+    NULL text counts as a document with 0 tokens/0 chars (it shows up
+    in ``n_docs`` and ``pct_short`` — silently dropping it would hide
+    ingestion defects the card exists to surface).
+    """
+    from multi_sensor_data_pipeline_for_robotics__spark.functions import text as TX
+
+    gcols = group_cols if group_cols is not None else ["lang", "source"]
+    toks = TX.tokens(F.col(text_col))
+    n_tok = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(F.size(toks))
+    n_distinct = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+        F.size(F.array_distinct(toks))
+    )
+    n_chars = F.coalesce(F.length(F.col(text_col)), F.lit(0))
+    return (
+        docs.select(
+            *gcols,
+            n_tok.alias("__nt"),
+            n_distinct.alias("__nd"),
+            n_chars.alias("__nc"),
+        )
+        .groupBy(*gcols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nc").cast("long").alias("total_chars"),
+            F.sum("__nt").cast("long").alias("total_tokens"),
+            F.round(F.avg("__nt"), round_to).alias("avg_tokens"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("__nt") > 0,
+                        F.col("__nd") / F.col("__nt"),
+                    ).otherwise(F.lit(0.0))
+                ),
+                round_to,
+            ).alias("avg_distinct_ratio"),
+            F.round(
+                F.avg(
+                    F.when(F.col("__nt") < short_doc_tokens, 1.0).otherwise(0.0)
+                ),
+                round_to,
+            ).alias("pct_short"),
+        )
+    )

@@ -148,3 +148,63 @@ zone AS (SELECT grp, {zone_aggs} FROM grouped GROUP BY grp),
 gstats AS (SELECT {glob_aggs} FROM src)
 {" UNION ALL ".join(spans)}
 """
+
+
+def plan_compaction(
+    n_rows: int,
+    total_bytes: int,
+    target_file_mb: int = 128,
+    min_files: int = 1,
+    max_files: int | None = None,
+) -> dict:
+    """Small-file compaction arithmetic: how many output files should a
+    rewrite produce so each lands near ``target_file_mb``? Driver-side
+    pure function — feed it ANALYZE output (``plans.stats``) or
+    filesystem stats; pair with :func:`write_clustered_parquet` to
+    execute.
+
+    The small-file problem is the quiet 100 TB killer: a table written
+    by 10k tasks × 200 partitions yields 2M files, and every query pays
+    2M opens + footer reads before scanning a byte. Target ~128 MB
+    (HDFS-block-ish; good row-group amortization) unless the consumer
+    dictates otherwise.
+
+    Returns {n_files, rows_per_file, est_file_mb}.
+    """
+    if n_rows < 0 or total_bytes < 0:
+        raise ValueError("n_rows/total_bytes must be >= 0")
+    if target_file_mb < 1:
+        raise ValueError(f"target_file_mb must be >= 1, got {target_file_mb}")
+    target = target_file_mb * 1024 * 1024
+    n_files = max(min_files, -(-total_bytes // target))  # ceil div
+    if max_files is not None:
+        n_files = min(n_files, max_files)
+    n_files = max(1, n_files)
+    return {
+        "n_files": int(n_files),
+        "rows_per_file": int(-(-n_rows // n_files)) if n_rows else 0,
+        "est_file_mb": round(total_bytes / n_files / 1024 / 1024, 2),
+    }
+
+
+def write_clustered_parquet(
+    df: DataFrame,
+    path: str,
+    layout_cols: list[str],
+    n_files: int,
+) -> None:
+    """Execute a clustering rewrite: range-partition into ``n_files``
+    slices of ``layout_cols`` order (z-key, h-key, or plain sort
+    columns), sort within each, write parquet — exactly how OPTIMIZE
+    ZORDER materializes, one range shuffle total. Each output file
+    covers a contiguous key range, so the zone maps
+    (:func:`pruning_report` predicts their quality) stay tight."""
+    if n_files < 1:
+        raise ValueError(f"n_files must be >= 1, got {n_files}")
+    cols = [F.col(c) for c in layout_cols]
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -167,3 +167,54 @@ def test_pruning_report_validates(spark):
 
     with _pt.raises(ValueError):
         pruning_report(df, "id", "id", ["v"], rows_per_group=0)
+
+
+def test_plan_compaction_arithmetic():
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.layout import (
+        plan_compaction,
+    )
+
+    p = plan_compaction(n_rows=1_000_000, total_bytes=10 * 128 * 1024 * 1024)
+    assert p["n_files"] == 10 and p["rows_per_file"] == 100_000
+    assert p["est_file_mb"] == 128.0
+    # cap respected
+    p = plan_compaction(1_000_000, 10 * 128 * 1024 * 1024, max_files=4)
+    assert p["n_files"] == 4
+    # tiny table -> one file
+    assert plan_compaction(10, 100)["n_files"] == 1
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        plan_compaction(1, 1, target_file_mb=0)
+
+
+def test_write_clustered_parquet_roundtrip_and_ranges(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.layout import (
+        write_clustered_parquet,
+    )
+
+    df = spark.range(10_000).select(
+        F.col("id"),
+        (F.abs(F.hash(F.col("id").cast("string"))) % 1000).alias("k"),
+    )
+    path = str(tmp_path / "clustered")
+    write_clustered_parquet(df, path, ["k", "id"], n_files=8)
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.exceptAll(df).count() == 0
+    # each file covers a contiguous, non-overlapping k range
+    import os
+
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == 8
+    ranges = []
+    for f in files:
+        s = spark.read.parquet(os.path.join(path, f)).agg(
+            F.min("k").alias("lo"), F.max("k").alias("hi")
+        ).first()
+        ranges.append((s["lo"], s["hi"]))
+    ranges.sort()
+    for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
+        assert l2 >= h1  # ranges ascend; overlap only at boundary keys

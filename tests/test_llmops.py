@@ -1281,3 +1281,30 @@ def test_leakage_report_zero_on_safe_split(spark):
     rep = leakage_report(safe, pairs).collect()
     assert rep  # linked pairs exist
     assert all(not r["leaky"] for r in rep)
+
+
+def test_corpus_report_null_text_counted(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.corpus import (
+        corpus_report,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "web", "a b c d e"),
+            (2, "en", "web", None),
+            (3, "de", "web", "x " * 30),
+        ],
+        "doc_id long, lang string, source string, text string",
+    )
+    got = {
+        (r["lang"], r["source"]): r
+        for r in corpus_report(docs, short_doc_tokens=6).collect()
+    }
+    en = got[("en", "web")]
+    assert en["n_docs"] == 2  # the NULL doc is counted
+    assert en["total_tokens"] == 5
+    assert en["pct_short"] == 1.0  # both docs under 6 tokens
+    de = got[("de", "web")]
+    assert de["n_docs"] == 1 and de["pct_short"] == 0.0
+    # "x " * 30 splits into 30 'x' + trailing '' = 31 tokens
+    assert de["total_tokens"] == 31
