@@ -2238,6 +2238,37 @@ def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sample_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referentially-consistent subsample (new in r8): hash-sample 10%
+    of orders, semi-join lineitem on the surviving keys — the "1% dev
+    copy of the warehouse that still joins" primitive (independent
+    per-table sampling keeps ~rate² of join pairs and breaks every FK;
+    parent-then-semi-join preserves both)
+    (functions/sampling.py:referential_subsample)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        referential_subsample,
+    )
+
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    _, c = referential_subsample(od, li, "o_orderkey", "l_orderkey", 0.1)
+    return c.select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+def _q_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user RFM feature snapshot (new in r8): recency (first/last
+    event), frequency (count, distinct types, events/day over the
+    active span), monetary (value sum/mean) in ONE map-side-combinable
+    groupBy — the wide-scan→narrow-feature-row reduction a model
+    trains on (plans/stats.py:user_activity_features)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.stats import (
+        user_activity_features,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return user_activity_features(ev)
+
+
 def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-card statistics (new in r8): per language × source the
     doc count, char/token totals, mean token count, mean distinct-token
@@ -3438,6 +3469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted_grouped": _q_sample_weighted_grouped,
         "ts_mad_outliers": _q_mad_outliers,
         "corpus_report": _q_corpus_report,
+        "sample_referential": _q_sample_referential,
+        "feat_user_rfm": _q_user_rfm,
     }
 
 
@@ -6007,6 +6040,27 @@ SELECT doc_id, lang, source, n_chars FROM (
 ) ORDER BY aes DESC LIMIT 50
 """
 
+    o["sample_referential"] = """
+WITH p AS (
+    SELECT o_orderkey FROM orders
+    WHERE (CAST(('0x' || substr(sha256(CAST(o_orderkey AS VARCHAR)), 1, 7))
+           AS BIGINT) % 10000) < 1000
+)
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM p)
+"""
+    o["feat_user_rfm"] = """
+SELECT user_id, count(*) AS n_events,
+       count(DISTINCT event_type) AS n_event_types,
+       min(ts) AS first_ts, max(ts) AS last_ts,
+       round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 4)
+           AS total_value,
+       round(avg(value), 4) AS avg_value,
+       round(count(*) / greatest(
+           CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE)
+           / 86400000000.0, 1.0 / 86400.0), 4) AS events_per_day
+FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+"""
     o["corpus_report"] = """
 WITH t AS (
     SELECT lang, source,

@@ -287,6 +287,40 @@ def mixture_resample(
     )
 
 
+def referential_subsample(
+    parent: DataFrame,
+    child: DataFrame,
+    parent_key: str,
+    child_fk: str,
+    rate: float,
+    n_buckets: int = N_BUCKETS,
+) -> tuple[DataFrame, DataFrame]:
+    """Referentially-CONSISTENT subsampling: hash-sample the parent
+    table at ``rate``, then keep exactly the child rows whose foreign
+    key survived — the "give me a 1% dev copy of the warehouse that
+    still joins" primitive. Sampling each table independently breaks
+    every FK (a 1% × 1% join keeps ~0.01%); sampling the parent and
+    semi-joining children preserves join cardinality ratios and
+    referential integrity by construction.
+
+    Membership is a pure function of the PARENT key, so the same
+    subset falls out on any engine/partitioning/rerun, and children of
+    a kept parent are kept in full. The child filter is a semi-join —
+    at scale it compiles to a broadcast/shuffled hash semi-join plus
+    Spark's runtime bloom pruning; chain for grandchildren (sample
+    orders, semi-join lineitem on orderkey).
+
+    Returns (parent_sample, child_sample).
+    """
+    p = hash_sample(parent, parent_key, rate, n_buckets)
+    c = child.join(
+        p.select(F.col(parent_key).alias("__pk")).distinct(),
+        F.col(child_fk) == F.col("__pk"),
+        "left_semi",
+    )
+    return p, c
+
+
 def kfold_assign(
     df: DataFrame, key: str, k: int = 5, fold_col: str = "fold"
 ) -> DataFrame:

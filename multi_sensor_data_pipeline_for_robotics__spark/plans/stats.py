@@ -513,3 +513,54 @@ SELECT *, round(percent_rank() OVER (ORDER BY {score_col}), {round_to})
        AS pct_rank
 FROM ({table_sql}) WHERE {score_col} IS NOT NULL
 """
+
+
+def user_activity_features(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-entity RFM-style feature snapshot — the one-groupBy feature
+    table a downstream model trains on: recency (first/last event,
+    active span in seconds), frequency (event count, distinct event
+    types, events per active day), monetary (value sum/mean). One
+    shuffle on the entity key, every aggregate map-side combinable;
+    at 100 TB this is the canonical "wide scan → narrow per-user row"
+    reduction (output rows = |users|, not |events|).
+
+    NULL users are excluded (no entity to attribute to); NULL values
+    contribute to counts but not sums/means (SQL aggregate semantics).
+    """
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.timeutil import (
+        ts_us,
+    )
+
+    span_days = (
+        ts_us(F.col("last_ts")) - ts_us(F.col("first_ts"))
+    ).cast("double") / F.lit(86400.0 * 1e6)
+    return (
+        events.filter(F.col(user_col).isNotNull())
+        .groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct(type_col).alias("n_event_types"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(30,6)")).cast("double"),
+                round_to,
+            ).alias("total_value"),
+            F.round(F.avg(value_col), round_to).alias("avg_value"),
+        )
+        .withColumn(
+            "events_per_day",
+            F.round(
+                F.col("n_events")
+                / F.greatest(span_days, F.lit(1.0 / 86400.0)),
+                round_to,
+            ),
+        )
+    )

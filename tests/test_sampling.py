@@ -400,3 +400,25 @@ def test_kfold_validates(spark):
         kfold_assign(df, "key", 1)
     with _pt.raises(ValueError):
         kfold_train_test(df, "key", 5, 5)
+
+
+def test_referential_subsample_integrity_and_ratio(spark, sf_dir):
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        referential_subsample,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.sources.tables import (
+        load_table,
+    )
+
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    p, c = referential_subsample(od, li, "o_orderkey", "l_orderkey", 0.2)
+    # every child FK resolves inside the sampled parent set
+    assert c.join(p, c.l_orderkey == p.o_orderkey, "left_anti").count() == 0
+    # parent rate near 20%; child ratio (lines per order) preserved
+    n_od, n_li = od.count(), li.count()
+    n_p, n_c = p.count(), c.count()
+    assert 0.14 < n_p / n_od < 0.26
+    full_ratio = n_li / n_od
+    samp_ratio = n_c / n_p
+    assert abs(samp_ratio - full_ratio) / full_ratio < 0.2
