@@ -422,3 +422,59 @@ def test_referential_subsample_integrity_and_ratio(spark, sf_dir):
     full_ratio = n_li / n_od
     samp_ratio = n_c / n_p
     assert abs(samp_ratio - full_ratio) / full_ratio < 0.2
+
+
+# ---------------------------------------------------------------------------
+# two-phase salted ranking law (hypothesis)
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=4),
+    k=st.integers(min_value=1, max_value=12),
+    salt_buckets=st.sampled_from([1, 2, 7, 64]),
+)
+def test_group_sample_k_equals_single_window_property(sizes, k, salt_buckets):
+    """The lossless-split law: for ANY group sizes, k, and salt bucket
+    count, the two-phase salted ranking selects exactly the rows the
+    single per-group window would."""
+    from pyspark.sql import Window as W
+
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        group_sample_k,
+    )
+    from tests.test_asof_properties import _get_spark
+
+    spark = _get_spark()
+    rows = [
+        (g * 1000 + i, f"g{g}")
+        for g, n in enumerate(sizes)
+        for i in range(n)
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "key long, grp string")
+    got = {
+        (r["grp"], r["key"])
+        for r in group_sample_k(df, "key", "grp", k, salt_buckets).collect()
+    }
+    h = F.conv(
+        F.substring(
+            F.sha2(F.concat(F.col("key").cast("string"), F.lit("#gsample")), 256),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = W.partitionBy("grp").orderBy(h, "key")
+    ref = {
+        (r["grp"], r["key"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .collect()
+    }
+    assert got == ref
