@@ -2238,6 +2238,44 @@ def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-streaming representative #12 (new in r8): the per-user
+    RFM feature row maintained AS stream state — feature-store
+    freshness. Counters add, extrema min/max, value sum in exact
+    decimal micro-units, so the LAST batch per user is bit-identical
+    to batch `user_activity_features` over the same file; graded
+    against a decimal-sum DuckDB twin
+    (streaming/stateful.py:user_features_stream)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.stateful import (
+        user_features_stream,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.sync_stream import (
+        read_events_stream,
+        run_to_memory,
+    )
+    from pyspark.sql import Window as W
+
+    stream = read_events_stream(spark, sf_dir)
+    sm = user_features_stream(stream)
+    run_to_memory(sm, "stream_rfm_tbl", output_mode="append")
+    wk = W.partitionBy("user_id")
+    return (
+        spark.table("stream_rfm_tbl")
+        .withColumn("__mx", F.max("batch_seq").over(wk))
+        .filter(F.col("batch_seq") == F.col("__mx"))
+        .select(
+            "user_id",
+            "n_events",
+            "n_event_types",
+            "first_us",
+            "last_us",
+            "total_value",
+            "avg_value",
+            "events_per_day",
+        )
+    )
+
+
 def _q_sample_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referentially-consistent subsample (new in r8): hash-sample 10%
     of orders, semi-join lineitem on the surviving keys — the "1% dev
@@ -3471,6 +3509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": _q_corpus_report,
         "sample_referential": _q_sample_referential,
         "feat_user_rfm": _q_user_rfm,
+        "stream_user_rfm": _q_stream_user_rfm,
     }
 
 
@@ -6056,6 +6095,20 @@ SELECT user_id, count(*) AS n_events,
        round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 4)
            AS total_value,
        round(avg(value), 4) AS avg_value,
+       round(count(*) / greatest(
+           CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE)
+           / 86400000000.0, 1.0 / 86400.0), 4) AS events_per_day
+FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+"""
+    o["stream_user_rfm"] = """
+SELECT CAST(user_id AS VARCHAR) AS user_id,
+       count(*) AS n_events,
+       count(DISTINCT event_type) AS n_event_types,
+       epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us,
+       round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 4)
+           AS total_value,
+       round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+             / count(value), 4) AS avg_value,
        round(count(*) / greatest(
            CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE)
            / 86400000000.0, 1.0 / 86400.0), 4) AS events_per_day

