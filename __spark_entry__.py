@@ -6092,9 +6092,12 @@ WHERE l_orderkey IN (SELECT o_orderkey FROM p)
 SELECT user_id, count(*) AS n_events,
        count(DISTINCT event_type) AS n_event_types,
        min(ts) AS first_ts, max(ts) AS last_ts,
-       round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 4)
+       sum(CAST(CAST(value AS DECIMAL(30,6)) * 1000000 AS BIGINT)) / 1e6
            AS total_value,
-       round(avg(value), 4) AS avg_value,
+       CASE WHEN count(value) > 0 THEN
+           (sum(CAST(CAST(value AS DECIMAL(30,6)) * 1000000 AS BIGINT))
+            // count(value)) / 1e6
+       END AS avg_value,
        round(count(*) / greatest(
            CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE)
            / 86400000000.0, 1.0 / 86400.0), 4) AS events_per_day
@@ -6105,10 +6108,12 @@ SELECT CAST(user_id AS VARCHAR) AS user_id,
        count(*) AS n_events,
        count(DISTINCT event_type) AS n_event_types,
        epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us,
-       round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 4)
+       sum(CAST(CAST(value AS DECIMAL(30,6)) * 1000000 AS BIGINT)) / 1e6
            AS total_value,
-       round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
-             / count(value), 4) AS avg_value,
+       CASE WHEN count(value) > 0 THEN
+           (sum(CAST(CAST(value AS DECIMAL(30,6)) * 1000000 AS BIGINT))
+            // count(value)) / 1e6
+       END AS avg_value,
        round(count(*) / greatest(
            CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE)
            / 86400000000.0, 1.0 / 86400.0), 4) AS events_per_day

@@ -533,11 +533,26 @@ def user_activity_features(
 
     NULL users are excluded (no entity to attribute to); NULL values
     contribute to counts but not sums/means (SQL aggregate semantics).
+
+    Value sums/means are EXACT-INTEGER arithmetic in micro-units
+    (value → decimal(·,6) → ×10⁶ → long; sums add, the mean is the
+    floor-divided micro quotient) and the displayed doubles are plain
+    micro/10⁶ divisions with NO rounding function — engine-identical
+    bits. The obvious ``round(avg(value), 4)`` is a cross-engine trap:
+    float sums are partition-order-dependent, and even the exact
+    decimal-sum quotient lands on ``x.xxxx5`` halves often enough
+    (2-decimal inputs make sums multiples of 0.01) that decimal-string
+    HALF_UP (Spark) and binary rounding (DuckDB) split — observed on
+    ~0.5% of users at sf0.1. Micro sums overflow long at ~9.2e12
+    value-units — beyond any real per-entity total.
     """
     from multi_sensor_data_pipeline_for_robotics__spark.functions.timeutil import (
         ts_us,
     )
 
+    micro = (
+        F.col(value_col).cast("decimal(30,6)") * F.lit(1_000_000)
+    ).cast("long")
     span_days = (
         ts_us(F.col("last_ts")) - ts_us(F.col("first_ts"))
     ).cast("double") / F.lit(86400.0 * 1e6)
@@ -549,18 +564,24 @@ def user_activity_features(
             F.countDistinct(type_col).alias("n_event_types"),
             F.min(ts_col).alias("first_ts"),
             F.max(ts_col).alias("last_ts"),
-            F.round(
-                F.sum(F.col(value_col).cast("decimal(30,6)")).cast("double"),
-                round_to,
-            ).alias("total_value"),
-            F.round(F.avg(value_col), round_to).alias("avg_value"),
+            F.sum(micro).alias("__micro"),
+            F.count(value_col).alias("__nv"),
         )
-        .withColumn(
-            "events_per_day",
+        .select(
+            user_col,
+            "n_events",
+            "n_event_types",
+            "first_ts",
+            "last_ts",
+            (F.col("__micro") / F.lit(1e6)).alias("total_value"),
+            F.when(
+                F.col("__nv") > 0,
+                F.expr("__micro div __nv") / F.lit(1e6),
+            ).alias("avg_value"),
             F.round(
                 F.col("n_events")
                 / F.greatest(span_days, F.lit(1.0 / 86400.0)),
                 round_to,
-            ),
+            ).alias("events_per_day"),
         )
     )

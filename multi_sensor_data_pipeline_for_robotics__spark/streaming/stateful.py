@@ -870,10 +870,12 @@ def _make_rfm_fn(round_to: int):
                 int(seq),
             )
         )
-        total = _round_half_up([sm / 1e6], round_to)[0] if nv else None
-        avg = (
-            _round_half_up([(sm / 1e6) / nv], round_to)[0] if nv else None
-        )
+        # exact-integer micro arithmetic, displayed as plain micro/1e6
+        # divisions with NO rounding — round(quotient, 4) is the
+        # cross-engine half-boundary trap (see
+        # plans.stats.user_activity_features); floor-div for the mean
+        total = sm / 1e6 if nv else None
+        avg = (sm // nv) / 1e6 if nv else None
         epd = None
         if fu is not None:
             span_days = max((lu - fu) / 86400e6, 1.0 / 86400.0)
