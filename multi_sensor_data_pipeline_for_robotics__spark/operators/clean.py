@@ -185,8 +185,11 @@ def filter_by_quantile(
     for g in group_cols:
         eq = F.col(g) == F.col(f"__g_{g}")
         on = eq if on is None else (on & eq)
+    # NOT force-broadcast: |groups| is caller-controlled — strata are
+    # usually a handful of rows (AQE broadcasts them at runtime), but a
+    # high-cardinality group column must not be driver-materialized
     return (
-        df.join(F.broadcast(renamed), on, "inner")
+        df.join(renamed, on, "inner")
         .filter(cond)
         .drop("__thr", *[f"__g_{g}" for g in group_cols])
     )
@@ -218,9 +221,12 @@ def mad_outliers(
     """
     c = F.col(col).cast("double")
     gcols = group_cols or []
+    # grouped param frames are NOT force-broadcast: |groups| is caller-
+    # controlled (AQE broadcasts small ones at runtime); the global
+    # 1-row frames are
     if gcols:
         med = df.groupBy(*gcols).agg(F.percentile(c, F.lit(0.5)).alias("__med"))
-        with_med = df.join(F.broadcast(med), gcols)
+        with_med = df.join(med, gcols)
     else:
         med = df.agg(F.percentile(c, F.lit(0.5)).alias("__med"))
         with_med = df.crossJoin(F.broadcast(med))
@@ -229,7 +235,7 @@ def mad_outliers(
         mad = with_med.groupBy(*gcols).agg(
             F.percentile(dev, F.lit(0.5)).alias("__mad")
         )
-        staged = with_med.join(F.broadcast(mad), gcols)
+        staged = with_med.join(mad, gcols)
     else:
         mad = with_med.agg(F.percentile(dev, F.lit(0.5)).alias("__mad"))
         staged = with_med.crossJoin(F.broadcast(mad))
