@@ -84,27 +84,38 @@ def pruning_report(
         ]
     )
     z = zone.crossJoin(F.broadcast(glob))
-    per_col = [
-        z.agg(
-            F.lit(c).alias("column"),
-            F.count(F.lit(1)).alias("n_groups"),
-            F.round(
-                F.avg(
-                    (F.col(f"__hi_{c}") - F.col(f"__lo_{c}"))
-                    / (F.col(f"__ghi_{c}") - F.col(f"__glo_{c}"))
-                ),
-                round_to,
-            ).alias("avg_span_frac"),
-            F.round(F.lit(1.0) / F.count(F.lit(1)), round_to).alias(
-                "ideal_span_frac"
-            ),
+    # ONE aggregation over the zone table for every column (a union of
+    # per-column aggregates would re-execute the rank+zone subtree per
+    # column — Catalyst does not dedupe repeated subtrees), then a
+    # 1-row explode into the per-column report rows
+    one = z.agg(
+        F.count(F.lit(1)).alias("__ng"),
+        *[
+            F.avg(
+                (F.col(f"__hi_{c}") - F.col(f"__lo_{c}"))
+                / (F.col(f"__ghi_{c}") - F.col(f"__glo_{c}"))
+            ).alias(f"__sf_{c}")
+            for c in value_cols
+        ],
+    )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col("__ng").alias("n_groups"),
+                    F.round(F.col(f"__sf_{c}"), round_to).alias(
+                        "avg_span_frac"
+                    ),
+                    F.round(F.lit(1.0) / F.col("__ng"), round_to).alias(
+                        "ideal_span_frac"
+                    ),
+                )
+                for c in value_cols
+            ]
         )
-        for c in value_cols
-    ]
-    out = per_col[0]
-    for nxt in per_col[1:]:
-        out = out.unionByName(nxt)
-    return out
+    ).alias("r")
+    return one.select(rows).select("r.*")
 
 
 def pruning_oracle_sql(
