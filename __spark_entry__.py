@@ -2238,6 +2238,37 @@ def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty scoring (new in r8): odd-id documents scored
+    against the even-id half as reference — fraction of each doc's
+    distinct 3-grams absent from the reference, the memorization/
+    regurgitation signal (≈0 = stitched from reference text).
+    Distinct-to-distinct left join, no pair explosion
+    (functions/text.py:ngram_novelty)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.text import (
+        ngram_novelty,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    tgt = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    return ngram_novelty(tgt, ref, n=3)
+
+
+def _q_feat_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile bucketing (new in r8): events.value into 10 equal-
+    frequency bins — one percentile aggregation broadcast back + a
+    codegen'd threshold fold, instead of the single-task
+    ``ntile OVER (ORDER BY value)`` window; ties stay together (equal
+    inputs, equal feature) (plans/stats.py:quantile_bucketize)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.stats import (
+        quantile_bucketize,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return quantile_bucketize(ev.select("event_id", "value"), "value", 10)
+
+
 def _q_stream_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful-streaming representative #12 (new in r8): the per-user
     RFM feature row maintained AS stream state — feature-store
@@ -3510,6 +3541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_referential": _q_sample_referential,
         "feat_user_rfm": _q_user_rfm,
         "stream_user_rfm": _q_stream_user_rfm,
+        "text_ngram_novelty": _q_text_novelty,
+        "feat_quantile_bucketize": _q_feat_bucketize,
     }
 
 
@@ -6079,6 +6112,44 @@ SELECT doc_id, lang, source, n_chars FROM (
 ) ORDER BY aes DESC LIMIT 50
 """
 
+    o["text_ngram_novelty"] = """
+WITH dg AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+  )) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE doc_id % 2 = 1)
+),
+alldocs AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1),
+rg AS (
+  SELECT DISTINCT unnest(list_distinct(
+    list_transform(range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+  )) AS g
+  FROM (SELECT string_split(text, ' ') AS t FROM documents
+        WHERE doc_id % 2 = 0)
+),
+j AS (SELECT dg.doc_id, dg.g, CASE WHEN rg.g IS NOT NULL THEN 1 END AS hit
+      FROM dg LEFT JOIN rg ON dg.g = rg.g)
+SELECT a.doc_id, coalesce(cnt.n, 0) AS n_grams,
+       CASE WHEN coalesce(cnt.n, 0) > 0
+            THEN round(1.0 - CAST(coalesce(cnt.h, 0) AS DOUBLE) / cnt.n, 6)
+       END AS novelty
+FROM alldocs a LEFT JOIN (
+  SELECT doc_id, count(g) AS n, sum(hit) AS h FROM j GROUP BY doc_id
+) cnt ON cnt.doc_id = a.doc_id
+"""
+    o["feat_quantile_bucketize"] = """
+WITH t AS (SELECT quantile_cont(CAST(value AS DOUBLE),
+                  [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS thr FROM events)
+SELECT event_id, value,
+       CASE WHEN value IS NOT NULL THEN
+         CAST(len(list_filter(thr, x -> CAST(value AS DOUBLE) >= x))
+              AS INTEGER)
+       END AS bucket
+FROM events, t
+"""
     o["sample_referential"] = """
 WITH p AS (
     SELECT o_orderkey FROM orders

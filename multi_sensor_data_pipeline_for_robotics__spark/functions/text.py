@@ -9,7 +9,7 @@ inside whole-stage codegen and scales linearly with executors.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # tiny per-language marker-word lists for the heuristic language ID
@@ -315,3 +315,62 @@ def pii_counts(text: Column | str, patterns: list[tuple[str, str]] | None = None
         name = repl.strip("<>").lower()
         out[f"pii_{name}"] = F.size(F.regexp_extract_all(c, F.lit(pat), 0))
     return out
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    reference: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_text_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against a reference corpus: the
+    fraction of the doc's distinct n-grams that appear nowhere in the
+    reference — the memorization/regurgitation signal (novelty ≈ 0
+    means the doc is stitched from reference text; generation evals
+    use it against the training set, decontamination uses it against
+    the benchmark). Complements `winnow_overlap`-style contamination:
+    that finds WHICH pairs overlap, this scores HOW derivative each
+    document is.
+
+    Plan: explode distinct n-grams on both sides, one left-anti-
+    joinable aggregation — implemented as a left join against the
+    reference's distinct n-gram set with a match flag, then a per-doc
+    ratio. The join key is the n-gram string; at 100 TB swap in the
+    sha-hashed gram (same trick as the substring-dedup family) to
+    shrink shuffle bytes; df-capping is unnecessary because the join
+    is distinct-to-distinct (no pair explosion). Docs with fewer than
+    ``n`` tokens have no n-grams -> novelty NULL (no evidence either
+    way), kept with n_grams = 0.
+    """
+    rtc = ref_text_col or text_col
+    d_grams = docs.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(ngrams(tokens(F.col(text_col)), n))
+        ).alias("__g"),
+    )
+    r_grams = (
+        reference.select(
+            F.explode(F.array_distinct(ngrams(tokens(F.col(rtc)), n))).alias(
+                "__g"
+            )
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    joined = d_grams.join(r_grams, "__g", "left")
+    return joined.groupBy(id_col).agg(
+        F.count("__g").alias("n_grams"),
+        F.round(
+            F.when(
+                F.count("__g") > 0,
+                1.0
+                - F.coalesce(F.sum("__hit"), F.lit(0))
+                / F.count("__g"),
+            ),
+            round_to,
+        ).alias("novelty"),
+    )

@@ -585,3 +585,57 @@ def user_activity_features(
             ).alias("events_per_day"),
         )
     )
+
+
+def quantile_bucketize(
+    df: DataFrame,
+    col: str,
+    num_buckets: int = 10,
+    out_col: str = "bucket",
+    exact: bool = True,
+    rel_err: float = 1e-4,
+) -> DataFrame:
+    """Discretize a column into ``num_buckets`` equal-frequency bins —
+    the feature-engineering quantile transform (decile features,
+    calibration bins, equal-mass histograms). Bucket i covers values in
+    [q(i/B), q((i+1)/B)); ties at a boundary go UP (value >= threshold
+    counts the threshold), NULL values get a NULL bucket.
+
+    The obvious ``ntile(B) OVER (ORDER BY col)`` funnels the whole
+    table through ONE task (the same unpartitioned-window trap
+    rank_normalize avoids). This plan is one percentile aggregation
+    (B-1 thresholds, map-side combined) broadcast back as a 1-row
+    frame, then a codegen'd fold over the ≤ B-1 threshold array — no
+    shuffle of the data at all. Note the semantics differ from ntile
+    on ties: ntile SPLITS a tie run across buckets to equalize counts;
+    quantile bucketing keeps equal values together (the property
+    feature pipelines actually want — equal inputs, equal feature).
+
+    ``exact=False`` uses Greenwald-Khanna ``approx_percentile`` — the
+    100 TB path, same trade as :func:`scale_features`' inputs.
+    """
+    if num_buckets < 2:
+        raise ValueError(f"num_buckets must be >= 2, got {num_buckets}")
+    c = F.col(col).cast("double")
+    probs = F.array(
+        *[F.lit(i / num_buckets) for i in range(1, num_buckets)]
+    )
+    thr_expr = (
+        F.percentile(c, probs)
+        if exact
+        else F.approx_percentile(c, probs, F.lit(int(1.0 / rel_err)))
+    )
+    thr = df.agg(thr_expr.alias("__t"))
+    bucket = F.aggregate(
+        F.col("__t"),
+        F.lit(0),
+        lambda acc, t: acc + F.when(c >= t, 1).otherwise(0),
+    )
+    return (
+        df.crossJoin(F.broadcast(thr))
+        .withColumn(
+            out_col,
+            F.when(c.isNotNull(), bucket).cast("int"),
+        )
+        .drop("__t")
+    )

@@ -424,3 +424,31 @@ def test_rank_normalize_null_scores_dropped_single_row_zero(spark):
     )
     got = rank_normalize(df, "s", "id").collect()
     assert len(got) == 1 and got[0]["pct_rank"] == 0.0
+
+
+def test_quantile_bucketize_equal_masses_and_ties(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.stats import (
+        quantile_bucketize,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 100).cast("double").alias("v")
+    )
+    got = quantile_bucketize(df, "v", 10)
+    per = {
+        r["bucket"]: r["n"]
+        for r in got.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(per) == set(range(10))
+    assert all(v == 100 for v in per.values())
+    # equal inputs always share a bucket (unlike ntile's tie splitting)
+    dup = got.groupBy("v").agg(F.countDistinct("bucket").alias("nb")).collect()
+    assert all(r["nb"] == 1 for r in dup)
+    # NULL value -> NULL bucket; validation
+    df2 = spark.createDataFrame([(1, None), (2, 5.0)], "id long, v double")
+    rows = {r["id"]: r["bucket"] for r in quantile_bucketize(df2, "v", 2).collect()}
+    assert rows[1] is None
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        quantile_bucketize(df, "v", 1)

@@ -1308,3 +1308,27 @@ def test_corpus_report_null_text_counted(spark):
     assert de["n_docs"] == 1 and de["pct_short"] == 0.0
     # "x " * 30 splits into 30 'x' + trailing '' = 31 tokens
     assert de["total_tokens"] == 31
+
+
+def test_ngram_novelty_extremes(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.text import (
+        ngram_novelty,
+    )
+
+    ref = spark.createDataFrame(
+        [(100, "a b c d e f g")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),          # all 3-grams in ref -> novelty 0
+            (2, "x y z w v"),          # none in ref -> novelty 1
+            (3, "a b c x y z"),        # only "a b c" of 4 grams in ref -> 0.75
+            (4, "a b"),                # < n tokens -> no grams, NULL
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_grams"], r["novelty"]) for r in ngram_novelty(docs, ref, n=3).collect()}
+    assert got[1] == (3, 0.0)
+    assert got[2] == (3, 1.0)
+    assert got[3] == (4, 0.75)
+    assert got[4] == (0, None)
