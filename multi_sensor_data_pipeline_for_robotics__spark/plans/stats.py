@@ -639,3 +639,51 @@ def quantile_bucketize(
         )
         .drop("__t")
     )
+
+
+def suggest_join_strategy(
+    left_rows: int,
+    right_rows: int,
+    right_row_bytes: int = 100,
+    broadcast_threshold_bytes: int = 10 * 1024 * 1024,
+    skew_ratio: float | None = None,
+    skew_limit: float = 20.0,
+) -> dict:
+    """Join-strategy advice from ANALYZE-style stats — the human-
+    readable CBO step for a 100 TB job plan (feed `analyze_table`
+    row counts and `key_skew_report.skew_ratio`):
+
+      - right side under the broadcast threshold -> broadcast hash
+        join (no shuffle of the big side);
+      - skewed left key (skew_ratio > skew_limit) and a
+        non-broadcastable right -> salted join
+        (``functions.skew.salted_join``), with a suggested salt count
+        ~ sqrt of the skew ratio (enough to flatten the hot reducer
+        without over-replicating the dim);
+      - otherwise the default shuffle join (AQE will pick
+        hash/sort-merge and split residual skew at runtime).
+
+    Driver-side pure arithmetic; returns {strategy, reason, n_salts?}.
+    """
+    if min(left_rows, right_rows, right_row_bytes) < 0:
+        raise ValueError("row counts/bytes must be >= 0")
+    right_bytes = right_rows * right_row_bytes
+    if right_bytes <= broadcast_threshold_bytes:
+        return {
+            "strategy": "broadcast",
+            "reason": f"right side ~{right_bytes} bytes fits the "
+            f"{broadcast_threshold_bytes}-byte broadcast budget",
+        }
+    if skew_ratio is not None and skew_ratio > skew_limit:
+        n_salts = max(4, min(64, int(round(skew_ratio ** 0.5))))
+        return {
+            "strategy": "salted",
+            "reason": f"left key skew_ratio {skew_ratio:.1f} > "
+            f"{skew_limit} and right side too big to broadcast",
+            "n_salts": n_salts,
+        }
+    return {
+        "strategy": "shuffle",
+        "reason": "right side exceeds broadcast budget; key skew within "
+        "AQE's runtime skew-split capability",
+    }
