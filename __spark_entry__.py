@@ -2255,6 +2255,22 @@ def _q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(tgt, ref, n=3)
 
 
+def _q_rank_normalize_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group percent-rank (new in r8): each document's length
+    percentile WITHIN its language — the properly-PARTITIONED window
+    (groups rank in parallel; the two-phase machinery is for the
+    unpartitioned global case only)
+    (plans/stats.py:rank_normalize_grouped)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.stats import (
+        rank_normalize_grouped,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rank_normalize_grouped(
+        docs.select("doc_id", "lang", "n_chars"), "n_chars", ["lang"]
+    )
+
+
 def _q_feat_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile bucketing (new in r8): events.value into 10 equal-
     frequency bins — one percentile aggregation broadcast back + a
@@ -3543,6 +3559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_user_rfm": _q_stream_user_rfm,
         "text_ngram_novelty": _q_text_novelty,
         "feat_quantile_bucketize": _q_feat_bucketize,
+        "feat_rank_normalize_by_lang": _q_rank_normalize_by_lang,
     }
 
 
@@ -6112,6 +6129,12 @@ SELECT doc_id, lang, source, n_chars FROM (
 ) ORDER BY aes DESC LIMIT 50
 """
 
+    o["feat_rank_normalize_by_lang"] = """
+SELECT doc_id, lang, n_chars,
+       round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars), 6)
+           AS pct_rank
+FROM documents WHERE n_chars IS NOT NULL
+"""
     o["text_ngram_novelty"] = """
 WITH dg AS (
   SELECT doc_id, unnest(list_distinct(

@@ -687,3 +687,27 @@ def suggest_join_strategy(
         "reason": "right side exceeds broadcast budget; key skew within "
         "AQE's runtime skew-split capability",
     }
+
+
+def rank_normalize_grouped(
+    df: DataFrame,
+    score_col: str,
+    group_cols: list[str],
+    out_col: str = "pct_rank",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group percent-rank — normalize scores WITHIN each stratum
+    ("percentile within its language"), the grouped complement of
+    :func:`rank_normalize`. With a group key the window is properly
+    partitioned, so Spark's native ``percent_rank`` is the right plan
+    (one shuffle on the group key, groups rank in parallel) — the
+    two-phase machinery exists for the UNPARTITIONED case only. The
+    per-group partition bound is the same one sessionize lives with:
+    a single group hot enough to break it belongs in a pre-split.
+    NULL scores are dropped (no rank)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*group_cols).orderBy(score_col)
+    return df.filter(F.col(score_col).isNotNull()).withColumn(
+        out_col, F.round(F.percent_rank().over(w), round_to)
+    )

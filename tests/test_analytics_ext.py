@@ -452,3 +452,28 @@ def test_quantile_bucketize_equal_masses_and_ties(spark):
 
     with _pt.raises(ValueError):
         quantile_bucketize(df, "v", 1)
+
+
+def test_rank_normalize_grouped_matches_per_group_window(spark):
+    from pyspark.sql import Window as W
+
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.stats import (
+        rank_normalize_grouped,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i % 7)) for i in range(60)] + [(99, "g0", None)],
+        "id long, g string, s double",
+    )
+    got = {
+        (r["g"], r["id"]): r["pct_rank"]
+        for r in rank_normalize_grouped(df, "s", ["g"]).collect()
+    }
+    ref = {
+        (r["g"], r["id"]): round(r["pr"], 6)
+        for r in df.filter("s IS NOT NULL")
+        .withColumn("pr", F.percent_rank().over(W.partitionBy("g").orderBy("s")))
+        .collect()
+    }
+    assert got == ref
+    assert ("g0", 99) not in got  # NULL score dropped
