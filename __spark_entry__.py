@@ -2238,6 +2238,18 @@ def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram containment pairs (new in r8): |A∩B| / min(|A|,|B|) ≥
+    0.5 over 3-gram sets — the asymmetric-size near-dup signal Jaccard
+    structurally misses (a short doc quoted whole inside a long one);
+    same inverted-index plan and df-cap as the Jaccard query, only the
+    score differs (operators/dedup.py:ngram_containment_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_containment_pairs(
+        docs, n=3, threshold=0.5, max_shingle_df=None
+    )
+
+
 def _q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram novelty scoring (new in r8): odd-id documents scored
     against the even-id half as reference — fraction of each doc's
@@ -3560,6 +3572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_novelty": _q_text_novelty,
         "feat_quantile_bucketize": _q_feat_bucketize,
         "feat_rank_normalize_by_lang": _q_rank_normalize_by_lang,
+        "dedup_containment": _q_dedup_containment,
     }
 
 
@@ -6129,6 +6142,26 @@ SELECT doc_id, lang, source, n_chars FROM (
 ) ORDER BY aes DESC LIMIT 50
 """
 
+    o["dedup_containment"] = """
+WITH t AS (SELECT doc_id AS doc, string_split(text, ' ') AS toks FROM documents),
+s AS (
+    SELECT doc, unnest(list_distinct(
+        list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    )) AS shingle
+    FROM t
+),
+sz AS (SELECT doc, count(*) AS sz FROM s GROUP BY doc),
+i AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+    FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter / least(x.sz, y.sz), 6) AS containment
+FROM i JOIN sz x ON x.doc = i.doc_a JOIN sz y ON y.doc = i.doc_b
+WHERE round(inter / least(x.sz, y.sz), 6) >= 0.5
+"""
     o["feat_rank_normalize_by_lang"] = """
 SELECT doc_id, lang, n_chars,
        round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars), 6)

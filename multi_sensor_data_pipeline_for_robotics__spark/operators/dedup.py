@@ -178,9 +178,28 @@ def ngram_jaccard_pairs(
     ``max_shingle_df=None`` explicitly for the exact small-corpus
     variant.
     """
-    # One Arrow-batched projection builds the distinct shingle-hash
-    # array; postings carry (doc, |set|, hash) so set sizes travel with
-    # the rows and the equi-join compares 8-byte keys instead of strings.
+    inter = _ngram_pair_intersections(df, n, text_col, id_col, max_shingle_df)
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, round_to) if round_to else jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _ngram_pair_intersections(
+    df: DataFrame,
+    n: int,
+    text_col: str,
+    id_col: str,
+    max_shingle_df: int | None,
+) -> DataFrame:
+    """The shared candidate core of the set-similarity family:
+    (doc_a, doc_b, sz_a, sz_b, inter) for every document pair sharing
+    ≥1 surviving shingle. One Arrow-batched projection builds the
+    distinct shingle-hash array; postings carry (doc, |set|, hash) so
+    set sizes travel with the rows and the equi-join compares 8-byte
+    keys instead of strings."""
     arr = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"),
         shingle_hashes(F.col(text_col), n).alias("__arr"),
@@ -201,7 +220,7 @@ def ngram_jaccard_pairs(
         )
         sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     a, b = sh.alias("a"), sh.alias("b")
-    inter = (
+    return (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(
             F.col("a.doc").alias("doc_a"),
@@ -211,11 +230,35 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Document pairs where the SMALLER n-gram set is ≥ ``threshold``
+    contained in the other: containment = |A∩B| / min(|A|, |B|) —
+    the asymmetric-size dedup signal Jaccard structurally misses (a
+    100-token doc quoted whole inside a 10k-token doc scores Jaccard
+    ≈ 0.01 but containment 1.0; quote-inclusion, boilerplate wrappers,
+    and excerpt pages all look like this). Same inverted-index plan,
+    df-cap, and cost shape as :func:`ngram_jaccard_pairs` — only the
+    score differs. Output: (doc_a, doc_b, containment) with doc_a the
+    smaller id.
+    """
+    inter = _ngram_pair_intersections(df, n, text_col, id_col, max_shingle_df)
+    cont = F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b"))
     return (
-        inter.withColumn("jaccard", F.round(jac, round_to) if round_to else jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        inter.withColumn(
+            "containment", F.round(cont, round_to) if round_to else cont
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
     )
 
 

@@ -1332,3 +1332,26 @@ def test_ngram_novelty_extremes(spark):
     assert got[2] == (3, 1.0)
     assert got[3] == (4, 0.75)
     assert got[4] == (0, None)
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " " + " ".join(f"w{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "totally unrelated words here now")],
+        "doc_id long, text string",
+    )
+    jac = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=None)
+    assert jac.count() == 0  # size asymmetry kills Jaccard
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in ngram_containment_pairs(
+            docs, n=3, threshold=0.8, max_shingle_df=None
+        ).collect()
+    }
+    assert cont == {(1, 2): 1.0}  # the small doc is fully contained
