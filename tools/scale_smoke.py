@@ -40,6 +40,22 @@ def timed(name, fn):
     return dt, out
 
 
+def release_storage(spark) -> None:
+    """Unpersist every retained RDD/relation between families.
+    Several operators localCheckpoint intermediates; in a REAL job the
+    blocks die with the job's JVM, but this suite runs 16 heavy
+    families in ONE session — without explicit release the retained
+    blocks accumulate until the heap dies mid-suite (observed at
+    family 13 of a full run; per-family invocations never hit it)."""
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rdd in jmap.values():
+            rdd.unpersist()
+        spark.catalog.clearCache()
+    except Exception as exc:  # non-JVM session: nothing retained
+        print(f"   (release_storage skipped: {exc})")
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     div = 10 if quick else 1
@@ -54,36 +70,52 @@ def main() -> None:
     try:
         if "sync" in fams:
             smoke_synchronize(spark, scratch, n=20_000_000 // div)
+            release_storage(spark)
         if "keyed_asof" in fams:
             smoke_keyed_asof(spark, scratch, n=20_000_000 // div)
+            release_storage(spark)
         if "dedup" in fams:
             smoke_dedup_lsh(spark, scratch, n_docs=2_000_000 // div)
+            release_storage(spark)
         if "ann" in fams:
             smoke_ann(spark, scratch, n_vecs=1_000_000 // div)
+            release_storage(spark)
         if "retrieval" in fams:
             smoke_retrieval_sketches(spark, scratch, n_docs=2_000_000 // div)
+            release_storage(spark)
         if "timeseries" in fams:
             smoke_timeseries(spark, scratch, n=20_000_000 // div)
+            release_storage(spark)
         if "substring" in fams:
             smoke_substring(spark, scratch, n_docs=500_000 // div)
+            release_storage(spark)
         if "semdedup" in fams:
             smoke_semdedup(spark, scratch, n_vecs=50_000 // div)
+            release_storage(spark)
         if "layout" in fams:
             smoke_layout(spark, scratch, n=20_000_000 // div)
+            release_storage(spark)
         if "kmv_hot" in fams:
             smoke_kmv_hot_group(spark, scratch, n=24_000_000 // div)
+            release_storage(spark)
         if "semdedup_cap" in fams:
             smoke_semdedup_hot_cluster(spark, scratch, n_vecs=20_000 // div)
+            release_storage(spark)
         if "topk_hot" in fams:
             smoke_topk_hot_group(spark, scratch, n=24_000_000 // div)
+            release_storage(spark)
         if "snm" in fams:
             smoke_sorted_neighborhood(spark, scratch, n=20_000_000 // div)
+            release_storage(spark)
         if "salted" in fams:
             smoke_salted_join(spark, scratch, n=20_000_000 // div)
+            release_storage(spark)
         if "gsample_hot" in fams:
             smoke_group_sample_hot(spark, scratch, n=24_000_000 // div)
+            release_storage(spark)
         if "rank_norm" in fams:
             smoke_rank_normalize(spark, scratch, n=20_000_000 // div)
+            release_storage(spark)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
