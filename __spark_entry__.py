@@ -3346,6 +3346,50 @@ def _q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_normalize(docs.select("doc_id", "n_chars"), "n_chars", "doc_id")
 
 
+def _q_select_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection #1 (new in r9): CCNet-style char-trigram LM
+    scoring — train add-alpha conditional trigram probabilities on the
+    English slice, score EVERY document by mean log-prob per trigram
+    (plans/selection.py). The model tables are vocabulary-sized
+    broadcasts; the only data-sized shuffle is the per-(doc, gram)
+    pre-aggregate. Every number is an exact count ratio through ln(),
+    rounded once at the end — hash-checked against the DuckDB replay."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+        char_lm_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_lm_score(docs, docs.filter(F.col("lang") == "en"))
+
+
+def _q_select_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection #2 (new in r9): DSIR importance log-weights
+    (Xie et al. 2023) — hashed-unigram bucket distributions for the
+    English target vs the full corpus, per-doc log p_t - log p_r.
+    The bucket model (1024 rows) is built in ONE conditional-agg scan
+    and broadcasts; portable sha256-prefix bucketing makes the weights
+    engine-exact (plans/selection.py)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+        dsir_log_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_log_weights(docs, F.col("lang") == "en")
+
+
+def _q_select_dsir_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection #3 (new in r9): the 50 documents DSIR importance
+    resampling keeps — bounded-k global top over the weight table
+    (TakeOrderedAndProject, never a full sort), ties broken by doc_id."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+        dsir_log_weights,
+        dsir_select_top,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_select_top(dsir_log_weights(docs, F.col("lang") == "en"), 50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator.
 
@@ -3573,6 +3617,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feat_quantile_bucketize": _q_feat_bucketize,
         "feat_rank_normalize_by_lang": _q_rank_normalize_by_lang,
         "dedup_containment": _q_dedup_containment,
+        "select_lm_score": _q_select_lm_score,
+        "select_dsir_weights": _q_select_dsir_weights,
+        "select_dsir_top": _q_select_dsir_top,
     }
 
 
@@ -6639,6 +6686,82 @@ FROM grid LEFT JOIN c ON c.doc_id = grid.doc_id AND c.b = grid.pos
         "event_id",
         ["user_id", "value"],
         rows_per_group=500,
+    )
+
+    # --- r9 data-selection family (plans/selection.py) -------------
+    # char-trigram LM: add-alpha conditional model trained on the
+    # English slice; p(c3|c1c2) = (cnt3+0.5)/(cnt2+0.5*V).
+    _LM_GRAMS = (
+        "list_transform(range(1, len(text) - 1), i -> substr(text, i, 3))"
+    )
+    o["select_lm_score"] = f"""
+WITH rg AS (
+    SELECT unnest({_LM_GRAMS}) AS gram
+    FROM documents WHERE lang = 'en'
+),
+tri AS (SELECT gram, count(*) AS cnt3 FROM rg GROUP BY gram),
+ctx AS (SELECT substr(gram, 1, 2) AS c2, count(*) AS cnt2 FROM rg GROUP BY 1),
+vocab AS (
+    SELECT count(DISTINCT ch) AS v FROM (
+        SELECT unnest(list_transform(range(1, len(text) + 1),
+                                     i -> substr(text, i, 1))) AS ch
+        FROM documents WHERE lang = 'en' AND len(text) >= 1
+    )
+),
+dg AS (
+    SELECT doc_id AS id, unnest({_LM_GRAMS}) AS gram FROM documents
+),
+dgc AS (SELECT id, gram, count(*) AS n FROM dg GROUP BY id, gram),
+j AS (
+    SELECT dgc.id, dgc.n,
+           ln((coalesce(tri.cnt3, 0) + 0.5)
+              / (coalesce(ctx.cnt2, 0) + 0.5 * vocab.v)) AS lp
+    FROM dgc
+    LEFT JOIN tri USING (gram)
+    LEFT JOIN ctx ON ctx.c2 = substr(dgc.gram, 1, 2)
+    CROSS JOIN vocab
+)
+SELECT id AS doc_id,
+       CAST(sum(n) AS BIGINT) AS n_grams,
+       round(sum(n * lp) / sum(n), 6) AS avg_logp,
+       round(-(sum(n * lp) / sum(n)) / ln(2), 6) AS bits_per_gram
+FROM j GROUP BY id
+"""
+
+    # DSIR: hashed-unigram bucket log-ratio, target = lang 'en',
+    # raw = full corpus; add-1 smoothing over 1024 buckets.
+    _DSIR_W = """
+WITH tok AS (
+    SELECT doc_id AS id, lang = 'en' AS tgt,
+           unnest(string_split(text, ' ')) AS tok
+    FROM documents
+),
+b AS (
+    SELECT id, tgt,
+           CAST(('0x' || substr(sha256(tok), 1, 7)) AS BIGINT) % 1024 AS bucket
+    FROM tok
+),
+model AS (
+    SELECT bucket, count(*) AS cr,
+           sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+    FROM b GROUP BY bucket
+),
+tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM model),
+dg AS (SELECT id, bucket, count(*) AS n FROM b GROUP BY id, bucket),
+j AS (
+    SELECT dg.id, dg.n,
+           ln((coalesce(model.ct, 0) + 1.0) / (tot.nt + 1.0 * 1024))
+           - ln((coalesce(model.cr, 0) + 1.0) / (tot.nr + 1.0 * 1024)) AS d
+    FROM dg LEFT JOIN model USING (bucket) CROSS JOIN tot
+)
+SELECT id AS doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+       round(sum(n * d), 6) AS log_weight
+FROM j GROUP BY id
+"""
+    o["select_dsir_weights"] = _DSIR_W
+    o["select_dsir_top"] = (
+        f"SELECT doc_id, n_tokens, log_weight FROM ({_DSIR_W})\n"
+        "ORDER BY log_weight DESC, doc_id LIMIT 50"
     )
     return o
 

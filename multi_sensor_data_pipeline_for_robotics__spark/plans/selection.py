@@ -1,0 +1,254 @@
+"""Training-data SELECTION — scoring corpora against a reference
+distribution so a pipeline can keep the slice that looks like the data
+it wants more of. Two published families, both expressed as pure
+Catalyst plans with engine-portable numbers:
+
+* **Character n-gram LM scoring** (the CCNet recipe, Wenzek et al.
+  2020, simplified from KenLM 5-gram word models to an add-alpha
+  char-trigram model): train conditional trigram probabilities
+  ``p(c3 | c1 c2)`` on a REFERENCE slice, then score every document by
+  its mean log-probability per trigram.  Low bits-per-gram = looks
+  like the reference; high = out-of-domain or noise.  This is the
+  standard "perplexity bucket" signal used to stratify web crawls.
+
+* **DSIR importance weighting** (Xie et al. 2023, "Data Selection for
+  Language Models via Importance Resampling"): represent target and
+  raw distributions as bags of HASHED n-grams over ``B`` buckets and
+  weight each document by ``log p_target(x) - log p_raw(x)`` summed
+  over its tokens.  Documents with the highest weights are the ones
+  importance resampling would keep.
+
+Scale shape (both): the MODEL is vocabulary-sized, never data-sized —
+a trigram/bucket count table of at most ``|alphabet|^3`` / ``B`` rows
+that broadcasts; the data-sized work is one explode + map-side
+pre-aggregation per (doc, gram) + one broadcast join + one per-doc
+sum.  No all-pairs stage, no driver-side iteration, no Python UDFs —
+at 100 TB the model tables are still KB-sized broadcast variables and
+the scoring pass is a single shuffle on ``doc_id``.
+
+Portability: hashing is the repo-standard sha256 prefix (same trick as
+``operators.dedup.minhash_signatures_portable``), probabilities are
+exact integer-count ratios, and only the FINAL per-doc aggregate is
+rounded (6 dp) — logs of count ratios are not lattice-aligned, so the
+half-boundary rounding trap that bit decimal inputs (see ORACLES_r08
+on ``feat_user_rfm``) cannot occur here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.tables import ensure_parallelism
+
+__all__ = [
+    "char_trigrams",
+    "train_char_lm",
+    "char_lm_score",
+    "dsir_log_weights",
+    "dsir_select_top",
+]
+
+
+def char_trigrams(col: Column | str) -> Column:
+    """Array of overlapping character trigrams of ``col`` (empty for
+    strings shorter than 3 chars).  Mirrors the DuckDB expression
+    ``list_transform(range(1, len(x)-1), i -> substr(x, i, 3))``."""
+    c = F.col(col) if isinstance(col, str) else col
+    # guard: Spark's sequence(1, 0) yields DESCENDING [1, 0], not empty,
+    # so strings shorter than 3 chars must short-circuit explicitly.
+    return F.when(
+        F.length(c) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - 2),
+            lambda i: F.substring(c, i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def train_char_lm(
+    ref: DataFrame,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Count tables of an add-alpha conditional char-trigram LM trained
+    on ``ref``: ``(trigram counts, context counts, vocab size)``.
+
+    * trigram counts: (gram, cnt3) — occurrences of each trigram.
+    * context counts: (ctx, cnt2) — occurrences of each trigram PREFIX
+      (the first two chars), i.e. ``cnt2 = sum over c of cnt3(ctx||c)``,
+      so ``sum_c p(c|ctx) = 1`` exactly under add-alpha smoothing.
+    * vocab: a 1-row frame (v) = number of DISTINCT characters in the
+      reference corpus — the smoothing denominator's alphabet.
+
+    All three are vocabulary-sized (broadcastable); training is one
+    explode + two map-side-combined aggregations over the reference
+    slice.
+    """
+    grams = ensure_parallelism(ref).select(
+        F.explode(char_trigrams(text_col)).alias("gram")
+    )
+    tri = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt3"))
+    ctx = (
+        grams.select(F.substring("gram", 1, 2).alias("ctx"))
+        .groupBy("ctx")
+        .agg(F.count(F.lit(1)).alias("cnt2"))
+    )
+    vocab = (
+        ensure_parallelism(ref)
+        .filter(F.length(text_col) >= 1)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(text_col)),
+                    lambda i: F.substring(F.col(text_col), i, F.lit(1)),
+                )
+            ).alias("ch")
+        )
+        .agg(F.count_distinct("ch").cast("long").alias("v"))
+    )
+    return tri, ctx, vocab
+
+
+def char_lm_score(
+    docs: DataFrame,
+    ref: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Score every document in ``docs`` under a char-trigram LM trained
+    on ``ref``: (id, n_grams, avg_logp, bits_per_gram).
+
+    ``p(c3|c1c2) = (cnt3 + alpha) / (cnt2 + alpha * V)`` with counts 0
+    for unseen grams/contexts — a proper conditional distribution over
+    the reference alphabet.  ``avg_logp`` is the mean natural-log
+    probability per trigram (docs shorter than 3 chars score NULL);
+    ``bits_per_gram = -avg_logp / ln 2`` is the "perplexity bucket"
+    number CCNet-style filters threshold on.
+
+    Plan: doc grams pre-aggregate to (doc, gram, n) map-side, then two
+    BROADCAST joins against the vocabulary-sized model tables and one
+    per-doc sum — a single data-sized shuffle (the groupBy on
+    (id, gram)).
+    """
+    tri, ctx, vocab = train_char_lm(ref, text_col)
+    dg = (
+        ensure_parallelism(docs)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(char_trigrams(text_col)).alias("gram"),
+        )
+        .groupBy("__id", "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    joined = (
+        dg.join(F.broadcast(tri), "gram", "left")
+        .withColumn("ctx", F.substring("gram", 1, 2))
+        .join(F.broadcast(ctx), "ctx", "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    logp = F.log(
+        (F.coalesce(F.col("cnt3"), F.lit(0)) + F.lit(alpha))
+        / (F.coalesce(F.col("cnt2"), F.lit(0)) + F.lit(alpha) * F.col("v"))
+    )
+    per_doc = joined.groupBy("__id").agg(
+        F.sum("n").alias("n_grams"),
+        (F.sum(F.col("n") * logp) / F.sum("n")).alias("_avg"),
+    )
+    ln2 = 0.6931471805599453
+    return per_doc.select(
+        F.col("__id").alias(id_col),
+        F.col("n_grams"),
+        F.round("_avg", round_to).alias("avg_logp"),
+        F.round(-F.col("_avg") / F.lit(ln2), round_to).alias("bits_per_gram"),
+    )
+
+
+def _bucket(col: Column, buckets: int) -> Column:
+    """Portable token -> bucket id in [0, buckets): first 28 bits of
+    sha256 mod buckets (the repo-standard cross-engine hash)."""
+    return F.pmod(
+        F.conv(F.substring(F.sha2(col, 256), 1, 7), 16, 10).cast("long"),
+        F.lit(buckets),
+    )
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    alpha: float = 1.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """DSIR importance log-weights: (id, n_tokens, log_weight).
+
+    Target distribution = hashed-unigram bucket frequencies over the
+    rows where ``is_target`` holds; raw distribution = over ALL of
+    ``docs``.  ``log_weight(doc) = sum over its tokens of
+    ln p_t(bucket) - ln p_r(bucket)`` with add-alpha smoothing over the
+    ``buckets`` cells (so empty buckets stay finite on both sides).
+
+    Plan: token stream bucketizes via the portable sha256 prefix; the
+    two bucket-count tables (<= ``buckets`` rows each, built in one
+    shared scan with conditional aggregation) broadcast onto the
+    per-(doc, bucket) pre-aggregate; one per-doc sum.  The model is
+    B-row-sized regardless of corpus size — the DSIR paper's point is
+    exactly that this weight is computable at web scale.
+    """
+    toks = ensure_parallelism(docs).select(
+        F.col(id_col).alias("__id"),
+        is_target.alias("__tgt"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    b = toks.select(
+        "__id", "__tgt", _bucket(F.col("tok"), buckets).alias("bucket")
+    )
+    # one scan builds both distributions: raw = all rows, target = the
+    # is_target slice, via conditional aggregation per bucket.
+    model = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("ct"),
+    )
+    totals = model.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
+    )
+    dg = b.groupBy("__id", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    j = dg.join(F.broadcast(model), "bucket", "left").crossJoin(
+        F.broadcast(totals)
+    )
+    lt = F.log(
+        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(alpha))
+        / (F.col("nt") + F.lit(alpha) * F.lit(buckets))
+    )
+    lr = F.log(
+        (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(alpha))
+        / (F.col("nr") + F.lit(alpha) * F.lit(buckets))
+    )
+    return (
+        j.groupBy("__id")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.round(F.sum(F.col("n") * (lt - lr)), round_to).alias(
+                "log_weight"
+            ),
+        )
+        .select(F.col("__id").alias(id_col), "n_tokens", "log_weight")
+    )
+
+
+def dsir_select_top(
+    weights: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ``k`` documents importance resampling keeps: highest
+    ``log_weight``, ties broken by ``id_col`` for determinism.  A
+    bounded-k global top — Spark plans ``orderBy().limit(k)`` as
+    TakeOrderedAndProject (per-partition top-k then a k-row merge),
+    never a full single-task sort."""
+    return weights.orderBy(
+        F.col("log_weight").desc(), F.col(id_col)
+    ).limit(k)

@@ -1,0 +1,114 @@
+"""Data-selection family (plans/selection.py): char-trigram LM scoring
+and DSIR importance weights — semantic properties a hash-green oracle
+can't express (probability mass sums to 1, in-domain scores beat
+out-of-domain, weights favor target-like docs, short-string edges)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+    char_lm_score,
+    char_trigrams,
+    dsir_log_weights,
+    dsir_select_top,
+    train_char_lm,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang=g) for i, (t, g) in enumerate(rows)]
+    )
+
+
+def test_char_trigrams_short_strings(spark):
+    df = spark.createDataFrame(
+        [Row(s="abcd"), Row(s="abc"), Row(s="ab"), Row(s="")]
+    ).select(char_trigrams("s").alias("g"))
+    got = [r.g for r in df.collect()]
+    assert got == [["abc", "bcd"], ["abc"], [], []]
+
+
+def test_char_lm_proper_distribution(spark):
+    """For every observed context, sum over the reference ALPHABET of
+    p(c|ctx) must be exactly 1 — the add-alpha model is a proper
+    conditional distribution, not an ad-hoc score."""
+    ref = _docs(spark, [("abab abba", "en"), ("baab", "en")])
+    tri, ctx, vocab = train_char_lm(ref)
+    alpha = 0.5
+    v = vocab.collect()[0].v
+    chars = [r.ch for r in
+             ref.select(F.explode(F.split("text", "")).alias("ch"))
+                .filter(F.length("ch") >= 1).distinct().collect()]
+    assert len(chars) == v
+    tri_map = {r.gram: r.cnt3 for r in tri.collect()}
+    for rc in ctx.collect():
+        total = sum(
+            (tri_map.get(rc.ctx + c, 0) + alpha) / (rc.cnt2 + alpha * v)
+            for c in chars
+        )
+        assert total == pytest.approx(1.0, abs=1e-12)
+
+
+def test_char_lm_in_domain_scores_higher(spark):
+    """A doc made of reference-like text must get a higher avg_logp
+    (lower bits_per_gram) than alphabet-disjoint noise."""
+    ref = _docs(spark, [("the quick brown fox jumps over the lazy dog", "en")] * 3)
+    docs = _docs(
+        spark,
+        [
+            ("the quick brown fox", "en"),
+            ("zzz@@@###!!!&&&***", "xx"),
+        ],
+    )
+    out = {r.doc_id: r for r in char_lm_score(docs, ref).collect()}
+    assert out[0].avg_logp > out[1].avg_logp
+    assert out[0].bits_per_gram < out[1].bits_per_gram
+    # bits_per_gram = -avg_logp/ln2 (both post-rounding, so loose tol)
+    assert out[0].bits_per_gram == pytest.approx(
+        -out[0].avg_logp / math.log(2), abs=1e-5
+    )
+
+
+def test_char_lm_score_skips_sub_trigram_docs(spark):
+    ref = _docs(spark, [("abcdef", "en")])
+    docs = _docs(spark, [("abcdef", "en"), ("ab", "en")])
+    got = char_lm_score(docs, ref).collect()
+    assert [r.doc_id for r in got] == [0]
+
+
+def test_dsir_weights_favor_target_vocab(spark):
+    """Docs sharing the target slice's vocabulary get strictly higher
+    log-weights than docs made of off-target tokens."""
+    rows = (
+        [("alpha beta gamma delta", "en")] * 5
+        + [("omega psi chi phi", "zh")] * 5
+    )
+    docs = _docs(spark, rows)
+    w = dsir_log_weights(docs, F.col("lang") == "en", buckets=64)
+    got = {r.doc_id: r.log_weight for r in w.collect()}
+    en = [got[i] for i in range(5)]
+    zh = [got[i] for i in range(5, 10)]
+    assert min(en) > max(zh)
+    assert w.count() == 10
+
+
+def test_dsir_select_top_deterministic_ties(spark):
+    rows = [("alpha beta", "en")] * 4 + [("omega psi", "zh")] * 4
+    docs = _docs(spark, rows)
+    w = dsir_log_weights(docs, F.col("lang") == "en", buckets=64)
+    top = dsir_select_top(w, 3).collect()
+    # all 4 en docs tie on weight; doc_id breaks the tie ascending
+    assert [r.doc_id for r in top] == [0, 1, 2]
+
+
+def test_dsir_n_tokens_counts_all_tokens(spark):
+    docs = _docs(spark, [("a b c", "en"), ("d d", "zh")])
+    w = dsir_log_weights(docs, F.col("lang") == "en", buckets=16)
+    got = {r.doc_id: r.n_tokens for r in w.collect()}
+    assert got == {0: 3, 1: 2}
