@@ -3346,6 +3346,45 @@ def _q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_normalize(docs.select("doc_id", "n_chars"), "n_chars", "doc_id")
 
 
+def _q_assoc_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association stats #1 (new in r9): Pearson chi-squared
+    independence test + Cramér's V between order status and priority —
+    one contingency shuffle bounded by category cardinality, marginals
+    re-aggregated from the tiny cell table (plans/assoc.py)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.assoc import chi_square
+
+    return chi_square(
+        load_table(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority"
+    )
+
+
+def _q_assoc_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association stats #2 (new in r9): Shannon mutual information in
+    nats between event type and the user's id parity — MI plus both
+    marginal entropies from ONE contingency pass (plans/assoc.py)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.assoc import (
+        mutual_information,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "user_bucket", F.pmod(F.col("user_id"), F.lit(7))
+    )
+    return mutual_information(ev, "event_type", "user_bucket")
+
+
+def _q_audit_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association stats #3 (new in r9): Benford first-digit audit of
+    order totals — digits extracted via EXACT integer string heads
+    (round(x*100) -> BIGINT -> first char), never floor(log10(x)),
+    because float log at powers of 10 can flip the digit between
+    engines (plans/assoc.py)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.assoc import (
+        benford_audit,
+    )
+
+    return benford_audit(load_table(spark, sf_dir, "orders"), "o_totalprice")
+
+
 def _q_select_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data selection #1 (new in r9): CCNet-style char-trigram LM
     scoring — train add-alpha conditional trigram probabilities on the
@@ -3620,6 +3659,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_lm_score": _q_select_lm_score,
         "select_dsir_weights": _q_select_dsir_weights,
         "select_dsir_top": _q_select_dsir_top,
+        "assoc_chi_square": _q_assoc_chi_square,
+        "assoc_mutual_info": _q_assoc_mutual_info,
+        "audit_benford": _q_audit_benford,
     }
 
 
@@ -6763,6 +6805,23 @@ FROM j GROUP BY id
         f"SELECT doc_id, n_tokens, log_weight FROM ({_DSIR_W})\n"
         "ORDER BY log_weight DESC, doc_id LIMIT 50"
     )
+
+    # --- r9 association-statistics family (plans/assoc.py) ---------
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.assoc import (
+        benford_oracle_sql,
+        chi_square_oracle_sql,
+        mutual_information_oracle_sql,
+    )
+
+    o["assoc_chi_square"] = chi_square_oracle_sql(
+        "orders", "o_orderstatus", "o_orderpriority"
+    )
+    o["assoc_mutual_info"] = mutual_information_oracle_sql(
+        "(SELECT event_type, user_id % 7 AS user_bucket FROM events)",
+        "event_type",
+        "user_bucket",
+    )
+    o["audit_benford"] = benford_oracle_sql("orders", "o_totalprice")
     return o
 
 

@@ -1,0 +1,302 @@
+"""Categorical ASSOCIATION statistics and digit-law audits — the
+"are these two columns related, and does this numeric column look
+organic" questions a data-quality pass asks before trusting a feed:
+
+* ``chi_square`` — Pearson chi-squared independence test between two
+  categorical columns, plus Cramér's V (the [0,1] effect size that
+  makes chi2 comparable across tables).
+* ``mutual_information`` — Shannon MI in nats between two categorical
+  columns, with both marginal entropies (so normalized variants are a
+  client-side division away).
+* ``benford_audit`` — first-significant-digit distribution of a
+  positive numeric column vs Benford's law, the classic fabricated-
+  numbers screen (Nigrini 2012).
+
+Scale shape (all three): ONE groupBy over the data builds a
+contingency/digit table bounded by CATEGORY CARDINALITY, never row
+count; marginals and totals re-aggregate from that tiny table and
+broadcast back.  At 100 TB the data-sized work is exactly one
+map-side-combined count shuffle.
+
+Portability: counts stay exact integers until the final divisions;
+only irrational-valued outputs (chi2, V, entropies, Benford fractions)
+are rounded (6 dp) — not lattice-aligned, so the decimal half-boundary
+trap cannot occur.  Benford digits are extracted via exact integer
+string heads (``round(x * scale)`` → BIGINT → first char), never
+``floor(log10(x))``, because float log at exact powers of 10 can
+differ by 1 ulp between engines and flip the digit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "chi_square",
+    "chi_square_oracle_sql",
+    "mutual_information",
+    "mutual_information_oracle_sql",
+    "benford_audit",
+    "benford_oracle_sql",
+]
+
+
+def _contingency(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """(a, b, c) joint counts over non-null pairs — the one data-sized
+    aggregation all the association statistics derive from."""
+    return (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def chi_square(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pearson chi-squared independence test: one row
+    (n, dof, chi2, cramers_v).
+
+    ``chi2 = sum (o - e)^2 / e`` with ``e = row_total * col_total / n``
+    over the observed contingency CELLS (cells absent from the data
+    contribute ``e`` each; equivalently ``chi2 = n * (sum o^2/(ra*cb)
+    - 1)``, which needs only observed cells — the identity used here so
+    the generated full grid is never materialized).
+    ``cramers_v = sqrt(chi2 / (n * min(r-1, c-1)))``.
+
+    Plan: one count shuffle bounded by |A|x|B| cells; marginals are
+    re-aggregations of that table; the final row is a broadcast-joined
+    scalar combine.
+    """
+    cont = _contingency(df, col_a, col_b)
+    ra = cont.groupBy("a").agg(F.sum("c").alias("ra"))
+    cb = cont.groupBy("b").agg(F.sum("c").alias("cb"))
+    j = cont.join(F.broadcast(ra), "a").join(F.broadcast(cb), "b")
+    parts = j.agg(
+        F.sum("c").alias("n"),
+        F.sum(
+            F.col("c").cast("double") * F.col("c")
+            / (F.col("ra").cast("double") * F.col("cb"))
+        ).alias("s"),
+        F.count_distinct("a").alias("r"),
+        F.count_distinct("b").alias("k"),
+    )
+    chi2 = F.col("n") * (F.col("s") - F.lit(1.0))
+    dof = (F.col("r") - 1) * (F.col("k") - 1)
+    v = F.sqrt(
+        chi2
+        / (
+            F.col("n")
+            * F.least(F.col("r") - 1, F.col("k") - 1).cast("double")
+        )
+    )
+    return parts.select(
+        F.col("n").cast("long").alias("n"),
+        dof.cast("long").alias("dof"),
+        F.round(chi2, round_to).alias("chi2"),
+        F.round(v, round_to).alias("cramers_v"),
+    )
+
+
+def chi_square_oracle_sql(
+    table: str, col_a: str, col_b: str, round_to: int = 6
+) -> str:
+    return f"""
+WITH cont AS (
+    SELECT {col_a} AS a, {col_b} AS b, count(*) AS c
+    FROM {table}
+    WHERE {col_a} IS NOT NULL AND {col_b} IS NOT NULL
+    GROUP BY 1, 2
+),
+ra AS (SELECT a, sum(c) AS ra FROM cont GROUP BY a),
+cb AS (SELECT b, sum(c) AS cb FROM cont GROUP BY b),
+parts AS (
+    SELECT sum(c) AS n,
+           sum(CAST(c AS DOUBLE) * c / (CAST(ra AS DOUBLE) * cb)) AS s,
+           count(DISTINCT cont.a) AS r,
+           count(DISTINCT cont.b) AS k
+    FROM cont JOIN ra USING (a) JOIN cb USING (b)
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST((r - 1) * (k - 1) AS BIGINT) AS dof,
+       round(n * (s - 1.0), {round_to}) AS chi2,
+       round(sqrt(n * (s - 1.0)
+                  / (n * CAST(least(r - 1, k - 1) AS DOUBLE))),
+             {round_to}) AS cramers_v
+FROM parts
+"""
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Shannon mutual information in nats: one row
+    (n, h_a, h_b, h_ab, mi) with ``mi = h_a + h_b - h_ab`` — computed
+    from the same single contingency pass as :func:`chi_square`
+    (entropies are sums over observed cells only; empty cells
+    contribute 0 by the ``0 ln 0 = 0`` convention)."""
+    cont = _contingency(df, col_a, col_b)
+    n = cont.agg(F.sum("c").alias("n"))
+
+    def _h():
+        p = F.col("c").cast("double") / F.col("n")
+        return -F.sum(p * F.log(p))
+
+    ha = (
+        cont.groupBy("a").agg(F.sum("c").alias("c"))
+        .crossJoin(F.broadcast(n))
+        .agg(_h().alias("h_a"))
+    )
+    hb = (
+        cont.groupBy("b").agg(F.sum("c").alias("c"))
+        .crossJoin(F.broadcast(n))
+        .agg(_h().alias("h_b"))
+    )
+    hab = cont.crossJoin(F.broadcast(n)).agg(_h().alias("h_ab"))
+    out = (
+        n.crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+        .crossJoin(F.broadcast(hab))
+    )
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.round("h_a", round_to).alias("h_a"),
+        F.round("h_b", round_to).alias("h_b"),
+        F.round("h_ab", round_to).alias("h_ab"),
+        F.round(
+            F.col("h_a") + F.col("h_b") - F.col("h_ab"), round_to
+        ).alias("mi"),
+    )
+
+
+def mutual_information_oracle_sql(
+    table: str, col_a: str, col_b: str, round_to: int = 6
+) -> str:
+    return f"""
+WITH cont AS (
+    SELECT {col_a} AS a, {col_b} AS b, count(*) AS c
+    FROM {table}
+    WHERE {col_a} IS NOT NULL AND {col_b} IS NOT NULL
+    GROUP BY 1, 2
+),
+n AS (SELECT sum(c) AS n FROM cont),
+ha AS (
+    SELECT -sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)) AS h_a
+    FROM (SELECT a, sum(c) AS c FROM cont GROUP BY a), n
+),
+hb AS (
+    SELECT -sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)) AS h_b
+    FROM (SELECT b, sum(c) AS c FROM cont GROUP BY b), n
+),
+hab AS (
+    SELECT -sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)) AS h_ab
+    FROM cont, n
+)
+SELECT CAST(n.n AS BIGINT) AS n,
+       round(h_a, {round_to}) AS h_a,
+       round(h_b, {round_to}) AS h_b,
+       round(h_ab, {round_to}) AS h_ab,
+       round(h_a + h_b - h_ab, {round_to}) AS mi
+FROM n, ha, hb, hab
+"""
+
+
+# Benford expected first-digit fractions log10(1 + 1/d), d = 1..9.
+_BENFORD = [0.0] + [0.3010299956639812, 0.17609125905568124,
+                    0.12493873660829993, 0.09691001300805642,
+                    0.07918124604762482, 0.06694678963061322,
+                    0.05799194697768673, 0.05115252244738129,
+                    0.04575749056067514]
+
+
+def benford_audit(
+    df: DataFrame,
+    col: str,
+    scale: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """First-significant-digit distribution of positive ``col`` vs
+    Benford's law: 9 rows (digit, n_d, obs_frac, exp_frac, abs_dev).
+
+    Digit extraction is EXACT-INTEGER: ``round(x * scale)`` (scale =
+    10^decimals of the column, so the product is integral up to float
+    noise) casts to BIGINT and the first character of its decimal
+    string is the digit — multiplying by a power of 10 never changes
+    the leading significant digit, and integer-to-string is
+    engine-portable where ``floor(log10(x))`` is not.
+
+    Plan: one 9-bucket count shuffle; everything after is a 9-row
+    frame.
+    """
+    d = F.substring(
+        F.round(F.col(col) * scale, 0).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        df.filter(F.col(col).isNotNull() & (F.col(col) > 0))
+        .select(d.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_d"))
+    )
+    spine = counts.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in _BENFORD[1:]]), F.col("id").cast("int")
+        ).alias("exp_raw"),
+    )
+    tot = counts.agg(F.sum("n_d").alias("n"))
+    return (
+        spine.join(F.broadcast(counts), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n_d", F.lit(0)).cast("long").alias("n_d"),
+            F.round(
+                F.coalesce("n_d", F.lit(0)).cast("double") / F.col("n"),
+                round_to,
+            ).alias("obs_frac"),
+            F.round("exp_raw", round_to).alias("exp_frac"),
+            F.round(
+                F.abs(
+                    F.coalesce("n_d", F.lit(0)).cast("double") / F.col("n")
+                    - F.col("exp_raw")
+                ),
+                round_to,
+            ).alias("abs_dev"),
+        )
+    )
+
+
+def benford_oracle_sql(
+    table: str, col: str, scale: int = 100, round_to: int = 6
+) -> str:
+    return f"""
+WITH counts AS (
+    SELECT CAST(substr(CAST(CAST(round({col} * {scale}) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+           count(*) AS n_d
+    FROM {table}
+    WHERE {col} IS NOT NULL AND {col} > 0
+    GROUP BY 1
+),
+spine AS (
+    SELECT CAST(d AS INTEGER) AS digit,
+           log10(1.0 + 1.0 / d) AS exp_raw
+    FROM unnest(range(1, 10)) AS t(d)
+),
+tot AS (SELECT sum(n_d) AS n FROM counts)
+SELECT spine.digit,
+       CAST(coalesce(counts.n_d, 0) AS BIGINT) AS n_d,
+       round(CAST(coalesce(counts.n_d, 0) AS DOUBLE) / tot.n,
+             {round_to}) AS obs_frac,
+       round(exp_raw, {round_to}) AS exp_frac,
+       round(abs(CAST(coalesce(counts.n_d, 0) AS DOUBLE) / tot.n
+                 - exp_raw), {round_to}) AS abs_dev
+FROM spine LEFT JOIN counts USING (digit) CROSS JOIN tot
+"""

@@ -1,0 +1,84 @@
+"""Association statistics (plans/assoc.py) — known-answer fixtures the
+oracle twins can't provide: independence => chi2 ~ 0 and MI ~ 0,
+perfect dependence => Cramér's V = 1 and MI = min entropy, Benford
+digit extraction on hand-computable values."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from multi_sensor_data_pipeline_for_robotics__spark.plans.assoc import (
+    benford_audit,
+    chi_square,
+    mutual_information,
+)
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame([Row(a=a, b=b) for a, b in rows])
+
+
+def test_chi_square_independent_is_zero(spark):
+    # perfectly balanced 2x2 grid: observed == expected everywhere
+    rows = [(a, b) for a in "xy" for b in "uv" for _ in range(10)]
+    got = chi_square(_pairs(spark, rows), "a", "b").collect()[0]
+    assert got.n == 40
+    assert got.dof == 1
+    assert got.chi2 == pytest.approx(0.0, abs=1e-9)
+    assert got.cramers_v == pytest.approx(0.0, abs=1e-9)
+
+
+def test_chi_square_perfect_association(spark):
+    # a determines b completely: V = 1, chi2 = n * min(r-1, c-1)
+    rows = [("x", "u")] * 7 + [("y", "v")] * 13
+    got = chi_square(_pairs(spark, rows), "a", "b").collect()[0]
+    assert got.chi2 == pytest.approx(20.0, abs=1e-6)
+    assert got.cramers_v == pytest.approx(1.0, abs=1e-6)
+
+
+def test_mutual_information_known_values(spark):
+    # independent -> mi 0; dependent -> mi = H(a) = H(b) = ln 2
+    ind = [(a, b) for a in "xy" for b in "uv" for _ in range(5)]
+    got = mutual_information(_pairs(spark, ind), "a", "b").collect()[0]
+    assert got.mi == pytest.approx(0.0, abs=1e-9)
+    assert got.h_a == pytest.approx(math.log(2), abs=1e-6)
+
+    dep = [("x", "u")] * 10 + [("y", "v")] * 10
+    got = mutual_information(_pairs(spark, dep), "a", "b").collect()[0]
+    assert got.mi == pytest.approx(math.log(2), abs=1e-6)
+    assert got.h_ab == pytest.approx(math.log(2), abs=1e-6)
+
+
+def test_mi_nulls_excluded(spark):
+    df = spark.createDataFrame(
+        [Row(a="x", b="u"), Row(a=None, b="u"), Row(a="x", b=None)]
+    )
+    got = mutual_information(df, "a", "b").collect()[0]
+    assert got.n == 1
+
+
+def test_benford_digit_extraction(spark):
+    # two-decimal doubles whose leading digits are known by hand;
+    # zero/negative/null rows are excluded
+    vals = [123.45, 19.99, 100.00, 999.99, 2.50, 0.0, -5.0, None]
+    df = spark.createDataFrame([Row(x=v) for v in vals])
+    rows = {r.digit: r for r in benford_audit(df, "x").collect()}
+    assert len(rows) == 9
+    n_by_digit = {d: rows[d].n_d for d in rows}
+    assert n_by_digit[1] == 3  # 123.45, 19.99, 100.00
+    assert n_by_digit[9] == 1
+    assert n_by_digit[2] == 1
+    assert sum(n_by_digit.values()) == 5
+    # expected fractions are Benford's law
+    assert rows[1].exp_frac == pytest.approx(math.log10(2), abs=1e-6)
+    assert rows[9].exp_frac == pytest.approx(math.log10(10 / 9), abs=1e-6)
+
+
+def test_benford_sub_one_values(spark):
+    # 0 < x < 1: scale=100 turns 0.07 into integer 7 -> digit 7
+    df = spark.createDataFrame([Row(x=0.07), Row(x=0.93)])
+    rows = {r.digit: r.n_d for r in benford_audit(df, "x").collect()}
+    assert rows[7] == 1 and rows[9] == 1
