@@ -3346,6 +3346,37 @@ def _q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_normalize(docs.select("doc_id", "n_chars"), "n_chars", "doc_id")
 
 
+def _q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series diagnostics (new in r9): pooled autocorrelation of
+    event values at lags 1..8 — one window pass per user emits all
+    eight lead columns, an in-place stack unpivots, an 8-group corr
+    aggregate finishes; event_id breaks timestamp ties so both engines
+    agree on the intra-key order (operators/timeseries.py)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.timeseries import (
+        acf,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return acf(ev, "user_id", "ts", "value", max_lag=8, tiebreak_col="event_id")
+
+
+def _q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series diagnostics (new in r9): CUSUM mean-shift
+    change-point per user — the argmax over |S_k| runs in EXACT BIGINT
+    micro-unit arithmetic (n*prefix_k - k*total), so which row wins
+    never depends on float summation order; only the final statistic
+    touches doubles (operators/timeseries.py). Keyed on the 20
+    highest-traffic users to keep the graded output small."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return cusum_changepoint(
+        ev, "user_id", "ts", "value", tiebreak_col="event_id"
+    )
+
+
 def _q_assoc_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association stats #1 (new in r9): Pearson chi-squared
     independence test + Cramér's V between order status and priority —
@@ -3662,6 +3693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assoc_chi_square": _q_assoc_chi_square,
         "assoc_mutual_info": _q_assoc_mutual_info,
         "audit_benford": _q_audit_benford,
+        "ts_acf": _q_ts_acf,
+        "ts_cusum_changepoint": _q_ts_cusum,
     }
 
 
@@ -6822,6 +6855,23 @@ FROM j GROUP BY id
         "user_bucket",
     )
     o["audit_benford"] = benford_oracle_sql("orders", "o_totalprice")
+
+    # --- r9 time-series diagnostics (operators/timeseries.py) ------
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.timeseries import (
+        acf_oracle_sql,
+        cusum_oracle_sql,
+    )
+
+    o["ts_acf"] = acf_oracle_sql(
+        "events", "user_id", "ts", "value", max_lag=8, tiebreak_col="event_id"
+    )
+    o["ts_cusum_changepoint"] = cusum_oracle_sql(
+        "(SELECT * FROM events WHERE user_id < 20)",
+        "user_id",
+        "ts",
+        "value",
+        tiebreak_col="event_id",
+    )
     return o
 
 

@@ -156,3 +156,235 @@ SELECT {key_col} AS key, {ts_col} AS ts, {v} AS value,
        round(({numer}) / ({denom}), {round_to}) AS ewma
 FROM {table}
 """
+
+
+def acf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    max_lag: int = 8,
+    tiebreak_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pooled autocorrelation function: one row per lag 1..``max_lag``
+    with (lag, n_pairs, acf) — Pearson correlation of (x_t, x_{t+lag})
+    pairs formed WITHIN each key's time-ordered series and pooled
+    across keys.
+
+    Plan: ONE window pass per key emits all ``max_lag`` lead columns,
+    a generated-in-place stack unpivots them to (lag, x, y) rows, and
+    a ``max_lag``-group corr aggregate finishes — no self-joins, no
+    per-lag rescans. A hot key serializes one partition's sort (same
+    caveat as :func:`rolling_stats`).
+
+    ``tiebreak_col`` (pass a unique id) makes the intra-key order
+    total when timestamps collide, which both engines must agree on
+    for hash parity.
+    """
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = W.partitionBy(key_col).orderBy(*order)
+    v = F.col(value_col).cast("double")
+    leads = df.select(
+        v.alias("x"),
+        *[F.lead(v, k).over(w).alias(f"y{k}") for k in range(1, max_lag + 1)],
+    )
+    stacked = leads.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        F.col("x").alias("x"),
+                        F.col(f"y{k}").alias("y"),
+                    )
+                    for k in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("s")
+    ).select("s.lag", "s.x", "s.y")
+    return (
+        stacked.filter(F.col("y").isNotNull() & F.col("x").isNotNull())
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.corr("x", "y"), round_to).alias("acf"),
+        )
+    )
+
+
+def acf_oracle_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    max_lag: int = 8,
+    tiebreak_col: str | None = None,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`acf` — the same lead fan and pooled corr."""
+    order = ts_col + (f", {tiebreak_col}" if tiebreak_col else "")
+    ow = f"OVER (PARTITION BY {key_col} ORDER BY {order})"
+    v = f"CAST({value_col} AS DOUBLE)"
+    arms = "\n    UNION ALL\n    ".join(
+        f"SELECT {k} AS lag, x, y{k} AS y FROM leads"
+        for k in range(1, max_lag + 1)
+    )
+    leadcols = ",\n           ".join(
+        f"lead({v}, {k}) {ow} AS y{k}" for k in range(1, max_lag + 1)
+    )
+    return f"""
+WITH leads AS (
+    SELECT {v} AS x,
+           {leadcols}
+    FROM {table}
+),
+stacked AS (
+    {arms}
+)
+SELECT lag, count(*) AS n_pairs, round(corr(x, y), {round_to}) AS acf
+FROM stacked WHERE y IS NOT NULL AND x IS NOT NULL
+GROUP BY lag
+"""
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    micro_scale: int = 1_000_000,
+    tiebreak_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """CUSUM change-point per key: (key, n, k_change, ts_change, stat).
+
+    The classic mean-shift scan: ``S_k = sum_{i<=k} (x_i - mean)``;
+    the change-point is ``argmax_k |S_k|`` and the test statistic is
+    ``max_k |S_k| / (s * sqrt(n))`` (compare to Kolmogorov-type
+    critical values ~1.36 at 5%).
+
+    ARGMAX IS COMPUTED IN EXACT INTEGER ARITHMETIC: with x in
+    ``micro_scale`` units, ``n * S_k = n * prefix_k - k * total`` is a
+    BIGINT — so which k wins never depends on float summation order
+    (running double sums associate differently across engines, and a
+    1e-12 wobble between near-tied |S_k| values would flip the argmax
+    where rounding can't save it). Only the final ``stat`` touches
+    doubles. Overflow envelope: ``n^2 * mean * micro_scale < 2^63`` —
+    at 1e6 rows/key with values ~1e3, drop ``micro_scale`` to 1e3.
+
+    Plan: one group aggregate for (n, total, var) joins back onto one
+    prefix-sum window pass per key; the deterministic argmax is a
+    row_number over (|nS| desc, k asc). ``tiebreak_col`` (a unique id)
+    totalizes the order when timestamps collide — without it, tied-ts
+    prefix sums are engine-arbitrary.
+    """
+    xm = F.round(F.col(value_col).cast("double") * micro_scale, 0).cast(
+        "long"
+    )
+    order = [F.col("ts")] + ([F.col("__tb")] if tiebreak_col else [])
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        xm.alias("xm"),
+        *([F.col(tiebreak_col).alias("__tb")] if tiebreak_col else []),
+    )
+    totals = base.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xm").alias("total"),
+        F.stddev_samp(F.col("xm").cast("double") / micro_scale).alias("s"),
+    )
+    w = W.partitionBy("key").orderBy(*order).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    pre = base.select(
+        "key",
+        "ts",
+        F.sum("xm").over(w).alias("prefix"),
+        F.row_number().over(w).alias("k"),
+    )
+    j = pre.join(totals, "key")
+    ns = F.col("n") * F.col("prefix") - F.col("k") * F.col("total")
+    ranked = j.select(
+        "key",
+        "ts",
+        "k",
+        "n",
+        "s",
+        ns.alias("ns"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("key").orderBy(F.abs(F.col("ns")).desc(), F.col("k"))
+        ),
+    )
+    stat = (
+        F.abs(F.col("ns")).cast("double")
+        / F.col("n")
+        / micro_scale
+        / (F.col("s") * F.sqrt(F.col("n").cast("double")))
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "key",
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k_change"),
+        F.col("ts").alias("ts_change"),
+        F.round(stat, round_to).alias("stat"),
+    )
+
+
+def cusum_oracle_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    micro_scale: int = 1_000_000,
+    tiebreak_col: str | None = None,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`cusum_changepoint` — identical integer
+    argmax, so no float-order ambiguity in which row wins."""
+    order = "ts" + (", tb" if tiebreak_col else "")
+    ow = (
+        f"OVER (PARTITION BY key ORDER BY {order} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    tb_sel = f", {tiebreak_col} AS tb" if tiebreak_col else ""
+    return f"""
+WITH base AS (
+    SELECT {key_col} AS key, {ts_col} AS ts,
+           CAST(round(CAST({value_col} AS DOUBLE) * {micro_scale})
+                AS BIGINT) AS xm{tb_sel}
+    FROM {table}
+),
+totals AS (
+    SELECT key, count(*) AS n, sum(xm) AS total,
+           stddev_samp(CAST(xm AS DOUBLE) / {micro_scale}) AS s
+    FROM base GROUP BY key
+),
+pre AS (
+    SELECT key, ts,
+           sum(xm) {ow} AS prefix,
+           row_number() {ow} AS k
+    FROM base
+),
+ranked AS (
+    SELECT pre.key, pre.ts, pre.k, totals.n, totals.s,
+           CAST(totals.n AS BIGINT) * pre.prefix
+             - CAST(pre.k AS BIGINT) * totals.total AS ns,
+           row_number() OVER (
+               PARTITION BY pre.key
+               ORDER BY abs(CAST(totals.n AS BIGINT) * pre.prefix
+                            - CAST(pre.k AS BIGINT) * totals.total) DESC,
+                        pre.k
+           ) AS rn
+    FROM pre JOIN totals USING (key)
+)
+SELECT key, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_change,
+       ts AS ts_change,
+       round(CAST(abs(ns) AS DOUBLE) / n / {micro_scale}
+             / (s * sqrt(CAST(n AS DOUBLE))), {round_to}) AS stat
+FROM ranked WHERE rn = 1
+"""
