@@ -3346,6 +3346,20 @@ def _q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_normalize(docs.select("doc_id", "n_chars"), "n_chars", "doc_id")
 
 
+def _q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph family (new in r9): deterministic label-propagation
+    communities (3 synchronous rounds, ties to the smallest label) over
+    the exact near-dup pair graph — the density-aware complement to
+    connected components for choosing dedup keep-groups in stringy
+    graphs. Per-round work is one join + a degree-bounded rank, never a
+    graph-sized window (operators/dedup.py)."""
+    edges = D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5,
+        max_shingle_df=None,
+    )
+    return D.label_propagation(edges, iters=3)
+
+
 def _q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series diagnostics (new in r9): pooled autocorrelation of
     event values at lags 1..8 — one window pass per user emits all
@@ -3695,6 +3709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audit_benford": _q_audit_benford,
         "ts_acf": _q_ts_acf,
         "ts_cusum_changepoint": _q_ts_cusum,
+        "graph_label_prop": _q_graph_label_prop,
     }
 
 
@@ -6871,6 +6886,15 @@ FROM j GROUP BY id
         "ts",
         "value",
         tiebreak_col="event_id",
+    )
+
+    # --- r9 graph family addition ----------------------------------
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.dedup import (
+        label_propagation_oracle_sql,
+    )
+
+    o["graph_label_prop"] = label_propagation_oracle_sql(
+        o["dedup_ngram_jaccard"], iters=3
     )
     return o
 

@@ -1355,3 +1355,59 @@ def test_containment_catches_what_jaccard_misses(spark):
         ).collect()
     }
     assert cont == {(1, 2): 1.0}  # the small doc is fully contained
+
+
+class TestLabelPropagation:
+    """Deterministic LPA (operators/dedup.py) — structural fixtures:
+    two cliques joined by one bridge edge stay two communities where
+    connected_components would merge them."""
+
+    def _edges(self, spark, pairs):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame(
+            [Row(doc_a=a, doc_b=b) for a, b in pairs]
+        )
+
+    def test_two_cliques_one_bridge(self, spark):
+        from multi_sensor_data_pipeline_for_robotics__spark.operators.dedup import (
+            label_propagation,
+        )
+
+        k1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        k2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+        got = {
+            r.node: r.label
+            for r in label_propagation(
+                self._edges(spark, k1 + k2 + [(3, 10)]), iters=3
+            ).collect()
+        }
+        # each clique converges to its min label; the bridge does not merge them
+        assert {got[n] for n in range(4)} == {0}
+        assert {got[n] for n in range(10, 14)} == {10}
+
+    def test_tiebreak_smallest_label(self, spark):
+        from multi_sensor_data_pipeline_for_robotics__spark.operators.dedup import (
+            label_propagation,
+        )
+
+        # a path 0-1-2: node 1 sees labels {0, 2} equally often -> picks 0
+        got = {
+            r.node: r.label
+            for r in label_propagation(
+                self._edges(spark, [(0, 1), (1, 2)]), iters=1
+            ).collect()
+        }
+        assert got[1] == 0
+
+    def test_matches_components_on_clean_clusters(self, spark):
+        from multi_sensor_data_pipeline_for_robotics__spark.operators.dedup import (
+            connected_components,
+            label_propagation,
+        )
+
+        pairs = [(0, 1), (1, 2), (0, 2), (7, 8)]
+        e = self._edges(spark, pairs)
+        lpa = {r.node: r.label for r in label_propagation(e, iters=3).collect()}
+        cc = {r.doc_id: r.component for r in connected_components(e).collect()}
+        assert lpa == cc  # tight clusters: same grouping, same min labels
