@@ -3346,6 +3346,25 @@ def _q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_normalize(docs.select("doc_id", "n_chars"), "n_chars", "doc_id")
 
 
+def _q_regress_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS (new in r9): a trend line per event type — value
+    vs hours-since-epoch, slope/intercept/r² from ONE map-side-combined
+    aggregation using the numerically-stable corr/stddev built-ins
+    (naive sum-of-products forms cancel catastrophically on epoch-sized
+    x; x is pre-scaled to hours so slopes survive 6-dp rounding).
+    Fits millions of groups at once at cluster scale
+    (plans/regress.py)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.regress import (
+        grouped_ols,
+        hours_since,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return grouped_ols(
+        ev.withColumn("__h", hours_since("ts")), ["event_type"], "__h", "value"
+    )
+
+
 def _q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph family (new in r9): deterministic label-propagation
     communities (3 synchronous rounds, ties to the smallest label) over
@@ -3710,6 +3729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_acf": _q_ts_acf,
         "ts_cusum_changepoint": _q_ts_cusum,
         "graph_label_prop": _q_graph_label_prop,
+        "regress_trend_by_type": _q_regress_trend,
     }
 
 
@@ -6895,6 +6915,19 @@ FROM j GROUP BY id
 
     o["graph_label_prop"] = label_propagation_oracle_sql(
         o["dedup_ngram_jaccard"], iters=3
+    )
+
+    # --- r9 per-group OLS (plans/regress.py) ------------------------
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.regress import (
+        grouped_ols_oracle_sql,
+    )
+
+    o["regress_trend_by_type"] = grouped_ols_oracle_sql(
+        "events",
+        ["event_type"],
+        "CAST(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')"
+        " AS DOUBLE) / 3.6e9",
+        "value",
     )
     return o
 
