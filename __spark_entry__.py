@@ -3346,6 +3346,36 @@ def _q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_normalize(docs.select("doc_id", "n_chars"), "n_chars", "doc_id")
 
 
+def _q_stream_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-streaming representative (new in r9): the 9-counter
+    Benford first-digit histogram maintained AS stream state per event
+    type — counters are additive and order-insensitive, so the last
+    batch per key matches a batch digit count over the same file;
+    graded against a DuckDB replay using the same exact-integer digit
+    extraction (streaming/stateful.py benford_stream)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.stateful import (
+        benford_stream,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.sync_stream import (
+        read_events_stream,
+        run_to_memory,
+    )
+    from pyspark.sql import Window as W
+
+    sm = benford_stream(
+        read_events_stream(spark, sf_dir), value_col="value",
+        key_col="event_type",
+    )
+    run_to_memory(sm, "stream_benford_tbl", output_mode="append")
+    w = W.partitionBy("key", "digit").orderBy(F.col("batch_seq").desc())
+    return (
+        spark.table("stream_benford_tbl")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("key").alias("event_type"), "digit", "n_d")
+    )
+
+
 def _q_regress_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group OLS (new in r9): a trend line per event type — value
     vs hours-since-epoch, slope/intercept/r² from ONE map-side-combined
@@ -3730,6 +3760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_cusum_changepoint": _q_ts_cusum,
         "graph_label_prop": _q_graph_label_prop,
         "regress_trend_by_type": _q_regress_trend,
+        "stream_benford": _q_stream_benford,
     }
 
 
@@ -6929,6 +6960,31 @@ FROM j GROUP BY id
         " AS DOUBLE) / 3.6e9",
         "value",
     )
+
+    # streaming Benford: final per-key digit counts == batch replay
+    # (same exact-integer digit extraction; full 1..9 spine per key)
+    o["stream_benford"] = """
+WITH counts AS (
+    SELECT event_type,
+           CAST(substr(CAST(CAST(round(value * 1000000) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+           count(*) AS n_d
+    FROM events
+    WHERE value IS NOT NULL AND value > 0
+    GROUP BY 1, 2
+),
+spine AS (
+    SELECT k.event_type, CAST(d AS INTEGER) AS digit
+    FROM (SELECT DISTINCT event_type FROM events) k,
+         unnest(range(1, 10)) AS t(d)
+)
+SELECT spine.event_type, spine.digit,
+       CAST(coalesce(counts.n_d, 0) AS BIGINT) AS n_d
+FROM spine
+LEFT JOIN counts
+       ON counts.event_type = spine.event_type
+      AND counts.digit = spine.digit
+"""
     return o
 
 

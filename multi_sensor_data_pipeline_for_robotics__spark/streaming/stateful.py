@@ -939,3 +939,75 @@ def user_features_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+BENFORD_OUTPUT_SCHEMA = "key string, batch_seq long, digit int, n_d long"
+BENFORD_STATE_SCHEMA = "counts array<long>, seq long"
+
+
+def _make_benford_fn(scale: int):
+    def _benford_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        counts = [0] * 9
+        seq = 0
+        if state.exists:
+            cs, seq = state.get
+            counts = [int(c) for c in cs]
+        for pdf in pdfs:
+            for v in pdf["value"]:
+                if v is None or pd.isna(v) or v <= 0:
+                    continue  # batch parity: benford_audit keeps x > 0
+                # HALF_UP like Spark's round() on doubles (Python's
+                # round() is half-even); digit 0 (underflow at this
+                # scale) is dropped, matching the batch 1..9 spine
+                m = int(v * scale + 0.5)
+                if m <= 0:
+                    continue
+                d = int(str(m)[0])
+                if 1 <= d <= 9:
+                    counts[d - 1] += 1
+        seq += 1
+        state.update(([int(c) for c in counts], int(seq)))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * 9,
+                "batch_seq": [seq] * 9,
+                "digit": list(range(1, 10)),
+                "n_d": [int(c) for c in counts],
+            }
+        )
+
+    return _benford_fn
+
+
+def benford_stream(
+    stream: DataFrame,
+    value_col: str,
+    key_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Streaming twin of ``plans.assoc.benford_audit``, per key: the
+    state is the 9-counter first-digit histogram — counters are
+    additive and order-insensitive, so the LAST batch per key is
+    bit-identical to the batch digit counts over the same data (graded
+    against the same exact-integer digit extraction in DuckDB). State
+    is O(keys x 9) forever; each micro-batch re-emits the cumulative
+    counts stamped with a monotone ``batch_seq``.
+
+    At-least-once caveat as ``cms_stream``: replayed rows re-count."""
+    from pyspark.sql import functions as F
+
+    keyed = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _make_benford_fn(scale),
+        outputStructType=BENFORD_OUTPUT_SCHEMA,
+        stateStructType=BENFORD_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

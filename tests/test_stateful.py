@@ -406,3 +406,52 @@ def test_user_rfm_stream_state_carries_and_matches_batch(spark, tmp_path):
         .collect()
     }
     assert final == want
+
+
+def test_benford_stream_state_carries_and_matches_batch(spark, tmp_path):
+    """Two micro-batches: the final per-key digit counts must equal the
+    batch benford_audit counts over the union (additive counters), and
+    batch_seq must show the state crossed the batch boundary."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.assoc import (
+        benford_audit,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.stateful import (
+        benford_stream,
+    )
+
+    rows = [("a", float(v)) for v in [123.45, 19.99, 2.5, 999.0, 0.0, -3.0]]
+    rows += [("b", float(v)) for v in [7.77, 81.0, 0.93, 111.1]]
+    df = spark.createDataFrame(rows, "k string, v double")
+    src = str(tmp_path / "benford_src")
+    df.limit(5).coalesce(1).write.mode("append").parquet(src)
+    df.subtract(df.limit(5)).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("k string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = benford_stream(stream, value_col="v", key_col="k")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("benford_test")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    emitted = spark.table("benford_test").collect()
+    assert max(r["batch_seq"] for r in emitted) == 2
+    final = {}
+    for r in sorted(emitted, key=lambda r: r["batch_seq"]):
+        final[(r["key"], r["digit"])] = r["n_d"]
+    for key in ("a", "b"):
+        want = {
+            r.digit: r.n_d
+            for r in benford_audit(
+                df.filter(F.col("k") == key), "v", scale=1_000_000
+            ).collect()
+        }
+        got = {d: final[(key, d)] for d in range(1, 10)}
+        assert got == want, key
