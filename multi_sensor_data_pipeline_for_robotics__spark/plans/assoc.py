@@ -69,10 +69,11 @@ def chi_square(
     ``cramers_v = sqrt(chi2 / (n * min(r-1, c-1)))``.
 
     Plan: one count shuffle bounded by |A|x|B| cells; marginals are
-    re-aggregations of that table; the final row is a broadcast-joined
-    scalar combine.
+    re-aggregations of that table (checkpointed so its THREE consumers
+    don't each replay the data-sized count); the final row is a
+    broadcast-joined scalar combine.
     """
-    cont = _contingency(df, col_a, col_b)
+    cont = _contingency(df, col_a, col_b).localCheckpoint(eager=False)
     ra = cont.groupBy("a").agg(F.sum("c").alias("ra"))
     cb = cont.groupBy("b").agg(F.sum("c").alias("cb"))
     j = cont.join(F.broadcast(ra), "a").join(F.broadcast(cb), "b")
@@ -141,8 +142,13 @@ def mutual_information(
     (n, h_a, h_b, h_ab, mi) with ``mi = h_a + h_b - h_ab`` — computed
     from the same single contingency pass as :func:`chi_square`
     (entropies are sums over observed cells only; empty cells
-    contribute 0 by the ``0 ln 0 = 0`` convention)."""
-    cont = _contingency(df, col_a, col_b)
+    contribute 0 by the ``0 ln 0 = 0`` convention).
+
+    The cell table is checkpointed before fan-out: four consumers
+    (n, h_a, h_b, h_ab) would otherwise each replay the DATA-SIZED
+    count — four full scans at 100 TB for one category-bounded
+    intermediate."""
+    cont = _contingency(df, col_a, col_b).localCheckpoint(eager=False)
     n = cont.agg(F.sum("c").alias("n"))
 
     def _h():

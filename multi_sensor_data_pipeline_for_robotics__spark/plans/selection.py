@@ -81,17 +81,24 @@ def train_char_lm(
       reference corpus — the smoothing denominator's alphabet.
 
     All three are vocabulary-sized (broadcastable); training is one
-    explode + two map-side-combined aggregations over the reference
-    slice.
+    trigram explode + one char scan of the reference slice — the
+    context counts DERIVE from the trigram table (sum of cnt3 by
+    prefix), never from a second data-sized pass.
     """
     grams = ensure_parallelism(ref).select(
         F.explode(char_trigrams(text_col)).alias("gram")
     )
-    tri = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt3"))
+    # checkpoint the vocabulary-sized count: tri has two consumers
+    # (its own broadcast + the derived ctx broadcast) and each would
+    # otherwise replay the data-sized reference explode
+    tri = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt3"))
+        .localCheckpoint(eager=False)
+    )
     ctx = (
-        grams.select(F.substring("gram", 1, 2).alias("ctx"))
-        .groupBy("ctx")
-        .agg(F.count(F.lit(1)).alias("cnt2"))
+        tri.groupBy(F.substring("gram", 1, 2).alias("ctx"))
+        .agg(F.sum("cnt3").alias("cnt2"))
     )
     vocab = (
         ensure_parallelism(ref)
@@ -191,10 +198,11 @@ def dsir_log_weights(
     ln p_t(bucket) - ln p_r(bucket)`` with add-alpha smoothing over the
     ``buckets`` cells (so empty buckets stay finite on both sides).
 
-    Plan: token stream bucketizes via the portable sha256 prefix; the
-    two bucket-count tables (<= ``buckets`` rows each, built in one
-    shared scan with conditional aggregation) broadcast onto the
-    per-(doc, bucket) pre-aggregate; one per-doc sum.  The model is
+    Plan: the token stream explodes and bucketizes ONCE into a
+    per-(doc, tgt, bucket) pre-aggregate; BOTH bucket distributions
+    (raw = all rows, target = the ``is_target`` slice, via conditional
+    aggregation) and the per-doc scoring table derive from that shared
+    shuffle — the data-sized explode never replays.  The model is
     B-row-sized regardless of corpus size — the DSIR paper's point is
     exactly that this weight is computable at web scale.
     """
@@ -203,19 +211,28 @@ def dsir_log_weights(
         is_target.alias("__tgt"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     )
-    b = toks.select(
-        "__id", "__tgt", _bucket(F.col("tok"), buckets).alias("bucket")
+    # __tgt is constant per __id, so this is the per-(doc, bucket)
+    # table; both distributions re-aggregate it bucket-wise. Persisted
+    # (size-gated): its two consumers sit behind DIFFERENT exchange
+    # kinds (broadcast model vs shuffle join), so Spark's
+    # ReusedExchange cannot dedupe them and the token explode would
+    # run twice.
+    from ..cache import maybe_persist
+
+    dg = maybe_persist(
+        toks.select(
+            "__id", "__tgt", _bucket(F.col("tok"), buckets).alias("bucket")
+        )
+        .groupBy("__id", "__tgt", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    # one scan builds both distributions: raw = all rows, target = the
-    # is_target slice, via conditional aggregation per bucket.
-    model = b.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("cr"),
-        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("ct"),
+    model = dg.groupBy("bucket").agg(
+        F.sum("n").alias("cr"),
+        F.sum(F.when(F.col("__tgt"), F.col("n")).otherwise(0)).alias("ct"),
     )
     totals = model.agg(
         F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
     )
-    dg = b.groupBy("__id", "bucket").agg(F.count(F.lit(1)).alias("n"))
     j = dg.join(F.broadcast(model), "bucket", "left").crossJoin(
         F.broadcast(totals)
     )
