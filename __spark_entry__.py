@@ -3346,6 +3346,37 @@ def _q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_normalize(docs.select("doc_id", "n_chars"), "n_chars", "doc_id")
 
 
+def _q_seq_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-style sequence matching (new in r9): every view->click->
+    purchase occurrence per user with consecutive steps within 6h —
+    contiguous in the pattern-filtered stream, EVERY occurrence with
+    timestamps (vs q_funnel's corpus-wide first-occurrence counts).
+    One filtered window pass, no joins (operators/sequence.py)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.sequence import (
+        match_sequence,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return match_sequence(
+        ev, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], max_gap_ms=6 * 3600 * 1000,
+        tiebreak_col="event_id",
+    )
+
+
+def _q_assoc_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association stats #4 (new in r9): Welch's unequal-variance
+    t-test between click and purchase event values — the A/B-test
+    readout from ONE conditional-aggregation scan; degenerate groups
+    yield NULL t_stat (plans/assoc.py)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.assoc import (
+        welch_t_test,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return welch_t_test(ev, "event_type", "value", "click", "purchase")
+
+
 def _q_stream_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful-streaming representative (new in r9): the 9-counter
     Benford first-digit histogram maintained AS stream state per event
@@ -3761,6 +3792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_label_prop": _q_graph_label_prop,
         "regress_trend_by_type": _q_regress_trend,
         "stream_benford": _q_stream_benford,
+        "seq_match_funnel": _q_seq_match,
+        "assoc_welch_ttest": _q_assoc_welch,
     }
 
 
@@ -6946,6 +6979,22 @@ FROM j GROUP BY id
 
     o["graph_label_prop"] = label_propagation_oracle_sql(
         o["dedup_ngram_jaccard"], iters=3
+    )
+
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.sequence import (
+        match_sequence_oracle_sql,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.assoc import (
+        welch_oracle_sql,
+    )
+
+    o["seq_match_funnel"] = match_sequence_oracle_sql(
+        "events", "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], max_gap_ms=6 * 3600 * 1000,
+        tiebreak_col="event_id",
+    )
+    o["assoc_welch_ttest"] = welch_oracle_sql(
+        "events", "event_type", "value", "click", "purchase"
     )
 
     # --- r9 per-group OLS (plans/regress.py) ------------------------

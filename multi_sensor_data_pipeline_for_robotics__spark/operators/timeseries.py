@@ -272,8 +272,11 @@ def cusum_changepoint(
     (running double sums associate differently across engines, and a
     1e-12 wobble between near-tied |S_k| values would flip the argmax
     where rounding can't save it). Only the final ``stat`` touches
-    doubles. Overflow envelope: ``n^2 * mean * micro_scale < 2^63`` —
-    at 1e6 rows/key with values ~1e3, drop ``micro_scale`` to 1e3.
+    doubles; the argmax products run in decimal(38,0) (DuckDB:
+    int128), so the envelope is ``n^2 * mean * micro_scale < 1e38`` —
+    effectively unreachable. The BIGINT prefix sum itself bounds
+    ``n * mean * micro_scale < 2^63`` per key (at 1e10 rows/key with
+    values ~1e3, drop ``micro_scale`` to 1e3).
 
     Plan: one group aggregate for (n, total, var) joins back onto one
     prefix-sum window pass per key; the deterministic argmax is a
@@ -306,7 +309,17 @@ def cusum_changepoint(
         F.row_number().over(w).alias("k"),
     )
     j = pre.join(totals, "key")
-    ns = F.col("n") * F.col("prefix") - F.col("k") * F.col("total")
+    # decimal(38,0), not BIGINT products: at 10M+ rows in one key,
+    # n * prefix exceeds int64 (caught by the hot-key scale smoke as an
+    # ANSI ARITHMETIC_OVERFLOW). DuckDB already computes this in
+    # int128, so the VALUES — and therefore the argmax — stay
+    # identical; the envelope moves from ~2^63 to 10^38
+    # (n * total * micro_scale < 1e38).
+    ns = F.col("n").cast("decimal(12,0)") * F.col("prefix").cast(
+        "decimal(26,0)"
+    ) - F.col("k").cast("decimal(12,0)") * F.col("total").cast(
+        "decimal(26,0)"
+    )
     ranked = j.select(
         "key",
         "ts",

@@ -39,6 +39,8 @@ __all__ = [
     "mutual_information_oracle_sql",
     "benford_audit",
     "benford_oracle_sql",
+    "welch_t_test",
+    "welch_oracle_sql",
 ]
 
 
@@ -305,4 +307,95 @@ SELECT spine.digit,
        round(abs(CAST(coalesce(counts.n_d, 0) AS DOUBLE) / tot.n
                  - exp_raw), {round_to}) AS abs_dev
 FROM spine LEFT JOIN counts USING (digit) CROSS JOIN tot
+"""
+
+
+def welch_t_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two named groups: one
+    row (n_a, n_b, mean_a, mean_b, t_stat, dof) — the A/B-test
+    primitive ("did the metric move, given unequal group sizes and
+    variances").  ``dof`` is the Welch–Satterthwaite approximation; for
+    the dof ranges real A/B tests produce (hundreds+) the 5% two-sided
+    critical value is ~1.96, so callers can threshold t_stat directly
+    without a p-value lookup.
+
+    Plan: one conditional-aggregation pass (count/avg/var per group in
+    the SAME scan), one 1-row combine.  Degenerate inputs (a group
+    empty or single-row) yield NULL t_stat, not a crash.
+    """
+    va = F.when(F.col(group_col) == group_a, F.col(value_col).cast("double"))
+    vb = F.when(F.col(group_col) == group_b, F.col(value_col).cast("double"))
+    agg = df.agg(
+        F.count(va).alias("n_a"),
+        F.count(vb).alias("n_b"),
+        F.avg(va).alias("mean_a"),
+        F.avg(vb).alias("mean_b"),
+        F.var_samp(va).alias("__va"),
+        F.var_samp(vb).alias("__vb"),
+    )
+    sa = F.try_divide(F.col("__va"), F.col("n_a"))
+    sb = F.try_divide(F.col("__vb"), F.col("n_b"))
+    se = F.sqrt(sa + sb)
+    t = F.when(se > 0, F.try_divide(F.col("mean_a") - F.col("mean_b"), se))
+    dof = F.when(
+        (F.col("n_a") > 1) & (F.col("n_b") > 1) & (sa + sb > 0),
+        F.try_divide(
+            (sa + sb) * (sa + sb),
+            F.try_divide(sa * sa, F.col("n_a") - 1)
+            + F.try_divide(sb * sb, F.col("n_b") - 1),
+        ),
+    )
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round("mean_a", round_to).alias("mean_a"),
+        F.round("mean_b", round_to).alias("mean_b"),
+        F.round(t, round_to).alias("t_stat"),
+        F.round(dof, round_to).alias("dof"),
+    )
+
+
+def welch_oracle_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    round_to: int = 6,
+) -> str:
+    return f"""
+WITH agg AS (
+    SELECT count(CASE WHEN {group_col} = '{group_a}'
+                      THEN {value_col} END) AS n_a,
+           count(CASE WHEN {group_col} = '{group_b}'
+                      THEN {value_col} END) AS n_b,
+           avg(CASE WHEN {group_col} = '{group_a}'
+                    THEN CAST({value_col} AS DOUBLE) END) AS mean_a,
+           avg(CASE WHEN {group_col} = '{group_b}'
+                    THEN CAST({value_col} AS DOUBLE) END) AS mean_b,
+           var_samp(CASE WHEN {group_col} = '{group_a}'
+                         THEN CAST({value_col} AS DOUBLE) END) AS va,
+           var_samp(CASE WHEN {group_col} = '{group_b}'
+                         THEN CAST({value_col} AS DOUBLE) END) AS vb
+    FROM {table}
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(mean_a, {round_to}) AS mean_a,
+       round(mean_b, {round_to}) AS mean_b,
+       round(CASE WHEN va / n_a + vb / n_b > 0
+                  THEN (mean_a - mean_b) / sqrt(va / n_a + vb / n_b)
+             END, {round_to}) AS t_stat,
+       round(CASE WHEN n_a > 1 AND n_b > 1 AND va / n_a + vb / n_b > 0
+                  THEN pow(va / n_a + vb / n_b, 2)
+                       / (pow(va / n_a, 2) / (n_a - 1)
+                          + pow(vb / n_b, 2) / (n_b - 1))
+             END, {round_to}) AS dof
+FROM agg
 """

@@ -82,3 +82,36 @@ def test_benford_sub_one_values(spark):
     df = spark.createDataFrame([Row(x=0.07), Row(x=0.93)])
     rows = {r.digit: r.n_d for r in benford_audit(df, "x").collect()}
     assert rows[7] == 1 and rows[9] == 1
+
+
+def test_welch_t_test_known_values(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.assoc import (
+        welch_t_test,
+    )
+
+    rows = [Row(g="a", v=float(v)) for v in [1, 2, 3, 4, 5]]
+    rows += [Row(g="b", v=float(v)) for v in [2, 4, 6, 8, 10, 12]]
+    rows += [Row(g="c", v=99.0)]  # other groups ignored
+    r = welch_t_test(
+        spark.createDataFrame(rows), "g", "v", "a", "b"
+    ).collect()[0]
+    assert (r.n_a, r.n_b) == (5, 6)
+    assert r.mean_a == pytest.approx(3.0) and r.mean_b == pytest.approx(7.0)
+    # hand-computed Welch: se = sqrt(2.5/5 + 14/6), t = -4/se
+    se = math.sqrt(2.5 / 5 + 14.0 / 6)
+    assert r.t_stat == pytest.approx(-4.0 / se, abs=1e-6)
+    num = (2.5 / 5 + 14.0 / 6) ** 2
+    den = (2.5 / 5) ** 2 / 4 + (14.0 / 6) ** 2 / 5
+    assert r.dof == pytest.approx(num / den, abs=1e-5)
+
+
+def test_welch_degenerate_groups_null(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.assoc import (
+        welch_t_test,
+    )
+
+    rows = [Row(g="a", v=1.0), Row(g="b", v=2.0)]  # single-row groups
+    r = welch_t_test(
+        spark.createDataFrame(rows), "g", "v", "a", "b"
+    ).collect()[0]
+    assert r.t_stat is None and r.dof is None

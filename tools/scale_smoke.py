@@ -63,6 +63,7 @@ def main() -> None:
         "sync", "keyed_asof", "dedup", "ann", "retrieval", "timeseries",
         "substring", "semdedup", "layout", "kmv_hot", "semdedup_cap",
         "topk_hot", "snm", "salted", "gsample_hot", "rank_norm",
+        "selection", "diag", "lpa",
     ]
     spark = get_session(app_name="scale_smoke")
     scratch = tempfile.mkdtemp(prefix="spark_graft_scale_")
@@ -115,6 +116,15 @@ def main() -> None:
             release_storage(spark)
         if "rank_norm" in fams:
             smoke_rank_normalize(spark, scratch, n=20_000_000 // div)
+            release_storage(spark)
+        if "selection" in fams:
+            smoke_selection(spark, scratch, n_docs=2_000_000 // div)
+            release_storage(spark)
+        if "diag" in fams:
+            smoke_ts_diag(spark, scratch, n=20_000_000 // div)
+            release_storage(spark)
+        if "lpa" in fams:
+            smoke_label_prop(spark, scratch, n_edges=5_000_000 // div)
             release_storage(spark)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
@@ -911,6 +921,135 @@ def smoke_rank_normalize(spark, scratch, n):
     )
     assert got["n"] == n and got["lo"] == 0.0
     print(f"   endpoints ok (mean={got['mean']})")
+
+
+
+
+def _synth_docs(spark, scratch, n_docs, words_per_doc=40, vocab=50_000):
+    """n_docs synthetic docs, ~zipf-free uniform hashed vocab, 5 langs —
+    generated distributed, written once so generation stays out of
+    timings."""
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(words_per_doc)),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    (
+                        F.abs(F.hash(F.col("id").cast("string"), i.cast("string")))
+                        % vocab
+                    ).cast("string"),
+                ),
+            ),
+        ).alias("text"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("es"), F.lit("fr"), F.lit("zh")),
+            (F.col("id") % 5 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    docs.write.mode("overwrite").parquet(f"{scratch}/sel_docs")
+    return spark.read.parquet(f"{scratch}/sel_docs")
+
+
+def smoke_selection(spark, scratch, n_docs):
+    """Char-LM scoring + DSIR weights at n_docs x 40 tokens: the model
+    tables stay vocabulary/bucket-sized broadcasts; the data-sized work
+    is one explode + pre-aggregate each. The LM gram space here is
+    bounded (hashed-integer words), mirroring real text's bounded
+    alphabet."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+        char_lm_score,
+        dsir_log_weights,
+    )
+
+    print(f"\n## data selection @ {n_docs:,} docs x 40 tokens")
+    docs = _synth_docs(spark, scratch, n_docs)
+    ref = docs.filter(F.col("lang") == "en")
+    timed(
+        "char_lm_score(ref=20% slice)",
+        lambda: char_lm_score(docs, ref)
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.round(F.avg("bits_per_gram"), 3).alias("avg_bits"),
+        )
+        .first(),
+    )
+    timed(
+        "dsir_log_weights(B=1024)",
+        lambda: dsir_log_weights(docs, F.col("lang") == "en")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.round(F.avg("log_weight"), 3).alias("avg_lw"),
+        )
+        .first(),
+    )
+
+
+def smoke_ts_diag(spark, scratch, n):
+    """ACF(8 lags) + CUSUM at n rows: 63 cold keys plus ONE hot key
+    holding 50% of rows — the per-key sort serializes the hot key into
+    one task (documented rolling_stats caveat); the smoke records what
+    that costs. CUSUM's integer argmax adds two windows over the same
+    sort order (no extra shuffle)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.timeseries import (
+        acf,
+        cusum_changepoint,
+    )
+
+    print(f"\n## ts diagnostics @ {n:,} rows, 63 keys + 1 hot key (50%)")
+    rows = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit("hot"))
+        .otherwise((F.col("id") % 63).cast("string"))
+        .alias("k"),
+        F.col("id").alias("t"),
+        ((F.abs(F.hash(F.col("id").cast("string"))) % 100000) / 100.0).alias("v"),
+    )
+    rows.write.mode("overwrite").parquet(f"{scratch}/diag")
+    t = spark.read.parquet(f"{scratch}/diag")
+    timed(
+        "acf(max_lag=8)",
+        lambda: acf(t, "k", "t", "v", max_lag=8)
+        .agg(F.count(F.lit(1)).alias("lags"), F.round(F.sum("acf"), 4).alias("s"))
+        .first(),
+    )
+    timed(
+        "cusum_changepoint",
+        lambda: cusum_changepoint(t, "k", "t", "v", micro_scale=1_000)
+        .agg(F.count(F.lit(1)).alias("keys"), F.round(F.max("stat"), 3).alias("mx"))
+        .first(),
+    )
+
+
+def smoke_label_prop(spark, scratch, n_edges):
+    """3-round LPA on a planted-communities graph: n_edges edges over
+    n_edges/10 nodes in dense blobs of ~20 plus 1% random cross-links.
+    Per round: one join + a degree-bounded rank — the smoke verifies
+    rounds stay flat (no lineage blowup) and no graph-sized window
+    appears."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.dedup import (
+        label_propagation,
+    )
+
+    n_nodes = n_edges // 10
+    print(f"\n## label propagation @ {n_edges:,} edges, {n_nodes:,} nodes")
+    blob = (F.col("id") % n_nodes) - (F.col("id") % n_nodes) % 20
+    e = spark.range(n_edges).select(
+        (blob + (F.abs(F.hash(F.col("id").cast("string"))) % 20)).alias("doc_a"),
+        (blob + (F.abs(F.hash((F.col("id") + 1).cast("string"))) % 20)).alias("doc_b"),
+    ).filter(F.col("doc_a") != F.col("doc_b"))
+    e.write.mode("overwrite").parquet(f"{scratch}/lpa_edges")
+    edges = spark.read.parquet(f"{scratch}/lpa_edges")
+    timed(
+        "label_propagation(iters=3)",
+        lambda: label_propagation(edges, iters=3)
+        .agg(
+            F.count(F.lit(1)).alias("nodes"),
+            F.count_distinct("label").alias("communities"),
+        )
+        .first(),
+    )
 
 
 if __name__ == "__main__":
