@@ -3346,6 +3346,36 @@ def _q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_normalize(docs.select("doc_id", "n_chars"), "n_chars", "doc_id")
 
 
+def _q_stream_seq_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-streaming representative (new in r9): CEP sequence
+    matching AS stream state — per user the state is only the last
+    len(pattern)-1 pattern events (the full lookback contiguous
+    matching needs), O(keys x pattern) forever; emitted matches over
+    the file replay are identical to batch match_sequence, graded
+    against the same DuckDB twin (streaming/stateful.py
+    sequence_stream)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.stateful import (
+        sequence_stream,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.sync_stream import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    sm = sequence_stream(
+        read_events_stream(spark, sf_dir), "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], max_gap_ms=6 * 3600 * 1000,
+        tiebreak_col="event_id",
+    )
+    run_to_memory(sm, "stream_seq_tbl", output_mode="append")
+    return spark.table("stream_seq_tbl").select(
+        F.col("key").cast("long").alias("key"),
+        "ts_start",
+        "ts_end",
+        "duration_ms",
+    )
+
+
 def _q_seq_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP-style sequence matching (new in r9): every view->click->
     purchase occurrence per user with consecutive steps within 6h —
@@ -3794,6 +3824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_benford": _q_stream_benford,
         "seq_match_funnel": _q_seq_match,
         "assoc_welch_ttest": _q_assoc_welch,
+        "stream_seq_match": _q_stream_seq_match,
     }
 
 
@@ -6996,6 +7027,8 @@ FROM j GROUP BY id
     o["assoc_welch_ttest"] = welch_oracle_sql(
         "events", "event_type", "value", "click", "purchase"
     )
+    # streaming CEP twin: file replay == batch semantics, same SQL
+    o["stream_seq_match"] = o["seq_match_funnel"]
 
     # --- r9 per-group OLS (plans/regress.py) ------------------------
     from multi_sensor_data_pipeline_for_robotics__spark.plans.regress import (

@@ -455,3 +455,67 @@ def test_benford_stream_state_carries_and_matches_batch(spark, tmp_path):
         }
         got = {d: final[(key, d)] for d in range(1, 10)}
         assert got == want, key
+
+
+def test_sequence_stream_matches_across_batch_boundary(spark, tmp_path):
+    """A pattern occurrence whose steps SPAN the micro-batch boundary
+    must emit exactly once (completed via the carried tail), and
+    matches wholly inside batch 1 must not re-emit in batch 2."""
+    import datetime as dt
+
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.sequence import (
+        match_sequence,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.stateful import (
+        sequence_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def _rows(specs, eid0):
+        return [
+            (u, t0 + dt.timedelta(seconds=s), et, eid0 + i)
+            for i, (u, s, et) in enumerate(specs)
+        ]
+
+    schema = "u long, ts timestamp, et string, eid long"
+    # batch 1: a full A,B (match inside batch) then a dangling A
+    b1 = spark.createDataFrame(
+        _rows([(1, 0, "A"), (1, 10, "B"), (1, 20, "A")], 0), schema
+    )
+    # batch 2: the B completing the dangling A across the boundary
+    b2 = spark.createDataFrame(_rows([(1, 30, "B")], 10), schema)
+    src = str(tmp_path / "seq_src")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = sequence_stream(
+        stream, "u", "ts", "et", ["A", "B"], max_gap_ms=60_000,
+        tiebreak_col="eid",
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("seq_stream_test")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        (r["key"], r["duration_ms"])
+        for r in spark.table("seq_stream_test").collect()
+    )
+    want = sorted(
+        (str(r.key), r.duration_ms)
+        for r in match_sequence(
+            b1.union(b2), "u", "ts", "et", ["A", "B"], 60_000,
+            tiebreak_col="eid",
+        ).collect()
+    )
+    assert got == want == [("1", 10_000), ("1", 10_000)]
