@@ -3346,6 +3346,31 @@ def _q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_normalize(docs.select("doc_id", "n_chars"), "n_chars", "doc_id")
 
 
+def _q_text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction (new in r9): top-100 bigrams by pointwise
+    mutual information over the bigram-stream marginals, min-count 5 —
+    phrase-mining / tokenizer-vocabulary candidates; bounded-k
+    TakeOrdered, never a full sort (plans/corpus.py bigram_pmi)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.corpus import (
+        bigram_pmi,
+    )
+
+    return bigram_pmi(load_table(spark, sf_dir, "documents"))
+
+
+def _q_corpus_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution analysis (new in r9): which sources hold 80% of
+    corpus characters — a group-cardinality-bounded running-share
+    window over the aggregated table (plans/corpus.py pareto_report)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.corpus import (
+        pareto_report,
+    )
+
+    return pareto_report(
+        load_table(spark, sf_dir, "documents"), "source", "n_chars"
+    )
+
+
 def _q_stream_seq_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful-streaming representative (new in r9): CEP sequence
     matching AS stream state — per user the state is only the last
@@ -3825,6 +3850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_match_funnel": _q_seq_match,
         "assoc_welch_ttest": _q_assoc_welch,
         "stream_seq_match": _q_stream_seq_match,
+        "text_bigram_pmi": _q_text_bigram_pmi,
+        "corpus_pareto": _q_corpus_pareto,
     }
 
 
@@ -7029,6 +7056,14 @@ FROM j GROUP BY id
     )
     # streaming CEP twin: file replay == batch semantics, same SQL
     o["stream_seq_match"] = o["seq_match_funnel"]
+
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.corpus import (
+        bigram_pmi_oracle_sql,
+        pareto_oracle_sql,
+    )
+
+    o["text_bigram_pmi"] = bigram_pmi_oracle_sql()
+    o["corpus_pareto"] = pareto_oracle_sql("documents", "source", "n_chars")
 
     # --- r9 per-group OLS (plans/regress.py) ------------------------
     from multi_sensor_data_pipeline_for_robotics__spark.plans.regress import (

@@ -210,3 +210,167 @@ def corpus_report(
             ).alias("pct_short"),
         )
     )
+
+
+def bigram_pmi(
+    docs: DataFrame,
+    min_count: int = 5,
+    top_k: int = 100,
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Collocation extraction: the ``top_k`` bigrams by pointwise
+    mutual information, ``pmi = ln((c12/N) / ((c1x/N)(cx2/N)))`` with
+    the marginals taken over the bigram stream (c1x = count as LEFT
+    token, cx2 = count as RIGHT token — the standard self-consistent
+    normalization).  ``min_count`` suppresses the low-frequency noise
+    PMI is notoriously fond of; ties break lexicographically so the
+    top-k is deterministic.
+
+    Where ``bigram_logprob_scores`` scores DOCUMENTS under the bigram
+    model, this ranks the BIGRAMS themselves — the "what multi-word
+    units exist in this corpus" readout (phrase mining, tokenizer
+    vocabulary candidates).
+
+    One explode feeds the stream; marginals are re-aggregations of the
+    (w1, w2) count table (vocabulary-sized, checkpointed), and the
+    bounded-k result is a TakeOrderedAndProject, never a full sort.
+    """
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.text import tokens
+
+    toks = docs.select(tokens(text_col).alias("__t"))
+    bigrams = toks.select(
+        F.explode(
+            F.when(
+                F.size("__t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__t") - 2),
+                    lambda i: F.struct(
+                        F.element_at("__t", i + 1).alias("w1"),
+                        F.element_at("__t", i + 2).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    c12 = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=False)
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c2 = c12.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    n = c12.agg(F.sum("c12").alias("nn"))
+    pmi = F.log(
+        F.col("c12").cast("double")
+        * F.col("nn")
+        / (F.col("c1").cast("double") * F.col("c2"))
+    )
+    return (
+        c12.filter(F.col("c12") >= min_count)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.round(pmi, round_to).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(top_k)
+    )
+
+
+def bigram_pmi_oracle_sql(
+    min_count: int = 5, top_k: int = 100, round_to: int = 6
+) -> str:
+    """DuckDB twin of :func:`bigram_pmi` over the documents view."""
+    return f"""
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+bg AS (
+    SELECT toks[i] AS w1, toks[i + 1] AS w2
+    FROM t, unnest(range(1, len(toks))) AS u(i)
+    WHERE len(toks) >= 2
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+c2 AS (SELECT w2, sum(c12) AS c2 FROM c12 GROUP BY w2),
+n AS (SELECT sum(c12) AS nn FROM c12)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+       round(ln(CAST(c12 AS DOUBLE) * nn
+                / (CAST(c1 AS DOUBLE) * c2)), {round_to}) AS pmi
+FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+WHERE c12 >= {min_count}
+ORDER BY pmi DESC, w1, w2 LIMIT {top_k}
+"""
+
+
+def pareto_report(
+    df: DataFrame,
+    group_col: str,
+    weight_col,
+    head_share: float = 0.8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Contribution / Pareto analysis: per group (group, weight, share,
+    cum_share, in_head) ordered by weight descending — "which sources
+    make up 80% of the corpus" in one readout.  ``in_head`` marks the
+    smallest prefix reaching ``head_share`` (the group that crosses
+    the line is included).
+
+    The running window runs over the AGGREGATED group table — bounded
+    by group cardinality, never data-sized — so the single-partition
+    window is a deliberate ≤|groups|-row frame, same class as the
+    drift/threshold frames in PLANS audits.  Ties break by group name
+    for a total, engine-stable order.
+    """
+    from pyspark.sql import Window as W
+
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    agg = df.groupBy(group_col).agg(F.sum(w.cast("double")).alias("wt"))
+    tot = agg.agg(F.sum("wt").alias("tot"))
+    win = W.orderBy(F.col("wt").desc(), F.col(group_col)).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            F.round("wt", round_to).alias("weight"),
+            F.round(F.col("wt") / F.col("tot"), round_to).alias("share"),
+            F.round(
+                F.sum("wt").over(win) / F.col("tot"), round_to
+            ).alias("cum_share"),
+            (
+                (F.sum("wt").over(win) - F.col("wt")) / F.col("tot")
+                < head_share
+            ).alias("in_head"),
+        )
+    )
+
+
+def pareto_oracle_sql(
+    table: str,
+    group_col: str,
+    weight_sql: str,
+    head_share: float = 0.8,
+    round_to: int = 6,
+) -> str:
+    return f"""
+WITH agg AS (
+    SELECT {group_col} AS g, sum(CAST({weight_sql} AS DOUBLE)) AS wt
+    FROM {table} GROUP BY 1
+),
+tot AS (SELECT sum(wt) AS tot FROM agg)
+SELECT g AS {group_col},
+       round(wt, {round_to}) AS weight,
+       round(wt / tot, {round_to}) AS share,
+       round(sum(wt) OVER (ORDER BY wt DESC, g
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / tot, {round_to}) AS cum_share,
+       (sum(wt) OVER (ORDER BY wt DESC, g
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        - wt) / tot < {head_share} AS in_head
+FROM agg CROSS JOIN tot
+"""

@@ -1411,3 +1411,52 @@ class TestLabelPropagation:
         lpa = {r.node: r.label for r in label_propagation(e, iters=3).collect()}
         cc = {r.doc_id: r.component for r in connected_components(e).collect()}
         assert lpa == cc  # tight clusters: same grouping, same min labels
+
+
+class TestPmiPareto:
+    def test_bigram_pmi_finds_collocation(self, spark):
+        """A glued pair ("new york") among shuffled fillers must rank
+        first: it always co-occurs, fillers pair randomly."""
+        from pyspark.sql import Row
+
+        from multi_sensor_data_pipeline_for_robotics__spark.plans.corpus import (
+            bigram_pmi,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=i, text=f"new york w{i % 7} w{(i * 3) % 7} new york")
+                for i in range(30)
+            ]
+        )
+        got = bigram_pmi(docs, min_count=5, top_k=10).collect()
+        pairs = {(r.w1, r.w2): r for r in got}
+        ny = pairs[("new", "york")]
+        # the glued pair is present, positively associated, and the
+        # most frequent collocation by far
+        assert ny.pmi > 0
+        assert ny.c12 == 60
+        assert ny.c12 == max(r.c12 for r in got)
+        # ordering is by pmi desc with deterministic ties
+        pmis = [r.pmi for r in got]
+        assert pmis == sorted(pmis, reverse=True)
+
+    def test_pareto_head_marking(self, spark):
+        from pyspark.sql import Row
+
+        from multi_sensor_data_pipeline_for_robotics__spark.plans.corpus import (
+            pareto_report,
+        )
+
+        rows = [Row(g="a", w=70), Row(g="b", w=20), Row(g="c", w=10)]
+        got = {
+            r.g: r
+            for r in pareto_report(
+                spark.createDataFrame(rows), "g", "w", head_share=0.8
+            ).collect()
+        }
+        # a (cum .7) and b (cum .9, crosses the 0.8 line) are head; c not
+        assert got["a"].in_head and got["b"].in_head
+        assert not got["c"].in_head
+        assert got["c"].cum_share == 1.0
+        assert got["a"].share == 0.7
