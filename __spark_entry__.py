@@ -3346,6 +3346,26 @@ def _q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_normalize(docs.select("doc_id", "n_chars"), "n_chars", "doc_id")
 
 
+def _q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface shape (new in r9): UNPIVOT/melt — the inverse of
+    q_pivot_status. A wide per-event-type aggregate (count / avg value
+    / distinct users) melts to long (event_type, metric, value) via
+    Spark's unpivot; the DuckDB twin uses UNION arms. Wide->long is a
+    zero-shuffle projection over the aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.count_distinct("user_id").cast("double").alias("n_users"),
+    )
+    return wide.unpivot(
+        "event_type",
+        ["n_events", "avg_value", "n_users"],
+        "metric",
+        "value",
+    )
+
+
 def _q_text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation extraction (new in r9): top-100 bigrams by pointwise
     mutual information over the bigram-stream marginals, min-count 5 —
@@ -3852,6 +3872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_seq_match": _q_stream_seq_match,
         "text_bigram_pmi": _q_text_bigram_pmi,
         "corpus_pareto": _q_corpus_pareto,
+        "q_unpivot_metrics": _q_unpivot_metrics,
     }
 
 
@@ -7064,6 +7085,21 @@ FROM j GROUP BY id
 
     o["text_bigram_pmi"] = bigram_pmi_oracle_sql()
     o["corpus_pareto"] = pareto_oracle_sql("documents", "source", "n_chars")
+
+    o["q_unpivot_metrics"] = """
+WITH wide AS (
+    SELECT event_type,
+           CAST(count(*) AS DOUBLE) AS n_events,
+           round(avg(value), 6) AS avg_value,
+           CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users
+    FROM events GROUP BY event_type
+)
+SELECT event_type, 'n_events' AS metric, n_events AS value FROM wide
+UNION ALL
+SELECT event_type, 'avg_value', avg_value FROM wide
+UNION ALL
+SELECT event_type, 'n_users', n_users FROM wide
+"""
 
     # --- r9 per-group OLS (plans/regress.py) ------------------------
     from multi_sensor_data_pipeline_for_robotics__spark.plans.regress import (
