@@ -3346,6 +3346,32 @@ def _q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_normalize(docs.select("doc_id", "n_chars"), "n_chars", "doc_id")
 
 
+def _q_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negative sampling (new in r9): 4 hash-probe
+    negatives per embedding anchor, excluding its near-duplicate
+    positives (ngram pairs, either orientation) — O(anchors x probes)
+    generated rows, never a cartesian candidate set; same negatives on
+    any engine/partitioning (functions/sampling.py
+    sample_negatives_hash). n_items folds in lazily as a broadcast
+    count scalar."""
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        sample_negatives_hash,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5,
+        max_shingle_df=None,
+    )
+    return sample_negatives_hash(
+        emb,
+        emb.agg(F.count(F.lit(1)).alias("n")),
+        k=4,
+        anchor_col="vec_id",
+        exclude_pairs=pairs,
+    )
+
+
 def _q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-surface shape (new in r9): UNPIVOT/melt — the inverse of
     q_pivot_status. A wide per-event-type aggregate (count / avg value
@@ -3873,6 +3899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_pmi": _q_text_bigram_pmi,
         "corpus_pareto": _q_corpus_pareto,
         "q_unpivot_metrics": _q_unpivot_metrics,
+        "sample_negatives": _q_sample_negatives,
     }
 
 
@@ -7085,6 +7112,17 @@ FROM j GROUP BY id
 
     o["text_bigram_pmi"] = bigram_pmi_oracle_sql()
     o["corpus_pareto"] = pareto_oracle_sql("documents", "source", "n_chars")
+
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        negatives_oracle_sql,
+    )
+
+    o["sample_negatives"] = negatives_oracle_sql(
+        "SELECT vec_id AS anchor FROM embeddings",
+        "(SELECT count(*) FROM embeddings)",
+        k=4,
+        exclude_sql=o["dedup_ngram_jaccard"],
+    )
 
     o["q_unpivot_metrics"] = """
 WITH wide AS (

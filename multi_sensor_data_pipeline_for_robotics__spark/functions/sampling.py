@@ -560,3 +560,138 @@ thr AS (
 SELECT src.* FROM src JOIN thr ON src.{source_col} = thr.__src
 WHERE {bucket} < thr.__thr
 """
+
+
+def sample_negatives_hash(
+    anchors: DataFrame,
+    n_items: int | DataFrame,
+    k: int = 4,
+    anchor_col: str = "vec_id",
+    exclude_pairs: DataFrame | None = None,
+    exclude_a: str = "doc_a",
+    exclude_b: str = "doc_b",
+    oversample: int = 4,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training:
+    (anchor, neg_id, probe) — ``k`` pseudo-random items per anchor,
+    drawn by HASH PROBES instead of per-partition RNG, so the same
+    negatives come back on any engine/partitioning/rerun (the property
+    every sampler in this module guarantees).
+
+    ``neg_id = sha256(anchor || '#' || j) % n_items`` for probe
+    ``j = 0..k*oversample-1``; probes that hit the anchor itself or a
+    pair in ``exclude_pairs`` (e.g. near-duplicate positives — either
+    orientation) are discarded and the lowest-``probe`` ``k`` survivors
+    win. IDs must be dense ``[0, n_items)`` (build one with
+    ``row_number`` or ``epoch_shuffle_key`` otherwise).  ``n_items``
+    may be a 1-row DataFrame with column ``n`` (e.g.
+    ``items.agg(count(*).alias("n"))``) — folded in lazily as a
+    broadcast scalar, no eager action at plan-build time.
+
+    Scale shape: O(anchors x k x oversample) generated rows — never a
+    cartesian candidate set; the exclusion is one (salted-able) join;
+    the per-anchor rank is bounded by k*oversample rows. With the
+    default oversample=4 the probability of returning fewer than k
+    negatives is negligible for n_items >> k (collisions are ~k/n).
+    """
+    probes = anchors.select(F.col(anchor_col).alias("anchor")).select(
+        "anchor",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(k * oversample) - 1))
+        ).alias("probe"),
+    )
+    if isinstance(n_items, DataFrame):
+        probes = probes.crossJoin(F.broadcast(n_items))
+        n_mod = F.col("n")
+    else:
+        n_mod = F.lit(int(n_items))
+    neg = F.pmod(
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat_ws("#", F.col("anchor").cast("string"),
+                                F.col("probe").cast("string")),
+                    256,
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        n_mod,
+    )
+    cand = probes.select("anchor", "probe", neg.alias("neg_id")).filter(
+        F.col("neg_id") != F.col("anchor")
+    )
+    if exclude_pairs is not None:
+        ex = exclude_pairs.select(
+            F.col(exclude_a).alias("xa"), F.col(exclude_b).alias("xb")
+        )
+        ex = ex.unionAll(ex.select(F.col("xb").alias("xa"),
+                                   F.col("xa").alias("xb"))).distinct()
+        cand = cand.join(
+            ex,
+            (cand["anchor"] == ex["xa"]) & (cand["neg_id"] == ex["xb"]),
+            "left_anti",
+        )
+    from pyspark.sql import Window as W
+
+    ranked = cand.withColumn(
+        "__rn",
+        F.row_number().over(
+            W.partitionBy("anchor").orderBy("probe", "neg_id")
+        ),
+    )
+    return ranked.filter(F.col("__rn") <= k).select(
+        "anchor", F.col("neg_id").cast("long").alias("neg_id"), "probe"
+    )
+
+
+def negatives_oracle_sql(
+    anchors_sql: str,
+    n_items: int | str,
+    k: int = 4,
+    oversample: int = 4,
+    exclude_sql: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`sample_negatives_hash`. ``anchors_sql``
+    yields a column ``anchor``; ``exclude_sql`` (optional) yields
+    (doc_a, doc_b) positive pairs. ``n_items`` may be a scalar-subquery
+    string like ``"(SELECT count(*) FROM embeddings)"``."""
+    ex = ""
+    if exclude_sql is not None:
+        ex = f""",
+ex AS (
+    SELECT doc_a AS xa, doc_b AS xb FROM ({exclude_sql})
+    UNION SELECT doc_b, doc_a FROM ({exclude_sql})
+)"""
+    anti = (
+        "AND NOT EXISTS (SELECT 1 FROM ex WHERE ex.xa = c.anchor"
+        " AND ex.xb = c.neg_id)"
+        if exclude_sql is not None
+        else ""
+    )
+    return f"""
+WITH a AS ({anchors_sql}),
+probes AS (
+    SELECT anchor, CAST(j AS INTEGER) AS probe
+    FROM a, unnest(range({k * oversample})) AS t(j)
+),
+c AS (
+    SELECT anchor, probe,
+           CAST(('0x' || substr(sha256(CAST(anchor AS VARCHAR) || '#'
+                                       || CAST(probe AS VARCHAR)), 1, 7))
+                AS BIGINT) % {n_items} AS neg_id
+    FROM probes
+){ex},
+kept AS (
+    SELECT anchor, probe, neg_id,
+           row_number() OVER (PARTITION BY anchor
+                              ORDER BY probe, neg_id) AS rn
+    FROM c
+    WHERE neg_id != anchor {anti}
+)
+SELECT anchor, CAST(neg_id AS BIGINT) AS neg_id, probe
+FROM kept WHERE rn <= {k}
+"""

@@ -478,3 +478,52 @@ def test_group_sample_k_equals_single_window_property(sizes, k, salt_buckets):
         .collect()
     }
     assert got == ref
+
+
+def test_sample_negatives_hash_properties(spark):
+    """Determinism, k-per-anchor, self/positive exclusion, and
+    partitioning-independence of the hash-probe negative sampler."""
+    from pyspark.sql import Row
+
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        sample_negatives_hash,
+    )
+
+    items = spark.createDataFrame([Row(vec_id=i) for i in range(50)])
+    pos = spark.createDataFrame(
+        [Row(doc_a=0, doc_b=1), Row(doc_a=2, doc_b=3)]
+    )
+    out = sample_negatives_hash(items, 50, k=4, exclude_pairs=pos)
+    rows = out.collect()
+    by_anchor = {}
+    for r in rows:
+        by_anchor.setdefault(r.anchor, []).append(r.neg_id)
+    assert set(by_anchor) == set(range(50))
+    assert all(len(v) == 4 for v in by_anchor.values())
+    # no self-negatives; positives excluded in BOTH orientations
+    assert all(a not in v for a, v in by_anchor.items())
+    assert 1 not in by_anchor[0] and 0 not in by_anchor[1]
+    assert 3 not in by_anchor[2] and 2 not in by_anchor[3]
+    # repartitioning must not change the sample
+    again = sample_negatives_hash(
+        items.repartition(7), 50, k=4, exclude_pairs=pos
+    ).collect()
+    assert sorted((r.anchor, r.probe, r.neg_id) for r in again) == sorted(
+        (r.anchor, r.probe, r.neg_id) for r in rows
+    )
+
+
+def test_sample_negatives_count_frame(spark):
+    from pyspark.sql import Row
+
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        sample_negatives_hash,
+    )
+    from pyspark.sql import functions as F
+
+    items = spark.createDataFrame([Row(vec_id=i) for i in range(20)])
+    lit = sample_negatives_hash(items, 20, k=3).collect()
+    frame = sample_negatives_hash(
+        items, items.agg(F.count(F.lit(1)).alias("n")), k=3
+    ).collect()
+    assert sorted(map(tuple, lit)) == sorted(map(tuple, frame))
