@@ -3346,6 +3346,26 @@ def _q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_normalize(docs.select("doc_id", "n_chars"), "n_chars", "doc_id")
 
 
+def _q_embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (new in r9): for each of the first 5
+    embeddings, the 5 most-similar vectors with a DIFFERENT label —
+    the near-miss examples a contrastive loss learns from; cosine_topk
+    plan plus a label-mismatch filter before ranking
+    (operators/similarity.py hard_negatives)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        emb,
+        emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding", "label"
+        ),
+        k=5,
+    )
+
+
 def _q_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-training negative sampling (new in r9): 4 hash-probe
     negatives per embedding anchor, excluding its near-duplicate
@@ -3900,6 +3920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pareto": _q_corpus_pareto,
         "q_unpivot_metrics": _q_unpivot_metrics,
         "sample_negatives": _q_sample_negatives,
+        "embed_hard_negatives": _q_embed_hard_negatives,
     }
 
 
@@ -7123,6 +7144,23 @@ FROM j GROUP BY id
         k=4,
         exclude_sql=o["dedup_ngram_jaccard"],
     )
+
+    o["embed_hard_negatives"] = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+      FROM e WHERE vec_id < 5),
+scored AS (
+    SELECT q.query_id, e.vec_id AS cand_id,
+           round(list_cosine_similarity(e.v, q.qv), 6) AS cosine
+    FROM e, q
+    WHERE e.vec_id != q.query_id AND e.label != q.qlabel
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id ASC) AS rank
+      FROM scored)
+SELECT query_id, cand_id, cosine, rank FROM r WHERE rank <= 5
+"""
 
     o["q_unpivot_metrics"] = """
 WITH wide AS (

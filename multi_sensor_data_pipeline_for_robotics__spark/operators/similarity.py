@@ -1565,3 +1565,58 @@ def semantic_dedup_fixedpoint(
             F.coalesce(F.col("m")["s"] >= thr_int, F.lit(False)).alias("is_dup"),
         )
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query,
+    the ``k`` MOST similar corpus vectors with a DIFFERENT label —
+    exactly the near-miss examples a contrastive loss learns most from
+    (easy negatives, cf. ``functions.sampling.sample_negatives_hash``,
+    give vanishing gradients; hard ones come from the ANN family).
+
+    Same plan as :func:`cosine_topk` — query side broadcast, corpus
+    scanned once, rank shuffles only (query, candidate, sim) triples —
+    plus a label-mismatch filter BEFORE ranking. Swap the scoring join
+    for :func:`ivf_topk` probing when the corpus outgrows brute force;
+    the label filter composes unchanged.
+    """
+    from pyspark.sql import Window as W
+
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.vector import (
+        cosine,
+    )
+
+    e = embeddings.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cand_vec"),
+        F.col(label_col).alias("cand_label"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.col(label_col).alias("query_label"),
+    )
+    scored = e.join(
+        F.broadcast(q),
+        (F.col("cand_id") != F.col("query_id"))
+        & (F.col("cand_label") != F.col("query_label")),
+    ).withColumn(
+        "cosine", F.round(cosine(F.col("cand_vec"), F.col("query_vec")), round_to)
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )

@@ -208,3 +208,34 @@ def test_feature_hash_rejects_bad_dim(spark):
 
     with _pt.raises(ValueError):
         feature_hash_vectors(docs, dim=0)
+
+
+def test_hard_negatives_label_mismatch_only(spark):
+    """Every returned candidate has a different label than its query,
+    and within that constraint ranking matches brute-force cosine."""
+    import math
+
+    from pyspark.sql import Row
+
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    # 2D unit-ish vectors at known angles; labels alternate
+    vecs = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.1], 0),   # same label as 0 -> never its negative
+        (2, [0.95, 0.3], 1),   # closest different-label vector to 0
+        (3, [0.0, 1.0], 1),
+        (4, [-1.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v, label=l) for i, v, l in vecs]
+    )
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    got = hard_negatives(df, q, k=2).collect()
+    assert [r.cand_id for r in got] == [2, 3]
+    assert all(r.query_id == 0 for r in got)
+    assert got[0].cosine > got[1].cosine
