@@ -166,6 +166,7 @@ def acf(
     max_lag: int = 8,
     tiebreak_col: str | None = None,
     round_to: int = 6,
+    time_bucket_ms: int | None = None,
 ) -> DataFrame:
     """Pooled autocorrelation function: one row per lag 1..``max_lag``
     with (lag, n_pairs, acf) — Pearson correlation of (x_t, x_{t+lag})
@@ -175,22 +176,71 @@ def acf(
     Plan: ONE window pass per key emits all ``max_lag`` lead columns,
     a generated-in-place stack unpivots them to (lag, x, y) rows, and
     a ``max_lag``-group corr aggregate finishes — no self-joins, no
-    per-lag rescans. A hot key serializes one partition's sort (same
-    caveat as :func:`rolling_stats`).
+    per-lag rescans. A hot key serializes one partition's sort; pass
+    ``time_bucket_ms`` to split each key into time buckets with a
+    ``max_lag``-row overlap head copied to the previous bucket — each
+    (t, t+lag) pair is then computed in t's bucket exactly once and
+    the per-task sort bound drops from rows-per-key to
+    rows-per-bucket (the keyed as-of join's ``time_buckets`` remedy).
+    EXACTNESS CONDITION: a pair is formed only if its successor lies
+    in t's bucket or the next bucket's first ``max_lag`` rows — so
+    results equal the direct window whenever every non-empty bucket
+    holds >= ``max_lag`` rows (property-tested); buckets sparser than
+    that drop their boundary-spanning pairs (same class of documented
+    truncation as the EWMA window). Size the span so a bucket holds
+    thousands of rows: at 1e9 rows/key/day, an hourly span gives
+    ~4e7-row tasks and loses nothing.
 
     ``tiebreak_col`` (pass a unique id) makes the intra-key order
     total when timestamps collide, which both engines must agree on
     for hash parity.
     """
-    order = [F.col(ts_col)] + (
-        [F.col(tiebreak_col)] if tiebreak_col else []
-    )
-    w = W.partitionBy(key_col).orderBy(*order)
     v = F.col(value_col).cast("double")
-    leads = df.select(
-        v.alias("x"),
-        *[F.lead(v, k).over(w).alias(f"y{k}") for k in range(1, max_lag + 1)],
-    )
+    if time_bucket_ms is None:
+        order = [F.col(ts_col)] + (
+            [F.col(tiebreak_col)] if tiebreak_col else []
+        )
+        w = W.partitionBy(key_col).orderBy(*order)
+        leads = df.select(
+            v.alias("x"),
+            *[
+                F.lead(v, k).over(w).alias(f"y{k}")
+                for k in range(1, max_lag + 1)
+            ],
+        )
+    else:
+        base = df.select(
+            F.col(key_col).alias("__k"),
+            F.col(ts_col).alias("__ts"),
+            v.alias("__v"),
+            *(
+                [F.col(tiebreak_col).alias("__tb")]
+                if tiebreak_col
+                else [F.lit(0).alias("__tb")]
+            ),
+        ).withColumn(
+            "__bkt",
+            F.floor(F.unix_micros(F.col("__ts")) / (time_bucket_ms * 1000)),
+        )
+        in_bkt = W.partitionBy("__k", "__bkt").orderBy("__ts", "__tb")
+        pos = base.withColumn("__pos", F.row_number().over(in_bkt))
+        # the first max_lag rows of each bucket also serve as lead
+        # TARGETS for the previous bucket's tail (overlap copy)
+        head_copy = (
+            pos.filter(F.col("__pos") <= max_lag)
+            .withColumn("__bkt", F.col("__bkt") - 1)
+            .withColumn("__copy", F.lit(True))
+        )
+        both = pos.withColumn("__copy", F.lit(False)).unionByName(head_copy)
+        w2 = W.partitionBy("__k", "__bkt").orderBy("__ts", "__tb")
+        leads = both.select(
+            F.col("__copy"),
+            F.col("__v").alias("x"),
+            *[
+                F.lead("__v", k).over(w2).alias(f"y{k}")
+                for k in range(1, max_lag + 1)
+            ],
+        ).filter(~F.col("__copy")).drop("__copy")
     stacked = leads.select(
         F.explode(
             F.array(

@@ -82,3 +82,41 @@ def test_cusum_integer_argmax_ties_pick_earliest(spark):
     df = _series(spark, [1.0, 1.0, -1.0, -1.0])
     r = cusum_changepoint(df, "key", "ts", "x").collect()[0]
     assert r.k_change == 2  # S = [1, 2, 1, 0] -> unique max at k=2
+
+
+def test_acf_time_bucketed_equals_direct_on_dense_series(spark):
+    """time_bucket_ms mode must reproduce the direct window exactly
+    when every bucket holds >= max_lag rows (the documented exactness
+    condition), including pairs crossing bucket boundaries."""
+    import random
+
+    rng = random.Random(7)
+    vals = [rng.uniform(-5, 5) for _ in range(400)]
+    # 1 row per second; 20s buckets -> 20 rows per bucket >= max_lag 4
+    df = _series(spark, vals)
+    direct = {
+        r.lag: (r.n_pairs, r.acf)
+        for r in acf(df, "key", "ts", "x", max_lag=4,
+                     tiebreak_col="eid").collect()
+    }
+    bucketed = {
+        r.lag: (r.n_pairs, r.acf)
+        for r in acf(df, "key", "ts", "x", max_lag=4, tiebreak_col="eid",
+                     time_bucket_ms=20_000).collect()
+    }
+    assert direct == bucketed
+
+
+def test_acf_time_bucketed_sparse_drops_documented_pairs(spark):
+    """A bucket with fewer than max_lag rows drops boundary-spanning
+    pairs — the documented truncation, visible in n_pairs."""
+    df = _series(spark, [1.0, 2.0, 3.0, 4.0])  # 1s apart
+    # 1s buckets -> one row per bucket; lag-2 pairs need to cross TWO
+    # boundaries and are dropped; lag-1 pairs survive via the overlap
+    got = {
+        r.lag: r.n_pairs
+        for r in acf(df, "key", "ts", "x", max_lag=2, tiebreak_col="eid",
+                     time_bucket_ms=1_000).collect()
+    }
+    assert got.get(1) == 3
+    assert 2 not in got or got[2] == 0
