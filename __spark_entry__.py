@@ -3346,6 +3346,15 @@ def _q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_normalize(docs.select("doc_id", "n_chars"), "n_chars", "doc_id")
 
 
+def _q_assoc_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association stats #5 (new in r9): one-way ANOVA F across ALL
+    event types — the k-group generalization of the Welch pair test,
+    from one k-row moment table (plans/assoc.py anova_f)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.assoc import anova_f
+
+    return anova_f(load_table(spark, sf_dir, "events"), "event_type", "value")
+
+
 def _q_embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (new in r9): for each of the first 5
     embeddings, the 5 most-similar vectors with a DIFFERENT label —
@@ -3921,6 +3930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unpivot_metrics": _q_unpivot_metrics,
         "sample_negatives": _q_sample_negatives,
         "embed_hard_negatives": _q_embed_hard_negatives,
+        "assoc_anova_f": _q_assoc_anova,
     }
 
 
@@ -7123,6 +7133,12 @@ FROM j GROUP BY id
     o["assoc_welch_ttest"] = welch_oracle_sql(
         "events", "event_type", "value", "click", "purchase"
     )
+
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.assoc import (
+        anova_oracle_sql,
+    )
+
+    o["assoc_anova_f"] = anova_oracle_sql("events", "event_type", "value")
     # streaming CEP twin: file replay == batch semantics, same SQL
     o["stream_seq_match"] = o["seq_match_funnel"]
 

@@ -399,3 +399,96 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
              END, {round_to}) AS dof
 FROM agg
 """
+
+
+def anova_f(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-way ANOVA F-statistic across ALL groups: one row
+    (k, n, df_between, df_within, f_stat) — the k-group generalization
+    of :func:`welch_t_test` ("does the metric differ across sources /
+    variants / shards at all").
+
+    ``F = (SSB / (k-1)) / (SSW / (n-k))`` with the sums of squares
+    from per-group (count, mean, var) moments::
+
+        SSB = sum_g n_g (mean_g - grand_mean)^2
+        SSW = sum_g (n_g - 1) var_g
+
+    Plan: one map-side-combined groupBy builds the k-row moment table;
+    everything after is a k-row combine.  Degenerate inputs (k < 2 or
+    n <= k or zero within-variance) yield NULL f_stat.
+    """
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("ng"),
+            F.avg(F.col(value_col).cast("double")).alias("mg"),
+            F.var_samp(F.col(value_col).cast("double")).alias("vg"),
+        )
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        (F.sum(F.col("ng") * F.col("mg")) / F.sum("ng")).alias("gm"),
+    )
+    parts = g.crossJoin(F.broadcast(tot)).agg(
+        F.first("k").alias("k"),
+        F.first("n").alias("n"),
+        F.sum(
+            F.col("ng") * (F.col("mg") - F.col("gm")) * (F.col("mg") - F.col("gm"))
+        ).alias("ssb"),
+        F.sum((F.col("ng") - 1) * F.coalesce(F.col("vg"), F.lit(0.0))).alias(
+            "ssw"
+        ),
+    )
+    f = F.when(
+        (F.col("k") > 1) & (F.col("n") > F.col("k")) & (F.col("ssw") > 0),
+        F.try_divide(
+            F.col("ssb") / (F.col("k") - 1),
+            F.col("ssw") / (F.col("n") - F.col("k")),
+        ),
+    )
+    return parts.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        (F.col("k") - 1).cast("long").alias("df_between"),
+        (F.col("n") - F.col("k")).cast("long").alias("df_within"),
+        F.round(f, round_to).alias("f_stat"),
+    )
+
+
+def anova_oracle_sql(
+    table: str, group_col: str, value_col: str, round_to: int = 6
+) -> str:
+    return f"""
+WITH g AS (
+    SELECT {group_col} AS grp, count(*) AS ng,
+           avg(CAST({value_col} AS DOUBLE)) AS mg,
+           var_samp(CAST({value_col} AS DOUBLE)) AS vg
+    FROM {table} WHERE {value_col} IS NOT NULL
+    GROUP BY 1
+),
+tot AS (
+    SELECT count(*) AS k, sum(ng) AS n,
+           sum(ng * mg) / sum(ng) AS gm
+    FROM g
+),
+parts AS (
+    SELECT any_value(k) AS k, any_value(n) AS n,
+           sum(ng * (mg - gm) * (mg - gm)) AS ssb,
+           sum((ng - 1) * coalesce(vg, 0.0)) AS ssw
+    FROM g CROSS JOIN tot
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       CAST(k - 1 AS BIGINT) AS df_between,
+       CAST(n - k AS BIGINT) AS df_within,
+       round(CASE WHEN k > 1 AND n > k AND ssw > 0
+                  THEN (ssb / (k - 1)) / (ssw / (n - k)) END,
+             {round_to}) AS f_stat
+FROM parts
+"""

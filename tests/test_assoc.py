@@ -115,3 +115,39 @@ def test_welch_degenerate_groups_null(spark):
         spark.createDataFrame(rows), "g", "v", "a", "b"
     ).collect()[0]
     assert r.t_stat is None and r.dof is None
+
+
+def test_anova_f_known_value(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.assoc import anova_f
+
+    # three groups with means 0/1/2, equal within-variance; scipy-free
+    # hand computation: SSB = 4*((0-1)^2 + 0 + (2-1)^2) = 8,
+    # SSW = sum (n_g-1)*var_g = 3 * 3 * var([−.3,−.1,.1,.3]) = 9*0.0667
+    base = [-0.3, -0.1, 0.1, 0.3]
+    rows = []
+    for gi, mean in enumerate([0.0, 1.0, 2.0]):
+        rows += [Row(g=f"g{gi}", v=mean + b) for b in base]
+    r = anova_f(spark.createDataFrame(rows), "g", "v").collect()[0]
+    assert (r.k, r.n, r.df_between, r.df_within) == (3, 12, 2, 9)
+    ssb = 4 * (1.0 + 0.0 + 1.0)
+    var_g = sum(b * b for b in base) / 3  # sample var of base
+    ssw = 3 * 3 * var_g
+    want = (ssb / 2) / (ssw / 9)
+    assert r.f_stat == pytest.approx(want, abs=1e-5)
+
+
+def test_anova_f_identical_groups_zero(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.assoc import anova_f
+
+    rows = [Row(g=g, v=float(v)) for g in "ab" for v in [1, 2, 3]]
+    r = anova_f(spark.createDataFrame(rows), "g", "v").collect()[0]
+    assert r.f_stat == pytest.approx(0.0, abs=1e-9)
+
+
+def test_anova_f_degenerate_null(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.assoc import anova_f
+
+    # one group only -> k < 2 -> NULL
+    rows = [Row(g="a", v=float(v)) for v in [1, 2, 3]]
+    r = anova_f(spark.createDataFrame(rows), "g", "v").collect()[0]
+    assert r.f_stat is None
