@@ -3346,6 +3346,20 @@ def _q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_normalize(docs.select("doc_id", "n_chars"), "n_chars", "doc_id")
 
 
+def _q_assoc_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association stats #6 (new in r9): two-sample Kolmogorov-Smirnov
+    between click and view value distributions — the shape test the
+    mean-based pair misses; ECDFs via the two-phase range-shuffle
+    prefix scan, never an unpartitioned ORDER BY window
+    (plans/assoc.py ks_test)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.assoc import ks_test
+
+    return ks_test(
+        load_table(spark, sf_dir, "events"), "event_type", "value",
+        "click", "view",
+    )
+
+
 def _q_assoc_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association stats #5 (new in r9): one-way ANOVA F across ALL
     event types — the k-group generalization of the Welch pair test,
@@ -3931,6 +3945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_negatives": _q_sample_negatives,
         "embed_hard_negatives": _q_embed_hard_negatives,
         "assoc_anova_f": _q_assoc_anova,
+        "assoc_ks_test": _q_assoc_ks,
     }
 
 
@@ -7139,6 +7154,14 @@ FROM j GROUP BY id
     )
 
     o["assoc_anova_f"] = anova_oracle_sql("events", "event_type", "value")
+
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.assoc import (
+        ks_oracle_sql,
+    )
+
+    o["assoc_ks_test"] = ks_oracle_sql(
+        "events", "event_type", "value", "click", "view"
+    )
     # streaming CEP twin: file replay == batch semantics, same SQL
     o["stream_seq_match"] = o["seq_match_funnel"]
 

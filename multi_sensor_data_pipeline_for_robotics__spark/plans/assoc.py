@@ -492,3 +492,112 @@ SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
              {round_to}) AS f_stat
 FROM parts
 """
+
+
+def ks_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic: one row
+    (n_a, n_b, ks_stat) with ``ks_stat = max over pooled values of
+    |ECDF_a(v) - ECDF_b(v)|`` — the distribution-equality test that
+    sees SHAPE differences the mean-based tests (:func:`welch_t_test`,
+    :func:`anova_f`) miss.  Threshold: reject equality at 5% when
+    ``ks_stat > 1.358 * sqrt((n_a+n_b)/(n_a*n_b))``.
+
+    Scale shape: the pooled sample aggregates to one row per DISTINCT
+    value (map-side combined), then the ECDFs are cumulative counts via
+    ``operators.pack.global_running_sum`` — the range-shuffle +
+    per-partition-window + broadcast-prefix scan, NEVER a
+    single-partition window over the data (Spark's unpartitioned
+    ``ORDER BY`` window is the trap here).  Two scan passes over the
+    distinct-value table, one 1-row max combine.
+
+    Cross-engine determinism: every ECDF value is an exact-integer
+    ratio, so the max is over identical doubles on any engine.
+    """
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.pack import (
+        global_running_sum,
+    )
+
+    sub = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin([group_a, group_b])
+    ).select(
+        F.col(value_col).cast("double").alias("__v"),
+        (F.col(group_col) == group_a).alias("__isa"),
+    )
+    pv = sub.groupBy("__v").agg(
+        F.sum(F.when(F.col("__isa"), 1).otherwise(0)).alias("__ca"),
+        F.sum(F.when(~F.col("__isa"), 1).otherwise(0)).alias("__cb"),
+    )
+    r = global_running_sum(pv, ["__v"], F.col("__ca"), "__cum_a")
+    r = global_running_sum(r, ["__v"], F.col("__cb"), "__cum_b")
+    tot = pv.agg(
+        F.sum("__ca").alias("n_a"), F.sum("__cb").alias("n_b")
+    )
+    d = F.abs(
+        F.col("__cum_a").cast("double") / F.col("n_a")
+        - F.col("__cum_b").cast("double") / F.col("n_b")
+    )
+    out = (
+        r.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+            F.max(d).alias("__d"),
+        )
+    )
+    return out.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(
+            F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), F.col("__d")),
+            round_to,
+        ).alias("ks_stat"),
+    )
+
+
+def ks_oracle_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    round_to: int = 6,
+) -> str:
+    return f"""
+WITH sub AS (
+    SELECT CAST({value_col} AS DOUBLE) AS v,
+           {group_col} = '{group_a}' AS isa
+    FROM {table}
+    WHERE {value_col} IS NOT NULL
+      AND {group_col} IN ('{group_a}', '{group_b}')
+),
+pv AS (
+    SELECT v, sum(CASE WHEN isa THEN 1 ELSE 0 END) AS ca,
+           sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS cb
+    FROM sub GROUP BY v
+),
+cum AS (
+    SELECT v,
+           sum(ca) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum_a,
+           sum(cb) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum_b
+    FROM pv
+),
+tot AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM pv)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(CASE WHEN n_a > 0 AND n_b > 0 THEN
+           (SELECT max(abs(CAST(cum_a AS DOUBLE) / n_a
+                           - CAST(cum_b AS DOUBLE) / n_b)) FROM cum)
+       END, {round_to}) AS ks_stat
+FROM tot
+"""

@@ -151,3 +151,31 @@ def test_anova_f_degenerate_null(spark):
     rows = [Row(g="a", v=float(v)) for v in [1, 2, 3]]
     r = anova_f(spark.createDataFrame(rows), "g", "v").collect()[0]
     assert r.f_stat is None
+
+
+def test_ks_identical_samples_zero(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.assoc import ks_test
+
+    rows = [Row(g=g, v=float(v)) for g in "ab" for v in [1, 2, 3, 4, 5]]
+    r = ks_test(spark.createDataFrame(rows), "g", "v", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b) == (5, 5)
+    assert r.ks_stat == pytest.approx(0.0, abs=1e-9)
+
+
+def test_ks_disjoint_samples_one(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.assoc import ks_test
+
+    rows = [Row(g="a", v=float(v)) for v in [1, 2, 3]]
+    rows += [Row(g="b", v=float(v)) for v in [10, 11, 12]]
+    r = ks_test(spark.createDataFrame(rows), "g", "v", "a", "b").collect()[0]
+    assert r.ks_stat == pytest.approx(1.0, abs=1e-9)
+
+
+def test_ks_known_shift(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.assoc import ks_test
+
+    # a = {1..4}, b = {3..6}: max ECDF gap at v=2 -> |2/4 - 0/4| = 0.5
+    rows = [Row(g="a", v=float(v)) for v in [1, 2, 3, 4]]
+    rows += [Row(g="b", v=float(v)) for v in [3, 4, 5, 6]]
+    r = ks_test(spark.createDataFrame(rows), "g", "v", "a", "b").collect()[0]
+    assert r.ks_stat == pytest.approx(0.5, abs=1e-9)
