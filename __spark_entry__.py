@@ -3346,6 +3346,22 @@ def _q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_normalize(docs.select("doc_id", "n_chars"), "n_chars", "doc_id")
 
 
+def _q_assoc_mwu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association stats #7 (new in r9): Mann-Whitney U between click
+    and view values — the nonparametric shift test; tie-group midranks
+    summed as 2*midrank integers in decimal(28,0) over the same
+    range-shuffle prefix scan as the KS test, so the rank sum never
+    depends on float ordering (plans/assoc.py mann_whitney_u)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.assoc import (
+        mann_whitney_u,
+    )
+
+    return mann_whitney_u(
+        load_table(spark, sf_dir, "events"), "event_type", "value",
+        "click", "view",
+    )
+
+
 def _q_assoc_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association stats #6 (new in r9): two-sample Kolmogorov-Smirnov
     between click and view value distributions — the shape test the
@@ -3946,6 +3962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_hard_negatives": _q_embed_hard_negatives,
         "assoc_anova_f": _q_assoc_anova,
         "assoc_ks_test": _q_assoc_ks,
+        "assoc_mann_whitney": _q_assoc_mwu,
     }
 
 
@@ -7160,6 +7177,14 @@ FROM j GROUP BY id
     )
 
     o["assoc_ks_test"] = ks_oracle_sql(
+        "events", "event_type", "value", "click", "view"
+    )
+
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.assoc import (
+        mann_whitney_oracle_sql,
+    )
+
+    o["assoc_mann_whitney"] = mann_whitney_oracle_sql(
         "events", "event_type", "value", "click", "view"
     )
     # streaming CEP twin: file replay == batch semantics, same SQL

@@ -601,3 +601,148 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        END, {round_to}) AS ks_stat
 FROM tot
 """
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test: one row
+    (n_a, n_b, u_stat, z_stat) — the nonparametric two-sample location
+    test (:func:`welch_t_test` without the normality assumption;
+    :func:`ks_test` catches shape, this catches shift).  ``z_stat``
+    uses the normal approximation with the standard tie correction;
+    |z| > 1.96 rejects at 5% two-sided.
+
+    Rank arithmetic is EXACT: with per-distinct-value counts
+    ``(ca, cb)`` and the prefix count ``start`` of strictly-smaller
+    rows, the tie-group midrank is ``start + (t+1)/2`` — summed as
+    ``2*midrank`` (an integer) in decimal(38,0), so the rank sum never
+    depends on float ordering.  Prefix counts come from the same
+    range-shuffle scan as :func:`ks_test` — no single-partition
+    window.  Only z touches doubles.
+    """
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.pack import (
+        global_running_sum,
+    )
+
+    sub = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin([group_a, group_b])
+    ).select(
+        F.col(value_col).cast("double").alias("__v"),
+        (F.col(group_col) == group_a).alias("__isa"),
+    )
+    pv = sub.groupBy("__v").agg(
+        F.sum(F.when(F.col("__isa"), 1).otherwise(0)).alias("__ca"),
+        F.sum(F.when(~F.col("__isa"), 1).otherwise(0)).alias("__cb"),
+    )
+    t = (F.col("__ca") + F.col("__cb")).alias("__t")
+    r = global_running_sum(
+        pv.withColumn("__t", t), ["__v"], F.col("__t"), "__cum"
+    )
+    # start = rows strictly below this value; 2*midrank = 2*start + t + 1
+    two_mid = (
+        (F.col("__cum") - F.col("__t")).cast("decimal(28,0)") * 2
+        + F.col("__t")
+        + 1
+    )
+    parts = r.agg(
+        F.sum("__ca").cast("long").alias("n_a"),
+        F.sum("__cb").cast("long").alias("n_b"),
+        F.sum(F.col("__ca").cast("decimal(28,0)") * two_mid).alias("__r2a"),
+        F.sum(
+            F.col("__t").cast("double")
+            * F.col("__t")
+            * F.col("__t")
+            - F.col("__t")
+        ).alias("__tie3"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    n = na + nb
+    u = (
+        F.col("__r2a").cast("double") / 2.0
+        - na.cast("double") * (na + 1) / 2.0
+        - na.cast("double") * nb / 2.0
+    )  # centered U (U - mean); mean = na*nb/2
+    var = (
+        na.cast("double")
+        * nb
+        / 12.0
+        * (
+            (n + 1).cast("double")
+            - F.col("__tie3")
+            / (n.cast("double") * (n - 1))
+        )
+    )
+    z = F.when(var > 0, F.try_divide(u, F.sqrt(var)))
+    return parts.select(
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("__r2a").cast("double") / 2.0
+            - na.cast("double") * (na + 1) / 2.0,
+            round_to,
+        ).alias("u_stat"),
+        F.round(z, round_to).alias("z_stat"),
+    )
+
+
+def mann_whitney_oracle_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    round_to: int = 6,
+) -> str:
+    return f"""
+WITH sub AS (
+    SELECT CAST({value_col} AS DOUBLE) AS v,
+           {group_col} = '{group_a}' AS isa
+    FROM {table}
+    WHERE {value_col} IS NOT NULL
+      AND {group_col} IN ('{group_a}', '{group_b}')
+),
+pv AS (
+    SELECT v, sum(CASE WHEN isa THEN 1 ELSE 0 END) AS ca,
+           sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS cb,
+           sum(1) AS tt
+    FROM sub GROUP BY v
+),
+cum AS (
+    SELECT v, ca, cb, ca + cb AS t,
+           sum(ca + cb) OVER (ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS c
+    FROM pv
+),
+parts AS (
+    SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+           CAST(sum(cb) AS BIGINT) AS n_b,
+           sum(CAST(ca AS DECIMAL(28,0))
+               * (CAST(c - t AS DECIMAL(28,0)) * 2 + t + 1)) AS r2a,
+           sum(CAST(t AS DOUBLE) * t * t - t) AS tie3
+    FROM cum
+)
+SELECT n_a, n_b,
+       round(CAST(r2a AS DOUBLE) / 2.0
+             - CAST(n_a AS DOUBLE) * (n_a + 1) / 2.0, {round_to}) AS u_stat,
+       round(CASE WHEN CAST(n_a AS DOUBLE) * n_b / 12.0
+                       * (CAST(n_a + n_b + 1 AS DOUBLE)
+                          - tie3 / (CAST(n_a + n_b AS DOUBLE)
+                                    * (n_a + n_b - 1))) > 0
+                  THEN (CAST(r2a AS DOUBLE) / 2.0
+                        - CAST(n_a AS DOUBLE) * (n_a + 1) / 2.0
+                        - CAST(n_a AS DOUBLE) * n_b / 2.0)
+                       / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+                              * (CAST(n_a + n_b + 1 AS DOUBLE)
+                                 - tie3 / (CAST(n_a + n_b AS DOUBLE)
+                                           * (n_a + n_b - 1))))
+             END, {round_to}) AS z_stat
+FROM parts
+"""

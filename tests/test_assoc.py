@@ -179,3 +179,43 @@ def test_ks_known_shift(spark):
     rows += [Row(g="b", v=float(v)) for v in [3, 4, 5, 6]]
     r = ks_test(spark.createDataFrame(rows), "g", "v", "a", "b").collect()[0]
     assert r.ks_stat == pytest.approx(0.5, abs=1e-9)
+
+
+def test_mann_whitney_textbook_values(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.assoc import (
+        mann_whitney_u,
+    )
+
+    # disjoint: U_a = 0, z = -4.5/sqrt(9*7/12)
+    rows = [Row(g="a", v=float(v)) for v in [1, 2, 3]]
+    rows += [Row(g="b", v=float(v)) for v in [4, 5, 6]]
+    r = mann_whitney_u(
+        spark.createDataFrame(rows), "g", "v", "a", "b"
+    ).collect()[0]
+    assert r.u_stat == pytest.approx(0.0)
+    assert r.z_stat == pytest.approx(-4.5 / math.sqrt(9 * 7 / 12), abs=1e-5)
+
+    # with ties: midranks give R_a = 7 -> U = 1; tie-corrected var
+    rows = [Row(g="a", v=float(v)) for v in [1, 2, 2]]
+    rows += [Row(g="b", v=float(v)) for v in [2, 3, 4]]
+    r = mann_whitney_u(
+        spark.createDataFrame(rows), "g", "v", "a", "b"
+    ).collect()[0]
+    assert r.u_stat == pytest.approx(1.0)
+    var = 9 / 12 * (7 - 24 / 30)
+    assert r.z_stat == pytest.approx(-3.5 / math.sqrt(var), abs=1e-5)
+
+
+def test_mann_whitney_symmetric(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.assoc import (
+        mann_whitney_u,
+    )
+
+    # identical samples: U = na*nb/2, z = 0... but all-tied values make
+    # the variance collapse to 0 -> NULL z (documented guard)
+    rows = [Row(g=g, v=1.0) for g in "ab" for _ in range(3)]
+    r = mann_whitney_u(
+        spark.createDataFrame(rows), "g", "v", "a", "b"
+    ).collect()[0]
+    assert r.u_stat == pytest.approx(4.5)
+    assert r.z_stat is None
