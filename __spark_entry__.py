@@ -3614,6 +3614,24 @@ def _q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acf(ev, "user_id", "ts", "value", max_lag=8, tiebreak_col="event_id")
 
 
+def _q_ts_acf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series diagnostics, SCALE PATH (new in r9): the
+    time-bucketed ACF — per-key daily buckets with max_lag-row overlap
+    heads, the hot-key remedy whose per-task sort is span-bounded. The
+    DuckDB twin replays the bucket+overlap semantics exactly
+    (including sparse-bucket pair truncation), so the production mode
+    is hash-graded, not pytest-only (operators/timeseries.py)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.timeseries import (
+        acf,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return acf(
+        ev, "user_id", "ts", "value", max_lag=4, tiebreak_col="event_id",
+        time_bucket_ms=86_400_000,
+    )
+
+
 def _q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series diagnostics (new in r9): CUSUM mean-shift
     change-point per user — the argmax over |S_k| runs in EXACT BIGINT
@@ -3963,6 +3981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assoc_anova_f": _q_assoc_anova,
         "assoc_ks_test": _q_assoc_ks,
         "assoc_mann_whitney": _q_assoc_mwu,
+        "ts_acf_bucketed": _q_ts_acf_bucketed,
     }
 
 
@@ -7132,6 +7151,14 @@ FROM j GROUP BY id
 
     o["ts_acf"] = acf_oracle_sql(
         "events", "user_id", "ts", "value", max_lag=8, tiebreak_col="event_id"
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.timeseries import (
+        acf_bucketed_oracle_sql,
+    )
+
+    o["ts_acf_bucketed"] = acf_bucketed_oracle_sql(
+        "events", "user_id", "ts", "value", max_lag=4,
+        time_bucket_ms=86_400_000, tiebreak_col="event_id",
     )
     o["ts_cusum_changepoint"] = cusum_oracle_sql(
         "(SELECT * FROM events WHERE user_id < 20)",

@@ -451,3 +451,58 @@ SELECT key, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_change,
              / (s * sqrt(CAST(n AS DOUBLE))), {round_to}) AS stat
 FROM ranked WHERE rn = 1
 """
+
+
+def acf_bucketed_oracle_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    max_lag: int,
+    time_bucket_ms: int,
+    tiebreak_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`acf` with ``time_bucket_ms`` set — replays
+    the bucket + overlap-head semantics exactly (including the
+    documented sparse-bucket pair truncation), so the SCALE PATH is
+    hash-graded, not just the direct window."""
+    v = f"CAST({value_col} AS DOUBLE)"
+    leadcols = ",\n           ".join(
+        f"lead(v, {k}) OVER (PARTITION BY k, bkt ORDER BY ts, tb) AS y{k}"
+        for k in range(1, max_lag + 1)
+    )
+    arms = "\n    UNION ALL\n    ".join(
+        f"SELECT {k} AS lag, x, y{k} AS y FROM leads"
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+WITH base AS (
+    SELECT {key_col} AS k, {ts_col} AS ts, {tiebreak_col} AS tb,
+           {v} AS v,
+           CAST(floor(epoch_us({ts_col})
+                      / ({time_bucket_ms} * 1000.0)) AS BIGINT) AS bkt
+    FROM {table}
+),
+pos AS (
+    SELECT *, row_number() OVER (PARTITION BY k, bkt
+                                 ORDER BY ts, tb) AS p
+    FROM base
+),
+ub AS (
+    SELECT k, bkt, ts, tb, v, FALSE AS is_copy FROM pos
+    UNION ALL
+    SELECT k, bkt - 1, ts, tb, v, TRUE FROM pos WHERE p <= {max_lag}
+),
+leads AS (
+    SELECT is_copy, v AS x,
+           {leadcols}
+    FROM ub
+),
+stacked AS (
+    {arms.replace("FROM leads", "FROM leads WHERE NOT is_copy")}
+)
+SELECT lag, count(*) AS n_pairs, round(corr(x, y), {round_to}) AS acf
+FROM stacked WHERE x IS NOT NULL AND y IS NOT NULL
+GROUP BY lag
+"""
