@@ -149,6 +149,13 @@ def main() -> None:
         "dedup_incremental",
         "q_funnel",
         "graph_pagerank",
+        # r9 family representatives
+        "select_lm_score",
+        "select_dsir_weights",
+        "assoc_ks_test",
+        "ts_cusum_changepoint",
+        "seq_match_funnel",
+        "text_bigram_pmi",
     ]
     for name in NEW_FAMILY:
         try:
