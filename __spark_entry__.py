@@ -3537,6 +3537,31 @@ def _q_assoc_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return welch_t_test(ev, "event_type", "value", "click", "purchase")
 
 
+def _q_stream_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming representative for the selection family (new in r9):
+    char-LM scoring on a document STREAM — the vocabulary-sized model
+    collects once (bounded, codebook-class) and rides as a broadcast
+    dict; scoring is a stateless Arrow-batched mapInPandas with no
+    shuffle and no streaming-aggregation state, so inference-style
+    scoring runs in append mode. Graded against the same DuckDB twin
+    as batch select_lm_score (plans/selection.py char_lm_score_map)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+        char_lm_score_map,
+        collect_char_lm,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.sync_stream import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = collect_char_lm(docs.filter(F.col("lang") == "en"))
+    stream = read_events_stream(spark, sf_dir, glob="documents.parquet")
+    sm = char_lm_score_map(stream, model)
+    run_to_memory(sm, "stream_lm_tbl", output_mode="append")
+    return spark.table("stream_lm_tbl")
+
+
 def _q_stream_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful-streaming representative (new in r9): the 9-counter
     Benford first-digit histogram maintained AS stream state per event
@@ -3982,6 +4007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assoc_ks_test": _q_assoc_ks,
         "assoc_mann_whitney": _q_assoc_mwu,
         "ts_acf_bucketed": _q_ts_acf_bucketed,
+        "stream_lm_score": _q_stream_lm_score,
     }
 
 
@@ -7214,6 +7240,9 @@ FROM j GROUP BY id
     o["assoc_mann_whitney"] = mann_whitney_oracle_sql(
         "events", "event_type", "value", "click", "view"
     )
+    # streaming LM scoring: stateless map over the file replay ==
+    # batch semantics, same DuckDB twin as select_lm_score
+    o["stream_lm_score"] = o["select_lm_score"]
     # streaming CEP twin: file replay == batch semantics, same SQL
     o["stream_seq_match"] = o["seq_match_funnel"]
 

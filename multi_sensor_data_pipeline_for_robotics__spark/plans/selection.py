@@ -45,6 +45,8 @@ __all__ = [
     "char_trigrams",
     "train_char_lm",
     "char_lm_score",
+    "collect_char_lm",
+    "char_lm_score_map",
     "dsir_log_weights",
     "dsir_select_top",
 ]
@@ -269,3 +271,83 @@ def dsir_select_top(
     return weights.orderBy(
         F.col("log_weight").desc(), F.col(id_col)
     ).limit(k)
+
+
+def collect_char_lm(
+    ref: DataFrame, text_col: str = "text"
+) -> tuple[dict, dict, int]:
+    """Materialize the char-trigram model as plain dicts
+    ``(tri_counts, ctx_counts, vocab_size)`` — the broadcastable form
+    :func:`char_lm_score_map` ships to executors. The collect is
+    BOUNDED: model tables are vocabulary-sized (same class as the
+    codebook/bloom-word collects elsewhere in this repo), never
+    data-sized."""
+    tri, ctx, vocab = train_char_lm(ref, text_col)
+    tri_d = {r["gram"]: r["cnt3"] for r in tri.collect()}
+    ctx_d = {r["ctx"]: r["cnt2"] for r in ctx.collect()}
+    v = vocab.collect()[0]["v"]
+    return tri_d, ctx_d, int(v)
+
+
+def char_lm_score_map(
+    df: DataFrame,
+    model: tuple[dict, dict, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """STREAMING-SAFE char-LM scoring: the model rides as a broadcast
+    dict and each document scores inside one Arrow batch — a stateless
+    ``mapInPandas`` with NO shuffle and NO streaming aggregation state,
+    so the same call works on a batch frame or a ``readStream`` (the
+    join-based :func:`char_lm_score` needs a per-doc groupBy that a
+    stream cannot run in append mode).  Emits the same columns as the
+    batch operator; docs shorter than 3 chars are dropped, matching
+    batch semantics.  Scores agree with the batch path at round(6)
+    (both sum per-gram logs of identical double ratios)."""
+    import math
+
+    spark = df.sparkSession
+    tri_d, ctx_d, v = model
+    btri = spark.sparkContext.broadcast(tri_d)
+    bctx = spark.sparkContext.broadcast(ctx_d)
+    ln2 = math.log(2.0)
+
+    def _score(pdfs):
+        import pandas as pd
+
+        tri = btri.value
+        ctx = bctx.value
+        for pdf in pdfs:
+            ids, ngs, avgs, bits = [], [], [], []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None or len(txt) < 3:
+                    continue
+                tot = 0.0
+                n = len(txt) - 2
+                for j in range(n):
+                    g = txt[j : j + 3]
+                    tot += math.log(
+                        (tri.get(g, 0) + alpha)
+                        / (ctx.get(g[:2], 0) + alpha * v)
+                    )
+                avg = tot / n
+                ids.append(i)
+                ngs.append(n)
+                avgs.append(round(avg, round_to))
+                bits.append(round(-avg / ln2, round_to))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "n_grams": pd.Series(ngs, dtype="int64"),
+                    "avg_logp": pd.Series(avgs, dtype="float64"),
+                    "bits_per_gram": pd.Series(bits, dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(
+        _score,
+        schema=f"{id_col} long, n_grams long, avg_logp double,"
+        " bits_per_gram double",
+    )

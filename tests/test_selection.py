@@ -112,3 +112,31 @@ def test_dsir_n_tokens_counts_all_tokens(spark):
     w = dsir_log_weights(docs, F.col("lang") == "en", buckets=16)
     got = {r.doc_id: r.n_tokens for r in w.collect()}
     assert got == {0: 3, 1: 2}
+
+
+def test_char_lm_score_map_matches_join_path(spark):
+    """The streaming-safe mapInPandas scorer must reproduce the
+    Catalyst join-based scorer exactly at round(6), including unseen
+    grams/contexts and dropped sub-trigram docs."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+        char_lm_score_map,
+        collect_char_lm,
+    )
+
+    ref = _docs(spark, [("the quick brown fox", "en")] * 3)
+    docs = _docs(
+        spark,
+        [
+            ("the quick brown fox", "en"),
+            ("zzz@@@### unseen alphabet", "xx"),
+            ("ab", "en"),  # dropped by both paths
+        ],
+    )
+    want = sorted(
+        map(tuple, char_lm_score(docs, ref).collect())
+    )
+    got = sorted(
+        map(tuple, char_lm_score_map(docs, collect_char_lm(ref)).collect())
+    )
+    assert got == want
+    assert len(got) == 2
