@@ -3562,6 +3562,30 @@ def _q_stream_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_lm_tbl")
 
 
+def _q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second streaming representative for the selection family (new
+    in r9): DSIR importance weights on a document STREAM — the
+    <=1024-row bucket model collects once and rides as a broadcast
+    dict; per-doc weights compute in a stateless Arrow map (no shuffle,
+    append mode). Graded against the same DuckDB twin as batch
+    select_dsir_weights (plans/selection.py dsir_score_map)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+        collect_dsir_model,
+        dsir_score_map,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.sync_stream import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = collect_dsir_model(docs, F.col("lang") == "en")
+    stream = read_events_stream(spark, sf_dir, glob="documents.parquet")
+    sm = dsir_score_map(stream, model)
+    run_to_memory(sm, "stream_dsir_tbl", output_mode="append")
+    return spark.table("stream_dsir_tbl")
+
+
 def _q_stream_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful-streaming representative (new in r9): the 9-counter
     Benford first-digit histogram maintained AS stream state per event
@@ -4008,6 +4032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assoc_mann_whitney": _q_assoc_mwu,
         "ts_acf_bucketed": _q_ts_acf_bucketed,
         "stream_lm_score": _q_stream_lm_score,
+        "stream_dsir_weights": _q_stream_dsir,
     }
 
 
@@ -7243,6 +7268,7 @@ FROM j GROUP BY id
     # streaming LM scoring: stateless map over the file replay ==
     # batch semantics, same DuckDB twin as select_lm_score
     o["stream_lm_score"] = o["select_lm_score"]
+    o["stream_dsir_weights"] = o["select_dsir_weights"]
     # streaming CEP twin: file replay == batch semantics, same SQL
     o["stream_seq_match"] = o["seq_match_funnel"]
 

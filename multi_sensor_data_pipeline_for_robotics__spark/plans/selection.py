@@ -49,6 +49,8 @@ __all__ = [
     "char_lm_score_map",
     "dsir_log_weights",
     "dsir_select_top",
+    "collect_dsir_model",
+    "dsir_score_map",
 ]
 
 
@@ -350,4 +352,91 @@ def char_lm_score_map(
         _score,
         schema=f"{id_col} long, n_grams long, avg_logp double,"
         " bits_per_gram double",
+    )
+
+
+def collect_dsir_model(
+    docs: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    buckets: int = 1024,
+) -> tuple[dict, dict, int, int, int]:
+    """Materialize the DSIR bucket model as plain dicts
+    ``(target_counts, raw_counts, n_target, n_raw, buckets)`` — the
+    broadcastable form :func:`dsir_score_map` ships to executors.
+    Bounded collect: <= ``buckets`` rows by construction."""
+    toks = ensure_parallelism(docs).select(
+        is_target.alias("__tgt"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    model = (
+        toks.select("__tgt", _bucket(F.col("tok"), buckets).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("ct"),
+        )
+        .collect()
+    )
+    ct = {r["bucket"]: r["ct"] for r in model}
+    cr = {r["bucket"]: r["cr"] for r in model}
+    return ct, cr, sum(ct.values()), sum(cr.values()), buckets
+
+
+def dsir_score_map(
+    df: DataFrame,
+    model: tuple[dict, dict, int, int, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """STREAMING-SAFE DSIR weighting: the <= ``buckets``-row model rides
+    as a broadcast dict and each document's log-weight computes inside
+    one Arrow batch — stateless ``mapInPandas``, no shuffle, works on a
+    ``readStream`` in append mode (see :func:`char_lm_score_map` for
+    the pattern).  The sha256 bucket hash matches the Catalyst path's
+    portable hash, so weights agree at round(6)."""
+    import hashlib
+    import math
+
+    spark = df.sparkSession
+    ct_d, cr_d, nt, nr, buckets = model
+    bct = spark.sparkContext.broadcast(ct_d)
+    bcr = spark.sparkContext.broadcast(cr_d)
+
+    def _score(pdfs):
+        import pandas as pd
+
+        ct = bct.value
+        cr = bcr.value
+        den_t = nt + alpha * buckets
+        den_r = nr + alpha * buckets
+        for pdf in pdfs:
+            ids, ns, ws = [], [], []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None:
+                    continue
+                tot = 0.0
+                n = 0
+                for tok in txt.split(" "):
+                    h = hashlib.sha256(tok.encode("utf-8")).hexdigest()
+                    b = int(h[:7], 16) % buckets
+                    tot += math.log((ct.get(b, 0) + alpha) / den_t)
+                    tot -= math.log((cr.get(b, 0) + alpha) / den_r)
+                    n += 1
+                ids.append(i)
+                ns.append(n)
+                ws.append(round(tot, round_to))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "n_tokens": pd.Series(ns, dtype="int64"),
+                    "log_weight": pd.Series(ws, dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(
+        _score,
+        schema=f"{id_col} long, n_tokens long, log_weight double",
     )

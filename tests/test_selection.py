@@ -140,3 +140,30 @@ def test_char_lm_score_map_matches_join_path(spark):
     )
     assert got == want
     assert len(got) == 2
+
+
+def test_dsir_score_map_matches_join_path(spark):
+    """The streaming-safe DSIR map scorer must reproduce the Catalyst
+    join path exactly at round(6) — same sha256 buckets, same add-alpha
+    smoothing."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+        collect_dsir_model,
+        dsir_score_map,
+    )
+
+    rows = (
+        [("alpha beta gamma delta", "en")] * 5
+        + [("omega psi chi phi", "zh")] * 5
+    )
+    docs = _docs(spark, rows)
+    want = sorted(
+        map(tuple, dsir_log_weights(
+            docs, F.col("lang") == "en", buckets=64
+        ).collect())
+    )
+    got = sorted(
+        map(tuple, dsir_score_map(
+            docs, collect_dsir_model(docs, F.col("lang") == "en", buckets=64)
+        ).collect())
+    )
+    assert got == want
