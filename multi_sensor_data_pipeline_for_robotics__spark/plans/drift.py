@@ -55,10 +55,12 @@ def histogram_drift(
 ) -> DataFrame:
     """Divergences from two stored (bin, cnt) histograms over the same
     fixed grid (the ``hist_sketch`` form). Output, one row:
-    (kl_ab, kl_ba, js_divergence, tvd — doubles, rounded).
+    (kl_ab, kl_ba, js_divergence, tvd, psi — doubles, rounded).
 
     js_divergence uses natural log (so its range is [0, ln 2]); tvd is
-    0.5 * sum |p - q| in [0, 1].
+    0.5 * sum |p - q| in [0, 1]; psi is the population stability index
+    = sum (p - q) ln(p/q) = kl_ab + kl_ba (Jeffreys divergence) — the
+    industry drift threshold metric (<0.1 stable, >0.25 shifted).
     """
     spark = hist_a.sparkSession
     spine = spark.range(bins).select(F.col("id").alias("bin"))
@@ -89,6 +91,7 @@ def histogram_drift(
         F.round("kl_ba", round_to).alias("kl_ba"),
         F.round("js", round_to).alias("js_divergence"),
         F.round("tvd", round_to).alias("tvd"),
+        F.round(F.col("kl_ab") + F.col("kl_ba"), round_to).alias("psi"),
     )
 
 
@@ -157,6 +160,7 @@ SELECT round(sum(p * ln(p / q)), {round_to}) AS kl_ab,
        round(sum(q * ln(q / p)), {round_to}) AS kl_ba,
        round(sum(p * ln(p / ((p + q) / 2))) / 2
              + sum(q * ln(q / ((p + q) / 2))) / 2, {round_to}) AS js_divergence,
-       round(sum(abs(p - q)) / 2, {round_to}) AS tvd
+       round(sum(abs(p - q)) / 2, {round_to}) AS tvd,
+       round(sum(p * ln(p / q)) + sum(q * ln(q / p)), {round_to}) AS psi
 FROM terms
 """
