@@ -3463,6 +3463,17 @@ def _q_text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_pmi(load_table(spark, sf_dir, "documents"))
 
 
+def _q_corpus_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diagnostic (new in r9): Zipf's-law fit over the top-1000
+    token frequencies — slope near -1 marks organic text; flat or
+    cliff-steep marks templated/generated corpora. Composes the freq
+    top-k and OLS-moments primitives; the rank window is a deliberate
+    <=1000-row bounded frame (plans/corpus.py zipf_fit)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.corpus import zipf_fit
+
+    return zipf_fit(load_table(spark, sf_dir, "documents"))
+
+
 def _q_corpus_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contribution analysis (new in r9): which sources hold 80% of
     corpus characters — a group-cardinality-bounded running-share
@@ -4033,6 +4044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_acf_bucketed": _q_ts_acf_bucketed,
         "stream_lm_score": _q_stream_lm_score,
         "stream_dsir_weights": _q_stream_dsir,
+        "corpus_zipf_fit": _q_corpus_zipf,
     }
 
 
@@ -7279,6 +7291,12 @@ FROM j GROUP BY id
 
     o["text_bigram_pmi"] = bigram_pmi_oracle_sql()
     o["corpus_pareto"] = pareto_oracle_sql("documents", "source", "n_chars")
+
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.corpus import (
+        zipf_oracle_sql,
+    )
+
+    o["corpus_zipf_fit"] = zipf_oracle_sql()
 
     from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
         negatives_oracle_sql,

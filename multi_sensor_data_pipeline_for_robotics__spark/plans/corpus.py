@@ -374,3 +374,85 @@ SELECT g AS {group_col},
         - wt) / tot < {head_share} AS in_head
 FROM agg CROSS JOIN tot
 """
+
+
+def zipf_fit(
+    docs: DataFrame,
+    top_n: int = 1000,
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Zipf's-law diagnostic: fit ``log(count) ~ log(rank)`` over the
+    ``top_n`` most frequent tokens and report one row
+    (n_tokens_ranked, slope, intercept, r2).  Natural text sits near
+    slope -1; templated/generated corpora drift flat (slope > -0.6)
+    or cliff-steep — a one-number "does this corpus look organic"
+    screen that composes the freq and regression primitives.
+
+    Plan: one token-count groupBy (map-side combined), a bounded-k
+    TakeOrdered for the top_n rows, a rank window over those <=top_n
+    rows (deliberately bounded single partition, same class as the
+    threshold frames), then the covar/var OLS moments.  Ties in count
+    break by token so ranks are engine-stable.
+    """
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.text import tokens
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.regress import (
+        grouped_ols,
+    )
+    from pyspark.sql import Window as W
+
+    counts = (
+        docs.select(F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(top_n)
+    )
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.col("cnt").desc(), F.col("tok"))),
+    )
+    fit = grouped_ols(
+        ranked.withColumn("g", F.lit(1)),
+        ["g"],
+        F.log(F.col("rank").cast("double")),
+        F.log(F.col("cnt").cast("double")),
+        round_to=round_to,
+    )
+    return fit.select(
+        F.col("n").alias("n_tokens_ranked"),
+        "slope",
+        "intercept",
+        "r2",
+    )
+
+
+def zipf_oracle_sql(top_n: int = 1000, round_to: int = 6) -> str:
+    """DuckDB twin of :func:`zipf_fit` over the documents view."""
+    return f"""
+WITH counts AS (
+    SELECT tok, count(*) AS cnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ) GROUP BY tok
+    ORDER BY cnt DESC, tok LIMIT {top_n}
+),
+ranked AS (
+    SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS DOUBLE))
+               AS x,
+           ln(CAST(cnt AS DOUBLE)) AS y
+    FROM counts
+),
+agg AS (
+    SELECT count(*) AS n, covar_samp(x, y) AS cxy,
+           var_samp(x) AS vx, var_samp(y) AS vy,
+           avg(x) AS mx, avg(y) AS my
+    FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_tokens_ranked,
+       round(CASE WHEN vx > 0 THEN cxy / vx END, {round_to}) AS slope,
+       round(my - (CASE WHEN vx > 0 THEN cxy / vx END) * mx,
+             {round_to}) AS intercept,
+       round(CASE WHEN vx > 0 AND vy > 0 THEN cxy * cxy / (vx * vy) END,
+             {round_to}) AS r2
+FROM agg
+"""

@@ -1460,3 +1460,29 @@ class TestPmiPareto:
         assert not got["c"].in_head
         assert got["c"].cum_share == 1.0
         assert got["a"].share == 0.7
+
+
+def test_zipf_fit_perfect_power_law(spark):
+    """A synthetic corpus with count(rank r) = 1024/r (exact power law)
+    must fit slope -1 with r2 1; natural ordering and tie-breaks are
+    engine-stable."""
+    from pyspark.sql import Row
+
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.corpus import (
+        zipf_fit,
+    )
+
+    # token t{r} appears exactly 720/r times for rank r = 1..6, so
+    # log(count) = log 720 - log(rank): slope -1, r2 = 1
+    import math
+
+    texts = []
+    for r in range(1, 7):
+        texts += [f"t{r}"] * (720 // r)
+    doc = " ".join(texts)
+    df = spark.createDataFrame([Row(doc_id=0, text=doc)])
+    got = zipf_fit(df, top_n=6).collect()[0]
+    assert got.n_tokens_ranked == 6
+    assert got.slope == pytest.approx(-1.0, abs=1e-6)
+    assert got.intercept == pytest.approx(math.log(720), abs=1e-6)
+    assert got.r2 == pytest.approx(1.0, abs=1e-6)
