@@ -625,8 +625,17 @@ def sample_negatives_hash(
         F.col("neg_id") != F.col("anchor")
     )
     if exclude_pairs is not None:
-        ex = exclude_pairs.select(
-            F.col(exclude_a).alias("xa"), F.col(exclude_b).alias("xb")
+        from multi_sensor_data_pipeline_for_robotics__spark.cache import (
+            maybe_persist,
+        )
+
+        # persist before the orientation union: both union arms consume
+        # the (possibly expensive) pair-generation subtree, which would
+        # otherwise execute twice
+        ex = maybe_persist(
+            exclude_pairs.select(
+                F.col(exclude_a).alias("xa"), F.col(exclude_b).alias("xb")
+            )
         )
         ex = ex.unionAll(ex.select(F.col("xb").alias("xa"),
                                    F.col("xa").alias("xb"))).distinct()
