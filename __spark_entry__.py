@@ -3463,6 +3463,19 @@ def _q_text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_pmi(load_table(spark, sf_dir, "documents"))
 
 
+def _q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality readout (new in r9): per-label centroid norm +
+    mean cosine-to-centroid — collapsing or diffuse classes surface in
+    one bounded readout; the per-(label,dim) mean shuffle is bounded by
+    labels x dim, never row count (operators/embedding.py
+    label_centroids)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.embedding import (
+        label_centroids,
+    )
+
+    return label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_corpus_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus diagnostic (new in r9): Zipf's-law fit over the top-1000
     token frequencies — slope near -1 marks organic text; flat or
@@ -4045,6 +4058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_lm_score": _q_stream_lm_score,
         "stream_dsir_weights": _q_stream_dsir,
         "corpus_zipf_fit": _q_corpus_zipf,
+        "embed_label_centroids": _q_embed_centroids,
     }
 
 
@@ -7297,6 +7311,12 @@ FROM j GROUP BY id
     )
 
     o["corpus_zipf_fit"] = zipf_oracle_sql()
+
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.embedding import (
+        label_centroids_oracle_sql,
+    )
+
+    o["embed_label_centroids"] = label_centroids_oracle_sql()
 
     from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
         negatives_oracle_sql,

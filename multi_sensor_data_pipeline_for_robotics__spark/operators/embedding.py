@@ -109,3 +109,112 @@ def pca_project(
         return pd.Series(list(Y))
 
     return embeddings.withColumn(out_col, _proj(F.col(vec_col)))
+
+
+def label_centroids(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-label centroid quality readout: one row per label
+    (label, n, centroid_norm, mean_cos_to_centroid) — how tight each
+    class sits around its mean vector.  Collapsing classes (centroid
+    norm near 0) or diffuse ones (mean cosine well below the others)
+    are the standard screens before trusting labels or training a
+    classifier head on the embeddings.
+
+    Plan: posexplode to (label, dim, val) and ONE map-side-combined
+    mean per (label, dim) — shuffle bounded by labels x dim, never row
+    count; the centroid assembles via sort_array(collect_list) over
+    those <= dim rows per label, broadcasts back onto the vectors, and
+    the per-row cosine folds in a second bounded aggregate.  Exact
+    left-fold ``cosine`` keeps DuckDB parity; the mean over rows is a
+    double sum rounded at 6 (non-lattice values).
+    """
+    from pyspark.sql import functions as F
+
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.vector import (
+        dot,
+        l2_norm,
+    )
+
+    base = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    dims = base.select(
+        "label", F.posexplode("v").alias("dim", "val")
+    )
+    cent = (
+        dims.groupBy("label", "dim")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("dim"), F.col("m")))
+                ),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+    )
+    joined = base.join(F.broadcast(cent), "label")
+    cn = F.sqrt(
+        F.aggregate("centroid", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    # try_divide + explicit guard: a COLLAPSED class (antipodal vectors)
+    # has a zero centroid and ANSI division would raise; the guarded
+    # cosine yields NULL and avg() skips it
+    cos_c = F.when(
+        cn > 0,
+        F.try_divide(
+            dot(F.col("v"), F.col("centroid")),
+            l2_norm(F.col("v")) * cn,
+        ),
+    )
+    return (
+        joined.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.first(cn), round_to).alias("centroid_norm"),
+            F.round(F.avg(cos_c), round_to).alias("mean_cos_to_centroid"),
+        )
+    )
+
+
+def label_centroids_oracle_sql(round_to: int = 6) -> str:
+    """DuckDB twin of :func:`label_centroids` over the embeddings view
+    — same per-dim means, same left-fold cosine."""
+    return f"""
+WITH base AS (
+    SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings
+),
+dims AS (
+    SELECT label, CAST(i AS INTEGER) AS dim, v[i + 1] AS val
+    FROM base, unnest(range(len(v))) AS t(i)
+),
+cent AS (
+    SELECT label, list(m ORDER BY dim) AS centroid
+    FROM (SELECT label, dim, avg(val) AS m FROM dims GROUP BY 1, 2)
+    GROUP BY label
+),
+scored AS (
+    SELECT base.label,
+           CASE WHEN sqrt(list_dot_product(cent.centroid, cent.centroid)) > 0
+                THEN list_dot_product(base.v, cent.centroid)
+                     / (sqrt(list_dot_product(base.v, base.v))
+                        * sqrt(list_dot_product(cent.centroid,
+                                                cent.centroid)))
+           END AS cos_c,
+           sqrt(list_dot_product(cent.centroid, cent.centroid)) AS cn
+    FROM base JOIN cent USING (label)
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       round(any_value(cn), {round_to}) AS centroid_norm,
+       round(avg(cos_c), {round_to}) AS mean_cos_to_centroid
+FROM scored GROUP BY label
+"""

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from multi_sensor_data_pipeline_for_robotics__spark.functions import vector as V
@@ -239,3 +240,28 @@ def test_hard_negatives_label_mismatch_only(spark):
     assert [r.cand_id for r in got] == [2, 3]
     assert all(r.query_id == 0 for r in got)
     assert got[0].cosine > got[1].cosine
+
+
+def test_label_centroids_known_geometry(spark):
+    """Hand-built 2D clusters: a tight class has mean cosine 1 to its
+    centroid, an antipodal class collapses to a near-zero centroid."""
+    from pyspark.sql import Row
+
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.embedding import (
+        label_centroids,
+    )
+
+    rows = [
+        # label 0: all identical -> centroid = the vector, cos = 1
+        Row(vec_id=0, embedding=[3.0, 4.0], label=0),
+        Row(vec_id=1, embedding=[3.0, 4.0], label=0),
+        # label 1: antipodal pair -> centroid [0, 0]-ish
+        Row(vec_id=2, embedding=[1.0, 0.0], label=1),
+        Row(vec_id=3, embedding=[-1.0, 0.0], label=1),
+    ]
+    got = {r.label: r for r in label_centroids(
+        spark.createDataFrame(rows)).collect()}
+    assert got[0].n == 2
+    assert got[0].centroid_norm == pytest.approx(5.0, abs=1e-6)
+    assert got[0].mean_cos_to_centroid == pytest.approx(1.0, abs=1e-6)
+    assert got[1].centroid_norm == pytest.approx(0.0, abs=1e-6)
