@@ -3586,6 +3586,40 @@ def _q_stream_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_lm_tbl")
 
 
+def _q_stream_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming representative for the sampling/mixture family (new
+    in r9): per-source cumulative row counters AS stream state —
+    additive, order-insensitive, O(sources) forever; the last batch per
+    source equals a batch group count, and the share readout divides
+    exact integers downstream (streaming/stateful.py mixture_stream)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.stateful import (
+        mixture_stream,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.sync_stream import (
+        read_events_stream,
+        run_to_memory,
+    )
+    from pyspark.sql import Window as W
+
+    sm = mixture_stream(
+        read_events_stream(spark, sf_dir, glob="documents.parquet"), "source"
+    )
+    run_to_memory(sm, "stream_mix_tbl", output_mode="append")
+    w = W.partitionBy("key").orderBy(F.col("batch_seq").desc())
+    last = (
+        spark.table("stream_mix_tbl")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("key").alias("source"), "n")
+    )
+    tot = last.agg(F.sum("n").alias("tot"))
+    return last.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.col("tot"), 6).alias("share"),
+    )
+
+
 def _q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second streaming representative for the selection family (new
     in r9): DSIR importance weights on a document STREAM — the
@@ -4059,6 +4093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dsir_weights": _q_stream_dsir,
         "corpus_zipf_fit": _q_corpus_zipf,
         "embed_label_centroids": _q_embed_centroids,
+        "stream_mixture_monitor": _q_stream_mixture,
     }
 
 
@@ -7317,6 +7352,14 @@ FROM j GROUP BY id
     )
 
     o["embed_label_centroids"] = label_centroids_oracle_sql()
+
+    o["stream_mixture_monitor"] = """
+WITH last AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+tot AS (SELECT sum(n) AS tot FROM last)
+SELECT source, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / tot, 6) AS share
+FROM last CROSS JOIN tot
+"""
 
     from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
         negatives_oracle_sql,

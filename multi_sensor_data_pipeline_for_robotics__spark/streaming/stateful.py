@@ -1114,3 +1114,48 @@ def sequence_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+MIX_OUTPUT_SCHEMA = "key string, batch_seq long, n long"
+MIX_STATE_SCHEMA = "n long, seq long"
+
+
+def _mix_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n, seq = (state.get if state.exists else (0, 0))
+    for pdf in pdfs:
+        n += len(pdf)
+    seq += 1
+    state.update((int(n), int(seq)))
+    yield pd.DataFrame(
+        {"key": [key[0]], "batch_seq": [seq], "n": [int(n)]}
+    )
+
+
+def mixture_stream(
+    stream: DataFrame,
+    source_col: str,
+) -> DataFrame:
+    """Streaming twin of the mixture-composition readout: per SOURCE
+    the state is one cumulative row counter — additive and
+    order-insensitive, so the last batch per source is bit-identical
+    to a batch group count over the same data. The share arithmetic
+    (observed vs target mixture, the ``mixture_resample`` contract)
+    runs downstream over the <=|sources|-row readout, where it is
+    engine-portable division of exact integers.
+
+    State is O(sources) forever — the cheapest possible monitor for
+    "did last night's ingest shift the corpus mixture"."""
+    from pyspark.sql import functions as F
+
+    keyed = stream.select(F.col(source_col).cast("string").alias("key"))
+    return keyed.groupBy("key").applyInPandasWithState(
+        _mix_fn,
+        outputStructType=MIX_OUTPUT_SCHEMA,
+        stateStructType=MIX_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

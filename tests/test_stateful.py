@@ -519,3 +519,48 @@ def test_sequence_stream_matches_across_batch_boundary(spark, tmp_path):
         ).collect()
     )
     assert got == want == [("1", 10_000), ("1", 10_000)]
+
+
+def test_mixture_stream_counts_carry_across_batches(spark, tmp_path):
+    """Two micro-batches: final per-source counters equal batch group
+    counts over the union (additive state)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.stateful import (
+        mixture_stream,
+    )
+
+    rows = [("s0",)] * 6 + [("s1",)] * 3 + [("s2",)] * 1
+    df = spark.createDataFrame(rows, "src string")
+    srcdir = str(tmp_path / "mix_src")
+    df.limit(5).coalesce(1).write.mode("append").parquet(srcdir)
+    df.subtract(df.limit(5))  # not used; write complementary rows below
+    spark.createDataFrame(rows[5:], "src string").coalesce(1).write.mode(
+        "append"
+    ).parquet(srcdir)
+
+    stream = (
+        spark.readStream.schema("src string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir)
+    )
+    out = mixture_stream(stream, "src")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mix_test")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    emitted = spark.table("mix_test").collect()
+    assert max(r["batch_seq"] for r in emitted) == 2
+    final = {}
+    for r in sorted(emitted, key=lambda r: r["batch_seq"]):
+        final[r["key"]] = r["n"]
+    assert sum(final.values()) == 10
+    assert final["s0"] + final["s1"] + final["s2"] == 10
+    # exact per-source totals equal the batch group count
+    want = {r["src"]: r["cnt"] for r in
+            spark.read.parquet(srcdir).groupBy("src")
+            .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert final == want
