@@ -3405,6 +3405,30 @@ def _q_embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embed_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-backed hard-negative mining (new in r10): the same
+    label-mismatch miner as ``embed_hard_negatives`` but over IVF
+    probing (nlist=16, nprobe=4, deterministic first-16 centroids), so
+    each query scores ~nprobe/nlist of the corpus instead of all of it
+    — the scale path at 10^9 corpus vectors
+    (operators/similarity.py hard_negatives_ivf). Recall vs the exact
+    miner is floor-asserted in tests/test_llmops.py."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.similarity import (
+        hard_negatives_ivf,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives_ivf(
+        emb,
+        emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding", "label"
+        ),
+        k=5,
+        nlist=16,
+        nprobe=4,
+    )
+
+
 def _q_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-training negative sampling (new in r9): 4 hash-probe
     negatives per embedding anchor, excluding its near-duplicate
@@ -4085,6 +4109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unpivot_metrics": _q_unpivot_metrics,
         "sample_negatives": _q_sample_negatives,
         "embed_hard_negatives": _q_embed_hard_negatives,
+        "embed_hard_negatives_ivf": _q_embed_hard_negatives_ivf,
         "assoc_anova_f": _q_assoc_anova,
         "assoc_ks_test": _q_assoc_ks,
         "assoc_mann_whitney": _q_assoc_mwu,
@@ -7387,6 +7412,54 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, cand_id ASC) AS rank
       FROM scored)
 SELECT query_id, cand_id, cosine, rank FROM r WHERE rank <= 5
+"""
+
+    # same miner over IVF probing: the embed_ivf_topk replica with the
+    # label threaded through assignment/probes and the mismatch filter
+    # applied before ranking (operators/similarity.py hard_negatives_ivf)
+    o["embed_hard_negatives_ivf"] = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+cents AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, v AS cv
+    FROM e QUALIFY row_number() OVER (ORDER BY vec_id) <= 16
+),
+assigned AS (
+    SELECT vec_id AS cand_id, label AS cand_label, v AS cand_vec,
+           cent_id AS list_id
+    FROM (
+        SELECT e.vec_id, e.label, e.v, cents.cent_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, cents.cv) DESC,
+                            cents.cent_id ASC) AS rk
+        FROM e, cents
+    ) WHERE rk = 1
+),
+q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+      FROM e WHERE vec_id < 5),
+probes AS (
+    SELECT query_id, qlabel, qv, cent_id AS list_id
+    FROM (
+        SELECT q.query_id, q.qlabel, q.qv, cents.cent_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(q.qv, cents.cv) DESC,
+                            cents.cent_id ASC) AS rk
+        FROM q, cents
+    ) WHERE rk <= 4
+),
+scored AS (
+    SELECT p.query_id, a.cand_id,
+           round(list_cosine_similarity(a.cand_vec, p.qv), 6) AS cosine
+    FROM assigned a JOIN probes p ON a.list_id = p.list_id
+    WHERE a.cand_id != p.query_id AND a.cand_label != p.qlabel
+)
+SELECT query_id, cand_id, cosine, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 5
 """
 
     o["q_unpivot_metrics"] = """

@@ -292,6 +292,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     round_to: int = 6,
     train_iters: int = 0,
+    label_col: str | None = None,
 ) -> DataFrame:
     """Inverted-file ANN: coarse-quantize the corpus to its nearest
     centroid, then each query scans only its ``nprobe`` nearest lists.
@@ -302,6 +303,10 @@ def ivf_topk(
     many spherical-k-means Lloyd rounds (:func:`kmeans_centroids`) from
     the same init — better-balanced lists / higher recall, identical
     plan shape afterwards.
+
+    ``label_col`` (optional) threads a label through both sides and
+    drops same-label candidates BEFORE ranking — the IVF-probed
+    hard-negative mining path (:func:`hard_negatives_ivf`).
 
     Scale shape: corpus assignment is one broadcast-join scan;
     candidate scoring touches ~nprobe/nlist of the corpus per query.
@@ -362,7 +367,10 @@ def ivf_topk(
         )
         return (-F.array_max(pairs)["ncid"]).cast("int")
 
-    e = embeddings.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec"))
+    ecols = [F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec")]
+    if label_col is not None:
+        ecols.append(F.col(label_col).alias("cand_label"))
+    e = embeddings.select(*ecols)
     assigned = (
         e.withColumn("__vd", to_double(F.col("cand_vec")))
         .withColumn("__vn", l2_norm(F.col("__vd")))
@@ -386,7 +394,10 @@ def ivf_topk(
             .select(*df.columns, F.col("cent_id").alias(out))
         )
 
-    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
+    qcols = [F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("query_vec")]
+    if label_col is not None:
+        qcols.append(F.col(label_col).alias("query_label"))
+    q = queries.select(*qcols)
     probes = nearest_lists(q, "query_vec", "list_id", nprobe)
 
     sim = F.round(cosine(F.col("cand_vec"), F.col("query_vec")), round_to)
@@ -395,6 +406,8 @@ def ivf_topk(
         .filter(F.col("cand_id") != F.col("query_id"))
         .withColumn("cosine", sim)
     )
+    if label_col is not None:
+        scored = scored.filter(F.col("cand_label") != F.col("query_label"))
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -1585,9 +1598,9 @@ def hard_negatives(
 
     Same plan as :func:`cosine_topk` — query side broadcast, corpus
     scanned once, rank shuffles only (query, candidate, sim) triples —
-    plus a label-mismatch filter BEFORE ranking. Swap the scoring join
-    for :func:`ivf_topk` probing when the corpus outgrows brute force;
-    the label filter composes unchanged.
+    plus a label-mismatch filter BEFORE ranking. When the corpus
+    outgrows brute force, :func:`hard_negatives_ivf` is the same miner
+    over IVF probing (touches ~nprobe/nlist of the corpus per query).
     """
     from pyspark.sql import Window as W
 
@@ -1619,4 +1632,44 @@ def hard_negatives(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+def hard_negatives_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    round_to: int = 6,
+    train_iters: int = 0,
+) -> DataFrame:
+    """ANN-backed hard-negative mining — the composition
+    :func:`hard_negatives`'s docstring promises: :func:`ivf_topk`
+    probing with the label-mismatch filter applied BEFORE ranking.
+
+    Where the brute-force miner scans the whole corpus per query batch,
+    this touches ~nprobe/nlist of it — the scale path when the corpus
+    outgrows one scan (10^9 vectors): corpus assignment is one narrow
+    argmax projection, candidate scoring reads only the probed lists.
+    Recall vs the exact miner is the usual IVF trade (asserted in
+    tests); with ``train_iters=0`` the coarse centroids are the first
+    ``nlist`` corpus vectors, so the whole plan is deterministic and
+    SQL-replayable (the oracle-checked path)."""
+    return ivf_topk(
+        embeddings,
+        queries,
+        k=k,
+        nlist=nlist,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        round_to=round_to,
+        train_iters=train_iters,
+        label_col=label_col,
     )

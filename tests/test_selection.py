@@ -167,3 +167,86 @@ def test_dsir_score_map_matches_join_path(spark):
         ).collect())
     )
     assert got == want
+
+
+def test_collect_char_lm_size_guard_fires(spark):
+    """A unicode-heavy reference slice (CJK-style wide alphabet) must
+    trip the fail-fast max_model_rows budget BEFORE the model lands on
+    the driver, with the remediation in the message."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+        collect_char_lm,
+    )
+
+    # 40 distinct CJK chars in one string -> 38 distinct trigrams +
+    # 38 contexts (trigram prefixes) = 76 model rows
+    cjk = "".join(chr(0x4E00 + i) for i in range(40))
+    ref = _docs(spark, [(cjk, "zh")])
+    with pytest.raises(ValueError, match="min_count"):
+        collect_char_lm(ref, max_model_rows=50)
+    # raising the budget (or disabling it) admits the same model
+    tri_d, ctx_d, v = collect_char_lm(ref, max_model_rows=76)
+    assert len(tri_d) == 38 and len(ctx_d) == 38 and v == 40
+    tri_d2, _, _ = collect_char_lm(ref, max_model_rows=None)
+    assert tri_d2 == tri_d
+
+
+def test_collect_char_lm_min_count_prunes_to_smoothing_floor(spark):
+    """min_count pruning drops rare trigram NUMERATORS to the add-alpha
+    unseen floor while context totals stay exact: common grams score
+    identically, pruned grams score exactly like unseen grams of the
+    same context."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+        char_lm_score_map,
+        collect_char_lm,
+    )
+
+    ref = _docs(spark, [("abcabcabc", "en"), ("abx", "en")])
+    full = collect_char_lm(ref)
+    pruned = collect_char_lm(ref, min_count=2)
+    assert "abx" in full[0] and "abx" not in pruned[0]
+    # contexts and vocab unchanged by pruning
+    assert pruned[1] == full[1] and pruned[2] == full[2]
+    docs = _docs(spark, [("abcabc", "en"), ("abx", "en"), ("abq", "en")])
+    got = {
+        r.doc_id: r.avg_logp
+        for r in char_lm_score_map(docs, pruned).collect()
+    }
+    # common-gram doc unchanged vs the exact model
+    exact = {
+        r.doc_id: r.avg_logp
+        for r in char_lm_score_map(docs, full).collect()
+    }
+    assert got[0] == exact[0]
+    # pruned gram "abx" now scores exactly like never-seen "abq"
+    assert got[1] == got[2]
+
+
+def test_char_lm_score_map_unicode_parity(spark):
+    """The vectorized codepoint-packed scorer must match the Catalyst
+    join path on CJK and non-BMP (emoji) text — the packing uses 21-bit
+    codepoints, so astral-plane chars are the edge to prove."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+        char_lm_score_map,
+        collect_char_lm,
+    )
+
+    ref = _docs(
+        spark,
+        [
+            ("你好世界你好", "zh"),
+            ("\U0001f600\U0001f601\U0001f600\U0001f601x", "xx"),
+        ],
+    )
+    docs = _docs(
+        spark,
+        [
+            ("你好世界", "zh"),
+            ("\U0001f600\U0001f601\U0001f600", "xx"),
+            ("mixed 你\U0001f600 tail", "mx"),
+        ],
+    )
+    want = sorted(map(tuple, char_lm_score(docs, ref).collect()))
+    got = sorted(
+        map(tuple, char_lm_score_map(docs, collect_char_lm(ref)).collect())
+    )
+    assert got == want and len(got) == 3

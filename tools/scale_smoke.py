@@ -63,7 +63,7 @@ def main() -> None:
         "sync", "keyed_asof", "dedup", "ann", "retrieval", "timeseries",
         "substring", "semdedup", "layout", "kmv_hot", "semdedup_cap",
         "topk_hot", "snm", "salted", "gsample_hot", "rank_norm",
-        "selection", "diag", "lpa",
+        "selection", "diag", "lpa", "hardneg",
     ]
     spark = get_session(app_name="scale_smoke")
     scratch = tempfile.mkdtemp(prefix="spark_graft_scale_")
@@ -125,6 +125,9 @@ def main() -> None:
             release_storage(spark)
         if "lpa" in fams:
             smoke_label_prop(spark, scratch, n_edges=5_000_000 // div)
+            release_storage(spark)
+        if "hardneg" in fams:
+            smoke_hard_negatives(spark, scratch, n_vecs=1_000_000 // div)
             release_storage(spark)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
@@ -984,6 +987,58 @@ def smoke_selection(spark, scratch, n_docs):
             F.round(F.avg("log_weight"), 3).alias("avg_lw"),
         )
         .first(),
+    )
+
+
+def smoke_hard_negatives(spark, scratch, n_vecs):
+    """Brute-force vs IVF-probed hard-negative mining at n_vecs 64-dim
+    labeled vectors, 25 queries: the brute miner scores every
+    (query, candidate) pair; the IVF miner touches ~nprobe/nlist of the
+    corpus per query — the composition hard_negatives' docstring
+    promises, measured."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.similarity import (
+        hard_negatives,
+        hard_negatives_ivf,
+    )
+
+    # 200 queries: IVF pays nlist assignment dots per corpus row ONCE
+    # regardless of query count, then scores ~nprobe/nlist of the
+    # corpus per query; brute force pays |queries| dots per corpus row.
+    # The crossover is |queries| > nlist — real mining batches are
+    # thousands of anchors, so the smoke uses 200 (not the graded
+    # query's 5, which exists for oracle parity, not scale).
+    print(f"\n## hard negatives @ {n_vecs:,} x 64-dim labeled vectors,"
+          " 200 queries")
+    n_clusters = max(n_vecs // 16, 1)
+    cl = (F.abs(F.hash(F.col("id").cast("string"))) % n_clusters).cast("string")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: (
+            (F.abs(F.hash(cl, i.cast("string"))) % 2000 - 1000) / 1000.0
+            + (F.abs(F.hash(F.col("id").cast("string"), i.cast("string"))) % 200 - 100)
+            / 1000.0
+        ).cast("float"),
+    )
+    spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        vec.alias("embedding"),
+        (F.col("id") % 8).alias("label"),
+    ).write.mode("overwrite").parquet(f"{scratch}/hn_vecs")
+    emb = spark.read.parquet(f"{scratch}/hn_vecs")
+    qs = emb.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    force = lambda d: d.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.round(F.avg("cosine"), 4).alias("avg"),
+    ).first()
+    timed(
+        "hard_negatives (brute force, k=10)",
+        lambda: force(hard_negatives(emb, qs, k=10)),
+    )
+    timed(
+        "hard_negatives_ivf (nlist=64, nprobe=8, k=10)",
+        lambda: force(hard_negatives_ivf(emb, qs, k=10, nlist=64, nprobe=8)),
     )
 
 
