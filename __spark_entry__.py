@@ -2745,6 +2745,41 @@ def _q_stream_corpus_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(base + "/kept").select("doc_id", "lang", "source")
 
 
+def _q_stream_neardup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup screen (new in r10): the frozen-corpus LSH
+    band table rides as a BROADCAST model and each arriving micro-batch
+    screens statelessly inside mapInPandas — no join, no streaming
+    state, append mode (streaming/dedup_stream.py
+    stream_neardup_screen). Same fixture as stream_corpus_screen (odd
+    doc_ids arriving, even stored) and the math is the identical
+    portable hash family, so it shares the batch screen's DuckDB
+    oracle verbatim."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.dedup import (
+        minhash_signatures_portable,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.dedup_stream import (
+        collect_lsh_screen_model,
+        read_documents_stream,
+        stream_neardup_screen,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.sync_stream import (
+        run_to_memory,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = collect_lsh_screen_model(
+        minhash_signatures_portable(docs.filter(F.col("doc_id") % 2 == 0))
+    )
+    arriving = read_documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 2 == 1
+    )
+    kept = stream_neardup_screen(arriving, model)
+    run_to_memory(kept, "stream_neardup_tbl", output_mode="append")
+    return spark.table("stream_neardup_tbl").select(
+        "doc_id", "lang", "source"
+    )
+
+
 def _q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful-streaming representative #6 (new in r6): the KMV
     distinct sketch maintained AS stream state — per key the k smallest
@@ -4021,6 +4056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_scd2_dimension": _q_stream_scd2,
         "q_hopping_window": _q_hopping_window,
         "stream_corpus_screen": _q_stream_corpus_screen,
+        "stream_neardup_screen": _q_stream_neardup_screen,
         "graph_triangles": _q_graph_triangles,
         "graph_pagerank": _q_graph_pagerank,
         "sample_weighted": _q_sample_weighted,
@@ -4725,6 +4761,10 @@ WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc FROM matched)
     # the streaming screen's output is batch-boundary-independent, so
     # it shares the batch incremental screen's oracle verbatim
     o["stream_corpus_screen"] = o["dedup_incremental"]
+
+    # the broadcast-model stateless screen computes the identical
+    # portable-hash screen per arriving row — same oracle again
+    o["stream_neardup_screen"] = o["dedup_incremental"]
 
     # portable SimHash oracle: 60-bit sha256-prefix token hash, per-bit
     # majority vote, 4x15-bit block candidate join, exact Hamming filter

@@ -133,3 +133,153 @@ def stream_corpus_screen_to_parquet(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def collect_lsh_screen_model(
+    corpus_signatures: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_model_rows: int = 2_000_000,
+) -> dict:
+    """Freeze a portable-minhash corpus signature table
+    (``operators.dedup.minhash_signatures_portable`` output: one row
+    per doc, columns ``doc, h0..h{N-1}``) into the broadcastable model
+    :func:`stream_neardup_screen` ships to executors:
+    ``{(band, bucket): [signature tuples], "_nh": N, "_bands": B}``.
+
+    The model is CORPUS-sized (one signature per stored doc), so the
+    collect is guarded the same way as
+    ``plans.selection.collect_char_lm``: a fail-fast ``max_model_rows``
+    budget counted before anything lands on the driver.  The broadcast
+    screen fits reference/blocklist corpora (contamination screens,
+    golden sets, up to ~10^6-10^7 docs); an unbounded crawl corpus
+    should use the foreachBatch join screen
+    (:func:`stream_corpus_screen_to_parquet`), which never
+    materializes signatures on the driver."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    if max_model_rows is not None:
+        n = corpus_signatures.count()
+        if n > int(max_model_rows):
+            raise ValueError(
+                f"collect_lsh_screen_model: corpus has {n} signatures"
+                f" (> max_model_rows={int(max_model_rows)}) — too large"
+                " to broadcast as a frozen screen model. Use"
+                " stream_corpus_screen_to_parquet (foreachBatch join"
+                " against the stored signature table) or raise"
+                " max_model_rows."
+            )
+    r = num_hashes // bands
+    mask = 0x7FFFFFFF
+    model: dict = {"_nh": num_hashes, "_bands": bands}
+    for row in corpus_signatures.collect():
+        sig = tuple(int(row[f"h{i}"]) for i in range(num_hashes))
+        for bi in range(bands):
+            acc = 0
+            for j in range(r):
+                acc = (acc * 31 + sig[bi * r + j]) & mask
+            model.setdefault((bi, acc), []).append(sig)
+    return model
+
+
+def stream_neardup_screen(
+    stream: DataFrame,
+    model: dict,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """STREAMING-SAFE near-duplicate screen: drop arriving documents
+    whose estimated Jaccard against ANY frozen-corpus signature in a
+    colliding LSH bucket is >= ``threshold`` — the online "is this
+    incoming doc a near-duplicate of the corpus" check, as a stateless
+    Arrow-batched ``mapInPandas`` with NO shuffle and NO streaming
+    state (the ``char_lm_score_map`` pattern), so it runs in append
+    mode on a ``readStream`` or on a batch frame identically.
+
+    Semantics match ``operators.dedup.dedup_against_corpus`` exactly:
+    the same portable hash family (28-bit sha256-prefix base,
+    Carter-Wegman ``(2i+1)*base + 7919*i mod 2147483629``
+    permutations, ``(acc*31+h) & 2^31-1`` band fold — all exact
+    integer math, bit-identical in Python), the same
+    any-band-collision candidacy, the same matching-signature-fraction
+    score.  Emits the SURVIVING rows with the input schema unchanged.
+
+    Per-batch cost: |batch| signature computations (numpy Carter-Wegman
+    over the doc's shingle base hashes; sha256 runs once per DISTINCT
+    shingle per partition via a memo) + dict probes — no join, no
+    state growth. Within-batch duplicates pass, same caveat as the
+    batch screen."""
+    import hashlib
+
+    spark = stream.sparkSession
+    nh = int(model["_nh"])
+    bands = int(model["_bands"])
+    r = nh // bands
+    bmodel = spark.sparkContext.broadcast(model)
+    prime = 2147483629  # operators.dedup.MINHASH_PRIME
+    mask = 0x7FFFFFFF
+
+    def _screen(pdfs):
+        import numpy as np
+        import pandas as pd
+
+        m = bmodel.value
+        # per-bucket signatures as numpy matrices, built lazily so
+        # only probed buckets pay the conversion
+        mats: dict = {}
+        a = np.arange(nh, dtype="int64") * 2 + 1
+        b = np.arange(nh, dtype="int64") * 7919
+        memo: dict = {}
+
+        def _base(sh):
+            v = memo.get(sh)
+            if v is None:
+                v = int(
+                    hashlib.sha256(sh.encode("utf-8")).hexdigest()[:7], 16
+                )
+                memo[sh] = v
+            return v
+
+        for pdf in pdfs:
+            keep = np.ones(len(pdf), dtype=bool)
+            for pos, txt in enumerate(pdf[text_col]):
+                if txt is None:
+                    continue
+                toks = txt.split(" ")
+                if len(toks) < shingle_n:
+                    continue  # no shingles -> no signature -> survives
+                sh_set = {
+                    " ".join(toks[i : i + shingle_n])
+                    for i in range(len(toks) - shingle_n + 1)
+                }
+                bases = np.fromiter(
+                    (_base(s) for s in sh_set),
+                    dtype="int64",
+                    count=len(sh_set),
+                )
+                sig = (
+                    (a[:, None] * bases[None, :] + b[:, None]) % prime
+                ).min(axis=1)
+                matched = False
+                for bi in range(bands):
+                    acc = 0
+                    for j in range(r):
+                        acc = (acc * 31 + int(sig[bi * r + j])) & mask
+                    key = (bi, acc)
+                    mat = mats.get(key)
+                    if mat is None:
+                        rows = m.get(key)
+                        if rows is None:
+                            continue
+                        mat = np.asarray(rows, dtype="int64")
+                        mats[key] = mat
+                    hits = (mat == sig[None, :]).sum(axis=1)
+                    if (hits >= threshold * nh).any():
+                        matched = True
+                        break
+                if matched:
+                    keep[pos] = False
+            yield pdf.loc[keep]
+
+    return stream.mapInPandas(_screen, schema=stream.schema)

@@ -396,3 +396,90 @@ def test_pad_backfill_align_stream_matches_batch(spark, sf_dir):
         assert (got["timestamp"] == want["timestamp"]).all(), method
         assert (got["value"] == want["value"]).all(), method
         assert (got["matched_ts"] == want["matched_ts"]).all(), method
+
+
+def test_stream_neardup_screen_matches_batch(spark, tmp_path):
+    """The broadcast-model STATELESS screen == batch
+    dedup_against_corpus on the same arriving docs — same portable
+    hash family recomputed in Python, bit-identical signatures, same
+    survivors regardless of micro-batch boundaries."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.dedup import (
+        dedup_against_corpus,
+        minhash_signatures_portable,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.dedup_stream import (
+        collect_lsh_screen_model,
+        stream_neardup_screen,
+    )
+
+    base_txt = (
+        "the quick brown fox jumps over the lazy dog while the calm cat "
+        "naps beside the warm stone wall in the quiet afternoon sun"
+    )
+    corpus = spark.createDataFrame(
+        [(100, base_txt), (101, "spark shuffles hash partitions across executors today")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures_portable(corpus)
+    model = collect_lsh_screen_model(sigs)
+
+    arriving = spark.createDataFrame(
+        [
+            (1, base_txt.replace("jumps", "leaps")),     # near-dup -> drop
+            (2, "completely novel text about harmony"),  # keep
+            (3, "spark shuffles hash partitions across executors today"),  # exact -> drop
+            (4, "another novel doc with fresh content entirely"),  # keep
+            (5, "xy"),                                   # < shingle_n tokens -> keep
+            (6, None),                                   # null text -> keep
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "nd_arriving")
+    arriving.filter("doc_id <= 3").coalesce(1).write.mode("append").parquet(src)
+    arriving.filter("doc_id > 3").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    kept = stream_neardup_screen(stream, model)
+    SS.run_to_memory(kept, "neardup_screen_tbl", output_mode="append")
+    got = sorted(
+        r.doc_id for r in spark.sql(
+            "SELECT doc_id FROM neardup_screen_tbl"
+        ).collect()
+    )
+    want = sorted(
+        r.doc_id
+        for r in dedup_against_corpus(
+            arriving, corpus_signatures=sigs
+        ).collect()
+    )
+    assert got == want == [2, 4, 5, 6]
+    # batch frame through the same scorer: identical survivors
+    got_batch = sorted(
+        r.doc_id for r in stream_neardup_screen(arriving, model).collect()
+    )
+    assert got_batch == want
+
+
+def test_collect_lsh_screen_model_size_guard(spark):
+    """The frozen-model collect must fail fast past max_model_rows,
+    naming the foreachBatch join screen as the remediation."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.dedup import (
+        minhash_signatures_portable,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.dedup_stream import (
+        collect_lsh_screen_model,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc number {i} alpha beta gamma delta") for i in range(8)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures_portable(corpus)
+    with pytest.raises(ValueError, match="stream_corpus_screen_to_parquet"):
+        collect_lsh_screen_model(sigs, max_model_rows=5)
+    model = collect_lsh_screen_model(sigs, max_model_rows=8)
+    assert model["_nh"] == 16 and model["_bands"] == 4
