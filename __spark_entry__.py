@@ -3898,6 +3898,24 @@ def _q_select_dsir_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select_top(dsir_log_weights(docs, F.col("lang") == "en"), 50)
 
 
+def _q_corpus_select_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed selection pipeline (new in r10): quality gate -> exact
+    dedup -> char-LM perplexity bucket (bits_per_gram <= 1.15, ~the
+    survivor median) -> DSIR top-50 — the r9 selection families graded
+    COMPOSED, not just solo (plans/selection.py corpus_select_pipeline).
+    One persisted survivor frame feeds all three scoring stages; the
+    LM context table derives from the trigram counts and DSIR's token
+    explode is shared between model and scoring."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+        corpus_select_pipeline,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_select_pipeline(
+        docs, F.col("lang") == "en", k=50, max_bits=1.15
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator.
 
@@ -4057,6 +4075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hopping_window": _q_hopping_window,
         "stream_corpus_screen": _q_stream_corpus_screen,
         "stream_neardup_screen": _q_stream_neardup_screen,
+        "corpus_select_pipeline": _q_corpus_select_pipeline,
         "graph_triangles": _q_graph_triangles,
         "graph_pagerank": _q_graph_pagerank,
         "sample_weighted": _q_sample_weighted,
@@ -7298,6 +7317,111 @@ SELECT id AS doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
 FROM j GROUP BY id
 """
     o["select_dsir_weights"] = _DSIR_W
+
+    # composed selection pipeline: corpus_clean_pipeline's gate+dedup
+    # CTEs (no mixing), then the LM scorer over the SURVIVORS (ref =
+    # surviving en slice), a bits<=1.15 bucket, DSIR over the bucket
+    # (target = en), top-50, metadata joined back
+    o["corpus_select_pipeline"] = f"""
+WITH t AS (SELECT doc_id, lang, source, text, string_split(text, ' ') AS toks
+           FROM documents),
+q AS (
+    SELECT *, len(toks) AS nt,
+           list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+               / len(toks) AS atl,
+           len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'is')))
+               / CAST(len(toks) AS DOUBLE) AS swr,
+           list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i+1]) AS g2,
+           list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+    FROM t
+),
+s AS (
+    SELECT *,
+           CASE WHEN len(g2) = 0 THEN 0.0
+                ELSE 1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE) END AS d2,
+           CASE WHEN len(g3) = 0 THEN 0.0
+                ELSE 1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE) END AS d3,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE list_max(list_transform(list_distinct(toks),
+                         tk -> len(list_filter(toks, x -> x = tk))))
+                     / CAST(len(toks) AS DOUBLE) END AS tt
+    FROM q
+),
+gated AS (
+    SELECT doc_id, lang, source, text FROM s
+    WHERE nt >= 10 AND nt <= 100000
+      AND atl >= 2.0 AND atl <= 12.0 AND swr > 0.0
+      AND d2 <= 0.05 AND d3 <= 0.03 AND tt <= 0.10
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY sha256(text)),
+surv AS (SELECT g.* FROM gated g JOIN keep USING (doc_id)),
+rg AS (
+    SELECT unnest({_LM_GRAMS}) AS gram FROM surv WHERE lang = 'en'
+),
+tri AS (SELECT gram, count(*) AS cnt3 FROM rg GROUP BY gram),
+ctx AS (SELECT substr(gram, 1, 2) AS c2, count(*) AS cnt2 FROM rg GROUP BY 1),
+vocab AS (
+    SELECT count(DISTINCT ch) AS v FROM (
+        SELECT unnest(list_transform(range(1, len(text) + 1),
+                                     i -> substr(text, i, 1))) AS ch
+        FROM surv WHERE lang = 'en' AND len(text) >= 1
+    )
+),
+dgx AS (SELECT doc_id AS id, unnest({_LM_GRAMS}) AS gram FROM surv),
+dgc AS (SELECT id, gram, count(*) AS n FROM dgx GROUP BY id, gram),
+lmj AS (
+    SELECT dgc.id, dgc.n,
+           ln((coalesce(tri.cnt3, 0) + 0.5)
+              / (coalesce(ctx.cnt2, 0) + 0.5 * vocab.v)) AS lp
+    FROM dgc
+    LEFT JOIN tri USING (gram)
+    LEFT JOIN ctx ON ctx.c2 = substr(dgc.gram, 1, 2)
+    CROSS JOIN vocab
+),
+lm AS (
+    SELECT id AS doc_id,
+           round(-(sum(n * lp) / sum(n)) / ln(2), 6) AS bits_per_gram
+    FROM lmj GROUP BY id
+),
+kept AS (
+    SELECT surv.*, lm.bits_per_gram
+    FROM surv JOIN lm USING (doc_id)
+    WHERE lm.bits_per_gram <= 1.15
+),
+tok AS (
+    SELECT doc_id AS id, lang = 'en' AS tgt,
+           unnest(string_split(text, ' ')) AS tok
+    FROM kept
+),
+b AS (
+    SELECT id, tgt,
+           CAST(('0x' || substr(sha256(tok), 1, 7)) AS BIGINT) % 1024 AS bucket
+    FROM tok
+),
+model AS (
+    SELECT bucket, count(*) AS cr,
+           sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+    FROM b GROUP BY bucket
+),
+tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM model),
+dg2 AS (SELECT id, bucket, count(*) AS n FROM b GROUP BY id, bucket),
+dj AS (
+    SELECT dg2.id, dg2.n,
+           ln((coalesce(model.ct, 0) + 1.0) / (tot.nt + 1.0 * 1024))
+           - ln((coalesce(model.cr, 0) + 1.0) / (tot.nr + 1.0 * 1024)) AS d
+    FROM dg2 LEFT JOIN model USING (bucket) CROSS JOIN tot
+),
+w AS (
+    SELECT id AS doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+           round(sum(n * d), 6) AS log_weight
+    FROM dj GROUP BY id
+),
+topk AS (SELECT * FROM w ORDER BY log_weight DESC, doc_id LIMIT 50)
+SELECT k.doc_id, c.lang, c.source, k.n_tokens, c.bits_per_gram, k.log_weight
+FROM topk k JOIN kept c USING (doc_id)
+"""
     o["select_dsir_top"] = (
         f"SELECT doc_id, n_tokens, log_weight FROM ({_DSIR_W})\n"
         "ORDER BY log_weight DESC, doc_id LIMIT 50"

@@ -149,13 +149,32 @@ def main() -> None:
         "dedup_incremental",
         "q_funnel",
         "graph_pagerank",
-        # r9 family representatives
+        # ALL 16 r9 additions — regress against the committed
+        # bench_r9_extras.json baseline (VERDICT r9 item 6: per-family
+        # budgets must be mechanically visible, not archaeology)
         "select_lm_score",
         "select_dsir_weights",
+        "select_dsir_top",
+        "assoc_chi_square",
+        "assoc_mutual_info",
+        "assoc_welch_ttest",
         "assoc_ks_test",
+        "audit_benford",
+        "ts_acf",
         "ts_cusum_changepoint",
+        "graph_label_prop",
+        "regress_trend_by_type",
         "seq_match_funnel",
         "text_bigram_pmi",
+        "corpus_pareto",
+        "stream_benford",
+        "stream_seq_match",
+        # r10 additions
+        "embed_hard_negatives_ivf",
+        "stream_neardup_screen",
+        "corpus_select_pipeline",
+        "stream_lm_score",
+        "stream_dsir_weights",
     ]
     for name in NEW_FAMILY:
         try:

@@ -399,50 +399,68 @@ def char_lm_score_map(
                 "bits_per_gram": pd.Series([], dtype="float64"),
             }
         )
+        # Arrow batches slice into ~2k-doc chunks before scoring: the
+        # kernel is memory-bandwidth-bound (several full passes over
+        # codepoint/key/log arrays), and at 10k-doc batches x 32
+        # parallel workers the temporaries (~0.5 GB/worker) thrash the
+        # shared cache — chunking keeps each worker's working set a
+        # few MB and the timings flat
+        CHUNK = 2048
         for pdf in pdfs:
             keep = pdf[text_col].notna() & (pdf[text_col].str.len() >= 3)
-            texts = pdf.loc[keep, text_col].tolist()
-            if not texts:
+            all_texts = pdf.loc[keep, text_col].tolist()
+            if not all_texts:
                 yield empty
                 continue
-            ids = pdf.loc[keep, id_col].to_numpy(dtype="int64")
-            lens = np.fromiter(
-                (len(t) for t in texts), dtype="int64", count=len(texts)
-            )
-            cp = np.frombuffer(
-                "".join(texts).encode("utf-32-le"), dtype="<u4"
-            ).astype("int64")
-            ng = lens - 2
-            # trigram/context keys over CONTIGUOUS slices of the shared
-            # buffer (no gather), then a boolean mask drops the two
-            # boundary-crossing gram starts before each non-final doc
-            # end — measured ~2x faster than gathering per-gram
-            # positions (every doc here has len >= 3, so the masked
-            # indices are always in range)
-            k3all = (cp[:-2] << 42) | (cp[1:-1] << 21) | cp[2:]
-            k2all = (cp[:-2] << 21) | cp[1:-1]
-            mask = np.ones(len(cp) - 2, dtype=bool)
-            be = np.cumsum(lens)[:-1]
-            mask[be - 2] = False
-            mask[be - 1] = False
-            c3 = pd.Series(k3all[mask]).map(tri_s).fillna(0.0).to_numpy()
-            c2 = pd.Series(k2all[mask]).map(ctx_s).fillna(0.0).to_numpy()
-            logs = np.log((c3 + alpha) / (c2 + alpha * v))
-            doc_of = np.repeat(
-                np.arange(len(texts), dtype="int64"), ng
-            )
-            avg = (
-                np.bincount(doc_of, weights=logs, minlength=len(texts))
-                / ng
-            )
-            yield pd.DataFrame(
-                {
-                    id_col: ids,
-                    "n_grams": ng,
-                    "avg_logp": np.round(avg, round_to),
-                    "bits_per_gram": np.round(-avg / ln2, round_to),
-                }
-            )
+            all_ids = pdf.loc[keep, id_col].to_numpy(dtype="int64")
+            for lo in range(0, len(all_texts), CHUNK):
+                texts = all_texts[lo : lo + CHUNK]
+                ids = all_ids[lo : lo + CHUNK]
+                lens = np.fromiter(
+                    (len(t) for t in texts),
+                    dtype="int64",
+                    count=len(texts),
+                )
+                cp = np.frombuffer(
+                    "".join(texts).encode("utf-32-le"), dtype="<u4"
+                ).astype("int64")
+                ng = lens - 2
+                # trigram/context keys over CONTIGUOUS slices of the
+                # shared buffer (no gather), then a boolean mask drops
+                # the two boundary-crossing gram starts before each
+                # non-final doc end — measured ~2x faster than
+                # gathering per-gram positions (every doc here has
+                # len >= 3, so the masked indices are always in range)
+                k3all = (cp[:-2] << 42) | (cp[1:-1] << 21) | cp[2:]
+                k2all = (cp[:-2] << 21) | cp[1:-1]
+                mask = np.ones(len(cp) - 2, dtype=bool)
+                be = np.cumsum(lens)[:-1]
+                mask[be - 2] = False
+                mask[be - 1] = False
+                c3 = (
+                    pd.Series(k3all[mask]).map(tri_s).fillna(0.0).to_numpy()
+                )
+                c2 = (
+                    pd.Series(k2all[mask]).map(ctx_s).fillna(0.0).to_numpy()
+                )
+                logs = np.log((c3 + alpha) / (c2 + alpha * v))
+                doc_of = np.repeat(
+                    np.arange(len(texts), dtype="int64"), ng
+                )
+                avg = (
+                    np.bincount(
+                        doc_of, weights=logs, minlength=len(texts)
+                    )
+                    / ng
+                )
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "n_grams": ng,
+                        "avg_logp": np.round(avg, round_to),
+                        "bits_per_gram": np.round(-avg / ln2, round_to),
+                    }
+                )
 
     return df.mapInPandas(
         _score,
@@ -585,4 +603,89 @@ def dsir_score_map(
     return df.mapInPandas(
         _score,
         schema=f"{id_col} long, n_tokens long, log_weight double",
+    )
+
+
+def corpus_select_pipeline(
+    docs: DataFrame,
+    is_target: Column,
+    k: int = 50,
+    max_bits: float = 4.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    buckets: int = 1024,
+    round_to: int = 6,
+) -> DataFrame:
+    """The composed SELECTION pipeline a curation build runs on top of
+    dedup: quality gate -> exact dedup -> char-LM perplexity bucket ->
+    DSIR importance top-k — raw documents in, the ``k`` rows importance
+    resampling keeps out, as ONE lazy plan.
+
+    Stages (each the already-tested primitive, so the composition
+    inherits their oracle checks and scale shapes):
+      1. quality + repetition gate (``functions.text``) — codegen'd
+         expressions fused into the scan;
+      2. exact dedup — min-id representative per sha256(text); the
+         groupBy shuffles 32-byte hashes + ids, never text
+         (``corpus_clean_pipeline``'s stage 2);
+      3. char-LM bucket — score every survivor under a trigram LM
+         trained on the SURVIVING target slice (:func:`char_lm_score`)
+         and keep docs with ``bits_per_gram <= max_bits`` (the CCNet
+         "head" cut);
+      4. DSIR top-k — importance log-weights over the bucket survivors
+         with the same target predicate (:func:`dsir_log_weights`),
+         then the deterministic bounded-k top
+         (:func:`dsir_select_top`).
+
+    Output: (doc_id, lang, source, n_tokens, bits_per_gram,
+    log_weight) for the selected k.
+
+    Plan shape: the gated+deduped survivor frame is size-gated
+    persisted — it feeds the LM reference explode, the LM scoring
+    explode, and the DSIR stage, and would otherwise replay the
+    scan+gate+dedup three times. Within stages nothing re-explodes:
+    the LM context table DERIVES from the trigram counts
+    (``train_char_lm``) and DSIR's token explode is shared between its
+    model and its scoring via the persisted pre-aggregate
+    (``dsir_log_weights``). Total data-sized shuffles: dedup groupBy,
+    LM (id, gram) pre-aggregate, DSIR (id, bucket) pre-aggregate —
+    the models broadcast, the top-k is TakeOrderedAndProject."""
+    from ..cache import maybe_persist
+    from ..functions.text import quality_flags, repetition_flags
+    from ..functions.text import tokens as _tokens
+
+    toks = _tokens(F.col(text_col))
+    q = quality_flags(toks, F.col(text_col))
+    r = repetition_flags(toks)
+    gated = docs.filter(
+        q["ok_length"]
+        & q["ok_token_len"]
+        & q["ok_stopwords"]
+        & r["ok_dup_ngrams"]
+        & r["ok_top_token"]
+    )
+    keep_ids = (
+        gated.groupBy(F.sha2(F.col(text_col), 256).alias("__h"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    surv = maybe_persist(gated.join(keep_ids, id_col, "left_semi"))
+    lm = char_lm_score(
+        surv, surv.filter(is_target), text_col, id_col, alpha, round_to
+    )
+    kept = surv.join(
+        lm.filter(F.col("bits_per_gram") <= max_bits).select(
+            id_col, "bits_per_gram"
+        ),
+        id_col,
+    )
+    w = dsir_log_weights(
+        kept, is_target, text_col, id_col, buckets, round_to=round_to
+    )
+    top = dsir_select_top(w, k, id_col)
+    return top.join(
+        kept.select(id_col, "lang", "source", "bits_per_gram"), id_col
+    ).select(
+        id_col, "lang", "source", "n_tokens", "bits_per_gram", "log_weight"
     )

