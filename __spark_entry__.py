@@ -3916,6 +3916,50 @@ def _q_corpus_select_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-search fusion (new in r10): Reciprocal Rank Fusion of the
+    BM25 lexical ranking (documents) and the exact cosine vector
+    ranking (embeddings) for the same 3 query ids — the standard RAG
+    combiner; only RANKS enter, so no score normalization
+    (operators/retrieval.py rrf_fuse). Each reciprocal rounds before
+    an exact decimal sum, so the fused score is union-order-free."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.retrieval import (
+        rrf_fuse,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = spark.createDataFrame(
+        _BM25_QUERIES, "query_id long, terms array<string>"
+    )
+    bm = RT.bm25_topk_multi(docs, qs, k=10)
+    vec = SIM.cosine_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        k=10,
+    ).withColumnRenamed("cand_id", "doc")
+    return rrf_fuse([bm, vec], k=5, c=60)
+
+
+def _q_select_dsir_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection (new in r10): highest-DSIR-weight docs
+    until a 2000-token budget fills — the form a real curation run
+    takes ("the best N tokens"), prefix-summed on the range-shuffle
+    global_running_sum scan, never an unpartitioned ORDER BY window
+    (plans/selection.py dsir_select_token_budget)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+        dsir_log_weights,
+        dsir_select_token_budget,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_select_token_budget(
+        dsir_log_weights(docs, F.col("lang") == "en"), 2000
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator.
 
@@ -4076,6 +4120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_corpus_screen": _q_stream_corpus_screen,
         "stream_neardup_screen": _q_stream_neardup_screen,
         "corpus_select_pipeline": _q_corpus_select_pipeline,
+        "retrieval_rrf_hybrid": _q_retrieval_rrf_hybrid,
+        "select_dsir_token_budget": _q_select_dsir_token_budget,
         "graph_triangles": _q_graph_triangles,
         "graph_pagerank": _q_graph_pagerank,
         "sample_weighted": _q_sample_weighted,
@@ -6620,6 +6666,71 @@ SELECT doc, score, rank FROM r WHERE rank <= 10
         "({}, [{}])".format(qid, ", ".join(f"'{t}'" for t in ts))
         for qid, ts in _BM25_QUERIES
     )
+
+    # hybrid RRF: the bm25_topk_multi stack (k=10) + the cosine stack
+    # (vec_id < 3 queries, k=10), fused by rank only — reciprocals
+    # round to 6 then sum as exact DECIMAL(18,6)
+    o["retrieval_rrf_hybrid"] = f"""
+WITH queries(query_id, terms) AS (VALUES {qvals}),
+qterms AS (SELECT DISTINCT query_id AS qid, unnest(terms) AS term FROM queries),
+toks AS (SELECT doc_id AS doc, string_split(text, ' ') AS t FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM toks),
+posts AS (SELECT doc, len(t) AS dl, unnest(t) AS term FROM toks),
+tf AS (
+    SELECT doc, term, max(dl) AS dl, count(*) AS tf
+    FROM posts WHERE term IN (SELECT term FROM qterms)
+    GROUP BY doc, term
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+w AS (
+    SELECT tf.doc, tf.term,
+           ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf * (1.2 + 1.0)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl)) AS w
+    FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN stats
+),
+bscores AS (
+    SELECT q.qid AS query_id, w.doc, round(sum(w.w), 6) AS score
+    FROM w JOIN qterms q ON w.term = q.term
+    GROUP BY q.qid, w.doc
+),
+bm AS (
+    SELECT query_id, doc, rank FROM (
+        SELECT query_id, doc,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc ASC) AS rank
+        FROM bscores
+    ) WHERE rank <= 10
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+vq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+vscored AS (
+    SELECT vq.query_id, e.vec_id AS doc,
+           round(list_cosine_similarity(e.v, vq.qv), 6) AS cosine
+    FROM e, vq WHERE e.vec_id != vq.query_id
+),
+vec AS (
+    SELECT query_id, doc, rank FROM (
+        SELECT query_id, doc,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, doc ASC) AS rank
+        FROM vscored
+    ) WHERE rank <= 10
+),
+u AS (SELECT * FROM bm UNION ALL SELECT * FROM vec),
+f AS (
+    SELECT query_id, doc,
+           sum(CAST(round(1.0 / (60 + rank), 6) AS DECIMAL(18,6))) AS s,
+           CAST(count(*) AS BIGINT) AS n_systems
+    FROM u GROUP BY query_id, doc
+)
+SELECT query_id, doc, rrf_score, n_systems, rank FROM (
+    SELECT query_id, doc, CAST(s AS DOUBLE) AS rrf_score, n_systems,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY s DESC, doc ASC) AS BIGINT) AS rank
+    FROM f
+) WHERE rank <= 5
+"""
     o["bm25_topk_multi"] = f"""
 WITH queries(query_id, terms) AS (VALUES {qvals}),
 qterms AS (SELECT DISTINCT query_id AS qid, unnest(terms) AS term FROM queries),
@@ -7317,6 +7428,15 @@ SELECT id AS doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
 FROM j GROUP BY id
 """
     o["select_dsir_weights"] = _DSIR_W
+
+    o["select_dsir_token_budget"] = f"""
+SELECT doc_id, n_tokens, log_weight, cum_tokens FROM (
+    SELECT *, CAST(sum(n_tokens) OVER (
+        ORDER BY log_weight DESC, doc_id
+        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+    FROM ({_DSIR_W})
+) WHERE cum_tokens - n_tokens < 2000
+"""
 
     # composed selection pipeline: corpus_clean_pipeline's gate+dedup
     # CTEs (no mixing), then the LM scorer over the SURVIVORS (ref =

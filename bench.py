@@ -175,6 +175,8 @@ def main() -> None:
         "corpus_select_pipeline",
         "stream_lm_score",
         "stream_dsir_weights",
+        "retrieval_rrf_hybrid",
+        "select_dsir_token_budget",
     ]
     for name in NEW_FAMILY:
         try:

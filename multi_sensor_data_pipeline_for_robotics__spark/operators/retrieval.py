@@ -286,3 +286,68 @@ def tfidf_cosine_pairs(
         .agg(F.round(F.sum(F.col("wa") * F.col("wb")), round_to).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    query_col: str = "query_id",
+    doc_col: str = "doc",
+    rank_col: str = "rank",
+    round_to: int = 6,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack/Clarke/Buettcher 2009) of N
+    per-query rankings: ``rrf(d) = sum over systems of
+    1 / (c + rank_system(d))`` — THE standard hybrid-search combiner
+    (BM25 + vector ranks fuse without score normalization, since only
+    RANKS enter).  Input frames each carry (query, doc, rank) under
+    the given column names; a doc absent from a system contributes
+    nothing (the standard convention).
+
+    Output: (query_id, doc, rrf_score, n_systems, rank), top ``k`` per
+    query by (score DESC, doc ASC).
+
+    Float policy: each reciprocal is rounded to ``round_to`` BEFORE an
+    exact DECIMAL sum (the ``bigram_logprob_scores`` discipline), so
+    the fused score is independent of union/partition order and
+    hash-comparable across engines.
+
+    Scale shape: inputs are already top-k-per-query (k·|queries|·N
+    rows total — query-sized, not corpus-sized); the fuse is one
+    groupBy on (query, doc) and one per-query rank window."""
+    from functools import reduce
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(doc_col).alias("doc"),
+            F.col(rank_col).alias("rank"),
+        )
+        for r in rankings
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    term = F.round(
+        F.lit(1.0) / (F.col("rank").cast("double") + F.lit(float(c))),
+        round_to,
+    ).cast("decimal(18,6)")
+    fused = u.groupBy("query_id", "doc").agg(
+        F.sum(term).alias("__s"),
+        F.count(F.lit(1)).cast("long").alias("n_systems"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("__s").desc(), F.col("doc").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc",
+            F.col("__s").cast("double").alias("rrf_score"),
+            "n_systems",
+            "rank",
+        )
+    )

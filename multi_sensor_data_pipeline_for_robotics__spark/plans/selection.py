@@ -689,3 +689,39 @@ def corpus_select_pipeline(
     ).select(
         id_col, "lang", "source", "n_tokens", "bits_per_gram", "log_weight"
     )
+
+
+def dsir_select_token_budget(
+    weights: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Select highest-weight documents until a TOKEN budget fills —
+    the form a real curation run takes ("give me the best 50B tokens"),
+    vs :func:`dsir_select_top`'s count form.  Docs order by
+    (log_weight DESC, id ASC); a doc is kept iff the cumulative token
+    count of everything ranked BEFORE it is still under the budget, so
+    the crossing document is included (the selected set always covers
+    the budget unless the corpus runs out).
+
+    Output adds ``cum_tokens`` (inclusive running total) for
+    observability.  The prefix sum runs on the range-shuffle
+    ``global_running_sum`` scan — never an unpartitioned ORDER BY
+    window, so no single-task sort at corpus scale."""
+    from ..operators.pack import global_running_sum
+
+    w = weights.withColumn("__negw", -F.col("log_weight"))
+    run = global_running_sum(
+        w, ["__negw", id_col], "n_tokens", out_col="cum_tokens"
+    )
+    return (
+        run.filter(
+            F.col("cum_tokens") - F.col("n_tokens") < F.lit(int(budget_tokens))
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "log_weight",
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
+    )

@@ -368,3 +368,40 @@ def test_tfidf_cosine_uncapped_fanout_guard_fires(spark):
         ).count()
         >= 0
     )
+
+
+def test_rrf_fuse_known_ranks(spark):
+    """Hand-checked fusion: doc in both systems beats docs in one; the
+    reciprocal terms round before an exact decimal sum; ties break by
+    doc id; absent docs contribute nothing."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.retrieval import (
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id long, doc long, rank long",
+    )
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)],
+        "query_id long, doc long, rank long",
+    )
+    got = {r.doc: r for r in rrf_fuse([a, b], k=10, c=60).collect()}
+    # doc 11: 1/62 + 1/61 rounded each to 6dp then summed
+    assert got[11].rrf_score == round(1 / 62, 6) + round(1 / 61, 6)
+    assert got[11].n_systems == 2 and got[11].rank == 1
+    assert got[10].rrf_score == round(1 / 61, 6) and got[10].rank == 2
+    assert got[13].rrf_score == round(1 / 62, 6)
+    assert got[12].rrf_score == round(1 / 63, 6)
+    # 13 (1/62 from rank 2) vs 12 (1/63 from rank 3): 13 ranks higher
+    assert got[13].rank == 3 and got[12].rank == 4
+
+
+def test_rrf_fuse_requires_input(spark):
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.retrieval import (
+        rrf_fuse,
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        rrf_fuse([])

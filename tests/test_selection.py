@@ -281,3 +281,24 @@ def test_corpus_select_pipeline_composition(spark):
         for r in docs.filter(F.col("doc_id").isin(ids)).collect()
     }
     assert len(set(texts.values())) == 10  # dedup: no two share a text
+
+
+def test_dsir_select_token_budget_crossing_doc_included(spark):
+    """Docs ordered by weight desc fill the budget; the doc that
+    CROSSES the budget is kept, everything after is not; a budget
+    beyond the corpus keeps everything."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+        dsir_select_token_budget,
+    )
+
+    w = spark.createDataFrame(
+        [(1, 50, 3.0), (2, 40, 2.0), (3, 30, 1.0), (4, 20, 0.5)],
+        "doc_id long, n_tokens long, log_weight double",
+    )
+    got = {r.doc_id: r.cum_tokens
+           for r in dsir_select_token_budget(w, 100).collect()}
+    # 50 + 40 = 90 < 100 -> doc 3 crosses (preceding 90 < 100), doc 4
+    # is out (preceding 120 >= 100)
+    assert got == {1: 50, 2: 90, 3: 120}
+    assert dsir_select_token_budget(w, 1000).count() == 4
+    assert dsir_select_token_budget(w, 1).count() == 1  # first doc always
