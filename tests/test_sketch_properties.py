@@ -256,3 +256,68 @@ def test_kmv_join_cardinality_disjoint_keys(spark):
     b = spark.range(1000).selectExpr("id + 1000000 AS kb")
     row = kmv_join_cardinality(a, "ka", b, "kb", k=128).first()
     assert row.est_join_rows == 0.0 and row.sample_pairs == 0
+
+
+_texty = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_categories=("Cs",)  # no lone surrogates
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ref_texts=st.lists(_texty, min_size=1, max_size=4),
+       doc_texts=st.lists(_texty, min_size=1, max_size=6))
+def test_char_lm_map_twin_matches_catalyst_on_random_unicode(
+    spark, ref_texts, doc_texts
+):
+    """The vectorized codepoint-packed map scorer == the Catalyst join
+    scorer on ARBITRARY unicode (any planes, any lengths incl. < 3) —
+    the property the CJK fixture spot-checks."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+        char_lm_score,
+        char_lm_score_map,
+        collect_char_lm,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ref_texts)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(doc_texts)], "doc_id long, text string"
+    )
+    want = sorted(map(tuple, char_lm_score(docs, ref).collect()))
+    got = sorted(
+        map(tuple, char_lm_score_map(docs, collect_char_lm(ref)).collect())
+    )
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(doc_texts=st.lists(
+    st.text(alphabet="ab déß🙂 ", min_size=0, max_size=30),
+    min_size=1, max_size=6,
+))
+def test_dsir_map_twin_matches_catalyst_on_random_tokens(spark, doc_texts):
+    """The factorize+memo DSIR map scorer == the Catalyst join path on
+    random token streams (repeated tokens, empty strings, unicode)."""
+    from pyspark.sql import functions as F
+
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+        collect_dsir_model,
+        dsir_log_weights,
+        dsir_score_map,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t, "en" if i % 2 == 0 else "zh") for i, t in enumerate(doc_texts)],
+        "doc_id long, text string, lang string",
+    )
+    tgt = F.col("lang") == "en"
+    want = sorted(map(tuple, dsir_log_weights(docs, tgt, buckets=64).collect()))
+    got = sorted(map(tuple, dsir_score_map(
+        docs, collect_dsir_model(docs, tgt, buckets=64)
+    ).collect()))
+    assert got == want
