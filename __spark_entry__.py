@@ -3960,6 +3960,28 @@ def _q_select_dsir_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_select_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-to-token-budget selection (new in r10): a 3000-token
+    budget split 50/30/20 across three sources, each slice filled by
+    the highest-DSIR-weight docs of that source (crossing doc
+    included) — the composed "best N tokens at THIS mixture" form
+    (plans/selection.py mixture_token_budget). Per-source prefix sums
+    partition by source (documented hot-source caveat in the
+    docstring)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+        dsir_log_weights,
+        mixture_token_budget,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = dsir_log_weights(docs, F.col("lang") == "en").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return mixture_token_budget(
+        w, {"src1": 0.5, "src3": 0.3, "src5": 0.2}, 3000
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator.
 
@@ -4122,6 +4144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_select_pipeline": _q_corpus_select_pipeline,
         "retrieval_rrf_hybrid": _q_retrieval_rrf_hybrid,
         "select_dsir_token_budget": _q_select_dsir_token_budget,
+        "select_mixture_token_budget": _q_select_mixture_token_budget,
         "graph_triangles": _q_graph_triangles,
         "graph_pagerank": _q_graph_pagerank,
         "sample_weighted": _q_sample_weighted,
@@ -7428,6 +7451,27 @@ SELECT id AS doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
 FROM j GROUP BY id
 """
     o["select_dsir_weights"] = _DSIR_W
+
+    o["select_mixture_token_budget"] = f"""
+WITH w AS (
+    SELECT dw.doc_id, dw.n_tokens, dw.log_weight, d.source
+    FROM ({_DSIR_W}) dw JOIN documents d USING (doc_id)
+    WHERE d.source IN ('src1', 'src3', 'src5')
+),
+r AS (
+    SELECT doc_id, source, n_tokens, log_weight,
+           CAST(sum(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY log_weight DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+    FROM w
+)
+SELECT doc_id, source, n_tokens, log_weight, cum_tokens FROM r
+WHERE CAST(cum_tokens - n_tokens AS DOUBLE) <
+      CASE source WHEN 'src1' THEN {3000.0 * (0.5 / (0.5 + 0.3 + 0.2))!r}
+                  WHEN 'src3' THEN {3000.0 * (0.3 / (0.5 + 0.3 + 0.2))!r}
+                  WHEN 'src5' THEN {3000.0 * (0.2 / (0.5 + 0.3 + 0.2))!r} END
+"""
 
     o["select_dsir_token_budget"] = f"""
 SELECT doc_id, n_tokens, log_weight, cum_tokens FROM (

@@ -177,6 +177,7 @@ def main() -> None:
         "stream_dsir_weights",
         "retrieval_rrf_hybrid",
         "select_dsir_token_budget",
+        "select_mixture_token_budget",
     ]
     for name in NEW_FAMILY:
         try:

@@ -725,3 +725,65 @@ def dsir_select_token_budget(
             F.col("cum_tokens").cast("long").alias("cum_tokens"),
         )
     )
+
+
+def mixture_token_budget(
+    weighted_docs: DataFrame,
+    target_shares: dict[str, float],
+    budget_tokens: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fill a TOKEN budget to a target SOURCE mixture, best-first:
+    source ``s`` gets ``share_s / sum(shares)`` of ``budget_tokens``,
+    and within each source the highest-``log_weight`` documents fill
+    that slice (crossing doc included, same rule as
+    :func:`dsir_select_token_budget`) — "the best 30% web, 50% code,
+    20% papers of an N-token budget", the composed form curation runs
+    actually specify.  Sources absent from ``target_shares`` are
+    excluded.
+
+    Input: one row per doc with (id, source, n_tokens, log_weight) —
+    e.g. :func:`dsir_log_weights` joined back to doc metadata.
+    Output adds ``cum_tokens`` (per-source inclusive running total).
+
+    Scale note: the per-source prefix sum is a window PARTITIONED BY
+    source — per-task state is one source's candidate rows, the same
+    documented hot-key shape as ``rolling_stats`` (a single source
+    holding most of the corpus serializes its sort into one task; the
+    remedy at that shape is the ``global_running_sum`` range-shuffle
+    scan run per hot source, or the bucketed-ACF trade)."""
+    from pyspark.sql import Window as W
+
+    if not target_shares:
+        raise ValueError("target_shares must name at least one source")
+    tot = float(sum(target_shares.values()))
+    if tot <= 0:
+        raise ValueError("target_shares must sum to a positive value")
+    items = sorted(target_shares.items())
+    budget_col = F.lit(None).cast("double")
+    for s, sh in items:
+        budget_col = (
+            F.when(
+                F.col(source_col) == s,
+                F.lit(float(budget_tokens) * (float(sh) / tot)),
+            ).otherwise(budget_col)
+        )
+    w = (
+        W.partitionBy(source_col)
+        .orderBy(F.col("log_weight").desc(), F.col(id_col).asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        weighted_docs.filter(
+            F.col(source_col).isin([s for s, _ in items])
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(
+            (F.col("cum_tokens") - F.col("n_tokens")).cast("double")
+            < budget_col
+        )
+        .select(
+            id_col, source_col, "n_tokens", "log_weight", "cum_tokens"
+        )
+    )

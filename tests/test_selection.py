@@ -302,3 +302,32 @@ def test_dsir_select_token_budget_crossing_doc_included(spark):
     assert got == {1: 50, 2: 90, 3: 120}
     assert dsir_select_token_budget(w, 1000).count() == 4
     assert dsir_select_token_budget(w, 1).count() == 1  # first doc always
+
+
+def test_mixture_token_budget_per_source_fill(spark):
+    """Each source's slice fills independently: budgets split by share,
+    per-source best-first order, crossing doc included, unlisted
+    sources excluded."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+        mixture_token_budget,
+    )
+
+    w = spark.createDataFrame(
+        [
+            (1, "a", 60, 3.0), (2, "a", 60, 2.0), (3, "a", 60, 1.0),
+            (4, "b", 30, 5.0), (5, "b", 30, 4.0),
+            (6, "c", 10, 9.0),  # unlisted -> excluded
+        ],
+        "doc_id long, source string, n_tokens long, log_weight double",
+    )
+    got = {
+        r.doc_id: (r.source, r.cum_tokens)
+        for r in mixture_token_budget(w, {"a": 0.5, "b": 0.5}, 200).collect()
+    }
+    # a's budget 100: doc1 (pre 0), doc2 (pre 60 < 100, crossing), not
+    # doc3 (pre 120); b's budget 100: both fit (pre 0, 30)
+    assert got == {1: ("a", 60), 2: ("a", 120), 4: ("b", 30), 5: ("b", 60)}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        mixture_token_budget(w, {}, 100)
