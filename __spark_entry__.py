@@ -3982,6 +3982,21 @@ def _q_select_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _q_embed_diverse_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-stratified diversity sample (new in r10): 2 most
+    representative vectors per coarse region (16 deterministic
+    centroids) — covers every populated region of embedding space
+    instead of over-sampling dense ones; one narrow argmax projection
+    + a per-cluster bounded rank
+    (operators/similarity.py diverse_prototypes)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.similarity import (
+        diverse_prototypes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return diverse_prototypes(emb, nlist=16, per_cluster=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator.
 
@@ -4145,6 +4160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_rrf_hybrid": _q_retrieval_rrf_hybrid,
         "select_dsir_token_budget": _q_select_dsir_token_budget,
         "select_mixture_token_budget": _q_select_mixture_token_budget,
+        "embed_diverse_prototypes": _q_embed_diverse_prototypes,
         "graph_triangles": _q_graph_triangles,
         "graph_pagerank": _q_graph_pagerank,
         "sample_weighted": _q_sample_weighted,
@@ -7745,6 +7761,32 @@ SELECT query_id, cand_id, cosine, rank FROM r WHERE rank <= 5
     # same miner over IVF probing: the embed_ivf_topk replica with the
     # label threaded through assignment/probes and the mismatch filter
     # applied before ranking (operators/similarity.py hard_negatives_ivf)
+    o["embed_diverse_prototypes"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, v AS cv
+    FROM e QUALIFY row_number() OVER (ORDER BY vec_id) <= 16
+),
+assigned AS (
+    SELECT vec_id, cent_id, round(sim, 6) AS cos_to_centroid
+    FROM (
+        SELECT e.vec_id, cents.cent_id,
+               list_cosine_similarity(e.v, cents.cv) AS sim,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, cents.cv) DESC,
+                            cents.cent_id ASC) AS rk
+        FROM e, cents
+    ) WHERE rk = 1
+)
+SELECT cent_id, vec_id, cos_to_centroid, rank FROM (
+    SELECT cent_id, vec_id, cos_to_centroid,
+           CAST(row_number() OVER (PARTITION BY cent_id
+                ORDER BY cos_to_centroid DESC, vec_id ASC) AS BIGINT) AS rank
+    FROM assigned
+) WHERE rank <= 2
+"""
+
     o["embed_hard_negatives_ivf"] = """
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),

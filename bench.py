@@ -178,6 +178,7 @@ def main() -> None:
         "retrieval_rrf_hybrid",
         "select_dsir_token_budget",
         "select_mixture_token_budget",
+        "embed_diverse_prototypes",
     ]
     for name in NEW_FAMILY:
         try:

@@ -1673,3 +1673,79 @@ def hard_negatives_ivf(
         train_iters=train_iters,
         label_col=label_col,
     )
+
+
+def diverse_prototypes(
+    embeddings: DataFrame,
+    nlist: int = 16,
+    per_cluster: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Cluster-stratified DIVERSITY sampling: partition the embedding
+    space into ``nlist`` regions (the deterministic first-``nlist``
+    coarse centroids, :func:`ivf_topk`'s quantizer) and keep the
+    ``per_cluster`` most REPRESENTATIVE members of each — highest
+    cosine to the region centroid, ties by id.  The output covers
+    every populated region of the space, which is what "give me a
+    diverse sample" means operationally (uniform sampling
+    over-represents dense regions; greedy k-center is inherently
+    sequential and does not distribute).
+
+    Output: (cent_id, vec_id, cos_to_centroid, rank).
+
+    Scale shape: assignment + centroid cosine is ONE narrow argmax
+    projection over centroid literals (no cross join, no shuffle of
+    vectors); the per-cluster rank is a window over nlist partitions
+    whose per-task state is one cluster's rows — Spark's
+    window-group-limit pushes the ``rank <= per_cluster`` filter into
+    bounded per-task state."""
+    cent_rows = [
+        (i, list(r["v"]))
+        for i, r in enumerate(
+            embeddings.orderBy(id_col)
+            .limit(nlist)
+            .select(F.col(vec_col).alias("v"))
+            .collect()
+        )
+    ]
+
+    def _norm(vec: list[float]) -> float:
+        import math
+
+        acc = 0.0
+        for x in vec:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
+    vd = to_double(F.col(vec_col))
+    vn = l2_norm(vd)
+    # (sim, -cent_id) struct argmax: best centroid AND its cosine in
+    # one projection — the ivf_topk assignment shape, keeping the sim
+    pairs = F.array(
+        *[
+            F.struct(
+                (
+                    dot(vd, F.array(*[F.lit(float(x)) for x in vec]))
+                    / (vn * F.lit(_norm(vec)))
+                ).alias("sim"),
+                F.lit(-cid).alias("ncid"),
+            )
+            for cid, vec in cent_rows
+        ]
+    )
+    best = F.array_max(pairs)
+    assigned = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        (-best["ncid"]).cast("int").alias("cent_id"),
+        F.round(best["sim"], round_to).alias("cos_to_centroid"),
+    )
+    w = W.partitionBy("cent_id").orderBy(
+        F.col("cos_to_centroid").desc(), F.col("vec_id").asc()
+    )
+    return (
+        assigned.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= per_cluster)
+        .select("cent_id", "vec_id", "cos_to_centroid", "rank")
+    )

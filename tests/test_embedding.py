@@ -298,3 +298,36 @@ def test_hard_negatives_ivf_recall_floor_and_label_filter(spark):
     ) / len(exact)
     print("hard_negatives_ivf recall@10:", round(rec, 3))
     assert rec >= 0.60
+
+
+def test_diverse_prototypes_covers_clusters(spark):
+    """Hand-built 2D geometry: two well-separated directions; each
+    centroid region returns its own most-centroid-aligned members, so
+    the sample covers BOTH regions (uniform sampling of this frame
+    would be 5:2 biased toward the dense direction)."""
+    from pyspark.sql import Row
+
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.similarity import (
+        diverse_prototypes,
+    )
+
+    rows = [
+        # centroid 0 = vec 0 ([1,0]); centroid 1 = vec 1 ([0,1])
+        Row(vec_id=0, embedding=[1.0, 0.0]),
+        Row(vec_id=1, embedding=[0.0, 1.0]),
+        # dense region around x-axis
+        Row(vec_id=2, embedding=[0.99, 0.05]),
+        Row(vec_id=3, embedding=[0.98, 0.1]),
+        Row(vec_id=4, embedding=[0.97, 0.15]),
+        # sparse region around y-axis
+        Row(vec_id=5, embedding=[0.05, 0.99]),
+    ]
+    df = spark.createDataFrame(rows)
+    got = diverse_prototypes(df, nlist=2, per_cluster=2).collect()
+    by_cluster = {}
+    for r in got:
+        by_cluster.setdefault(r.cent_id, []).append(r.vec_id)
+    # both regions represented, 2 each, ordered by centroid alignment
+    assert by_cluster[0] == [0, 2]   # exact member first, then closest
+    assert by_cluster[1] == [1, 5]
+    assert all(r.rank in (1, 2) for r in got)
