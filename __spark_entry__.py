@@ -3997,6 +3997,76 @@ def _q_embed_diverse_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diverse_prototypes(emb, nlist=16, per_cluster=2)
 
 
+def _q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quality gate (new in r10): the Gopher-style quality +
+    repetition filter applied to a document STREAM — pure stateless
+    codegen'd expressions, so the same gate runs in append mode with
+    zero state; survivors equal the batch gate row-for-row
+    (functions/text.py quality_flags/repetition_flags). This is the
+    ingest-side of corpus_select_pipeline's stage 1."""
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.text import (
+        quality_flags,
+        repetition_flags,
+        tokens,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.dedup_stream import (
+        read_documents_stream,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.sync_stream import (
+        run_to_memory,
+    )
+
+    stream = read_documents_stream(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    q = quality_flags(toks, F.col("text"))
+    r = repetition_flags(toks)
+    gated = stream.filter(
+        q["ok_length"]
+        & q["ok_token_len"]
+        & q["ok_stopwords"]
+        & r["ok_dup_ngrams"]
+        & r["ok_top_token"]
+    ).select("doc_id", "lang", "source", "n_chars")
+    run_to_memory(gated, "stream_qgate_tbl", output_mode="append")
+    return spark.table("stream_qgate_tbl")
+
+
+def _q_model_roundtrip_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model persistence roundtrip (new in r10): train the char-LM on
+    the en slice, SAVE the three model tables to parquet + manifest,
+    RELOAD them, and score the corpus with the reloaded model — the
+    train-once / score-many deployment shape
+    (sources/models.py save_model_tables/load_model_tables;
+    plans/selection.py char_lm_score(model=...)). Graded with the same
+    DuckDB twin as select_lm_score: a lossless roundtrip is exactly
+    "scores unchanged"."""
+    import shutil
+
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+        char_lm_score,
+        train_char_lm,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.sources.models import (
+        load_model_tables,
+        save_model_tables,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tri, ctx, vocab = train_char_lm(docs.filter(F.col("lang") == "en"))
+    base = _csv_scratch() + "/char_lm_model"
+    shutil.rmtree(base, ignore_errors=True)
+    save_model_tables(
+        base,
+        {"tri": tri, "ctx": ctx, "vocab": vocab},
+        meta={"family": "char_lm", "alpha": 0.5},
+    )
+    loaded, meta = load_model_tables(spark, base)
+    assert meta["family"] == "char_lm"
+    return char_lm_score(
+        docs, model=(loaded["tri"], loaded["ctx"], loaded["vocab"])
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator.
 
@@ -4161,6 +4231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_dsir_token_budget": _q_select_dsir_token_budget,
         "select_mixture_token_budget": _q_select_mixture_token_budget,
         "embed_diverse_prototypes": _q_embed_diverse_prototypes,
+        "stream_quality_gate": _q_stream_quality_gate,
+        "model_roundtrip_lm_score": _q_model_roundtrip_lm_score,
         "graph_triangles": _q_graph_triangles,
         "graph_pagerank": _q_graph_pagerank,
         "sample_weighted": _q_sample_weighted,
@@ -7502,6 +7574,39 @@ SELECT doc_id, n_tokens, log_weight, cum_tokens FROM (
     # CTEs (no mixing), then the LM scorer over the SURVIVORS (ref =
     # surviving en slice), a bits<=1.15 bucket, DSIR over the bucket
     # (target = en), top-50, metadata joined back
+    o["stream_quality_gate"] = """
+WITH t AS (SELECT doc_id, lang, source, n_chars,
+                  string_split(text, ' ') AS toks FROM documents),
+q AS (
+    SELECT *, len(toks) AS nt,
+           list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+               / len(toks) AS atl,
+           len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'is')))
+               / CAST(len(toks) AS DOUBLE) AS swr,
+           list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i+1]) AS g2,
+           list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+    FROM t
+),
+s AS (
+    SELECT *,
+           CASE WHEN len(g2) = 0 THEN 0.0
+                ELSE 1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE) END AS d2,
+           CASE WHEN len(g3) = 0 THEN 0.0
+                ELSE 1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE) END AS d3,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE list_max(list_transform(list_distinct(toks),
+                         tk -> len(list_filter(toks, x -> x = tk))))
+                     / CAST(len(toks) AS DOUBLE) END AS tt
+    FROM q
+)
+SELECT doc_id, lang, source, n_chars FROM s
+WHERE nt >= 10 AND nt <= 100000
+  AND atl >= 2.0 AND atl <= 12.0 AND swr > 0.0
+  AND d2 <= 0.05 AND d3 <= 0.03 AND tt <= 0.10
+"""
+
     o["corpus_select_pipeline"] = f"""
 WITH t AS (SELECT doc_id, lang, source, text, string_split(text, ' ') AS toks
            FROM documents),
@@ -7698,6 +7803,8 @@ FROM topk k JOIN kept c USING (doc_id)
     # streaming LM scoring: stateless map over the file replay ==
     # batch semantics, same DuckDB twin as select_lm_score
     o["stream_lm_score"] = o["select_lm_score"]
+    # save -> reload -> score must be lossless: same twin
+    o["model_roundtrip_lm_score"] = o["select_lm_score"]
     o["stream_dsir_weights"] = o["select_dsir_weights"]
     # streaming CEP twin: file replay == batch semantics, same SQL
     o["stream_seq_match"] = o["seq_match_funnel"]

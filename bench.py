@@ -179,6 +179,8 @@ def main() -> None:
         "select_dsir_token_budget",
         "select_mixture_token_budget",
         "embed_diverse_prototypes",
+        "stream_quality_gate",
+        "model_roundtrip_lm_score",
     ]
     for name in NEW_FAMILY:
         try:

@@ -122,11 +122,12 @@ def train_char_lm(
 
 def char_lm_score(
     docs: DataFrame,
-    ref: DataFrame,
+    ref: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = 0.5,
     round_to: int = 6,
+    model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Score every document in ``docs`` under a char-trigram LM trained
     on ``ref``: (id, n_grams, avg_logp, bits_per_gram).
@@ -142,8 +143,17 @@ def char_lm_score(
     BROADCAST joins against the vocabulary-sized model tables and one
     per-doc sum — a single data-sized shuffle (the groupBy on
     (id, gram)).
+
+    ``model``: a pretrained ``(tri, ctx, vocab)`` table triple (the
+    :func:`train_char_lm` shape — e.g. reloaded via
+    ``sources.models.load_model_tables``) scores WITHOUT retraining;
+    pass exactly one of ``ref`` / ``model``.
     """
-    tri, ctx, vocab = train_char_lm(ref, text_col)
+    if (ref is None) == (model is None):
+        raise ValueError("char_lm_score: pass exactly one of ref/model")
+    tri, ctx, vocab = (
+        model if model is not None else train_char_lm(ref, text_col)
+    )
     dg = (
         ensure_parallelism(docs)
         .select(

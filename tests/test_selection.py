@@ -331,3 +331,41 @@ def test_mixture_token_budget_per_source_fill(spark):
 
     with _pt.raises(ValueError):
         mixture_token_budget(w, {}, 100)
+
+
+def test_model_tables_roundtrip_and_errors(spark, tmp_path):
+    """save/load preserves model tables and meta exactly; scoring with
+    the reloaded model matches the train-in-place path; bad inputs
+    fail loudly."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+        char_lm_score,
+        train_char_lm,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.sources.models import (
+        load_model_tables,
+        save_model_tables,
+    )
+
+    ref = _docs(spark, [("the quick brown fox", "en")] * 2)
+    docs = _docs(spark, [("the quick brown", "en"), ("zzz yyy xxx", "xx")])
+    tri, ctx, vocab = train_char_lm(ref)
+    p = str(tmp_path / "m")
+    save_model_tables(p, {"tri": tri, "ctx": ctx, "vocab": vocab},
+                      meta={"alpha": 0.5})
+    loaded, meta = load_model_tables(spark, p)
+    assert meta == {"alpha": 0.5}
+    want = sorted(map(tuple, char_lm_score(docs, ref).collect()))
+    got = sorted(map(tuple, char_lm_score(
+        docs, model=(loaded["tri"], loaded["ctx"], loaded["vocab"])
+    ).collect()))
+    assert got == want
+    with pytest.raises(ValueError):
+        save_model_tables(p, {})
+    with pytest.raises(ValueError):
+        save_model_tables(p, {"_bad": tri})
+    with pytest.raises(FileNotFoundError):
+        load_model_tables(spark, str(tmp_path / "nope"))
+    with pytest.raises(ValueError):
+        char_lm_score(docs)  # neither ref nor model
+    with pytest.raises(ValueError):
+        char_lm_score(docs, ref, model=(tri, ctx, vocab))  # both
