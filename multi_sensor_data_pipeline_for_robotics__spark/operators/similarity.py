@@ -293,9 +293,15 @@ def ivf_topk(
     round_to: int = 6,
     train_iters: int = 0,
     label_col: str | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Inverted-file ANN: coarse-quantize the corpus to its nearest
     centroid, then each query scans only its ``nprobe`` nearest lists.
+
+    ``centroids`` (optional) supplies PRETRAINED coarse centroids
+    (e.g. ``kmeans_centroids`` output reloaded via
+    ``sources.models``), skipping both the deterministic init and any
+    training — the train-once / serve-many shape.
 
     ``train_iters=0`` (default) uses the first ``nlist`` corpus vectors
     as deterministic coarse centroids — fully reproducible in any
@@ -312,7 +318,9 @@ def ivf_topk(
     candidate scoring touches ~nprobe/nlist of the corpus per query.
     """
     spark = embeddings.sparkSession
-    if train_iters > 0:
+    if centroids is not None:
+        cent_rows = [(i, [float(x) for x in v]) for i, v in enumerate(centroids)]
+    elif train_iters > 0:
         trained = kmeans_centroids(embeddings, nlist, train_iters, id_col, vec_col)
         cent_rows = list(enumerate(trained))
     else:

@@ -331,3 +331,43 @@ def test_diverse_prototypes_covers_clusters(spark):
     assert by_cluster[0] == [0, 2]   # exact member first, then closest
     assert by_cluster[1] == [1, 5]
     assert all(r.rank in (1, 2) for r in got)
+
+
+def test_ivf_topk_pretrained_centroids_roundtrip(spark, tmp_path):
+    """ivf_topk(centroids=...) with saved+reloaded trained centroids
+    equals ivf_topk(train_iters=2) computed in place — the train-once /
+    serve-many path is lossless."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.sources.models import (
+        load_model_tables,
+        save_model_tables,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = kmeans_centroids(emb, nlist=8, iters=2)
+    p = str(tmp_path / "ivf")
+    save_model_tables(
+        p,
+        {"centroids": spark.createDataFrame(
+            [(i, v) for i, v in enumerate(cents)],
+            "cent_id int, cv array<double>",
+        )},
+        meta={"nlist": 8},
+    )
+    loaded, meta = load_model_tables(spark, p)
+    reloaded = [
+        r.cv for r in loaded["centroids"].orderBy("cent_id").collect()
+    ]
+    want = sorted(map(tuple, ivf_topk(
+        emb, qs, k=5, nlist=8, nprobe=2, train_iters=2
+    ).collect()))
+    got = sorted(map(tuple, ivf_topk(
+        emb, qs, k=5, nlist=meta["nlist"], nprobe=2, centroids=reloaded
+    ).collect()))
+    assert got == want and len(got) > 0
