@@ -4067,6 +4067,61 @@ def _q_model_roundtrip_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed STREAMING ingest pipeline (new in r10): quality gate ->
+    frozen-corpus near-dup screen -> char-LM scoring, all three stages
+    STATELESS (codegen'd filter, broadcast-LSH map screen, broadcast-LM
+    map scorer), so the whole chain runs in append mode with zero
+    streaming state — the online half of corpus_select_pipeline.
+    Fixture: odd doc_ids arrive, even doc_ids are the frozen corpus,
+    LM ref = the en slice. Oracle: the batch replay of all three
+    stages stitched into one CTE stack (each stage's decision is
+    per-doc, so micro-batch boundaries cannot change the output)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.text import (
+        quality_flags,
+        repetition_flags,
+        tokens,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.dedup import (
+        minhash_signatures_portable,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+        char_lm_score_map,
+        collect_char_lm,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.dedup_stream import (
+        collect_lsh_screen_model,
+        read_documents_stream,
+        stream_neardup_screen,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.sync_stream import (
+        run_to_memory,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    screen_model = collect_lsh_screen_model(
+        minhash_signatures_portable(docs.filter(F.col("doc_id") % 2 == 0))
+    )
+    lm_model = collect_char_lm(docs.filter(F.col("lang") == "en"))
+    stream = read_documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 2 == 1
+    )
+    toks = tokens(F.col("text"))
+    q = quality_flags(toks, F.col("text"))
+    r = repetition_flags(toks)
+    gated = stream.filter(
+        q["ok_length"]
+        & q["ok_token_len"]
+        & q["ok_stopwords"]
+        & r["ok_dup_ngrams"]
+        & r["ok_top_token"]
+    )
+    kept = stream_neardup_screen(gated, screen_model)
+    scored = char_lm_score_map(kept, lm_model)
+    run_to_memory(scored, "stream_ingest_tbl", output_mode="append")
+    return spark.table("stream_ingest_tbl")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator.
 
@@ -4233,6 +4288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_diverse_prototypes": _q_embed_diverse_prototypes,
         "stream_quality_gate": _q_stream_quality_gate,
         "model_roundtrip_lm_score": _q_model_roundtrip_lm_score,
+        "stream_ingest_pipeline": _q_stream_ingest_pipeline,
         "graph_triangles": _q_graph_triangles,
         "graph_pagerank": _q_graph_pagerank,
         "sample_weighted": _q_sample_weighted,
@@ -7805,6 +7861,103 @@ FROM topk k JOIN kept c USING (doc_id)
     o["stream_lm_score"] = o["select_lm_score"]
     # save -> reload -> score must be lossless: same twin
     o["model_roundtrip_lm_score"] = o["select_lm_score"]
+
+    # composed streaming ingest: gate CTEs + the odd-vs-even portable
+    # minhash screen + LM scoring of the survivors, one stack
+    o["stream_ingest_pipeline"] = f"""
+WITH arr AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+             FROM documents WHERE doc_id % 2 = 1),
+gq AS (
+    SELECT *, len(toks) AS nt,
+           list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+               / len(toks) AS atl,
+           len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'is')))
+               / CAST(len(toks) AS DOUBLE) AS swr,
+           list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i+1]) AS g2,
+           list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+    FROM arr
+),
+gs AS (
+    SELECT *,
+           CASE WHEN len(g2) = 0 THEN 0.0
+                ELSE 1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE) END AS d2,
+           CASE WHEN len(g3) = 0 THEN 0.0
+                ELSE 1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE) END AS d3,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE list_max(list_transform(list_distinct(toks),
+                         tk -> len(list_filter(toks, x -> x = tk))))
+                     / CAST(len(toks) AS DOUBLE) END AS tt
+    FROM gq
+),
+gated AS (
+    SELECT doc_id, text FROM gs
+    WHERE nt >= 10 AND nt <= 100000
+      AND atl >= 2.0 AND atl <= 12.0 AND swr > 0.0
+      AND d2 <= 0.05 AND d3 <= 0.03 AND tt <= 0.10
+),
+t AS (SELECT doc_id AS doc, string_split(text, ' ') AS toks FROM documents),
+shg AS (
+    SELECT doc, unnest(list_distinct(
+        list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    )) AS shingle
+    FROM t
+),
+hb AS (
+    SELECT doc, CAST(('0x' || substr(sha256(shingle), 1, 7)) AS BIGINT) AS b
+    FROM shg
+),
+sig AS (
+    SELECT doc,
+           {_min_exprs}
+    FROM hb GROUP BY doc
+),
+banded AS (
+    {_bands_sql}
+),
+matched AS (
+    SELECT DISTINCT a.doc
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc % 2 = 1 AND b.doc % 2 = 0
+    WHERE ({_match_sum}) / {float(_NH)} >= 0.5
+),
+surv AS (
+    SELECT doc_id, text FROM gated
+    WHERE doc_id NOT IN (SELECT doc FROM matched)
+),
+rg AS (
+    SELECT unnest({_LM_GRAMS}) AS gram
+    FROM documents WHERE lang = 'en'
+),
+tri AS (SELECT gram, count(*) AS cnt3 FROM rg GROUP BY gram),
+ctx AS (SELECT substr(gram, 1, 2) AS c2, count(*) AS cnt2 FROM rg GROUP BY 1),
+vocab AS (
+    SELECT count(DISTINCT ch) AS v FROM (
+        SELECT unnest(list_transform(range(1, len(text) + 1),
+                                     i -> substr(text, i, 1))) AS ch
+        FROM documents WHERE lang = 'en' AND len(text) >= 1
+    )
+),
+dgx AS (SELECT doc_id AS id, unnest({_LM_GRAMS}) AS gram FROM surv),
+dgc AS (SELECT id, gram, count(*) AS n FROM dgx GROUP BY id, gram),
+lmj AS (
+    SELECT dgc.id, dgc.n,
+           ln((coalesce(tri.cnt3, 0) + 0.5)
+              / (coalesce(ctx.cnt2, 0) + 0.5 * vocab.v)) AS lp
+    FROM dgc
+    LEFT JOIN tri USING (gram)
+    LEFT JOIN ctx ON ctx.c2 = substr(dgc.gram, 1, 2)
+    CROSS JOIN vocab
+)
+SELECT id AS doc_id,
+       CAST(sum(n) AS BIGINT) AS n_grams,
+       round(sum(n * lp) / sum(n), 6) AS avg_logp,
+       round(-(sum(n * lp) / sum(n)) / ln(2), 6) AS bits_per_gram
+FROM lmj GROUP BY id
+"""
     o["stream_dsir_weights"] = o["select_dsir_weights"]
     # streaming CEP twin: file replay == batch semantics, same SQL
     o["stream_seq_match"] = o["seq_match_funnel"]

@@ -181,6 +181,7 @@ def main() -> None:
         "embed_diverse_prototypes",
         "stream_quality_gate",
         "model_roundtrip_lm_score",
+        "stream_ingest_pipeline",
     ]
     for name in NEW_FAMILY:
         try:
