@@ -4122,6 +4122,25 @@ def _q_stream_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_ingest_tbl")
 
 
+def _q_sample_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplets (new in r10): near-dup ngram pairs supply
+    (anchor, positive); 2 hash-probe negatives per anchor attach with
+    the full pair set excluded both orientations — the triplet-loss
+    data-prep composition from graded primitives
+    (functions/sampling.py contrastive_triplets)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        contrastive_triplets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, max_shingle_df=None
+    )
+    return contrastive_triplets(
+        pairs, docs.agg(F.count(F.lit(1)).alias("n")), k=2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator.
 
@@ -4289,6 +4308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_quality_gate": _q_stream_quality_gate,
         "model_roundtrip_lm_score": _q_model_roundtrip_lm_score,
         "stream_ingest_pipeline": _q_stream_ingest_pipeline,
+        "sample_triplets": _q_sample_triplets,
         "graph_triangles": _q_graph_triangles,
         "graph_pagerank": _q_graph_pagerank,
         "sample_weighted": _q_sample_weighted,
@@ -8000,6 +8020,23 @@ FROM last CROSS JOIN tot
         k=4,
         exclude_sql=o["dedup_ngram_jaccard"],
     )
+
+    # triplets: the pair set supplies anchor/positive; negatives reuse
+    # the hash-probe twin with anchors = distinct pair doc_a
+    _pairs_sql = o["dedup_ngram_jaccard"]
+    _negs_sql = negatives_oracle_sql(
+        f"SELECT DISTINCT doc_a AS anchor FROM ({_pairs_sql})",
+        "(SELECT count(*) FROM documents)",
+        k=2,
+        exclude_sql=_pairs_sql,
+    )
+    o["sample_triplets"] = f"""
+WITH p AS ({_pairs_sql}),
+n AS ({_negs_sql})
+SELECT p.doc_a AS anchor, p.doc_b AS positive,
+       n.neg_id AS negative, n.probe
+FROM p JOIN n ON n.anchor = p.doc_a
+"""
 
     o["embed_hard_negatives"] = """
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v

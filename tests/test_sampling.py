@@ -527,3 +527,31 @@ def test_sample_negatives_count_frame(spark):
         items, items.agg(F.count(F.lit(1)).alias("n")), k=3
     ).collect()
     assert sorted(map(tuple, lit)) == sorted(map(tuple, frame))
+
+
+def test_contrastive_triplets_invariants(spark):
+    """Every triplet: negative != anchor, negative is NOT any of the
+    anchor's positives (either orientation), exactly k negatives per
+    (anchor, positive) row, and the same triplets come back when the
+    pair frame is repartitioned."""
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (
+        contrastive_triplets,
+    )
+
+    pairs = spark.createDataFrame(
+        [(0, 5), (0, 7), (3, 9)], "doc_a long, doc_b long"
+    )
+    got = contrastive_triplets(pairs, 100, k=2).collect()
+    pos = {(0, 5), (0, 7), (3, 9)}
+    pos |= {(b, a) for a, b in pos}
+    by_pair = {}
+    for r in got:
+        assert r.negative != r.anchor
+        assert (r.anchor, r.negative) not in pos
+        by_pair.setdefault((r.anchor, r.positive), []).append(r.negative)
+    assert set(by_pair) == {(0, 5), (0, 7), (3, 9)}
+    assert all(len(v) == 2 for v in by_pair.values())
+    # both positives of anchor 0 share the anchor's negative draw
+    assert sorted(by_pair[(0, 5)]) == sorted(by_pair[(0, 7)])
+    again = contrastive_triplets(pairs.repartition(7), 100, k=2).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
