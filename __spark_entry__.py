@@ -4141,6 +4141,24 @@ def _q_sample_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-dup overlap report (new in r10): which source
+    pairs share duplicate mass — ngram near-dup pairs joined to their
+    sources (lexicographically merged orientations) and aggregated to
+    (source_a, source_b, n_pairs, avg_sim); the curation diagnostic
+    behind "is feed B mirroring feed A"
+    (operators/dedup.py source_overlap_report)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.dedup import (
+        source_overlap_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, max_shingle_df=None
+    )
+    return source_overlap_report(pairs, docs, sim_col="jaccard")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator.
 
@@ -4309,6 +4327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_roundtrip_lm_score": _q_model_roundtrip_lm_score,
         "stream_ingest_pipeline": _q_stream_ingest_pipeline,
         "sample_triplets": _q_sample_triplets,
+        "dedup_source_overlap": _q_dedup_source_overlap,
         "graph_triangles": _q_graph_triangles,
         "graph_pagerank": _q_graph_pagerank,
         "sample_weighted": _q_sample_weighted,
@@ -8020,6 +8039,21 @@ FROM last CROSS JOIN tot
         k=4,
         exclude_sql=o["dedup_ngram_jaccard"],
     )
+
+    o["dedup_source_overlap"] = f"""
+WITH p AS ({o["dedup_ngram_jaccard"]}),
+j AS (
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           p.jaccard
+    FROM p
+    JOIN documents da ON p.doc_a = da.doc_id
+    JOIN documents db ON p.doc_b = db.doc_id
+)
+SELECT source_a, source_b, count(*) AS n_pairs,
+       round(avg(jaccard), 6) AS avg_sim
+FROM j GROUP BY source_a, source_b
+"""
 
     # triplets: the pair set supplies anchor/positive; negatives reuse
     # the hash-probe twin with anchors = distinct pair doc_a

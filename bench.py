@@ -183,6 +183,7 @@ def main() -> None:
         "model_roundtrip_lm_score",
         "stream_ingest_pipeline",
         "sample_triplets",
+        "dedup_source_overlap",
     ]
     for name in NEW_FAMILY:
         try:

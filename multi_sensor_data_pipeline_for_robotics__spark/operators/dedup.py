@@ -1427,3 +1427,44 @@ def leakage_report(
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .withColumn("leaky", F.col("split_a") != F.col("split_b"))
     )
+
+
+def source_overlap_report(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    sim_col: str | None = None,
+    pair_a: str = "doc_a",
+    pair_b: str = "doc_b",
+    round_to: int = 6,
+) -> DataFrame:
+    """Where the near-duplicate mass lives ACROSS sources:
+    (source_a, source_b, n_pairs[, avg_sim]) per unordered source pair
+    — the curation diagnostic behind "is crawl B just mirroring crawl
+    A" and "which feeds should dedup against each other first".
+    Sources order lexicographically within each row so (A, B) and
+    (B, A) aggregate together; same-source rows report intra-feed
+    duplication.
+
+    Plan: two thin (id, source) joins onto the pair table (the heavy
+    mining already happened in ``pairs``) and one
+    source-cardinality-bounded groupBy. ``sim_col`` (e.g.
+    ``jaccard``/``est_jaccard``) adds a rounded mean similarity."""
+    meta = docs.select(
+        F.col(id_col).alias("__id"), F.col(source_col).alias("__src")
+    )
+    j = (
+        pairs.join(meta, pairs[pair_a] == F.col("__id"))
+        .select(pairs["*"], F.col("__src").alias("__sa"))
+        .join(meta, F.col(pair_b) == F.col("__id"))
+        .select(
+            F.least("__sa", "__src").alias("source_a"),
+            F.greatest("__sa", "__src").alias("source_b"),
+            *([F.col(sim_col)] if sim_col else []),
+        )
+    )
+    aggs = [F.count(F.lit(1)).alias("n_pairs")]
+    if sim_col:
+        aggs.append(F.round(F.avg(sim_col), round_to).alias("avg_sim"))
+    return j.groupBy("source_a", "source_b").agg(*aggs)

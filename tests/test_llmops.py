@@ -1486,3 +1486,29 @@ def test_zipf_fit_perfect_power_law(spark):
     assert got.slope == pytest.approx(-1.0, abs=1e-6)
     assert got.intercept == pytest.approx(math.log(720), abs=1e-6)
     assert got.r2 == pytest.approx(1.0, abs=1e-6)
+
+
+def test_source_overlap_report_merges_orientations(spark):
+    """(A,B) and (B,A) pairs aggregate into one lexicographic row;
+    same-source pairs report intra-feed duplication; avg_sim is the
+    rounded mean of the pair scores."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.dedup import (
+        source_overlap_report,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "web"), (1, "web"), (2, "code"), (3, "code"), (4, "web")],
+        "doc_id long, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 2, 0.8), (2, 4, 0.6), (0, 1, 1.0)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    got = {
+        (r.source_a, r.source_b): (r.n_pairs, r.avg_sim)
+        for r in source_overlap_report(pairs, docs, sim_col="jaccard").collect()
+    }
+    # 0(web)-2(code) and 2(code)-4(web) merge into (code, web)
+    assert got[("code", "web")] == (2, 0.7)
+    assert got[("web", "web")] == (1, 1.0)
+    assert set(got) == {("code", "web"), ("web", "web")}
