@@ -4159,6 +4159,22 @@ def _q_dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap_report(pairs, docs, sim_col="jaccard")
 
 
+def _q_corpus_select_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection-funnel attrition report (new in r10): docs + tokens
+    surviving each corpus_select_pipeline stage boundary (raw -> gated
+    -> deduped -> lm bucket -> selected) — the observability readout
+    that decides whether gate thresholds move
+    (plans/selection.py corpus_select_funnel)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+        corpus_select_funnel,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_select_funnel(
+        docs, F.col("lang") == "en", k=50, max_bits=1.15
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator.
 
@@ -4328,6 +4344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ingest_pipeline": _q_stream_ingest_pipeline,
         "sample_triplets": _q_sample_triplets,
         "dedup_source_overlap": _q_dedup_source_overlap,
+        "corpus_select_funnel": _q_corpus_select_funnel,
         "graph_triangles": _q_graph_triangles,
         "graph_pagerank": _q_graph_pagerank,
         "sample_weighted": _q_sample_weighted,
@@ -7802,6 +7819,26 @@ topk AS (SELECT * FROM w ORDER BY log_weight DESC, doc_id LIMIT 50)
 SELECT k.doc_id, c.lang, c.source, k.n_tokens, c.bits_per_gram, k.log_weight
 FROM topk k JOIN kept c USING (doc_id)
 """
+
+    # the attrition report shares the pipeline stack: counts + token
+    # sums at each stage boundary, 5 scalar rows
+    _csf_head = o["corpus_select_pipeline"].rsplit("topk AS", 1)[0]
+    o["corpus_select_funnel"] = (
+        _csf_head
+        + """topk AS (SELECT * FROM w ORDER BY log_weight DESC, doc_id LIMIT 50),
+sel AS (SELECT k.* FROM kept k JOIN topk USING (doc_id))
+SELECT '1_raw' AS stage, count(*) AS n_docs,
+       sum(len(string_split(text, ' '))) AS n_tokens FROM documents
+UNION ALL
+SELECT '2_gated', count(*), sum(len(string_split(text, ' '))) FROM gated
+UNION ALL
+SELECT '3_deduped', count(*), sum(len(string_split(text, ' '))) FROM surv
+UNION ALL
+SELECT '4_lm_bucket', count(*), sum(len(string_split(text, ' '))) FROM kept
+UNION ALL
+SELECT '5_selected', count(*), sum(len(string_split(text, ' '))) FROM sel
+"""
+    )
     o["select_dsir_top"] = (
         f"SELECT doc_id, n_tokens, log_weight FROM ({_DSIR_W})\n"
         "ORDER BY log_weight DESC, doc_id LIMIT 50"

@@ -184,6 +184,7 @@ def main() -> None:
         "stream_ingest_pipeline",
         "sample_triplets",
         "dedup_source_overlap",
+        "corpus_select_funnel",
     ]
     for name in NEW_FAMILY:
         try:

@@ -809,3 +809,80 @@ def mixture_token_budget(
             id_col, source_col, "n_tokens", "log_weight", "cum_tokens"
         )
     )
+
+
+def corpus_select_funnel(
+    docs: DataFrame,
+    is_target: Column,
+    k: int = 50,
+    max_bits: float = 4.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Attrition report for :func:`corpus_select_pipeline`:
+    (stage, n_docs, n_tokens) at every stage boundary —
+    ``1_raw → 2_gated → 3_deduped → 4_lm_bucket → 5_selected`` — the
+    observability readout a curation run publishes next to its output
+    ("the gate dropped 40% of docs but only 12% of tokens" is the
+    number that decides whether thresholds move).
+
+    Same stage construction as the pipeline (same gate expressions,
+    same dedup representative rule, same LM bucket, same DSIR top-k);
+    the survivor/bucket frames are persisted ungated exactly as there,
+    so the five stage aggregates replay nothing expensive.  Output is
+    5 rows — the aggregates are scalar."""
+    from ..cache import maybe_persist
+    from ..functions.text import quality_flags, repetition_flags
+    from ..functions.text import tokens as _tokens
+
+    ntok = F.size(_tokens(F.col(text_col))).cast("long")
+    toks = _tokens(F.col(text_col))
+    q = quality_flags(toks, F.col(text_col))
+    r = repetition_flags(toks)
+    gated = docs.filter(
+        q["ok_length"]
+        & q["ok_token_len"]
+        & q["ok_stopwords"]
+        & r["ok_dup_ngrams"]
+        & r["ok_top_token"]
+    )
+    keep_ids = (
+        gated.groupBy(F.sha2(F.col(text_col), 256).alias("__h"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    surv = maybe_persist(gated.join(keep_ids, id_col, "left_semi"), min_bytes=0)
+    lm = char_lm_score(surv, surv.filter(is_target), text_col, id_col, alpha)
+    kept = maybe_persist(
+        surv.join(
+            lm.filter(F.col("bits_per_gram") <= max_bits).select(id_col),
+            id_col,
+            "left_semi",
+        ),
+        min_bytes=0,
+    )
+    w = dsir_log_weights(kept, is_target, text_col, id_col, buckets)
+    selected = kept.join(
+        dsir_select_top(w, k, id_col).select(id_col), id_col, "left_semi"
+    )
+    stages = [
+        ("1_raw", docs),
+        ("2_gated", gated),
+        ("3_deduped", surv),
+        ("4_lm_bucket", kept),
+        ("5_selected", selected),
+    ]
+    parts = [
+        df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum(ntok), F.lit(0)).alias("n_tokens"),
+        )
+        for name, df in stages
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
