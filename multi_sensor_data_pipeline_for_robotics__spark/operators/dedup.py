@@ -95,24 +95,23 @@ def chunk_dedup(
 def shingles(toks, n: int = 3):
     """Distinct n-token shingles (space-joined) of a token array.
 
-    NOTE: readable but interpreted — nested higher-order functions
-    (transform + element_at) evaluate outside codegen at ~1 ms/doc. The
-    similarity operators use :func:`shingle_hashes` (Arrow-batched) on
-    their hot paths; this Column form remains for ad-hoc/oracle use.
+    Built as ``n`` shifted O(len) slices folded with ``zip_with``
+    (``functions.text.ngrams``'s shape) — the previous per-position
+    ``element_at`` transform was O(len·n) interpreted lookups per doc
+    and dominated the portable-minhash signature pass. Output strings
+    and order are identical. ``shingle_hashes`` (Arrow-batched) remains
+    the similarity operators' hot path; short docs (< n tokens) get an
+    empty shingle set.
     """
     if n == 1:
         return F.array_distinct(toks)
-    # slide an n-window: positions 0..size-n (0-based transform index);
-    # short docs (< n tokens) get an empty shingle set, not a descending
-    # sequence
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
-    ).otherwise(F.expr("array()").cast("array<int>"))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
-        )
+    m = F.size(toks) - F.lit(n - 1)
+    parts = [F.slice(toks, F.lit(i + 1), m) for i in range(n)]
+    g = parts[0]
+    for p in parts[1:]:
+        g = F.zip_with(g, p, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(F.size(toks) >= n, F.array_distinct(g)).otherwise(
+        F.array().cast("array<string>")
     )
 
 
