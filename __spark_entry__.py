@@ -8130,7 +8130,9 @@ SELECT query_id, cand_id, cosine, rank FROM r WHERE rank <= 5
     # label threaded through assignment/probes and the mismatch filter
     # applied before ranking (operators/similarity.py hard_negatives_ivf)
     o["embed_diverse_prototypes"] = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE list_aggregate(list_transform(
+                     CAST(embedding AS DOUBLE[]), y -> y * y), 'sum') > 0),
 cents AS (
     SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, v AS cv
     FROM e QUALIFY row_number() OVER (ORDER BY vec_id) <= 16

@@ -141,7 +141,9 @@ def ngrams(toks: Column, n: int) -> Column:
     Built as ``n`` shifted O(len) slices folded with ``zip_with`` —
     NOT a per-position ``slice`` inside ``transform``, which is
     O(len^2) array copies per document (measured 7.5 s -> 1.5 s on the
-    sf0.1 gate). Output strings are identical either way.
+    sf0.1 gate). Output strings are identical for NON-NULL token
+    entries (the tokenizers here never emit nulls); a null token now
+    nulls its grams (concat) where concat_ws used to skip it.
 
     Guarded for short docs: fewer than ``n`` tokens -> empty array
     (``sequence(1, 0)`` would otherwise generate a DESCENDING range).

@@ -99,7 +99,9 @@ def shingles(toks, n: int = 3):
     (``functions.text.ngrams``'s shape) — the previous per-position
     ``element_at`` transform was O(len·n) interpreted lookups per doc
     and dominated the portable-minhash signature pass. Output strings
-    and order are identical. ``shingle_hashes`` (Arrow-batched) remains
+    and order are identical for NON-NULL token entries (split() never
+    emits nulls; a null token would null its shingles here where
+    concat_ws used to skip it). ``shingle_hashes`` (Arrow-batched) remains
     the similarity operators' hot path; short docs (< n tokens) get an
     empty shingle set.
     """

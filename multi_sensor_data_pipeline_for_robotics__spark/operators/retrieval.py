@@ -332,7 +332,7 @@ def rrf_fuse(
     term = F.round(
         F.lit(1.0) / (F.col("rank").cast("double") + F.lit(float(c))),
         round_to,
-    ).cast("decimal(18,6)")
+    ).cast(f"decimal(28,{int(round_to)})")
     fused = u.groupBy("query_id", "doc").agg(
         F.sum(term).alias("__s"),
         F.count(F.lit(1)).cast("long").alias("n_systems"),

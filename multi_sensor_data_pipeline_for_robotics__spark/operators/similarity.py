@@ -281,6 +281,60 @@ def kmeans_centroids(
     return [[float(x) for x in c] for c in cents]
 
 
+def _first_n_centroids(
+    embeddings: DataFrame, nlist: int, id_col: str, vec_col: str
+) -> list:
+    """Deterministic coarse centroids: the first ``nlist`` corpus
+    vectors by id — stable ids 0..nlist-1, reproducible in any engine
+    (the oracle-checked quantizer shared by :func:`ivf_topk` and
+    :func:`diverse_prototypes`)."""
+    return [
+        (i, list(r["v"]))
+        for i, r in enumerate(
+            embeddings.orderBy(id_col)
+            .limit(nlist)
+            .select(F.col(vec_col).alias("v"))
+            .collect()
+        )
+    ]
+
+
+def _cent_norm(vec: list) -> float:
+    """EXACT left-fold sum of squares + sqrt, the same IEEE op sequence
+    as functions.vector.l2_norm's Catalyst fold — folding centroid
+    norms into Python constants changes nothing in the resulting
+    doubles."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _assign_pairs(cent_rows: list, vd, vnorm):
+    """The shared narrow-argmax assignment projection: one
+    (sim, -cent_id) struct per centroid literal; ``array_max`` over the
+    result picks the highest sim with ties to the LOWEST cent_id — no
+    cross join, no O(n x nlist) shuffle, no per-candidate window sort.
+    The candidate's double vector and norm are computed ONCE per row,
+    centroid norms are plan-time constants, and each per-centroid term
+    is a single left-fold dot — the exact double sequence of a
+    join+window cosine(), bit-identical sims, oracle-safe."""
+    return F.array(
+        *[
+            F.struct(
+                (
+                    dot(vd, F.array(*[F.lit(float(x)) for x in vec]))
+                    / (vnorm * F.lit(_cent_norm(vec)))
+                ).alias("sim"),
+                F.lit(-cid).alias("ncid"),
+            )
+            for cid, vec in cent_rows
+        ]
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -325,55 +379,18 @@ def ivf_topk(
         cent_rows = list(enumerate(trained))
     else:
         # stable centroid ids 0..nlist-1 by source id order
-        cent_rows = [
-            (i, list(r["v"]))
-            for i, r in enumerate(
-                embeddings.orderBy(id_col)
-                .limit(nlist)
-                .select(F.col(vec_col).alias("v"))
-                .collect()
-            )
-        ]
+        cent_rows = _first_n_centroids(embeddings, nlist, id_col, vec_col)
     cents = spark.createDataFrame(
         [(i, [float(x) for x in v]) for i, v in cent_rows],
         "cent_id int, cent_vec array<double>",
     )
 
-    def _norm(vec: list[float]) -> float:
-        # EXACT left-fold sum of squares + sqrt, the same IEEE op
-        # sequence as functions.vector.l2_norm's Catalyst fold — so
-        # folding centroid norms into Python constants changes nothing
-        # in the resulting doubles
-        import math
-
-        acc = 0.0
-        for x in vec:
-            acc += float(x) * float(x)
-        return math.sqrt(acc)
-
     def assign_expr(vd, vnorm):
-        # corpus assignment as a NARROW argmax projection: one
-        # (sim, -cent_id) struct per centroid literal, array_max picks
-        # highest sim with ties to the LOWEST cent_id — no cross join,
-        # no O(n x nlist) shuffle, no per-candidate window sort. The
-        # candidate's double vector and norm are computed ONCE per row
-        # (not per centroid), centroid norms are plan-time constants,
-        # and each per-centroid term is a single left-fold dot — the
-        # exact same double sequence as the previous join+window
-        # cosine(), bit-identical sims, oracle-safe.
-        pairs = F.array(
-            *[
-                F.struct(
-                    (
-                        dot(vd, F.array(*[F.lit(float(x)) for x in vec]))
-                        / (vnorm * F.lit(_norm(vec)))
-                    ).alias("sim"),
-                    F.lit(-cid).alias("ncid"),
-                )
-                for cid, vec in cent_rows
-            ]
+        # corpus assignment via the shared narrow-argmax projection
+        # (see _assign_pairs for the exactness argument)
+        return (-F.array_max(_assign_pairs(cent_rows, vd, vnorm))["ncid"]).cast(
+            "int"
         )
-        return (-F.array_max(pairs)["ncid"]).cast("int")
 
     ecols = [F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec")]
     if label_col is not None:
@@ -1708,42 +1725,22 @@ def diverse_prototypes(
     vectors); the per-cluster rank is a window over nlist partitions
     whose per-task state is one cluster's rows — Spark's
     window-group-limit pushes the ``rank <= per_cluster`` filter into
-    bounded per-task state."""
-    cent_rows = [
-        (i, list(r["v"]))
-        for i, r in enumerate(
-            embeddings.orderBy(id_col)
-            .limit(nlist)
-            .select(F.col(vec_col).alias("v"))
-            .collect()
-        )
-    ]
+    bounded per-task state.
 
-    def _norm(vec: list[float]) -> float:
-        import math
-
-        acc = 0.0
-        for x in vec:
-            acc += float(x) * float(x)
-        return math.sqrt(acc)
-
+    Zero-norm vectors (padding / failed encodes) are EXCLUDED up
+    front: they have no direction, and their 0/0 cosine would
+    otherwise rank NaN above every real member (NaN sorts greatest)
+    and displace a genuine prototype."""
+    embeddings = embeddings.filter(
+        l2_norm(to_double(F.col(vec_col))) > 0
+    )
+    cent_rows = _first_n_centroids(embeddings, nlist, id_col, vec_col)
     vd = to_double(F.col(vec_col))
     vn = l2_norm(vd)
-    # (sim, -cent_id) struct argmax: best centroid AND its cosine in
-    # one projection — the ivf_topk assignment shape, keeping the sim
-    pairs = F.array(
-        *[
-            F.struct(
-                (
-                    dot(vd, F.array(*[F.lit(float(x)) for x in vec]))
-                    / (vn * F.lit(_norm(vec)))
-                ).alias("sim"),
-                F.lit(-cid).alias("ncid"),
-            )
-            for cid, vec in cent_rows
-        ]
-    )
-    best = F.array_max(pairs)
+    # the SAME quantizer as ivf_topk — literally: the shared
+    # _first_n_centroids collect and _assign_pairs argmax projection,
+    # keeping the winning struct so the sim rides along
+    best = F.array_max(_assign_pairs(cent_rows, vd, vn))
     assigned = embeddings.select(
         F.col(id_col).alias("vec_id"),
         (-best["ncid"]).cast("int").alias("cent_id"),

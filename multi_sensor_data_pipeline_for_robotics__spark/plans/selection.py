@@ -616,6 +616,42 @@ def dsir_score_map(
     )
 
 
+def _gate_and_dedup(
+    docs: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """The shared stage-1/2 construction of the selection pipeline and
+    its funnel report (and semantically of ``corpus_clean_pipeline``):
+    Gopher-style quality + repetition gate, then min-id representative
+    per sha256(text). Returns ``(gated, survivors)`` with the survivor
+    frame persisted UNGATED — every caller fans it into multiple
+    heterogeneous consumers (see :func:`corpus_select_pipeline`'s plan
+    note). Keeping this in ONE place means a threshold change cannot
+    desynchronize the pipeline from the report that instruments it."""
+    from ..cache import maybe_persist
+    from ..functions.text import quality_flags, repetition_flags
+    from ..functions.text import tokens as _tokens
+
+    toks = _tokens(F.col(text_col))
+    q = quality_flags(toks, F.col(text_col))
+    r = repetition_flags(toks)
+    gated = docs.filter(
+        q["ok_length"]
+        & q["ok_token_len"]
+        & q["ok_stopwords"]
+        & r["ok_dup_ngrams"]
+        & r["ok_top_token"]
+    )
+    keep_ids = (
+        gated.groupBy(F.sha2(F.col(text_col), 256).alias("__h"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    surv = maybe_persist(
+        gated.join(keep_ids, id_col, "left_semi"), min_bytes=0
+    )
+    return gated, surv
+
+
 def corpus_select_pipeline(
     docs: DataFrame,
     is_target: Column,
@@ -651,10 +687,13 @@ def corpus_select_pipeline(
     Output: (doc_id, lang, source, n_tokens, bits_per_gram,
     log_weight) for the selected k.
 
-    Plan shape: the gated+deduped survivor frame is size-gated
-    persisted — it feeds the LM reference explode, the LM scoring
-    explode, and the DSIR stage, and would otherwise replay the
-    scan+gate+dedup three times. Within stages nothing re-explodes:
+    Plan shape: the gated+deduped survivor frame is persisted UNGATED
+    (:func:`_gate_and_dedup`) — it feeds the LM reference explode, the
+    LM scoring explode, and the DSIR stage, heterogeneous consumers
+    ReusedExchange cannot dedupe, so without the barrier the
+    scan+gate+dedup subtree would replay per consumer at any size
+    (measured 34.7 s -> 8.4 s at sf0.1). Within stages nothing
+    re-explodes:
     the LM context table DERIVES from the trigram counts
     (``train_char_lm``) and DSIR's token explode is shared between its
     model and its scoring via the persisted pre-aggregate
@@ -662,31 +701,8 @@ def corpus_select_pipeline(
     LM (id, gram) pre-aggregate, DSIR (id, bucket) pre-aggregate —
     the models broadcast, the top-k is TakeOrderedAndProject."""
     from ..cache import maybe_persist
-    from ..functions.text import quality_flags, repetition_flags
-    from ..functions.text import tokens as _tokens
 
-    toks = _tokens(F.col(text_col))
-    q = quality_flags(toks, F.col(text_col))
-    r = repetition_flags(toks)
-    gated = docs.filter(
-        q["ok_length"]
-        & q["ok_token_len"]
-        & q["ok_stopwords"]
-        & r["ok_dup_ngrams"]
-        & r["ok_top_token"]
-    )
-    keep_ids = (
-        gated.groupBy(F.sha2(F.col(text_col), 256).alias("__h"))
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
-    )
-    # UNGATED persist: the survivor frame feeds FIVE heterogeneous
-    # consumers (LM reference explode, LM scoring explode, DSIR stage,
-    # two metadata joins) whose plans share no exchange shape, so
-    # ReusedExchange cannot dedupe them and the expensive gate +
-    # sha256-dedup subtree would replay per consumer at ANY size
-    # (measured 34.7 s -> ~6 s at sf0.1 extras)
-    surv = maybe_persist(gated.join(keep_ids, id_col, "left_semi"), min_bytes=0)
+    _, surv = _gate_and_dedup(docs, text_col, id_col)
     lm = char_lm_score(
         surv, surv.filter(is_target), text_col, id_col, alpha, round_to
     )
@@ -834,26 +850,10 @@ def corpus_select_funnel(
     so the five stage aggregates replay nothing expensive.  Output is
     5 rows — the aggregates are scalar."""
     from ..cache import maybe_persist
-    from ..functions.text import quality_flags, repetition_flags
     from ..functions.text import tokens as _tokens
 
     ntok = F.size(_tokens(F.col(text_col))).cast("long")
-    toks = _tokens(F.col(text_col))
-    q = quality_flags(toks, F.col(text_col))
-    r = repetition_flags(toks)
-    gated = docs.filter(
-        q["ok_length"]
-        & q["ok_token_len"]
-        & q["ok_stopwords"]
-        & r["ok_dup_ngrams"]
-        & r["ok_top_token"]
-    )
-    keep_ids = (
-        gated.groupBy(F.sha2(F.col(text_col), 256).alias("__h"))
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
-    )
-    surv = maybe_persist(gated.join(keep_ids, id_col, "left_semi"), min_bytes=0)
+    gated, surv = _gate_and_dedup(docs, text_col, id_col)
     lm = char_lm_score(surv, surv.filter(is_target), text_col, id_col, alpha)
     kept = maybe_persist(
         surv.join(

@@ -158,6 +158,10 @@ def collect_lsh_screen_model(
     materializes signatures on the driver."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
+    # lazy checkpoint: the guard's count() and the collect() below
+    # otherwise each replay the full signature pipeline (shingle
+    # explode + sha256 + num_hashes-way groupBy) from scratch
+    corpus_signatures = corpus_signatures.localCheckpoint(eager=False)
     if max_model_rows is not None:
         n = corpus_signatures.count()
         if n > int(max_model_rows):

@@ -371,3 +371,27 @@ def test_ivf_topk_pretrained_centroids_roundtrip(spark, tmp_path):
         emb, qs, k=5, nlist=meta["nlist"], nprobe=2, centroids=reloaded
     ).collect()))
     assert got == want and len(got) > 0
+
+
+def test_diverse_prototypes_excludes_zero_vectors(spark):
+    """An all-zeros embedding must neither become a centroid nor a
+    prototype (its 0/0 cosine is NaN, which sorts above every real
+    double in DESC order)."""
+    from pyspark.sql import Row
+
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.similarity import (
+        diverse_prototypes,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[0.0, 0.0]),   # padding vector
+            Row(vec_id=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=[0.0, 1.0]),
+            Row(vec_id=3, embedding=[0.9, 0.1]),
+        ]
+    )
+    got = diverse_prototypes(df, nlist=2, per_cluster=2).collect()
+    ids = {r.vec_id for r in got}
+    assert 0 not in ids
+    assert all(r.cos_to_centroid == r.cos_to_centroid for r in got)  # no NaN

@@ -405,3 +405,18 @@ def test_rrf_fuse_requires_input(spark):
 
     with _pt.raises(ValueError):
         rrf_fuse([])
+
+
+def test_rrf_fuse_respects_round_to(spark):
+    """round_to > 6 must survive the exact decimal sum (the decimal
+    scale follows round_to instead of truncating back to 6)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.retrieval import (
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame([(0, 10, 1)], "query_id long, doc long, rank long")
+    b = spark.createDataFrame([(0, 10, 2)], "query_id long, doc long, rank long")
+    r8 = rrf_fuse([a, b], k=5, c=60, round_to=8).collect()[0]
+    assert r8.rrf_score == round(1 / 61, 8) + round(1 / 62, 8)
+    r2 = rrf_fuse([a, b], k=5, c=60, round_to=2).collect()[0]
+    assert r2.rrf_score == round(1 / 61, 2) + round(1 / 62, 2)

@@ -992,7 +992,7 @@ def smoke_selection(spark, scratch, n_docs):
 
 def smoke_hard_negatives(spark, scratch, n_vecs):
     """Brute-force vs IVF-probed hard-negative mining at n_vecs 64-dim
-    labeled vectors, 25 queries: the brute miner scores every
+    labeled vectors, 200 queries: the brute miner scores every
     (query, candidate) pair; the IVF miner touches ~nprobe/nlist of the
     corpus per query — the composition hard_negatives' docstring
     promises, measured."""
