@@ -3966,8 +3966,8 @@ def _q_select_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFram
     the highest-DSIR-weight docs of that source (crossing doc
     included) — the composed "best N tokens at THIS mixture" form
     (plans/selection.py mixture_token_budget). Per-source prefix sums
-    partition by source (documented hot-source caveat in the
-    docstring)."""
+    run on the range-shuffle global_running_sum scan keyed
+    (source, -log_weight, id) — no per-source single-task sort."""
     from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
         dsir_log_weights,
         mixture_token_budget,

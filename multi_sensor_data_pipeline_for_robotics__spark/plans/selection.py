@@ -785,13 +785,21 @@ def mixture_token_budget(
     e.g. :func:`dsir_log_weights` joined back to doc metadata.
     Output adds ``cum_tokens`` (per-source inclusive running total).
 
-    Scale note: the per-source prefix sum is a window PARTITIONED BY
-    source — per-task state is one source's candidate rows, the same
-    documented hot-key shape as ``rolling_stats`` (a single source
-    holding most of the corpus serializes its sort into one task; the
-    remedy at that shape is the ``global_running_sum`` range-shuffle
-    scan run per hot source, or the bucketed-ACF trade)."""
+    Scale shape: the per-source prefix sum runs on the SAME
+    range-shuffle ``global_running_sum`` scan as
+    :func:`dsir_select_token_budget`, keyed ``(source, -log_weight,
+    id)`` — within each source the global order IS the per-source
+    best-first order, so per-source running totals are the global
+    running total minus a per-source offset (the token total of every
+    EARLIER source in key order, a |sources|-row broadcast).  This
+    matters because in mixture selection a few huge sources is the
+    COMMON case ("30% web of 1T tokens"), and a
+    ``Window.partitionBy(source)`` would sort the dominant source's
+    candidates in ONE task; the range scan spreads every source across
+    range partitions instead."""
     from pyspark.sql import Window as W
+
+    from ..operators.pack import global_running_sum
 
     if not target_shares:
         raise ValueError("target_shares must name at least one source")
@@ -807,16 +815,28 @@ def mixture_token_budget(
                 F.lit(float(budget_tokens) * (float(sh) / tot)),
             ).otherwise(budget_col)
         )
-    w = (
-        W.partitionBy(source_col)
-        .orderBy(F.col("log_weight").desc(), F.col(id_col).asc())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    cand = weighted_docs.filter(
+        F.col(source_col).isin([s for s, _ in items])
+    ).withColumn("__negw", -F.col("log_weight"))
+    run = global_running_sum(
+        cand, [source_col, "__negw", id_col], "n_tokens", out_col="__gcum"
+    )
+    # per-source offset: token total of every earlier source in key
+    # order — one row per NAMED source, windowed then broadcast back
+    w_src = W.orderBy(source_col).rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        run.groupBy(source_col)
+        .agg(F.sum("n_tokens").alias("__tot"))
+        .select(
+            source_col,
+            F.coalesce(F.sum("__tot").over(w_src), F.lit(0)).alias("__off"),
+        )
     )
     return (
-        weighted_docs.filter(
-            F.col(source_col).isin([s for s, _ in items])
+        run.join(F.broadcast(offsets), source_col)
+        .withColumn(
+            "cum_tokens", (F.col("__gcum") - F.col("__off")).cast("long")
         )
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
         .filter(
             (F.col("cum_tokens") - F.col("n_tokens")).cast("double")
             < budget_col

@@ -129,6 +129,9 @@ def main() -> None:
         if "hardneg" in fams:
             smoke_hard_negatives(spark, scratch, n_vecs=1_000_000 // div)
             release_storage(spark)
+        if "mixture_hot" in fams:
+            smoke_mixture_hot_source(spark, scratch, n=20_000_000 // div)
+            release_storage(spark)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -954,6 +957,91 @@ def _synth_docs(spark, scratch, n_docs, words_per_doc=40, vocab=50_000):
     )
     docs.write.mode("overwrite").parquet(f"{scratch}/sel_docs")
     return spark.read.parquet(f"{scratch}/sel_docs")
+
+
+def smoke_mixture_hot_source(spark, scratch, n):
+    """mixture_token_budget with 90% of n rows in ONE source — the
+    COMMON mixture-selection shape ("30% web of the budget" where web
+    is most of the corpus). The r10 form's Window.partitionBy(source)
+    sorted the dominant source's candidates in one task; the r11 form
+    runs the range-shuffle global_running_sum scan keyed
+    (source, -log_weight, id) so every source spreads across range
+    partitions. Both variants run on the same input and must select
+    identical (row count, token sum) — the split is order-preserving
+    within each source."""
+    from pyspark.sql import Window as W
+
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+        mixture_token_budget,
+    )
+
+    print(f"\n## mixture_token_budget, 90% one source @ {n:,} rows")
+    shares = {"web": 0.5, "code": 0.3, "papers": 0.2}
+    budget = int(n * 2)  # ~10% of total tokens (avg 20 tok/doc)
+    rows = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 9, "web")
+        .when(F.col("id") % 10 == 9, "code")
+        .otherwise("papers")
+        .alias("source"),
+        (F.col("id") % 37 + 2).cast("long").alias("n_tokens"),
+        F.round(F.sin(F.col("id").cast("double")) * 3.0, 6).alias(
+            "log_weight"
+        ),
+    ).withColumn(
+        "source",
+        F.when(F.col("doc_id") % 100 == 17, "papers").otherwise(
+            F.col("source")
+        ),
+    )
+    rows.write.mode("overwrite").parquet(f"{scratch}/mixhot")
+    t = spark.read.parquet(f"{scratch}/mixhot")
+
+    def window_form():
+        # the pre-r11 plan, inlined for comparison: per-source prefix
+        # window — the 90% source sorts in ONE task
+        items = sorted(shares.items())
+        tot = sum(shares.values())
+        bcol = F.lit(None).cast("double")
+        for s, sh in items:
+            bcol = F.when(
+                F.col("source") == s, F.lit(budget * sh / tot)
+            ).otherwise(bcol)
+        w = (
+            W.partitionBy("source")
+            .orderBy(F.col("log_weight").desc(), F.col("doc_id").asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        return (
+            t.filter(F.col("source").isin([s for s, _ in items]))
+            .withColumn(
+                "cum_tokens", F.sum("n_tokens").over(w).cast("long")
+            )
+            .filter(
+                (F.col("cum_tokens") - F.col("n_tokens")).cast("double")
+                < bcol
+            )
+            .agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum("n_tokens").alias("toks"),
+            )
+            .first()
+        )
+
+    def scan_form():
+        return (
+            mixture_token_budget(t, shares, budget)
+            .agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum("n_tokens").alias("toks"),
+            )
+            .first()
+        )
+
+    _, a = timed("mixture budget, range-scan form (r11)", scan_form)
+    _, b = timed("mixture budget, one-window form (pre-r11)", window_form)
+    assert (a["docs"], a["toks"]) == (b["docs"], b["toks"]), (a, b)
+    print(f"  parity: both select {a['docs']:,} docs / {a['toks']:,} tokens")
 
 
 def smoke_selection(spark, scratch, n_docs):
