@@ -209,11 +209,21 @@ def stream_neardup_screen(
     any-band-collision candidacy, the same matching-signature-fraction
     score.  Emits the SURVIVING rows with the input schema unchanged.
 
-    Per-batch cost: |batch| signature computations (numpy Carter-Wegman
-    over the doc's shingle base hashes; sha256 runs once per DISTINCT
-    shingle per partition via a memo) + dict probes — no join, no
-    state growth. Within-batch duplicates pass, same caveat as the
-    batch screen."""
+    Per-batch cost: numpy-VECTORIZED signatures: each ~2k-doc chunk's
+    shingles dedupe via ``pd.factorize`` (O(n) hashtable) so sha256
+    runs once per DISTINCT shingle per chunk (a per-partition memo
+    makes repeats across chunks free), the Carter-Wegman permutations
+    compute as ONE ``(distinct, num_hashes)`` row-major matrix, and
+    per-doc minima fall out of a single ``np.minimum.reduceat`` over
+    the code-gathered rows (duplicate shingles within a doc can't
+    change a min, so no per-doc set is ever built).  The band fold is
+    vectorized across the chunk; only the bucket dict probes remain
+    per-(doc, band) Python — bounded by ``bands`` tiny dict lookups
+    each.  Measured (SCALE.md r11, warm interleaved A/B at 2M docs):
+    20% faster than the per-doc-loop form (6.3 s vs 7.9 s median) —
+    the kernel is sha256/string-build-bound, so the win is real but
+    bounded.  No join, no state growth.  Within-batch duplicates
+    pass, same caveat as the batch screen."""
     import hashlib
 
     spark = stream.sparkSession
@@ -245,45 +255,71 @@ def stream_neardup_screen(
                 memo[sh] = v
             return v
 
+        # same working-set discipline as char_lm_score_map: slice each
+        # Arrow batch into ~2k-doc chunks so the (occurrences, nh)
+        # gather stays a few MB per worker under 32-way parallelism
+        CHUNK = 2048
         for pdf in pdfs:
             keep = np.ones(len(pdf), dtype=bool)
-            for pos, txt in enumerate(pdf[text_col]):
-                if txt is None:
+            texts = pdf[text_col].tolist()
+            for lo in range(0, len(texts), CHUNK):
+                chunk = texts[lo : lo + CHUNK]
+                # positions (within pdf) of docs that HAVE shingles;
+                # None / too-short docs have no signature and survive
+                pos_l: list = []
+                shingles: list = []
+                ns_l: list = []
+                for off, txt in enumerate(chunk):
+                    if txt is None:
+                        continue
+                    toks = txt.split(" ")
+                    k = len(toks) - shingle_n + 1
+                    if k <= 0:
+                        continue
+                    shingles.extend(
+                        " ".join(toks[i : i + shingle_n]) for i in range(k)
+                    )
+                    pos_l.append(lo + off)
+                    ns_l.append(k)
+                if not pos_l:
                     continue
-                toks = txt.split(" ")
-                if len(toks) < shingle_n:
-                    continue  # no shingles -> no signature -> survives
-                sh_set = {
-                    " ".join(toks[i : i + shingle_n])
-                    for i in range(len(toks) - shingle_n + 1)
-                }
-                bases = np.fromiter(
-                    (_base(s) for s in sh_set),
-                    dtype="int64",
-                    count=len(sh_set),
+                ns = np.asarray(ns_l, dtype="int64")
+                codes, uniq = pd.factorize(
+                    np.asarray(shingles, dtype=object), sort=False
                 )
-                sig = (
-                    (a[:, None] * bases[None, :] + b[:, None]) % prime
-                ).min(axis=1)
-                matched = False
+                bases = np.fromiter(
+                    (_base(s) for s in uniq),
+                    dtype="int64",
+                    count=len(uniq),
+                )
+                # (distinct, nh) row-major so the per-occurrence gather
+                # below is a contiguous row copy
+                perms = (
+                    bases[:, None] * a[None, :] + b[None, :]
+                ) % prime
+                starts = np.zeros(len(ns), dtype="int64")
+                np.cumsum(ns[:-1], out=starts[1:])
+                sigs = np.minimum.reduceat(
+                    perms[codes], starts, axis=0
+                ).T  # (nh, docs-with-shingles)
+                accs = np.zeros((bands, sigs.shape[1]), dtype="int64")
                 for bi in range(bands):
-                    acc = 0
                     for j in range(r):
-                        acc = (acc * 31 + int(sig[bi * r + j])) & mask
-                    key = (bi, acc)
-                    mat = mats.get(key)
-                    if mat is None:
-                        rows = m.get(key)
-                        if rows is None:
-                            continue
-                        mat = np.asarray(rows, dtype="int64")
-                        mats[key] = mat
-                    hits = (mat == sig[None, :]).sum(axis=1)
-                    if (hits >= threshold * nh).any():
-                        matched = True
-                        break
-                if matched:
-                    keep[pos] = False
+                        accs[bi] = (accs[bi] * 31 + sigs[bi * r + j]) & mask
+                for ci, pos in enumerate(pos_l):
+                    for bi in range(bands):
+                        key = (bi, int(accs[bi, ci]))
+                        mat = mats.get(key)
+                        if mat is None:
+                            rows = m.get(key)
+                            if rows is None:
+                                continue
+                            mat = np.asarray(rows, dtype="int64")
+                            mats[key] = mat
+                        hits = (mat == sigs[None, :, ci]).sum(axis=1)
+                        if (hits >= threshold * nh).any():
+                            keep[pos] = False
+                            break
             yield pdf.loc[keep]
 
     return stream.mapInPandas(_screen, schema=stream.schema)

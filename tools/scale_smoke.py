@@ -132,6 +132,9 @@ def main() -> None:
         if "mixture_hot" in fams:
             smoke_mixture_hot_source(spark, scratch, n=20_000_000 // div)
             release_storage(spark)
+        if "stream_screen" in fams:
+            smoke_stream_screen(spark, scratch, n_docs=2_000_000 // div)
+            release_storage(spark)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -1042,6 +1045,189 @@ def smoke_mixture_hot_source(spark, scratch, n):
     _, b = timed("mixture budget, one-window form (pre-r11)", window_form)
     assert (a["docs"], a["toks"]) == (b["docs"], b["toks"]), (a, b)
     print(f"  parity: both select {a['docs']:,} docs / {a['toks']:,} tokens")
+
+
+def smoke_stream_screen(spark, scratch, n_docs):
+    """stream_neardup_screen throughput at n_docs incoming docs vs a
+    20k-doc frozen corpus (~10% of incoming are near-copies of corpus
+    docs). Three forms on the SAME input: the SHIPPED chunk-vectorized
+    kernel (factorize + one Carter-Wegman matrix + minimum.reduceat),
+    the pre-r11 per-doc Python loop (inlined for comparison), and the
+    batch join screen (dedup_against_corpus) as the non-broadcast
+    reference. The broadcast arms run WARMED and INTERLEAVED (1 warmup
+    + 3 alternating timed rounds, medians reported) — a single
+    back-to-back pair is dominated by a first-arm warmup artifact that
+    flipped the verdict across runs until interleaving exposed it.
+    Both broadcast forms must keep identical survivor counts (same
+    exact integer math)."""
+    import statistics
+    import hashlib
+
+    import numpy as np
+
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.dedup import (
+        dedup_against_corpus,
+        minhash_signatures_portable,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.dedup_stream import (
+        collect_lsh_screen_model,
+        stream_neardup_screen,
+    )
+
+    print(f"\n## stream_neardup_screen @ {n_docs:,} incoming docs")
+    n_corpus = 20_000
+    word = lambda s, i: F.conv(
+        (F.abs(F.hash(s.cast("string"), i.cast("string"))) % 1_000_000)
+        .cast("string"),
+        10,
+        16,
+    )
+
+    def gen(n, offset, dup_of_corpus):
+        h = F.abs(F.hash((F.col("id") + offset).cast("string")))
+        if dup_of_corpus:
+            # ~10% near-copies of a corpus doc (same seed, one token
+            # perturbed), 90% unique
+            is_dup = (h % 10) == 0
+            seed = F.when(is_dup, h % n_corpus).otherwise(
+                F.col("id") + offset + 2_000_000_000
+            )
+        else:
+            is_dup = F.lit(False)
+            seed = F.col("id")
+        toks = F.transform(
+            F.sequence(F.lit(0), F.lit(23)), lambda i: word(seed, i)
+        )
+        toks = F.when(
+            is_dup,
+            F.concat(
+                F.slice(toks, 1, 23),
+                F.array(word(F.col("id") + offset, F.lit(99))),
+            ),
+        ).otherwise(toks)
+        return spark.range(n).select(
+            (F.col("id") + offset).alias("doc_id"),
+            F.array_join(toks, " ").alias("text"),
+        )
+
+    gen(n_corpus, 0, False).write.mode("overwrite").parquet(
+        f"{scratch}/scr_corpus"
+    )
+    gen(n_docs, 10_000_000, True).write.mode("overwrite").parquet(
+        f"{scratch}/scr_in"
+    )
+    corpus = spark.read.parquet(f"{scratch}/scr_corpus")
+    incoming = spark.read.parquet(f"{scratch}/scr_in")
+    sigs = minhash_signatures_portable(corpus)
+    model = collect_lsh_screen_model(sigs)
+    nh, bands = int(model["_nh"]), int(model["_bands"])
+    r = nh // bands
+    prime, mask = 2147483629, 0x7FFFFFFF
+
+    def perdoc_form():
+        # the pre-r11 kernel, inlined: per-doc shingle set + sha256
+        # memo + per-doc (nh x shingles) matmul
+        bmodel = spark.sparkContext.broadcast(model)
+
+        def _screen(pdfs):
+            m = bmodel.value
+            mats: dict = {}
+            a = np.arange(nh, dtype="int64") * 2 + 1
+            b = np.arange(nh, dtype="int64") * 7919
+            memo: dict = {}
+
+            def _base(sh):
+                v = memo.get(sh)
+                if v is None:
+                    v = int(
+                        hashlib.sha256(sh.encode("utf-8")).hexdigest()[:7],
+                        16,
+                    )
+                    memo[sh] = v
+                return v
+
+            for pdf in pdfs:
+                keep = np.ones(len(pdf), dtype=bool)
+                for pos, txt in enumerate(pdf["text"]):
+                    if txt is None:
+                        continue
+                    toks = txt.split(" ")
+                    if len(toks) < 3:
+                        continue
+                    sh_set = {
+                        " ".join(toks[i : i + 3])
+                        for i in range(len(toks) - 2)
+                    }
+                    bases = np.fromiter(
+                        (_base(s) for s in sh_set),
+                        dtype="int64",
+                        count=len(sh_set),
+                    )
+                    sig = (
+                        (a[:, None] * bases[None, :] + b[:, None]) % prime
+                    ).min(axis=1)
+                    for bi in range(bands):
+                        acc = 0
+                        for j in range(r):
+                            acc = (acc * 31 + int(sig[bi * r + j])) & mask
+                        mat = mats.get((bi, acc))
+                        if mat is None:
+                            rows = m.get((bi, acc))
+                            if rows is None:
+                                continue
+                            mat = np.asarray(rows, dtype="int64")
+                            mats[(bi, acc)] = mat
+                        if (
+                            (mat == sig[None, :]).sum(axis=1) >= 0.5 * nh
+                        ).any():
+                            keep[pos] = False
+                            break
+                yield pdf.loc[keep]
+
+        return (
+            incoming.mapInPandas(_screen, schema=incoming.schema)
+            .agg(F.count(F.lit(1)).alias("survivors"))
+            .first()
+        )
+
+    def shipped_form():
+        return (
+            stream_neardup_screen(incoming, model)
+            .agg(F.count(F.lit(1)).alias("survivors"))
+            .first()
+        )
+
+    shipped_form()
+    perdoc_form()  # warm both paths once (JVM + python workers + scan)
+    ta, tb, res = [], [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        a = shipped_form()
+        ta.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        b = perdoc_form()
+        tb.append(time.perf_counter() - t0)
+        assert a["survivors"] == b["survivors"], (a, b)
+        res.append(a["survivors"])
+    print(
+        f"screen, shipped vectorized kernel (r11)     "
+        f"median {statistics.median(ta):6.2f}s  "
+        f"{[round(t, 2) for t in ta]}"
+    )
+    print(
+        f"screen, per-doc form (pre-r11)              "
+        f"median {statistics.median(tb):6.2f}s  "
+        f"{[round(t, 2) for t in tb]}"
+    )
+    timed(
+        "batch join screen (dedup_against_corpus)",
+        lambda: dedup_against_corpus(incoming, corpus_signatures=sigs)
+        .agg(F.count(F.lit(1)).alias("survivors"))
+        .first(),
+    )
+    print(
+        f"  parity: both broadcast forms keep {res[0]:,} of {n_docs:,}"
+    )
 
 
 def smoke_selection(spark, scratch, n_docs):
