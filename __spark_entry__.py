@@ -4175,6 +4175,36 @@ def _q_corpus_select_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming token-budget admission (new in r11): admit arriving
+    documents per SOURCE until each source's 2000-token budget fills,
+    crossing doc included — the online counterpart of
+    dsir_select_token_budget and the last batch-only selection stage
+    to gain a streaming twin
+    (streaming/stateful.py token_budget_stream). State per source is
+    one long. Oracle: the batch replay — a per-source running sum in
+    arrival (doc_id) order with the same prefix-under-budget rule."""
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.text import (
+        tokens,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.dedup_stream import (
+        read_documents_stream,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.stateful import (
+        token_budget_stream,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.sync_stream import (
+        run_to_memory,
+    )
+
+    stream = read_documents_stream(spark, sf_dir).withColumn(
+        "n_tokens", F.size(tokens(F.col("text"))).cast("long")
+    )
+    sm = token_budget_stream(stream, 2000, key_col="source")
+    run_to_memory(sm, "stream_token_budget_tbl", output_mode="append")
+    return spark.table("stream_token_budget_tbl")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator.
 
@@ -4443,6 +4473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_zipf_fit": _q_corpus_zipf,
         "embed_label_centroids": _q_embed_centroids,
         "stream_mixture_monitor": _q_stream_mixture,
+        "stream_token_budget": _q_stream_token_budget,
     }
 
 
@@ -8064,6 +8095,20 @@ tot AS (SELECT sum(n) AS tot FROM last)
 SELECT source, CAST(n AS BIGINT) AS n,
        round(CAST(n AS DOUBLE) / tot, 6) AS share
 FROM last CROSS JOIN tot
+"""
+
+    # streaming token-budget admission = the batch replay: per-source
+    # running sum in arrival (doc_id) order, prefix-under-budget rule,
+    # crossing doc included (the dsir_select_token_budget rule)
+    o["stream_token_budget"] = """
+SELECT key, doc_id, n_tokens, cum_tokens FROM (
+    SELECT source AS key, doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(sum(len(string_split(text, ' '))) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+    FROM documents
+) WHERE cum_tokens - n_tokens < 2000
 """
 
     from multi_sensor_data_pipeline_for_robotics__spark.functions.sampling import (

@@ -1159,3 +1159,107 @@ def mixture_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TOKEN_BUDGET_OUTPUT_SCHEMA = (
+    "key string, doc_id long, n_tokens long, cum_tokens long"
+)
+TOKEN_BUDGET_STATE_SCHEMA = "used long"
+
+
+def _make_token_budget_fn(budget: int):
+    B = int(budget)
+
+    def _budget_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        used = state.get[0] if state.exists else 0
+        out = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("doc_id", kind="stable")
+            toks = pdf["n_tokens"].to_numpy(dtype="int64")
+            cum = used + np.cumsum(toks)
+            # admit iff the running total BEFORE this doc is still
+            # under budget — the crossing doc is included, the same
+            # rule as plans.selection.dsir_select_token_budget
+            admit = (cum - toks) < B
+            if admit.any():
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "key": key[0],
+                            "doc_id": pdf["doc_id"].to_numpy(
+                                dtype="int64"
+                            )[admit],
+                            "n_tokens": toks[admit],
+                            "cum_tokens": cum[admit],
+                        }
+                    )
+                )
+                used = int(cum[admit][-1])
+        state.update((int(used),))
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    return _budget_fn
+
+
+def token_budget_stream(
+    stream: DataFrame,
+    budget_tokens: int,
+    key_col: str | None = None,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Streaming token-budget ADMISSION: emit arriving documents while
+    the running total of admitted tokens is still under
+    ``budget_tokens``, then admit nothing more — the online counterpart
+    of :func:`plans.selection.dsir_select_token_budget` ("ingest until
+    the best-effort budget fills"), and the last batch-only selection
+    stage to gain a streaming twin.  The crossing document is INCLUDED
+    (the admitted set always covers the budget), the same rule as the
+    batch selector.
+
+    ``key_col`` scopes the budget: per-key budgets (e.g. per source —
+    the streaming face of :func:`plans.selection.mixture_token_budget`
+    with equal slices) shard admission state across executors;
+    ``key_col=None`` is ONE strict global budget, which is inherently a
+    sequential decision — all rows funnel through a single state task
+    (the honest cost of strict global admission; use per-key budgets or
+    the batch selector when that serializes too much).
+
+    State per key is a single LONG (tokens admitted so far) — O(keys)
+    forever, the cheapest stateful operator in this module.  Within a
+    micro-batch rows are processed in ``id_col`` order (the
+    ``ewma_stream`` stance); admission order across batches is arrival
+    order, which is what "admit until full" means online.  Output:
+    ``(key, doc_id, n_tokens, cum_tokens)`` with ``cum_tokens`` the
+    inclusive running total of ADMITTED tokens, matching the batch
+    selector's observability column.
+    """
+    from pyspark.sql import functions as F
+
+    if int(budget_tokens) <= 0:
+        raise ValueError("budget_tokens must be positive")
+    keyed = stream.select(
+        (
+            F.col(key_col).cast("string")
+            if key_col is not None
+            else F.lit("_global")
+        ).alias("key"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _make_token_budget_fn(budget_tokens),
+        outputStructType=TOKEN_BUDGET_OUTPUT_SCHEMA,
+        stateStructType=TOKEN_BUDGET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

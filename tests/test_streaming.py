@@ -483,3 +483,72 @@ def test_collect_lsh_screen_model_size_guard(spark):
         collect_lsh_screen_model(sigs, max_model_rows=5)
     model = collect_lsh_screen_model(sigs, max_model_rows=8)
     assert model["_nh"] == 16 and model["_bands"] == 4
+
+
+def test_token_budget_stream_across_batches(spark, tmp_path):
+    """Per-key budget admission: the crossing doc is included, later
+    docs are rejected, and the admitted-token state PERSISTS across
+    micro-batch boundaries (two files forced into two batches)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.stateful import (
+        token_budget_stream,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.sync_stream import (
+        run_to_memory,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            # key a: 40+40 admitted in batch 1 (80 < 100), then the
+            # crossing doc 3 (80 < 100 -> admit, cum 120), doc 4 out
+            (1, "a", 40), (2, "a", 40), (3, "a", 40), (4, "a", 40),
+            # key b: one huge doc crosses immediately; nothing after
+            (5, "b", 999), (6, "b", 1),
+        ],
+        "doc_id long, key string, n_tokens long",
+    )
+    src = str(tmp_path / "docs")
+    # batch 1 = docs 1,2,5; batch 2 = docs 3,4,6
+    rows.filter("doc_id in (1,2,5)").coalesce(1).write.mode("append").parquet(src)
+    rows.filter("doc_id in (3,4,6)").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, key string, n_tokens long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sm = token_budget_stream(stream, 100, key_col="key")
+    run_to_memory(sm, "tb_test_tbl", output_mode="append")
+    got = {
+        (r.key, r.doc_id): r.cum_tokens
+        for r in spark.table("tb_test_tbl").collect()
+    }
+    assert got == {
+        ("a", 1): 40, ("a", 2): 80, ("a", 3): 120,  # crossing included
+        ("b", 5): 999,  # crossing included even when one doc overshoots
+    }
+
+
+def test_token_budget_stream_global_key_and_validation(spark, tmp_path):
+    """key_col=None = one strict global budget; budget must be > 0."""
+    import pytest as _pytest
+
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.stateful import (
+        token_budget_stream,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.sync_stream import (
+        run_to_memory,
+    )
+
+    rows = spark.createDataFrame(
+        [(1, 30), (2, 30), (3, 30), (4, 30)],
+        "doc_id long, n_tokens long",
+    )
+    src = str(tmp_path / "docs")
+    rows.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, n_tokens long").parquet(src)
+    sm = token_budget_stream(stream, 90, key_col=None)
+    run_to_memory(sm, "tb_global_tbl", output_mode="append")
+    out = spark.table("tb_global_tbl").collect()
+    assert sorted(r.doc_id for r in out) == [1, 2, 3]  # 90 tokens -> 3 docs
+    assert all(r.key == "_global" for r in out)
+    with _pytest.raises(ValueError, match="budget_tokens"):
+        token_budget_stream(stream, 0)
