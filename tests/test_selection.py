@@ -369,3 +369,28 @@ def test_model_tables_roundtrip_and_errors(spark, tmp_path):
         char_lm_score(docs)  # neither ref nor model
     with pytest.raises(ValueError):
         char_lm_score(docs, ref, model=(tri, ctx, vocab))  # both
+
+
+def test_model_tables_roundtrip_file_uri(spark, tmp_path):
+    """The manifest goes through the Hadoop FileSystem API, so a
+    file:-scheme URI (the local stand-in for hdfs:/s3a: paths)
+    round-trips identically — no POSIX open() anywhere in the save or
+    load path."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+        train_char_lm,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.sources.models import (
+        load_model_tables,
+        save_model_tables,
+    )
+
+    ref = _docs(spark, [("the quick brown fox", "en")] * 2)
+    tri, ctx, vocab = train_char_lm(ref)
+    p = "file://" + str(tmp_path / "m_uri")
+    save_model_tables(p, {"tri": tri, "vocab": vocab}, meta={"k": [1, 2]})
+    loaded, meta = load_model_tables(spark, p)
+    assert meta == {"k": [1, 2]}
+    assert sorted(loaded) == ["tri", "vocab"]
+    assert sorted(map(tuple, loaded["tri"].collect())) == sorted(
+        map(tuple, tri.collect())
+    )
