@@ -4175,6 +4175,21 @@ def _q_corpus_select_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH screen quality audit (new in r11): per-stratum
+    precision/recall of the portable screen vs EXACT shingle Jaccard —
+    band-collision candidates (what the screen compares) plus
+    hash-bucket random pairs the banding never compares (banding
+    false negatives) — the report that tunes bands/threshold before a
+    100 TB run (operators/dedup.py dedup_audit)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.dedup import (
+        dedup_audit,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_audit(docs, random_buckets=200)
+
+
 def _q_stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming token-budget admission (new in r11): admit arriving
     documents per SOURCE until each source's 2000-token budget fills,
@@ -4474,6 +4489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_label_centroids": _q_embed_centroids,
         "stream_mixture_monitor": _q_stream_mixture,
         "stream_token_budget": _q_stream_token_budget,
+        "dedup_audit": _q_dedup_audit,
     }
 
 
@@ -5084,6 +5100,95 @@ WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc FROM matched)
     # the broadcast-model stateless screen computes the identical
     # portable-hash screen per arriving row — same oracle again
     o["stream_neardup_screen"] = o["dedup_incremental"]
+
+    # screen-quality audit: the portable band join (collision stratum)
+    # plus hash-bucket random pairs the banding never compares, both
+    # scored against exact shingle-set Jaccard
+    o["dedup_audit"] = f"""
+WITH t AS (SELECT doc_id AS doc, string_split(text, ' ') AS toks FROM documents),
+s AS (
+    SELECT doc, unnest(list_distinct(
+        list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    )) AS shingle
+    FROM t
+),
+hb AS (
+    SELECT doc, CAST(('0x' || substr(sha256(shingle), 1, 7)) AS BIGINT) AS b
+    FROM s
+),
+sig AS (
+    SELECT doc,
+           {_min_exprs}
+    FROM hb GROUP BY doc
+),
+banded AS (
+    {_bands_sql}
+),
+cand AS (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+           ({_match_sum}) / {float(_NH)} AS est
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+),
+coll AS (
+    SELECT doc_a, doc_b, 'collision' AS stratum, est >= 0.5 AS screen_drop
+    FROM cand
+    WHERE CAST(('0x' || substr(sha256(
+              CAST(doc_a AS VARCHAR) || '_' || CAST(doc_b AS VARCHAR)
+          ), 1, 7)) AS BIGINT) % 1 = 0
+),
+db AS (
+    SELECT doc, CAST(('0x' || substr(sha256(CAST(doc AS VARCHAR)), 1, 7))
+                     AS BIGINT) % 200 AS bk
+    FROM sig
+),
+rand AS (
+    SELECT ra.doc AS doc_a, rb.doc AS doc_b,
+           'random_nocollision' AS stratum, FALSE AS screen_drop
+    FROM db ra
+    JOIN db rb ON ra.bk = rb.bk AND ra.doc < rb.doc
+    WHERE NOT EXISTS (SELECT 1 FROM cand c
+                      WHERE c.doc_a = ra.doc AND c.doc_b = rb.doc)
+),
+pairs AS (SELECT * FROM coll UNION ALL SELECT * FROM rand),
+sizes AS (SELECT doc, count(*) AS n_sh FROM s GROUP BY doc),
+inter AS (
+    SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+    FROM pairs p
+    JOIN s sa ON sa.doc = p.doc_a
+    JOIN s sb ON sb.doc = p.doc_b AND sb.shingle = sa.shingle
+    GROUP BY p.doc_a, p.doc_b
+),
+scored AS (
+    SELECT p.stratum, p.screen_drop,
+           COALESCE(i.n_inter, 0) /
+               CAST(za.n_sh + zb.n_sh - COALESCE(i.n_inter, 0) AS DOUBLE)
+               >= 0.5 AS is_dup
+    FROM pairs p
+    JOIN sizes za ON za.doc = p.doc_a
+    JOIN sizes zb ON zb.doc = p.doc_b
+    LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+),
+agg AS (
+    SELECT stratum, count(*) AS n_pairs,
+           CAST(sum(CASE WHEN screen_drop THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_screen_drop,
+           CAST(sum(CASE WHEN screen_drop AND is_dup THEN 1 ELSE 0 END)
+               AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN screen_drop AND NOT is_dup THEN 1 ELSE 0 END)
+               AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN NOT screen_drop AND is_dup THEN 1 ELSE 0 END)
+               AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN NOT screen_drop AND NOT is_dup THEN 1 ELSE 0 END)
+               AS BIGINT) AS tn
+    FROM scored GROUP BY stratum
+)
+SELECT stratum, n_pairs, n_screen_drop, tp, fp, fn, tn,
+       round(tp / CAST(nullif(tp + fp, 0) AS DOUBLE), 6) AS precision,
+       round(tp / CAST(nullif(tp + fn, 0) AS DOUBLE), 6) AS recall
+FROM agg
+"""
 
     # portable SimHash oracle: 60-bit sha256-prefix token hash, per-bit
     # majority vote, 4x15-bit block candidate join, exact Hamming filter

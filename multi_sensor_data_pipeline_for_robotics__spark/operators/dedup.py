@@ -1469,3 +1469,207 @@ def source_overlap_report(
     if sim_col:
         aggs.append(F.round(F.avg(sim_col), round_to).alias("avg_sim"))
     return j.groupBy("source_a", "source_b").agg(*aggs)
+
+
+def dedup_audit(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    collision_sample_mod: int = 1,
+    random_buckets: int = 256,
+    round_to: int = 6,
+) -> DataFrame:
+    """Sampled precision/recall audit of the MinHash-LSH screen against
+    EXACT Jaccard — the report a user needs to TUNE bands/threshold
+    before a 100 TB dedup run ("are my bands letting false positives
+    through? how much is the banding missing?").
+
+    Two deterministic strata, both scored against exact shingle-set
+    Jaccard (truth = ``exact_jaccard >= threshold``):
+
+    * ``collision`` — band-collision candidate pairs (what the screen
+      actually compares), decision = estimated Jaccard (matching
+      signature fraction) >= threshold.  Sampled by
+      ``sha256(doc_a||'_'||doc_b) % collision_sample_mod == 0`` — a
+      content-independent deterministic thinning for big corpora
+      (``1`` = audit every candidate).
+    * ``random_nocollision`` — hash-bucket neighbor pairs that the
+      banding NEVER compares (decision = keep, always): docs bucket by
+      ``sha256(id) % random_buckets`` and pair all-vs-all within a
+      bucket, minus any pair that also band-collides.  Bucket sizes
+      are Poisson(n/``random_buckets``) — size ``random_buckets``
+      ~n/2 at scale so buckets stay tiny and fully parallel (there is
+      no scalable uniform sample over n^2 pairs; hash-neighbor pairing
+      is the standard stand-in).  Every true near-dup found here is a
+      BANDING false negative (est_jaccard may agree, the screen just
+      never looked).
+
+    Output: one row per stratum —
+    ``(stratum, n_pairs, n_screen_drop, tp, fp, fn, tn, precision,
+    recall)`` where tp = screen drops that exact Jaccard confirms,
+    fp = drops it refutes, fn = true near-dups the screen kept.
+    Precision/recall are per-stratum (``try_divide`` null when a
+    stratum has no positives).
+
+    Scale shape: the collision stratum is the LSH band self-join the
+    screen itself runs; the random stratum is a bounded within-bucket
+    self-join; exact Jaccard computes only for the SAMPLED pairs via
+    two shingle joins (pairs x shingles, sample-bounded).  Everything
+    uses the portable sha256 Carter-Wegman family, so the whole audit
+    is replayable in any engine."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    if collision_sample_mod < 1 or random_buckets < 1:
+        raise ValueError(
+            "collision_sample_mod and random_buckets must be >= 1"
+        )
+    sig = maybe_persist(
+        minhash_signatures_portable(
+            df, num_hashes, text_col, id_col, shingle_n
+        )
+    )
+    banded = _banded_portable(sig, num_hashes, bands)
+    a, b = banded.alias("a"), banded.alias("b")
+    matches = sum(
+        F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    cand = maybe_persist(
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            (matches.cast("double") / num_hashes).alias("est_jaccard"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"]),
+        min_bytes=0,
+    )
+
+    def _h7(col):
+        return F.conv(F.substring(F.sha2(col, 256), 1, 7), 16, 10).cast(
+            "long"
+        )
+
+    coll = cand.filter(
+        _h7(F.concat_ws("_", "doc_a", "doc_b"))
+        % F.lit(int(collision_sample_mod))
+        == 0
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.lit("collision").alias("stratum"),
+        (F.col("est_jaccard") >= threshold).alias("screen_drop"),
+    )
+    docs_b = sig.select(
+        F.col("doc"),
+        (_h7(F.col("doc").cast("string")) % random_buckets).alias("__bk"),
+    )
+    ra, rb = docs_b.alias("ra"), docs_b.alias("rb")
+    rand = (
+        ra.join(
+            rb,
+            (F.col("ra.__bk") == F.col("rb.__bk"))
+            & (F.col("ra.doc") < F.col("rb.doc")),
+        )
+        .select(
+            F.col("ra.doc").alias("doc_a"), F.col("rb.doc").alias("doc_b")
+        )
+        .join(cand.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.lit("random_nocollision").alias("stratum"),
+            F.lit(False).alias("screen_drop"),
+        )
+    )
+    pairs = coll.unionByName(rand)
+
+    sh = maybe_persist(
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                shingles(tokens(F.col(text_col)), shingle_n)
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        pairs.select("doc_a", "doc_b")
+        .join(sh.withColumnRenamed("doc", "doc_a"), "doc_a")
+        .join(
+            sh.select(F.col("doc").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    scored = (
+        pairs.join(
+            sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb")),
+            "doc_b",
+        )
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+        .withColumn(
+            "is_dup",
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            >= threshold,
+        )
+    )
+    tp = F.sum(
+        F.when(F.col("screen_drop") & F.col("is_dup"), 1).otherwise(0)
+    ).cast("long")
+    fp = F.sum(
+        F.when(F.col("screen_drop") & ~F.col("is_dup"), 1).otherwise(0)
+    ).cast("long")
+    fn = F.sum(
+        F.when(~F.col("screen_drop") & F.col("is_dup"), 1).otherwise(0)
+    ).cast("long")
+    tn = F.sum(
+        F.when(~F.col("screen_drop") & ~F.col("is_dup"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        scored.groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("screen_drop").cast("long")).alias("n_screen_drop"),
+            tp.alias("tp"),
+            fp.alias("fp"),
+            fn.alias("fn"),
+            tn.alias("tn"),
+        )
+        .withColumn(
+            "precision",
+            F.round(
+                F.try_divide(
+                    F.col("tp").cast("double"), (F.col("tp") + F.col("fp"))
+                ),
+                round_to,
+            ),
+        )
+        .withColumn(
+            "recall",
+            F.round(
+                F.try_divide(
+                    F.col("tp").cast("double"), (F.col("tp") + F.col("fn"))
+                ),
+                round_to,
+            ),
+        )
+    )

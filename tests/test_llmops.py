@@ -1512,3 +1512,45 @@ def test_source_overlap_report_merges_orientations(spark):
     assert got[("code", "web")] == (2, 0.7)
     assert got[("web", "web")] == (1, 1.0)
     assert set(got) == {("code", "web"), ("web", "web")}
+
+
+def test_dedup_audit_strata_and_confusion(spark):
+    """Planted exact dups land in the collision stratum as TPs; the
+    confusion counts are internally consistent; hash-bucket random
+    pairs never include band-collision pairs."""
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [(i, base) for i in range(4)]  # 4 exact copies -> 6 dup pairs
+    rows += [
+        # token-disjoint docs: no shared shingles, so no cross-doc
+        # similarity of any kind among them
+        (10 + i, " ".join(f"w{i}x{j}" for j in range(9)))
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["stratum"]: r
+        for r in D.dedup_audit(docs, random_buckets=4).collect()
+    }
+    coll = out["collision"]
+    # the 6 exact-copy pairs are candidates, estimated 1.0, truth 1.0
+    assert coll["tp"] >= 6 and coll["fp"] == 0 and coll["fn"] == 0
+    assert coll["precision"] == 1.0 and coll["recall"] == 1.0
+    assert coll["tp"] + coll["fp"] + coll["fn"] + coll["tn"] == coll["n_pairs"]
+    assert coll["n_screen_drop"] == coll["tp"] + coll["fp"]
+    rand = out["random_nocollision"]
+    # the random stratum never screens anything; unique docs share no
+    # shingles, so no true dups hide there
+    assert rand["n_screen_drop"] == 0 and rand["tp"] == 0
+    assert rand["fn"] == 0 and rand["n_pairs"] == rand["tn"]
+    assert rand["precision"] is None and rand["recall"] is None
+
+
+def test_dedup_audit_validation(spark):
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divisible"):
+        D.dedup_audit(docs, num_hashes=16, bands=5)
+    with pytest.raises(ValueError, match=">= 1"):
+        D.dedup_audit(docs, collision_sample_mod=0)
