@@ -7964,15 +7964,20 @@ FROM topk k JOIN kept c USING (doc_id)
         + """topk AS (SELECT * FROM w ORDER BY log_weight DESC, doc_id LIMIT 50),
 sel AS (SELECT k.* FROM kept k JOIN topk USING (doc_id))
 SELECT '1_raw' AS stage, count(*) AS n_docs,
-       sum(len(string_split(text, ' '))) AS n_tokens FROM documents
+       coalesce(sum(len(string_split(text, ' '))), 0) AS n_tokens
+FROM documents
 UNION ALL
-SELECT '2_gated', count(*), sum(len(string_split(text, ' '))) FROM gated
+SELECT '2_gated', count(*),
+       coalesce(sum(len(string_split(text, ' '))), 0) FROM gated
 UNION ALL
-SELECT '3_deduped', count(*), sum(len(string_split(text, ' '))) FROM surv
+SELECT '3_deduped', count(*),
+       coalesce(sum(len(string_split(text, ' '))), 0) FROM surv
 UNION ALL
-SELECT '4_lm_bucket', count(*), sum(len(string_split(text, ' '))) FROM kept
+SELECT '4_lm_bucket', count(*),
+       coalesce(sum(len(string_split(text, ' '))), 0) FROM kept
 UNION ALL
-SELECT '5_selected', count(*), sum(len(string_split(text, ' '))) FROM sel
+SELECT '5_selected', count(*),
+       coalesce(sum(len(string_split(text, ' '))), 0) FROM sel
 """
     )
     o["select_dsir_top"] = (

@@ -138,12 +138,21 @@ def chunks(toks: Column, chunk_tokens: int, stride: int) -> Column:
 def ngrams(toks: Column, n: int) -> Column:
     """Space-joined token n-grams as an array column (JVM-side).
 
+    INPUT CONTRACT: the token array must be NULL-FREE — a null entry
+    NULLS every gram overlapping it (``concat`` propagates null).
+    Every tokenizer in this module satisfies it (``split()`` /
+    ``regexp_extract_all`` never emit nulls); external callers passing
+    hand-built arrays must ``array_compact`` first.  The contract is
+    deliberate: null-skipping semantics (the pre-r10 ``concat_ws``
+    form) cannot be reproduced by any cheap pairwise fold — two nulls
+    inside one gram already diverge — and paying an array-of-arrays
+    materialization per gram to honor inputs no internal path produces
+    would tax the hottest gate expression in the engine.
+
     Built as ``n`` shifted O(len) slices folded with ``zip_with`` —
     NOT a per-position ``slice`` inside ``transform``, which is
     O(len^2) array copies per document (measured 7.5 s -> 1.5 s on the
-    sf0.1 gate). Output strings are identical for NON-NULL token
-    entries (the tokenizers here never emit nulls); a null token now
-    nulls its grams (concat) where concat_ws used to skip it.
+    sf0.1 gate).
 
     Guarded for short docs: fewer than ``n`` tokens -> empty array
     (``sequence(1, 0)`` would otherwise generate a DESCENDING range).

@@ -95,15 +95,20 @@ def chunk_dedup(
 def shingles(toks, n: int = 3):
     """Distinct n-token shingles (space-joined) of a token array.
 
+    INPUT CONTRACT: the token array must be NULL-FREE (a null entry
+    nulls every shingle overlapping it — same contract as
+    ``functions.text.ngrams``, see its docstring for why). Every
+    tokenizer in this package satisfies it (``split()`` never emits
+    nulls); external callers passing hand-built arrays must
+    ``array_compact`` first.
+
     Built as ``n`` shifted O(len) slices folded with ``zip_with``
     (``functions.text.ngrams``'s shape) — the previous per-position
     ``element_at`` transform was O(len·n) interpreted lookups per doc
-    and dominated the portable-minhash signature pass. Output strings
-    and order are identical for NON-NULL token entries (split() never
-    emits nulls; a null token would null its shingles here where
-    concat_ws used to skip it). ``shingle_hashes`` (Arrow-batched) remains
-    the similarity operators' hot path; short docs (< n tokens) get an
-    empty shingle set.
+    and dominated the portable-minhash signature pass.
+    ``shingle_hashes`` (Arrow-batched) remains the similarity
+    operators' hot path; short docs (< n tokens) get an empty shingle
+    set.
     """
     if n == 1:
         return F.array_distinct(toks)

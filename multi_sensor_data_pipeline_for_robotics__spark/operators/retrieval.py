@@ -308,10 +308,20 @@ def rrf_fuse(
     Output: (query_id, doc, rrf_score, n_systems, rank), top ``k`` per
     query by (score DESC, doc ASC).
 
+    INPUT CONTRACT: each ranking frame carries AT MOST ONE row per
+    (query, doc) — the natural output of any top-k ranker.  Duplicate
+    rows would silently inflate both the fused score and ``n_systems``
+    (each row contributes a reciprocal and a count); dedupe upstream
+    (``dropDuplicates([query, doc])`` keeping the best rank) if a
+    ranker can emit repeats.
+
     Float policy: each reciprocal is rounded to ``round_to`` BEFORE an
     exact DECIMAL sum (the ``bigram_logprob_scores`` discipline), so
     the fused score is independent of union/partition order and
-    hash-comparable across engines.
+    hash-comparable across engines.  ``round_to`` must be in [1, 27]:
+    the sum accumulates in ``decimal(28, round_to)``, so larger values
+    leave no integer digits (and would raise an opaque Catalyst type
+    error instead of this ValueError).
 
     Scale shape: inputs are already top-k-per-query (k·|queries|·N
     rows total — query-sized, not corpus-sized); the fuse is one
@@ -320,6 +330,11 @@ def rrf_fuse(
 
     if not rankings:
         raise ValueError("rrf_fuse needs at least one ranking")
+    if not 1 <= int(round_to) <= 27:
+        raise ValueError(
+            f"round_to must be in [1, 27], got {round_to} — the fused"
+            " score accumulates in decimal(28, round_to)"
+        )
     parts = [
         r.select(
             F.col(query_col).alias("query_id"),

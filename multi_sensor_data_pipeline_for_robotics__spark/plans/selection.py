@@ -317,6 +317,11 @@ def collect_char_lm(
     tri, ctx, vocab = train_char_lm(ref, text_col)
     if min_count > 1:
         tri = tri.filter(F.col("cnt3") >= int(min_count))
+    # lazy checkpoint (the collect_lsh_screen_model discipline): the
+    # size-guard count below and the collects after it would otherwise
+    # each replay the full training aggregation from scratch
+    tri = tri.localCheckpoint(eager=False)
+    ctx = ctx.localCheckpoint(eager=False)
     if max_model_rows is not None:
         sizes = (
             tri.agg(F.count(F.lit(1)).alias("n")).unionAll(
