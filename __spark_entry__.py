@@ -4175,6 +4175,29 @@ def _q_corpus_select_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_select_lm_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental char-LM training (new in r11): the en reference
+    slice trains as TWO disjoint halves whose additive count artifacts
+    merge (plans/selection.py train_char_lm_tables /
+    merge_char_lm_tables / char_lm_from_tables) — the nightly
+    fold-in-the-new-crawl loop. Scores are exactly equal to a full
+    retrain, so the oracle is select_lm_score's SQL verbatim."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+        char_lm_from_tables,
+        char_lm_score,
+        merge_char_lm_tables,
+        train_char_lm_tables,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    en = docs.filter(F.col("lang") == "en")
+    merged = merge_char_lm_tables(
+        train_char_lm_tables(en.filter(F.col("doc_id") % 2 == 0)),
+        train_char_lm_tables(en.filter(F.col("doc_id") % 2 == 1)),
+    )
+    return char_lm_score(docs, model=char_lm_from_tables(merged))
+
+
 def _q_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH screen quality audit (new in r11): per-stratum
     precision/recall of the portable screen vs EXACT shingle Jaccard —
@@ -4490,6 +4513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_mixture_monitor": _q_stream_mixture,
         "stream_token_budget": _q_stream_token_budget,
         "dedup_audit": _q_dedup_audit,
+        "select_lm_incremental": _q_select_lm_incremental,
     }
 
 
@@ -8078,6 +8102,11 @@ SELECT '5_selected', count(*),
     o["stream_lm_score"] = o["select_lm_score"]
     # save -> reload -> score must be lossless: same twin
     o["model_roundtrip_lm_score"] = o["select_lm_score"]
+
+    # merged additive artifacts == full retrain exactly (counts are
+    # sums over disjoint halves; alphabet of the union = union of
+    # alphabets), so the incremental row shares the same oracle
+    o["select_lm_incremental"] = o["select_lm_score"]
 
     # composed streaming ingest: gate CTEs + the odd-vs-even portable
     # minhash screen + LM scoring of the survivors, one stack

@@ -44,6 +44,9 @@ from ..sources.tables import ensure_parallelism
 __all__ = [
     "char_trigrams",
     "train_char_lm",
+    "train_char_lm_tables",
+    "merge_char_lm_tables",
+    "char_lm_from_tables",
     "char_lm_score",
     "collect_char_lm",
     "char_lm_score_map",
@@ -116,6 +119,102 @@ def train_char_lm(
             ).alias("ch")
         )
         .agg(F.count_distinct("ch").cast("long").alias("v"))
+    )
+    return tri, ctx, vocab
+
+
+def train_char_lm_tables(
+    ref: DataFrame, text_col: str = "text"
+) -> dict[str, DataFrame]:
+    """The char-LM's ADDITIVE artifact form: ``{"tri": (gram, cnt3),
+    "chars": (ch, cnt1)}`` — raw count tables whose merge is a plain
+    sum, enabling INCREMENTAL training ("train once per corpus
+    snapshot, fold in tonight's crawl slice") without ever re-reading
+    old data.  The scoring triple :func:`train_char_lm` returns is NOT
+    additive (context counts are derived sums and the vocab size is a
+    distinct-count, neither of which merges), so the artifact keeps
+    the primitives: trigram counts and the per-character counts whose
+    ROW COUNT is the vocabulary size.
+
+    Both tables are vocabulary-sized and named save-compatibly with
+    :func:`sources.models.save_model_tables` — the intended nightly
+    loop is ``load tables -> merge with today's slice -> save ->
+    char_lm_from_tables -> score``.  Derive the scoring triple with
+    :func:`char_lm_from_tables`; merging then deriving is EXACTLY
+    equal to retraining on the concatenated corpus (counts are sums
+    over disjoint scans; the union's alphabet is the union of
+    alphabets)."""
+    grams = ensure_parallelism(ref).select(
+        F.explode(char_trigrams(text_col)).alias("gram")
+    )
+    tri = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt3"))
+    chars = (
+        ensure_parallelism(ref)
+        .filter(F.length(text_col) >= 1)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(text_col)),
+                    lambda i: F.substring(F.col(text_col), i, F.lit(1)),
+                )
+            ).alias("ch")
+        )
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("cnt1"))
+    )
+    return {"tri": tri, "chars": chars}
+
+
+def merge_char_lm_tables(
+    *tables: dict[str, DataFrame],
+) -> dict[str, DataFrame]:
+    """Fold N additive char-LM artifacts (:func:`train_char_lm_tables`
+    output — freshly trained or reloaded via
+    ``sources.models.load_model_tables``) into one by summing counts.
+    Exact: the result equals training on the concatenated corpora.
+    Each merge is a vocabulary-sized union + groupBy, never a
+    data-sized scan."""
+    if not tables:
+        raise ValueError("merge_char_lm_tables needs at least one artifact")
+    for t in tables:
+        if "tri" not in t or "chars" not in t:
+            raise ValueError(
+                "char-LM artifact must have 'tri' and 'chars' tables"
+            )
+    from functools import reduce
+
+    tri = reduce(
+        lambda a, b: a.unionByName(b), [t["tri"] for t in tables]
+    )
+    chars = reduce(
+        lambda a, b: a.unionByName(b), [t["chars"] for t in tables]
+    )
+    return {
+        "tri": tri.groupBy("gram").agg(F.sum("cnt3").alias("cnt3")),
+        "chars": chars.groupBy("ch").agg(F.sum("cnt1").alias("cnt1")),
+    }
+
+
+def char_lm_from_tables(
+    tables: dict[str, DataFrame],
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Derive the scoring triple ``(tri, ctx, vocab)`` — the
+    ``model=`` argument of :func:`char_lm_score` — from an additive
+    artifact: context counts sum the trigram table by 2-char prefix
+    and the vocab size counts the character table's rows, exactly as
+    :func:`train_char_lm` computes them, so scores from a merged
+    artifact are bit-identical to a full retrain.  Both derivations
+    are vocabulary-sized."""
+    if "tri" not in tables or "chars" not in tables:
+        raise ValueError(
+            "char-LM artifact must have 'tri' and 'chars' tables"
+        )
+    tri = tables["tri"].localCheckpoint(eager=False)
+    ctx = tri.groupBy(F.substring("gram", 1, 2).alias("ctx")).agg(
+        F.sum("cnt3").alias("cnt2")
+    )
+    vocab = tables["chars"].agg(
+        F.count(F.lit(1)).cast("long").alias("v")
     )
     return tri, ctx, vocab
 

@@ -394,3 +394,76 @@ def test_model_tables_roundtrip_file_uri(spark, tmp_path):
     assert sorted(map(tuple, loaded["tri"].collect())) == sorted(
         map(tuple, tri.collect())
     )
+
+
+def test_char_lm_incremental_merge_equals_full_train(spark):
+    """Merged additive artifacts score bit-identically to a full
+    retrain, including when the halves have disjoint alphabets; the
+    artifact round-trips through model persistence."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+        char_lm_from_tables,
+        char_lm_score,
+        merge_char_lm_tables,
+        train_char_lm_tables,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.sources.models import (
+        load_model_tables,
+        save_model_tables,
+    )
+
+    ref_a = _docs(spark, [("the quick brown fox jumps", "en")] * 2)
+    ref_b = _docs(spark, [("ZEBRA! 123 ZEBRA? 456", "en")] * 3)
+    full = _docs(
+        spark,
+        [("the quick brown fox jumps", "en")] * 2
+        + [("ZEBRA! 123 ZEBRA? 456", "en")] * 3,
+    )
+    docs = _docs(
+        spark, [("the quick zebra", "en"), ("fox 123!", "xx")]
+    )
+    merged = merge_char_lm_tables(
+        train_char_lm_tables(ref_a), train_char_lm_tables(ref_b)
+    )
+    got = sorted(
+        map(
+            tuple,
+            char_lm_score(docs, model=char_lm_from_tables(merged)).collect(),
+        )
+    )
+    want = sorted(map(tuple, char_lm_score(docs, full).collect()))
+    assert got == want
+    # vocab of the merge is the union alphabet, not a sum of sizes
+    v_merged = char_lm_from_tables(merged)[2].first()["v"]
+    va = char_lm_from_tables(train_char_lm_tables(ref_a))[2].first()["v"]
+    vb = char_lm_from_tables(train_char_lm_tables(ref_b))[2].first()["v"]
+    assert v_merged < va + vb  # ' ' at least is shared
+    assert v_merged >= max(va, vb)
+
+
+def test_char_lm_tables_persist_roundtrip(spark, tmp_path):
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+        char_lm_from_tables,
+        char_lm_score,
+        merge_char_lm_tables,
+        train_char_lm_tables,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.sources.models import (
+        load_model_tables,
+        save_model_tables,
+    )
+
+    ref = _docs(spark, [("alpha beta gamma", "en")] * 2)
+    docs = _docs(spark, [("alpha gamma", "en")])
+    t = train_char_lm_tables(ref)
+    save_model_tables(str(tmp_path / "lm"), t, meta={"kind": "char_lm"})
+    loaded, meta = load_model_tables(spark, str(tmp_path / "lm"))
+    assert meta["kind"] == "char_lm"
+    got = char_lm_score(docs, model=char_lm_from_tables(loaded)).collect()
+    want = char_lm_score(docs, ref).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one"):
+        merge_char_lm_tables()
+    with _pytest.raises(ValueError, match="'tri' and 'chars'"):
+        char_lm_from_tables({"tri": t["tri"]})
