@@ -4175,6 +4175,23 @@ def _q_corpus_select_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_funnel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source selection funnel (new in r11): the corpus_select
+    attrition report sliced by source — "which source is the gate
+    killing" (plans/selection.py corpus_select_funnel with
+    group_col). Same stage construction as the scalar funnel; groups
+    with no survivors at a stage emit no row."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+        corpus_select_funnel,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_select_funnel(
+        docs, F.col("lang") == "en", k=50, max_bits=1.15,
+        group_col="source",
+    )
+
+
 def _q_select_lm_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental char-LM training (new in r11): the en reference
     slice trains as TWO disjoint halves whose additive count artifacts
@@ -4514,6 +4531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_token_budget": _q_stream_token_budget,
         "dedup_audit": _q_dedup_audit,
         "select_lm_incremental": _q_select_lm_incremental,
+        "corpus_funnel_by_source": _q_corpus_funnel_by_source,
     }
 
 
@@ -8002,6 +8020,27 @@ SELECT '4_lm_bucket', count(*),
 UNION ALL
 SELECT '5_selected', count(*),
        coalesce(sum(len(string_split(text, ' '))), 0) FROM sel
+"""
+    )
+    o["corpus_funnel_by_source"] = (
+        _csf_head
+        + """topk AS (SELECT * FROM w ORDER BY log_weight DESC, doc_id LIMIT 50),
+sel AS (SELECT k.* FROM kept k JOIN topk USING (doc_id))
+SELECT '1_raw' AS stage, source, count(*) AS n_docs,
+       coalesce(sum(len(string_split(text, ' '))), 0) AS n_tokens
+FROM documents GROUP BY source
+UNION ALL
+SELECT '2_gated', source, count(*),
+       coalesce(sum(len(string_split(text, ' '))), 0) FROM gated GROUP BY source
+UNION ALL
+SELECT '3_deduped', source, count(*),
+       coalesce(sum(len(string_split(text, ' '))), 0) FROM surv GROUP BY source
+UNION ALL
+SELECT '4_lm_bucket', source, count(*),
+       coalesce(sum(len(string_split(text, ' '))), 0) FROM kept GROUP BY source
+UNION ALL
+SELECT '5_selected', source, count(*),
+       coalesce(sum(len(string_split(text, ' '))), 0) FROM sel GROUP BY source
 """
     )
     o["select_dsir_top"] = (

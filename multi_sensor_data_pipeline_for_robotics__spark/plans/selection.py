@@ -960,6 +960,7 @@ def corpus_select_funnel(
     id_col: str = "doc_id",
     alpha: float = 0.5,
     buckets: int = 1024,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Attrition report for :func:`corpus_select_pipeline`:
     (stage, n_docs, n_tokens) at every stage boundary —
@@ -968,11 +969,17 @@ def corpus_select_funnel(
     ("the gate dropped 40% of docs but only 12% of tokens" is the
     number that decides whether thresholds move).
 
+    ``group_col`` (e.g. ``"source"``) slices every stage by that
+    column — "WHICH source is the gate killing?" is usually the first
+    question the scalar funnel raises.  A group with no survivors at a
+    stage emits no row for it (the honest readout: the group is gone);
+    output grows to |stages| x |groups| rows, still report-sized.
+
     Same stage construction as the pipeline (same gate expressions,
     same dedup representative rule, same LM bucket, same DSIR top-k);
     the survivor/bucket frames are persisted ungated exactly as there,
     so the five stage aggregates replay nothing expensive.  Output is
-    5 rows — the aggregates are scalar."""
+    5 rows (scalar form) — the aggregates are group-cardinality-sized."""
     from ..cache import maybe_persist
     from ..functions.text import tokens as _tokens
 
@@ -998,14 +1005,30 @@ def corpus_select_funnel(
         ("4_lm_bucket", kept),
         ("5_selected", selected),
     ]
-    parts = [
-        df.agg(
-            F.lit(name).alias("stage"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.coalesce(F.sum(ntok), F.lit(0)).alias("n_tokens"),
-        )
-        for name, df in stages
-    ]
+    if group_col is None:
+        parts = [
+            df.agg(
+                F.lit(name).alias("stage"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.coalesce(F.sum(ntok), F.lit(0)).alias("n_tokens"),
+            )
+            for name, df in stages
+        ]
+    else:
+        parts = [
+            df.groupBy(group_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.coalesce(F.sum(ntok), F.lit(0)).alias("n_tokens"),
+            )
+            .select(
+                F.lit(name).alias("stage"),
+                group_col,
+                "n_docs",
+                "n_tokens",
+            )
+            for name, df in stages
+        ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)

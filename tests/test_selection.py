@@ -467,3 +467,39 @@ def test_char_lm_tables_persist_roundtrip(spark, tmp_path):
         merge_char_lm_tables()
     with _pytest.raises(ValueError, match="'tri' and 'chars'"):
         char_lm_from_tables({"tri": t["tri"]})
+
+
+def test_corpus_select_funnel_by_source_sums_to_scalar(spark):
+    """Per-source funnel rows sum to the scalar funnel at every stage
+    (same stage construction, just sliced)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+        corpus_select_funnel,
+    )
+
+    rows = []
+    texts = [
+        "the quick brown fox jumps over a lazy dog and runs far away home",
+        "a calm cat naps beside the warm stone wall in quiet afternoon sun",
+        "numbers and words mix here the of is and a pattern keeps going on",
+    ]
+    for i in range(30):
+        rows.append(
+            (i, texts[i % 3] + f" tail{i} w{i}b w{i}c",
+             "en" if i % 2 == 0 else "de",
+             f"src{i % 3}")
+        )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    scalar = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in corpus_select_funnel(docs, F.col("lang") == "en", k=5).collect()
+    }
+    by_src = corpus_select_funnel(
+        docs, F.col("lang") == "en", k=5, group_col="source"
+    ).collect()
+    agg: dict = {}
+    for r in by_src:
+        d, t = agg.get(r["stage"], (0, 0))
+        agg[r["stage"]] = (d + r["n_docs"], t + r["n_tokens"])
+    assert agg == {k: v for k, v in scalar.items() if v[0] > 0}
