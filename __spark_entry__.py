@@ -4175,6 +4175,18 @@ def _q_corpus_select_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embed_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH banding recall audit (new in r11): band-collision
+    candidates vs sha256-bucket random pairs the banding never
+    compares, both scored by exact cosine — every true pair in the
+    random stratum is a banding miss; precision is 1.0 by construction
+    since the screen verifies candidates exactly
+    (operators/similarity.py lsh_banding_audit)."""
+    return SIM.lsh_banding_audit(
+        load_table(spark, sf_dir, "embeddings"), random_buckets=64
+    )
+
+
 def _q_corpus_funnel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source selection funnel (new in r11): the corpus_select
     attrition report sliced by source — "which source is the gate
@@ -4532,6 +4544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_audit": _q_dedup_audit,
         "select_lm_incremental": _q_select_lm_incremental,
         "corpus_funnel_by_source": _q_corpus_funnel_by_source,
+        "embed_lsh_audit": _q_embed_lsh_audit,
     }
 
 
@@ -7014,6 +7027,59 @@ SELECT id_a, id_b,
        round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
 FROM cand JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b
 WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.3
+"""
+
+    o["embed_lsh_audit"] = """
+WITH pw AS (
+    SELECT t1.p AS p, t2.d AS d,
+           (CAST(concat('0x', substr(md5('plane-' || t1.p || '-' || t2.d), 1, 13)) AS BIGINT)
+              / 4503599627370496.0) * 2.0 - 1.0 AS w
+    FROM range(0, 32) t1(p), range(0, 64) t2(d)
+),
+pl AS (SELECT p, list(w ORDER BY d) AS pv FROM pw GROUP BY p),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dots AS (
+    SELECT e.vec_id, pl.p, list_dot_product(e.v, pl.pv) AS dp
+    FROM e CROSS JOIN pl
+),
+buckets AS (
+    SELECT vec_id, p // 8 AS band,
+           sum(CASE WHEN dp >= 0 THEN (1 << (7 - (p % 8))) ELSE 0 END) AS bucket
+    FROM dots GROUP BY vec_id, p // 8
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+db AS (
+    SELECT vec_id, CAST(('0x' || substr(sha256(CAST(vec_id AS VARCHAR)), 1, 7))
+                        AS BIGINT) % 64 AS bk
+    FROM e
+),
+rand AS (
+    SELECT ra.vec_id AS id_a, rb.vec_id AS id_b
+    FROM db ra JOIN db rb ON ra.bk = rb.bk AND ra.vec_id < rb.vec_id
+    WHERE NOT EXISTS (SELECT 1 FROM cand c
+                      WHERE c.id_a = ra.vec_id AND c.id_b = rb.vec_id)
+),
+pairs AS (
+    SELECT id_a, id_b, 'collision' AS stratum FROM cand
+    UNION ALL
+    SELECT id_a, id_b, 'random_nocollision' FROM rand
+),
+scored AS (
+    SELECT p.stratum,
+           round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.3 AS is_true
+    FROM pairs p
+    JOIN e ea ON ea.vec_id = p.id_a
+    JOIN e eb ON eb.vec_id = p.id_b
+)
+SELECT stratum, count(*) AS n_pairs,
+       CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pairs,
+       round(sum(CASE WHEN is_true THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS true_pair_rate
+FROM scored GROUP BY stratum
 """
 
     o["embed_neardup_pairs"] = """

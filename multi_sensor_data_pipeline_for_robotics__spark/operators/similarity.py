@@ -928,6 +928,150 @@ def _portable_planes(dim: int, n_planes: int) -> list[list[float]]:
     return out
 
 
+def _portable_banded_vecs(
+    embeddings: DataFrame,
+    bands: int,
+    band_bits: int,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+) -> DataFrame:
+    """One row per (vector, band) with the md5-plane sign bucket —
+    the shared candidate-generation stage of
+    :func:`lsh_neardup_pairs_portable` and :func:`lsh_banding_audit`
+    (kept in one place so the audit can never drift from the screen it
+    audits). Columns: (id, vec, band, bucket)."""
+    planes = _portable_planes(dim, bands * band_bits)
+    v = to_double(F.col(vec_col))
+    bucket_cols = []
+    for b in range(bands):
+        acc = F.lit(0).cast("long")
+        for j in range(band_bits):
+            p = planes[b * band_bits + j]
+            d = F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(x) for x in p]), lambda a, w: a * w),
+                F.lit(0.0),
+                lambda acc2, x: acc2 + x,
+            )
+            acc = acc * 2 + (d >= 0).cast("long")
+        bucket_cols.append(F.struct(F.lit(b).alias("band"), acc.alias("bucket")))
+    return ensure_parallelism(embeddings).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        F.explode(F.array(*bucket_cols)).alias("bb"),
+    ).select("id", "vec", "bb.band", "bb.bucket")
+
+
+def lsh_banding_audit(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    bands: int = 4,
+    band_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    random_buckets: int = 256,
+    round_to: int = 6,
+) -> DataFrame:
+    """RECALL audit of the sign-LSH near-dup screen — the embedding
+    sibling of ``operators.dedup.dedup_audit``, answering the question
+    that tunes ``bands``/``band_bits`` before a large run: "how many
+    true near-dup pairs does the banding never even compare?"  The
+    screen's precision is 1.0 by construction (every candidate is
+    verified with exact cosine), so the ONLY failure mode is a missed
+    candidate — this measures it.
+
+    Two deterministic strata, both scored by exact cosine (rounded to
+    ``round_to``, the screen's own rule) against ``threshold``:
+
+    * ``collision`` — band-collision candidate pairs; its
+      ``n_true_pairs`` is what the screen finds.
+    * ``random_nocollision`` — sha256-bucket neighbor pairs
+      (``sha256(id) % random_buckets``, all-vs-all within bucket)
+      minus any band-colliding pair: every true pair here is a
+      banding MISS.  Size ``random_buckets`` ~n/2 at scale so buckets
+      stay tiny (the ``dedup_audit`` sampling design).
+
+    Output: ``(stratum, n_pairs, n_true_pairs, true_pair_rate)``.
+    A healthy configuration shows ``random_nocollision.true_pair_rate``
+    orders of magnitude below ``collision``'s; rising values say "add
+    bands or shrink band_bits".  Everything (md5 planes, sha256
+    buckets, fold-order dot products) is cross-engine deterministic."""
+    if random_buckets < 1:
+        raise ValueError("random_buckets must be >= 1")
+    e = _portable_banded_vecs(
+        embeddings, bands, band_bits, id_col, vec_col, dim
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cand = maybe_persist(
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"]),
+        min_bytes=0,
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("vec")
+    )
+    rb = vecs.select(
+        "id",
+        (
+            F.conv(
+                F.substring(F.sha2(F.col("id").cast("string"), 256), 1, 7),
+                16,
+                10,
+            ).cast("long")
+            % random_buckets
+        ).alias("__bk"),
+    )
+    ra, rbb = rb.alias("ra"), rb.alias("rb")
+    rand = (
+        ra.join(
+            rbb,
+            (F.col("ra.__bk") == F.col("rb.__bk"))
+            & (F.col("ra.id") < F.col("rb.id")),
+        )
+        .select(F.col("ra.id").alias("id_a"), F.col("rb.id").alias("id_b"))
+        .join(cand, ["id_a", "id_b"], "left_anti")
+        .select("id_a", "id_b", F.lit("random_nocollision").alias("stratum"))
+    )
+    pairs = cand.select(
+        "id_a", "id_b", F.lit("collision").alias("stratum")
+    ).unionByName(rand)
+    scored = (
+        pairs.join(
+            vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("va")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb")),
+            "id_b",
+        )
+        .withColumn(
+            "is_true",
+            F.round(cosine(F.col("va"), F.col("vb")), round_to)
+            >= threshold,
+        )
+    )
+    return (
+        scored.groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("is_true").cast("long")).alias("n_true_pairs"),
+        )
+        .withColumn(
+            "true_pair_rate",
+            F.round(
+                F.col("n_true_pairs").cast("double") / F.col("n_pairs"),
+                round_to,
+            ),
+        )
+    )
+
+
 def lsh_neardup_pairs_portable(
     embeddings: DataFrame,
     threshold: float = 0.3,
@@ -950,24 +1094,9 @@ def lsh_neardup_pairs_portable(
     and meant for verification corpora; at scale use the seeded fast
     path whose recall is property-tested against this family's exact
     base (`tests/test_llmops.py`)."""
-    planes = _portable_planes(dim, bands * band_bits)
-    v = to_double(F.col(vec_col))
-    bucket_cols = []
-    for b in range(bands):
-        acc = F.lit(0).cast("long")
-        for j in range(band_bits):
-            p = planes[b * band_bits + j]
-            d = F.aggregate(
-                F.zip_with(v, F.array(*[F.lit(x) for x in p]), lambda a, w: a * w),
-                F.lit(0.0),
-                lambda acc2, x: acc2 + x,
-            )
-            acc = acc * 2 + (d >= 0).cast("long")
-        bucket_cols.append(F.struct(F.lit(b).alias("band"), acc.alias("bucket")))
-    e = ensure_parallelism(embeddings).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
-        F.explode(F.array(*bucket_cols)).alias("bb"),
-    ).select("id", "vec", "bb.band", "bb.bucket")
+    e = _portable_banded_vecs(
+        embeddings, bands, band_bits, id_col, vec_col, dim
+    )
     a, b = e.alias("a"), e.alias("b")
     cand = (
         a.join(

@@ -395,3 +395,28 @@ def test_diverse_prototypes_excludes_zero_vectors(spark):
     ids = {r.vec_id for r in got}
     assert 0 not in ids
     assert all(r.cos_to_centroid == r.cos_to_centroid for r in got)  # no NaN
+
+
+def test_lsh_banding_audit_collision_matches_screen(spark, sf_dir):
+    """The collision stratum's true-pair count equals the portable
+    screen's output exactly (same banding, same exact-cosine rule),
+    and the strata are disjoint by construction."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.similarity import (
+        lsh_banding_audit,
+        lsh_neardup_pairs_portable,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    audit = {
+        r["stratum"]: r for r in lsh_banding_audit(emb, random_buckets=16).collect()
+    }
+    n_screen = lsh_neardup_pairs_portable(emb).count()
+    assert audit["collision"]["n_true_pairs"] == n_screen
+    assert audit["collision"]["n_pairs"] >= n_screen
+    rand = audit["random_nocollision"]
+    assert rand["n_pairs"] > 0
+    assert 0.0 <= rand["true_pair_rate"] <= 1.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=">= 1"):
+        lsh_banding_audit(emb, random_buckets=0)
