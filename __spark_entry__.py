@@ -4175,6 +4175,28 @@ def _q_corpus_select_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_select_mixture_redistribute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waterfilling mixture selection (new in r11): a 4000-token budget
+    at 10/10/80 shares where the 80%-share source runs dry at small
+    sfs, so its leftover budget redistributes to the other two —
+    exact cross-multiplied BIGINT comparisons throughout, no float
+    division (plans/selection.py mixture_token_budget_redistribute).
+    The fixpoint runs driver-side over the 3-row totals table; the
+    data-sized work is the shared range-shuffle cum scan."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+        dsir_log_weights,
+        mixture_token_budget_redistribute,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = dsir_log_weights(docs, F.col("lang") == "en").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return mixture_token_budget_redistribute(
+        w, {"src1": 10, "src3": 10, "src5": 80}, 4000
+    )
+
+
 def _q_embed_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH banding recall audit (new in r11): band-collision
     candidates vs sha256-bucket random pairs the banding never
@@ -4545,6 +4567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_lm_incremental": _q_select_lm_incremental,
         "corpus_funnel_by_source": _q_corpus_funnel_by_source,
         "embed_lsh_audit": _q_embed_lsh_audit,
+        "select_mixture_redistribute": _q_select_mixture_redistribute,
     }
 
 
@@ -7915,6 +7938,67 @@ WHERE CAST(cum_tokens - n_tokens AS DOUBLE) <
       CASE source WHEN 'src1' THEN {3000.0 * (0.5 / (0.5 + 0.3 + 0.2))!r}
                   WHEN 'src3' THEN {3000.0 * (0.3 / (0.5 + 0.3 + 0.2))!r}
                   WHEN 'src5' THEN {3000.0 * (0.2 / (0.5 + 0.3 + 0.2))!r} END
+"""
+
+
+    # waterfilling mixture: per-source cum + 3 unrolled exhaustion
+    # rounds (= |sources|, guaranteed fixpoint), all comparisons
+    # cross-multiplied BIGINTs so no float-summation-order boundary
+    o["select_mixture_redistribute"] = f"""
+WITH w AS (
+    SELECT dw.doc_id, dw.n_tokens, dw.log_weight, d.source
+    FROM ({_DSIR_W}) dw JOIN documents d USING (doc_id)
+    WHERE d.source IN ('src1', 'src3', 'src5')
+),
+r AS (
+    SELECT doc_id, source, n_tokens, log_weight,
+           CAST(sum(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY log_weight DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+    FROM w
+),
+t AS (
+    SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tot,
+           CASE source WHEN 'src1' THEN 10 WHEN 'src3' THEN 10
+                       WHEN 'src5' THEN 80 END AS share
+    FROM w GROUP BY source
+),
+s0 AS (SELECT source, tot, share, FALSE AS sat FROM t),
+s1 AS (
+    SELECT source, tot, share,
+           sat OR tot * (SELECT sum(CASE WHEN NOT sat THEN share ELSE 0 END)
+                         FROM s0)
+                < (SELECT 4000 - sum(CASE WHEN sat THEN tot ELSE 0 END)
+                   FROM s0) * share AS sat
+    FROM s0
+),
+s2 AS (
+    SELECT source, tot, share,
+           sat OR tot * (SELECT sum(CASE WHEN NOT sat THEN share ELSE 0 END)
+                         FROM s1)
+                < (SELECT 4000 - sum(CASE WHEN sat THEN tot ELSE 0 END)
+                   FROM s1) * share AS sat
+    FROM s1
+),
+s3 AS (
+    SELECT source, tot, share,
+           sat OR tot * (SELECT sum(CASE WHEN NOT sat THEN share ELSE 0 END)
+                         FROM s2)
+                < (SELECT 4000 - sum(CASE WHEN sat THEN tot ELSE 0 END)
+                   FROM s2) * share AS sat
+    FROM s2
+),
+fin AS (
+    SELECT source, tot, share, sat,
+           (SELECT sum(CASE WHEN NOT sat THEN share ELSE 0 END) FROM s3) AS rs,
+           (SELECT 4000 - sum(CASE WHEN sat THEN tot ELSE 0 END) FROM s3) AS rb
+    FROM s3
+)
+SELECT r.doc_id, r.source, r.n_tokens, r.log_weight, r.cum_tokens
+FROM r JOIN fin USING (source)
+WHERE CASE WHEN fin.sat THEN TRUE
+      ELSE (r.cum_tokens - r.n_tokens) * fin.rs < fin.rb * fin.share END
 """
 
     o["select_dsir_token_budget"] = f"""

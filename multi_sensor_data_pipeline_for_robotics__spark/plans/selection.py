@@ -901,10 +901,6 @@ def mixture_token_budget(
     ``Window.partitionBy(source)`` would sort the dominant source's
     candidates in ONE task; the range scan spreads every source across
     range partitions instead."""
-    from pyspark.sql import Window as W
-
-    from ..operators.pack import global_running_sum
-
     if not target_shares:
         raise ValueError("target_shares must name at least one source")
     tot = float(sum(target_shares.values()))
@@ -919,14 +915,40 @@ def mixture_token_budget(
                 F.lit(float(budget_tokens) * (float(sh) / tot)),
             ).otherwise(budget_col)
         )
+    cum = _mixture_source_cum(
+        weighted_docs, [s for s, _ in items], source_col, id_col
+    )
+    return cum.filter(
+        (F.col("cum_tokens") - F.col("n_tokens")).cast("double")
+        < budget_col
+    ).select(id_col, source_col, "n_tokens", "log_weight", "cum_tokens")
+
+
+def _mixture_source_cum(
+    weighted_docs: DataFrame,
+    sources: list[str],
+    source_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-source best-first inclusive running token totals on the
+    range-shuffle ``global_running_sum`` scan keyed
+    ``(source, -log_weight, id)`` — shared by
+    :func:`mixture_token_budget` and
+    :func:`mixture_token_budget_redistribute`.  Within each source the
+    global key order IS the per-source best-first order, so per-source
+    totals are the global running total minus a per-source offset (the
+    token total of every EARLIER source in key order, a
+    |sources|-row broadcast)."""
+    from pyspark.sql import Window as W
+
+    from ..operators.pack import global_running_sum
+
     cand = weighted_docs.filter(
-        F.col(source_col).isin([s for s, _ in items])
+        F.col(source_col).isin(list(sources))
     ).withColumn("__negw", -F.col("log_weight"))
     run = global_running_sum(
         cand, [source_col, "__negw", id_col], "n_tokens", out_col="__gcum"
     )
-    # per-source offset: token total of every earlier source in key
-    # order — one row per NAMED source, windowed then broadcast back
     w_src = W.orderBy(source_col).rowsBetween(W.unboundedPreceding, -1)
     offsets = (
         run.groupBy(source_col)
@@ -941,13 +963,85 @@ def mixture_token_budget(
         .withColumn(
             "cum_tokens", (F.col("__gcum") - F.col("__off")).cast("long")
         )
-        .filter(
-            (F.col("cum_tokens") - F.col("n_tokens")).cast("double")
-            < budget_col
+        .drop("__negw", "__gcum", "__off")
+    )
+
+
+def mixture_token_budget_redistribute(
+    weighted_docs: DataFrame,
+    target_shares: dict[str, int],
+    budget_tokens: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`mixture_token_budget` with WATERFILLING: when a source
+    runs out of tokens before its slice fills (the everyday case —
+    "give papers 20%" when papers is 4% of the corpus), its leftover
+    budget redistributes to the remaining sources in proportion to
+    their shares, iterating until no newly-exhausted source remains
+    (at most |sources| rounds) — so the selection actually SPENDS the
+    budget instead of silently under-filling.
+
+    ``target_shares`` values must be INTEGERS (parts, e.g.
+    ``{"web": 50, "code": 30, "papers": 20}``): every comparison is
+    then exact cross-multiplied BIGINT arithmetic — ``prefix * rem_share
+    < rem_budget * share`` — with no float division whose summation
+    order could flip a boundary doc between engines.  An exhausted
+    source admits ALL its docs; an unexhausted source fills its final
+    slice best-first, crossing doc included (the
+    :func:`dsir_select_token_budget` rule).
+
+    The fixpoint runs driver-side over the |sources|-row totals table
+    (a model-sized collect, the ``collect_dsir_model`` discipline);
+    the data-sized work is the one shared
+    :func:`_mixture_source_cum` scan."""
+    if not target_shares:
+        raise ValueError("target_shares must name at least one source")
+    for s, sh in target_shares.items():
+        if not isinstance(sh, int) or isinstance(sh, bool) or sh <= 0:
+            raise ValueError(
+                "redistribute mode needs positive INTEGER shares"
+                f" (exact arithmetic); got {s}={sh!r}"
+            )
+    budget_tokens = int(budget_tokens)
+    items = sorted(target_shares.items())
+    cum = _mixture_source_cum(
+        weighted_docs, [s for s, _ in items], source_col, id_col
+    )
+    cum = cum.localCheckpoint(eager=False)  # totals + final filter
+    totals = {
+        r[source_col]: int(r["__t"])
+        for r in cum.groupBy(source_col)
+        .agg(F.sum("n_tokens").alias("__t"))
+        .collect()
+    }
+    exhausted: set[str] = set()
+    while True:
+        rem_budget = budget_tokens - sum(
+            totals.get(s, 0) for s in exhausted
         )
-        .select(
-            id_col, source_col, "n_tokens", "log_weight", "cum_tokens"
-        )
+        rem_share = sum(sh for s, sh in items if s not in exhausted)
+        newly = {
+            s
+            for s, sh in items
+            if s not in exhausted
+            and totals.get(s, 0) * rem_share < rem_budget * sh
+        }
+        if not newly:
+            break
+        exhausted |= newly
+    admit = F.lit(False)
+    for s, sh in items:
+        if s in exhausted:
+            cond = F.lit(True)
+        else:
+            cond = (
+                (F.col("cum_tokens") - F.col("n_tokens"))
+                * F.lit(int(rem_share))
+            ) < F.lit(int(rem_budget)) * F.lit(int(sh))
+        admit = F.when(F.col(source_col) == s, cond).otherwise(admit)
+    return cum.filter(admit).select(
+        id_col, source_col, "n_tokens", "log_weight", "cum_tokens"
     )
 
 

@@ -503,3 +503,64 @@ def test_corpus_select_funnel_by_source_sums_to_scalar(spark):
         d, t = agg.get(r["stage"], (0, 0))
         agg[r["stage"]] = (d + r["n_docs"], t + r["n_tokens"])
     assert agg == {k: v for k, v in scalar.items() if v[0] > 0}
+
+
+def test_mixture_redistribute_waterfills_dry_source(spark):
+    """A source that runs dry hands its leftover budget to the others
+    in share proportion; results equal the plain form when nothing
+    runs dry; integer shares are enforced."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+        mixture_token_budget,
+        mixture_token_budget_redistribute,
+    )
+
+    w = spark.createDataFrame(
+        [
+            (1, "a", 60, 3.0), (2, "a", 60, 2.0), (3, "a", 60, 1.0),
+            (7, "a", 60, 0.5),
+            (4, "b", 30, 5.0), (5, "b", 30, 4.0),
+            (6, "c", 10, 9.0),
+        ],
+        "doc_id long, source string, n_tokens long, log_weight double",
+    )
+    # budget 200 at 60/30/10 (totals a=240, b=60, c=10) — a CASCADE:
+    # round 1: c dry (10 < slice 20); round 2: rem=190/90 lifts b's
+    # slice to 63.3 so b goes dry too (60*90=5400 < 190*30=5700);
+    # round 3: a alone, rem=130 — docs 1,2 fit, doc3 crosses
+    # (prefix 120*60=7200 < 130*60=7800), doc7 (prefix 180) is out.
+    got = {
+        r.doc_id: r.source
+        for r in mixture_token_budget_redistribute(
+            w, {"a": 60, "b": 30, "c": 10}, 200
+        ).collect()
+    }
+    assert got == {1: "a", 2: "a", 3: "a", 4: "b", 5: "b", 6: "c"}
+
+    # nothing runs dry (slices 50/50 vs totals 240/60) -> identical
+    # selection to the plain form
+    plain = {
+        r.doc_id
+        for r in mixture_token_budget(w, {"a": 0.5, "b": 0.5}, 100).collect()
+    }
+    redis = {
+        r.doc_id
+        for r in mixture_token_budget_redistribute(
+            w, {"a": 1, "b": 1}, 100
+        ).collect()
+    }
+    assert plain == redis and plain == {1, 4, 5}
+
+    # budget above the whole corpus -> everything admitted
+    all_in = mixture_token_budget_redistribute(
+        w, {"a": 1, "b": 1, "c": 1}, 10_000
+    ).count()
+    assert all_in == 7
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="INTEGER"):
+        mixture_token_budget_redistribute(w, {"a": 0.5}, 100)
+    with _pt.raises(ValueError, match="INTEGER"):
+        mixture_token_budget_redistribute(w, {"a": True}, 100)
+    with _pt.raises(ValueError, match="at least one"):
+        mixture_token_budget_redistribute(w, {}, 100)
