@@ -995,7 +995,14 @@ def lsh_banding_audit(
     A healthy configuration shows ``random_nocollision.true_pair_rate``
     orders of magnitude below ``collision``'s; rising values say "add
     bands or shrink band_bits".  Everything (md5 planes, sha256
-    buckets, fold-order dot products) is cross-engine deterministic."""
+    buckets, fold-order dot products) is cross-engine deterministic.
+
+    Sizing rule (for the audit AND the screen it audits):
+    ``band_bits`` must grow with ``log2(n)`` — a band's key space is
+    ``2^band_bits``, so 8-bit buckets at 100k vectors hold ~390
+    vectors EACH and the candidate join goes quadratic regardless of
+    the data (measured in SCALE.md r11); 16 bits keeps candidates
+    linear at that size."""
     if random_buckets < 1:
         raise ValueError("random_buckets must be >= 1")
     e = _portable_banded_vecs(
@@ -1013,7 +1020,7 @@ def lsh_banding_audit(
         .dropDuplicates(["id_a", "id_b"]),
         min_bytes=0,
     )
-    vecs = embeddings.select(
+    vecs = ensure_parallelism(embeddings).select(
         F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("vec")
     )
     rb = vecs.select(

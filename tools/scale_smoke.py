@@ -135,6 +135,13 @@ def main() -> None:
         if "stream_screen" in fams:
             smoke_stream_screen(spark, scratch, n_docs=2_000_000 // div)
             release_storage(spark)
+        if "audits" in fams:
+            smoke_audits(spark, scratch, n_docs=500_000 // div,
+                         n_vecs=100_000 // div)
+            release_storage(spark)
+        if "stream_budget" in fams:
+            smoke_stream_budget(spark, scratch, n=20_000_000 // div)
+            release_storage(spark)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -1046,6 +1053,27 @@ def smoke_mixture_hot_source(spark, scratch, n):
     assert (a["docs"], a["toks"]) == (b["docs"], b["toks"]), (a, b)
     print(f"  parity: both select {a['docs']:,} docs / {a['toks']:,} tokens")
 
+    # waterfilling form on the same input: 'papers' (~1.9% of rows)
+    # runs dry against its 20% slice, so two fixpoint rounds run —
+    # the extra cost over the plain scan is one |sources|-row collect
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+        mixture_token_budget_redistribute,
+    )
+
+    _, c = timed(
+        "mixture budget, redistribute (waterfill)",
+        lambda: mixture_token_budget_redistribute(
+            t, {"web": 50, "code": 30, "papers": 20}, budget
+        )
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").alias("toks"),
+        )
+        .first(),
+    )
+    assert c["toks"] >= a["toks"], (a, c)  # leftover got spent
+    print(f"  waterfill spends {c['toks']:,} tokens (plain: {a['toks']:,})")
+
 
 def smoke_stream_screen(spark, scratch, n_docs):
     """stream_neardup_screen throughput at n_docs incoming docs vs a
@@ -1227,6 +1255,151 @@ def smoke_stream_screen(spark, scratch, n_docs):
     )
     print(
         f"  parity: both broadcast forms keep {res[0]:,} of {n_docs:,}"
+    )
+
+
+def smoke_audits(spark, scratch, n_docs, n_vecs):
+    """The two r11 screen-quality audits at full size: dedup_audit at
+    n_docs (collision stratum thinned via collision_sample_mod so the
+    exact-Jaccard verification stays sample-bounded) and
+    lsh_banding_audit at n_vecs (random stratum bounded by
+    random_buckets ~ n/2 -> Poisson-2 buckets)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.dedup import (
+        dedup_audit,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.similarity import (
+        lsh_banding_audit,
+    )
+
+    print(f"\n## screen-quality audits @ {n_docs:,} docs / {n_vecs:,} vecs")
+    # docs: reuse the stream_screen generator shape (~10% near-dups)
+    word = lambda s, i: F.conv(
+        (F.abs(F.hash(s.cast("string"), i.cast("string"))) % 1_000_000)
+        .cast("string"),
+        10,
+        16,
+    )
+    h = F.abs(F.hash(F.col("id").cast("string")))
+    n_bases = max(n_docs // 200, 1)
+    is_dup = (h % 10) == 0
+    seed = F.when(is_dup, (h / 10).cast("long") % n_bases).otherwise(
+        F.col("id") + 1_000_000_000
+    )
+    toks = F.transform(F.sequence(F.lit(0), F.lit(23)), lambda i: word(seed, i))
+    toks = F.when(
+        is_dup,
+        F.concat(F.slice(toks, 1, 23), F.array(word(F.col("id"), F.lit(99)))),
+    ).otherwise(toks)
+    spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), F.array_join(toks, " ").alias("text")
+    ).write.mode("overwrite").parquet(f"{scratch}/audit_docs")
+    d = spark.read.parquet(f"{scratch}/audit_docs")
+    _, r = timed(
+        "dedup_audit(sample_mod=16, buckets=n/2)",
+        lambda: {
+            row["stratum"]: (row["n_pairs"], row["tp"], row["fn"])
+            for row in dedup_audit(
+                d,
+                collision_sample_mod=16,
+                random_buckets=max(n_docs // 2, 1),
+            ).collect()
+        },
+    )
+    print(f"  strata: {r}")
+
+    # vecs: hash-uniform components (sign patterns spread across the
+    # full bucket key space — a first draft used sin() mixtures whose
+    # few distinct sign patterns collapsed into giant buckets and 1e9
+    # candidate pairs), ~10% planted near-copies of scaled base count
+    # so true pairs stay LINEAR (the dedup-smoke lesson)
+    vh = F.abs(F.hash(F.col("id").cast("string")))
+    vn_bases = max(n_vecs // 200, 1)
+    v_is_dup = (vh % 10) == 0
+    v_seed = F.when(v_is_dup, (vh / 10).cast("long") % vn_bases).otherwise(
+        F.col("id") + 3_000_000_000
+    )
+    comp = lambda s, i: (
+        (F.abs(F.hash(s.cast("string"), i.cast("string"))) % 2001).cast(
+            "double"
+        )
+        - 1000.0
+    ) / 1000.0
+    base_vec = F.transform(
+        F.sequence(F.lit(0), F.lit(63)), lambda i: comp(v_seed, i)
+    )
+    # perturb one component for dup vecs so they're NEAR-dups
+    vec = F.when(
+        v_is_dup,
+        F.concat(
+            F.slice(base_vec, 1, 63), F.array(comp(F.col("id"), F.lit(99)))
+        ),
+    ).otherwise(base_vec)
+    spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    ).write.mode("overwrite").parquet(f"{scratch}/audit_vecs")
+    v = spark.read.parquet(f"{scratch}/audit_vecs")
+    # band_bits MUST grow with log2(n): 8-bit buckets (256 keys) at
+    # 100k vecs put ~390 vecs in every bucket -> ~80M candidate pairs
+    # regardless of data (measured: the 8-bit audit ran minutes before
+    # being killed). 16-bit buckets keep candidates linear here.
+    _, r2 = timed(
+        "lsh_banding_audit(band_bits=16, buckets=n/2)",
+        lambda: {
+            row["stratum"]: (row["n_pairs"], row["n_true_pairs"])
+            for row in lsh_banding_audit(
+                v,
+                band_bits=16,
+                random_buckets=max(n_vecs // 2, 1),
+            ).collect()
+        },
+    )
+    print(f"  strata: {r2}")
+
+
+def smoke_stream_budget(spark, scratch, n):
+    """token_budget_stream at n rows across 64 source keys on a batch
+    frame equivalence check is pytest's job; here the question is
+    THROUGHPUT of the stateful admission at full size vs the batch
+    selector on the same data (per-key budgets shard the state)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+        dsir_select_token_budget,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.stateful import (
+        token_budget_stream,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.sync_stream import (
+        run_to_memory,
+    )
+
+    print(f"\n## token-budget admission @ {n:,} rows / 64 keys")
+    spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 64).cast("string").alias("source"),
+        (F.col("id") % 37 + 2).cast("long").alias("n_tokens"),
+        F.round(F.sin(F.col("id").cast("double")), 6).alias("log_weight"),
+    ).write.mode("overwrite").parquet(f"{scratch}/budget_rows")
+    t = spark.read.parquet(f"{scratch}/budget_rows")
+
+    def stream_form():
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, source string, n_tokens long, log_weight double"
+            ).parquet(f"{scratch}/budget_rows")
+        )
+        sm = token_budget_stream(stream, 1_000_000, key_col="source")
+        run_to_memory(sm, "budget_smoke_tbl", output_mode="append")
+        return (
+            spark.table("budget_smoke_tbl")
+            .agg(F.count(F.lit(1)).alias("admitted"))
+            .first()
+        )
+
+    timed("token_budget_stream(64 keys)", stream_form)
+    timed(
+        "dsir_select_token_budget (batch, global)",
+        lambda: dsir_select_token_budget(t, 64_000_000)
+        .agg(F.count(F.lit(1)).alias("admitted"))
+        .first(),
     )
 
 
