@@ -458,13 +458,26 @@ def minhash_lsh_pairs_portable(
     sig = maybe_persist(
         minhash_signatures_portable(df, num_hashes, text_col, id_col, shingle_n)
     )
+    cand = _portable_candidates(sig, num_hashes, bands)
+    return cand.filter(F.col("est_jaccard") >= threshold)
+
+
+def _portable_candidates(
+    sig: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """Band-collision candidate pairs with estimated Jaccard from a
+    portable signature table: ``(doc_a, doc_b, est_jaccard)``, one row
+    per distinct pair — the shared candidate-generation stage of
+    :func:`minhash_lsh_pairs_portable` and :func:`dedup_audit` (kept
+    in one place so the audit can never drift from the screen it
+    audits, the ``_portable_banded_vecs`` discipline)."""
     banded = _banded_portable(sig, num_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     matches = sum(
         F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
         for i in range(num_hashes)
     )
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -478,7 +491,6 @@ def minhash_lsh_pairs_portable(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return cand.filter(F.col("est_jaccard") >= threshold)
 
 
 def dedup_against_corpus(
@@ -1537,26 +1549,10 @@ def dedup_audit(
             df, num_hashes, text_col, id_col, shingle_n
         )
     )
-    banded = _banded_portable(sig, num_hashes, bands)
-    a, b = banded.alias("a"), banded.alias("b")
-    matches = sum(
-        F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
-        for i in range(num_hashes)
-    )
+    # the screen's own candidate stage, shared verbatim (see
+    # _portable_candidates) — the audit measures THE shipped screen
     cand = maybe_persist(
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            (matches.cast("double") / num_hashes).alias("est_jaccard"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"]),
-        min_bytes=0,
+        _portable_candidates(sig, num_hashes, bands), min_bytes=0
     )
 
     def _h7(col):

@@ -943,9 +943,17 @@ def _mixture_source_cum(
 
     from ..operators.pack import global_running_sum
 
+    # NULL log_weight sorts LAST (lowest priority): a plain -log_weight
+    # would leave NULLs NULL, and ascending-NULLS-FIRST range keys
+    # would hand unweighted docs the budget before every real
+    # candidate — the opposite of the Window desc() (NULLS LAST)
+    # semantics this scan replaced
     cand = weighted_docs.filter(
         F.col(source_col).isin(list(sources))
-    ).withColumn("__negw", -F.col("log_weight"))
+    ).withColumn(
+        "__negw",
+        F.coalesce(-F.col("log_weight"), F.lit(float("inf"))),
+    )
     run = global_running_sum(
         cand, [source_col, "__negw", id_col], "n_tokens", out_col="__gcum"
     )

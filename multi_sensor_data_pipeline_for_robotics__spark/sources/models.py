@@ -52,13 +52,17 @@ def save_model_tables(
 ) -> None:
     """Write each named model table to ``<path>/<name>.parquet``
     (coalesced to one file — the tables are model-sized by contract)
-    and the ``meta`` dict to the manifest. Overwrites.  The manifest
-    is written LAST, so a partially-written artifact (job died
-    mid-save) is never loadable — :func:`load_model_tables` requires
-    the manifest."""
+    and the ``meta`` dict to the manifest. Overwrites.  Crash safety:
+    any EXISTING manifest is deleted FIRST and the new one is written
+    LAST, so a save that dies mid-way leaves the directory unloadable
+    (:func:`load_model_tables` requires the manifest) rather than a
+    torn mix of old and new tables that would load silently."""
     if not tables:
         raise ValueError("save_model_tables: no tables given")
     spark = next(iter(tables.values())).sparkSession
+    fs, hpath = _hadoop_fs(spark, _join(path, _META))
+    if fs.exists(hpath):
+        fs.delete(hpath, False)
     for name, df in tables.items():
         if not name or "/" in name or name.startswith("_"):
             raise ValueError(f"bad model table name: {name!r}")
@@ -66,7 +70,6 @@ def save_model_tables(
             _join(path, f"{name}.parquet")
         )
     manifest = {"tables": sorted(tables), "meta": meta or {}}
-    fs, hpath = _hadoop_fs(spark, _join(path, _META))
     out = fs.create(hpath, True)
     try:
         out.write(

@@ -1178,34 +1178,37 @@ def _make_token_budget_fn(budget: int):
         import numpy as np
 
         used = state.get[0] if state.exists else 0
-        out = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values("doc_id", kind="stable")
-            toks = pdf["n_tokens"].to_numpy(dtype="int64")
-            cum = used + np.cumsum(toks)
-            # admit iff the running total BEFORE this doc is still
-            # under budget — the crossing doc is included, the same
-            # rule as plans.selection.dsir_select_token_budget
-            admit = (cum - toks) < B
-            if admit.any():
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "key": key[0],
-                            "doc_id": pdf["doc_id"].to_numpy(
-                                dtype="int64"
-                            )[admit],
-                            "n_tokens": toks[admit],
-                            "cum_tokens": cum[admit],
-                        }
-                    )
-                )
-                used = int(cum[admit][-1])
+        # buffer the WHOLE micro-batch for this key before sorting:
+        # Arrow hands the group as ~10k-row chunks with no within-group
+        # order guarantee, so sorting each chunk independently would
+        # admit the wrong docs whenever a key's batch spans chunks.
+        # Memory = one key's rows per micro-batch, the same bound every
+        # sort-dependent operator in this module already accepts.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((int(used),))
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            "doc_id", kind="stable"
+        )
+        toks = pdf["n_tokens"].to_numpy(dtype="int64")
+        cum = used + np.cumsum(toks)
+        # admit iff the running total BEFORE this doc is still under
+        # budget — the crossing doc is included, the same rule as
+        # plans.selection.dsir_select_token_budget
+        admit = (cum - toks) < B
+        if admit.any():
+            used = int(cum[admit][-1])
         state.update((int(used),))
-        if out:
-            yield pd.concat(out, ignore_index=True)
+        if admit.any():
+            yield pd.DataFrame(
+                {
+                    "key": key[0],
+                    "doc_id": pdf["doc_id"].to_numpy(dtype="int64")[admit],
+                    "n_tokens": toks[admit],
+                    "cum_tokens": cum[admit],
+                }
+            )
 
     return _budget_fn
 
@@ -1236,9 +1239,12 @@ def token_budget_stream(
 
     State per key is a single LONG (tokens admitted so far) — O(keys)
     forever, the cheapest stateful operator in this module.  Within a
-    micro-batch rows are processed in ``id_col`` order (the
-    ``ewma_stream`` stance); admission order across batches is arrival
-    order, which is what "admit until full" means online.  Output:
+    micro-batch a key's rows are buffered, concatenated and sorted in
+    ``id_col`` order BEFORE the prefix rule runs (Arrow chunking gives
+    no within-group order, so per-chunk sorting would admit the wrong
+    docs whenever a key's batch spans ~10k-row chunks); admission
+    order across batches is arrival order, which is what "admit until
+    full" means online.  Output:
     ``(key, doc_id, n_tokens, cum_tokens)`` with ``cum_tokens`` the
     inclusive running total of ADMITTED tokens, matching the batch
     selector's observability column.

@@ -564,3 +564,53 @@ def test_mixture_redistribute_waterfills_dry_source(spark):
         mixture_token_budget_redistribute(w, {"a": True}, 100)
     with _pt.raises(ValueError, match="at least one"):
         mixture_token_budget_redistribute(w, {}, 100)
+
+
+def test_mixture_budget_null_weights_sort_last(spark):
+    """NULL log_weight docs get the budget LAST (the pre-r11 Window
+    desc() NULLS LAST contract), not first."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+        mixture_token_budget,
+    )
+
+    w = spark.createDataFrame(
+        [(1, "a", 50, None), (2, "a", 50, 1.0), (3, "a", 50, 2.0)],
+        "doc_id long, source string, n_tokens long, log_weight double",
+    )
+    got = sorted(
+        r.doc_id for r in mixture_token_budget(w, {"a": 1.0}, 100).collect()
+    )
+    assert got == [2, 3]  # the weighted docs, never the NULL one first
+
+
+def test_save_model_tables_deletes_stale_manifest_first(spark, tmp_path):
+    """Overwriting a model directory removes the OLD manifest before
+    any table writes, so a mid-save crash leaves the dir unloadable
+    instead of a torn old/new mix."""
+    from multi_sensor_data_pipeline_for_robotics__spark.plans.selection import (
+        train_char_lm,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.sources.models import (
+        _META,
+        _hadoop_fs,
+        _join,
+        load_model_tables,
+        save_model_tables,
+    )
+
+    ref = _docs(spark, [("alpha beta gamma", "en")] * 2)
+    tri, ctx, vocab = train_char_lm(ref)
+    p = str(tmp_path / "m")
+    save_model_tables(p, {"tri": tri}, meta={"v": 1})
+    # simulate the crash point: manifest deleted, tables half-written
+    fs, hp = _hadoop_fs(spark, _join(p, _META))
+    assert fs.exists(hp)
+    fs.delete(hp, False)
+    import pytest as _pt
+
+    with _pt.raises(FileNotFoundError):
+        load_model_tables(spark, p)
+    # a fresh complete save loads again
+    save_model_tables(p, {"tri": tri}, meta={"v": 2})
+    _, meta = load_model_tables(spark, p)
+    assert meta == {"v": 2}

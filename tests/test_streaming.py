@@ -552,3 +552,34 @@ def test_token_budget_stream_global_key_and_validation(spark, tmp_path):
     assert all(r.key == "_global" for r in out)
     with _pytest.raises(ValueError, match="budget_tokens"):
         token_budget_stream(stream, 0)
+
+
+def test_token_budget_stream_sorts_across_arrow_chunks(spark, tmp_path):
+    """A key whose micro-batch spans multiple Arrow record batches is
+    still admitted in global doc_id order (the kernel buffers and
+    sorts the whole batch, not each ~10k-row chunk)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.stateful import (
+        token_budget_stream,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.sync_stream import (
+        run_to_memory,
+    )
+
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    try:
+        n = 1000
+        rows = spark.range(n).select(
+            # descending doc_ids vs range order, single partition so one
+            # group spans 10 Arrow chunks in (mostly) reversed id order
+            (n - 1 - F.col("id")).alias("doc_id"),
+            F.lit(1).cast("long").alias("n_tokens"),
+        ).coalesce(1)
+        src = str(tmp_path / "chunks")
+        rows.write.mode("append").parquet(src)
+        stream = spark.readStream.schema("doc_id long, n_tokens long").parquet(src)
+        sm = token_budget_stream(stream, 300, key_col=None)
+        run_to_memory(sm, "tb_chunks_tbl", output_mode="append")
+        got = sorted(r.doc_id for r in spark.table("tb_chunks_tbl").collect())
+        assert got == list(range(300))  # the 300 LOWEST ids, not chunk-local
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")

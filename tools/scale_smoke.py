@@ -64,6 +64,7 @@ def main() -> None:
         "substring", "semdedup", "layout", "kmv_hot", "semdedup_cap",
         "topk_hot", "snm", "salted", "gsample_hot", "rank_norm",
         "selection", "diag", "lpa", "hardneg",
+        "mixture_hot", "stream_screen", "audits", "stream_budget",
     ]
     spark = get_session(app_name="scale_smoke")
     scratch = tempfile.mkdtemp(prefix="spark_graft_scale_")
