@@ -1033,6 +1033,25 @@ def _q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_minhash_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The portable MinHash screen with the oversized-bucket
+    star-reduction engaged (new in r12): any band bucket holding more
+    than one signature representative emits doc -> bucket-min star
+    edges instead of the within-bucket clique — the guard that bounds a
+    c-member boilerplate cluster at c-1 edges instead of c(c-1)/2
+    (operators/dedup.py minhash_lsh_pairs_portable max_bucket_size).
+    max_bucket_size=1 is deliberately extreme so the guard provably
+    engages at every sf; the oracle replays the identical reduction."""
+    return D.minhash_lsh_pairs_portable(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=16,
+        bands=4,
+        threshold=0.5,
+        shingle_n=3,
+        max_bucket_size=1,
+    )
+
+
 def _q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sub-document boilerplate dedup: non-overlapping 20-token windows,
     # first occurrence across the corpus wins
@@ -4568,6 +4587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_funnel_by_source": _q_corpus_funnel_by_source,
         "embed_lsh_audit": _q_embed_lsh_audit,
         "select_mixture_redistribute": _q_select_mixture_redistribute,
+        "dedup_minhash_bounded": _q_dedup_minhash_bounded,
     }
 
 
@@ -5106,6 +5126,22 @@ GROUP BY 1
     _match_sum = " + ".join(
         f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(_NH)
     )
+    # signature-identical collapse (mirrors _portable_candidates):
+    # rep = min doc per identical full signature; members become
+    # (rep, member, 1.0) star edges and only reps enter the banding
+    _husing = ", ".join(f"h{i}" for i in range(_NH))
+    _collapse_sql = f"""g AS (
+    SELECT {_husing}, min(doc) AS rep FROM sig GROUP BY {_husing}
+),
+star AS (
+    SELECT g.rep AS doc_a, s.doc AS doc_b,
+           CAST(1.0 AS DOUBLE) AS est_jaccard
+    FROM sig s JOIN g USING ({_husing}) WHERE s.doc <> g.rep
+),
+reps AS (
+    SELECT s.* FROM sig s JOIN g USING ({_husing}) WHERE s.doc = g.rep
+)"""
+    _bands_sql_reps = _bands_sql.replace("FROM sig", "FROM reps")
     o["dedup_minhash_portable"] = f"""
 WITH t AS (SELECT doc_id AS doc, string_split(text, ' ') AS toks FROM documents),
 s AS (
@@ -5124,14 +5160,73 @@ sig AS (
            {_min_exprs}
     FROM hb GROUP BY doc
 ),
+{_collapse_sql},
 banded AS (
-    {_bands_sql}
+    {_bands_sql_reps}
 )
 SELECT doc_a, doc_b, est_jaccard FROM (
     SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
            ({_match_sum}) / {float(_NH)} AS est_jaccard
     FROM banded a
     JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+    UNION ALL
+    SELECT doc_a, doc_b, est_jaccard FROM star
+)
+WHERE est_jaccard >= 0.5
+"""
+
+    # the star-reduction twin: band buckets of > max_bucket_size (=1)
+    # representatives emit (bucket-min, doc) star edges scored from the
+    # two signatures instead of the within-bucket clique
+    _match_sum_m = " + ".join(
+        f"(CASE WHEN bm.h{i} = bb.h{i} THEN 1 ELSE 0 END)" for i in range(_NH)
+    )
+    o["dedup_minhash_bounded"] = f"""
+WITH t AS (SELECT doc_id AS doc, string_split(text, ' ') AS toks FROM documents),
+s AS (
+    SELECT doc, unnest(list_distinct(
+        list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    )) AS shingle
+    FROM t
+),
+hb AS (
+    SELECT doc, CAST(('0x' || substr(sha256(shingle), 1, 7)) AS BIGINT) AS b
+    FROM s
+),
+sig AS (
+    SELECT doc,
+           {_min_exprs}
+    FROM hb GROUP BY doc
+),
+{_collapse_sql},
+banded AS (
+    {_bands_sql_reps}
+),
+bsz AS (
+    SELECT band, bucket, count(*) AS n, min(doc) AS mdoc
+    FROM banded GROUP BY band, bucket
+),
+small AS (
+    SELECT b.* FROM banded b JOIN bsz USING (band, bucket) WHERE bsz.n <= 1
+),
+bstar AS (
+    SELECT DISTINCT z.mdoc AS doc_a, bb.doc AS doc_b,
+           ({_match_sum_m}) / {float(_NH)} AS est_jaccard
+    FROM banded bb
+    JOIN bsz z USING (band, bucket)
+    JOIN sig bm ON bm.doc = z.mdoc
+    WHERE z.n > 1 AND bb.doc <> z.mdoc
+)
+SELECT doc_a, doc_b, est_jaccard FROM (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+           ({_match_sum}) / {float(_NH)} AS est_jaccard
+    FROM small a
+    JOIN small b ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+    UNION
+    SELECT doc_a, doc_b, est_jaccard FROM bstar
+    UNION
+    SELECT doc_a, doc_b, est_jaccard FROM star
 )
 WHERE est_jaccard >= 0.5
 """
@@ -5200,14 +5295,17 @@ sig AS (
            {_min_exprs}
     FROM hb GROUP BY doc
 ),
+{_collapse_sql},
 banded AS (
-    {_bands_sql}
+    {_bands_sql_reps}
 ),
 cand AS (
     SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
            ({_match_sum}) / {float(_NH)} AS est
     FROM banded a
     JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+    UNION ALL
+    SELECT doc_a, doc_b, est_jaccard AS est FROM star
 ),
 coll AS (
     SELECT doc_a, doc_b, 'collision' AS stratum, est >= 0.5 AS screen_drop
@@ -5219,7 +5317,7 @@ coll AS (
 db AS (
     SELECT doc, CAST(('0x' || substr(sha256(CAST(doc AS VARCHAR)), 1, 7))
                      AS BIGINT) % 200 AS bk
-    FROM sig
+    FROM reps
 ),
 rand AS (
     SELECT ra.doc AS doc_a, rb.doc AS doc_b,
@@ -7041,10 +7139,23 @@ buckets AS (
            sum(CASE WHEN dp >= 0 THEN (1 << (7 - (p % 8))) ELSE 0 END) AS bucket
     FROM dots GROUP BY vec_id, p // 8
 ),
+sigl AS (
+    SELECT vec_id, list(bucket ORDER BY band) AS sig FROM buckets GROUP BY vec_id
+),
+g AS (SELECT sig, min(vec_id) AS rep FROM sigl GROUP BY sig),
+star AS (
+    SELECT g.rep AS id_a, s.vec_id AS id_b
+    FROM sigl s JOIN g ON s.sig = g.sig WHERE s.vec_id <> g.rep
+),
+rbanded AS (
+    SELECT b.* FROM buckets b JOIN g ON b.vec_id = g.rep
+),
 cand AS (
     SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-    FROM buckets a JOIN buckets b
+    FROM rbanded a JOIN rbanded b
       ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    UNION
+    SELECT id_a, id_b FROM star
 )
 SELECT id_a, id_b,
        round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
@@ -7070,15 +7181,28 @@ buckets AS (
            sum(CASE WHEN dp >= 0 THEN (1 << (7 - (p % 8))) ELSE 0 END) AS bucket
     FROM dots GROUP BY vec_id, p // 8
 ),
+sigl AS (
+    SELECT vec_id, list(bucket ORDER BY band) AS sig FROM buckets GROUP BY vec_id
+),
+g AS (SELECT sig, min(vec_id) AS rep FROM sigl GROUP BY sig),
+star AS (
+    SELECT g.rep AS id_a, s.vec_id AS id_b
+    FROM sigl s JOIN g ON s.sig = g.sig WHERE s.vec_id <> g.rep
+),
+rbanded AS (
+    SELECT b.* FROM buckets b JOIN g ON b.vec_id = g.rep
+),
 cand AS (
     SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-    FROM buckets a JOIN buckets b
+    FROM rbanded a JOIN rbanded b
       ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    UNION
+    SELECT id_a, id_b FROM star
 ),
 db AS (
-    SELECT vec_id, CAST(('0x' || substr(sha256(CAST(vec_id AS VARCHAR)), 1, 7))
+    SELECT rep AS vec_id, CAST(('0x' || substr(sha256(CAST(rep AS VARCHAR)), 1, 7))
                         AS BIGINT) % 64 AS bk
-    FROM e
+    FROM g
 ),
 rand AS (
     SELECT ra.vec_id AS id_a, rb.vec_id AS id_b

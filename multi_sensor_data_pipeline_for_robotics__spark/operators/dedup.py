@@ -24,6 +24,7 @@ Scale design:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from multi_sensor_data_pipeline_for_robotics__spark.cache import maybe_persist
@@ -301,6 +302,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 1,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding over MinHash signatures,
     scored by estimated Jaccard (matching signature fraction).
@@ -309,6 +311,28 @@ def minhash_lsh_pairs(
     matches exactly (equi-join on (band, hash(slice))). Estimated
     Jaccard filters candidates; exact verification can follow with
     ``ngram_jaccard_pairs`` semantics on the candidate set.
+
+    Scale guards against the O(c²)-pairs-per-cluster blowup that
+    boilerplate-heavy web corpora hit after exact dedup (a c-member
+    templated-page cluster lands whole in one bucket of EVERY band):
+
+    * **Signature-identical collapse (always on).** Documents sharing
+      the entire signature are collapsed to their min-id representative
+      before the band join; each member is emitted directly as a
+      ``(rep, member, est_jaccard=1.0)`` star edge — exactly the score
+      the join would have computed (all ``num_hashes`` slots match) —
+      and only representatives enter the banding. Cost per
+      signature-identical cluster: c-1 edges instead of c(c-1)/2, and
+      member pairs never reach the join. Connectivity through the
+      representative is preserved, so downstream connected components
+      are unchanged; only the redundant clique expansion (derivable
+      from the star) is dropped.
+    * **``max_bucket_size`` (opt-in).** Any (band, bucket) group of
+      representatives larger than this emits doc → bucket-min star
+      edges (est scored from the signatures as usual, threshold still
+      applies) instead of joining all pairs, bounding the worst bucket
+      at c-1 edges. Dropped-pair accounting is surfaced by
+      ``dedup_audit(..., max_bucket_size=...)``.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -319,7 +343,27 @@ def minhash_lsh_pairs(
     # already share one shuffle via ReusedExchange, so a persist only
     # adds a barrier (measured slower at bench scale).
     sig = maybe_persist(minhash_signatures(df, num_hashes, text_col, id_col, shingle_n))
-    banded = sig.select(
+
+    def est(sa, sb):
+        return (
+            F.size(F.filter(F.zip_with(sa, sb, lambda x, y: x == y), lambda m: m))
+            .cast("double")
+            / num_hashes
+        )
+
+    # signature-identical collapse: one shuffle on the signature value
+    # (array grouping is native), same cost class as the band join's
+    # own exchange
+    sigr = sig.withColumn(
+        "__rep", F.min("doc").over(Window.partitionBy("signature"))
+    )
+    star = sigr.filter(F.col("doc") != F.col("__rep")).select(
+        F.col("__rep").alias("doc_a"),
+        F.col("doc").alias("doc_b"),
+        F.lit(1.0).alias("est_jaccard"),
+    )
+    reps = sigr.filter(F.col("doc") == F.col("__rep")).drop("__rep")
+    banded = reps.select(
         "doc",
         "signature",
         F.explode(
@@ -336,34 +380,37 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc", "signature", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        if max_bucket_size < 1:
+            raise ValueError("max_bucket_size must be >= 1")
+        wb = Window.partitionBy("band", "bucket")
+        sized = banded.withColumn("__n", F.count(F.lit(1)).over(wb)).withColumn(
+            "__m", F.min(F.struct("doc", "signature")).over(wb)
+        )
+        bucket_star = sized.filter(
+            (F.col("__n") > max_bucket_size) & (F.col("doc") != F.col("__m.doc"))
+        ).select(
+            F.col("__m.doc").alias("doc_a"),
+            F.col("doc").alias("doc_b"),
+            est(F.col("__m.signature"), F.col("signature")).alias("est_jaccard"),
+        )
+        banded = sized.filter(F.col("__n") <= max_bucket_size).drop("__n", "__m")
+        star = star.unionByName(bucket_star)
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-                lambda m: m,
-            )
-        ).cast("double")
-        / num_hashes
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc") < F.col("b.doc")),
+    ).select(
+        F.col("a.doc").alias("doc_a"),
+        F.col("b.doc").alias("doc_b"),
+        est(F.col("a.signature"), F.col("b.signature")).alias("est_jaccard"),
     )
     return (
-        cand.withColumn("est_jaccard", est)
+        cand.unionByName(star)
         .filter(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", "est_jaccard")
     )
 
@@ -437,6 +484,7 @@ def minhash_lsh_pairs_portable(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH with a CROSS-ENGINE-DETERMINISTIC hash family, so the
     full pipeline is oracle-checkable (unlike the xxhash64 fast path).
@@ -452,45 +500,98 @@ def minhash_lsh_pairs_portable(
 
     Slower than :func:`minhash_lsh_pairs` (sha256 + Catalyst shingle
     expressions); use for verification, the xxhash64 path for scale.
+    Shares :func:`minhash_lsh_pairs`' scale guards: signature-identical
+    collapse (always on — members of a signature-identical cluster are
+    emitted as min-id-representative star edges with ``est_jaccard``
+    1.0, the exact score the join would compute) and the opt-in
+    ``max_bucket_size`` star-reduction of oversized band buckets.
     """
     assert num_hashes % bands == 0
     # size-gated persist, same two-consumer reason as minhash_lsh_pairs
     sig = maybe_persist(
         minhash_signatures_portable(df, num_hashes, text_col, id_col, shingle_n)
     )
-    cand = _portable_candidates(sig, num_hashes, bands)
+    cand = _portable_candidates(sig, num_hashes, bands, max_bucket_size)
     return cand.filter(F.col("est_jaccard") >= threshold)
 
 
+def _sig_rep_portable(sig: DataFrame, num_hashes: int) -> DataFrame:
+    """Attach ``__rep`` = min doc among identical portable signatures —
+    the signature-identical collapse key shared by
+    :func:`_portable_candidates` and :func:`dedup_audit` (the audit's
+    strata run over representatives so it measures exactly the
+    collapsed screen that ships)."""
+    return sig.withColumn(
+        "__rep",
+        F.min("doc").over(
+            Window.partitionBy(*[f"h{i}" for i in range(num_hashes)])
+        ),
+    )
+
+
 def _portable_candidates(
-    sig: DataFrame, num_hashes: int, bands: int
+    sig: DataFrame,
+    num_hashes: int,
+    bands: int,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Band-collision candidate pairs with estimated Jaccard from a
-    portable signature table: ``(doc_a, doc_b, est_jaccard)``, one row
-    per distinct pair — the shared candidate-generation stage of
+    """Candidate pairs with estimated Jaccard from a portable signature
+    table: ``(doc_a, doc_b, est_jaccard)``, one row per distinct pair —
+    the shared candidate-generation stage of
     :func:`minhash_lsh_pairs_portable` and :func:`dedup_audit` (kept
     in one place so the audit can never drift from the screen it
-    audits, the ``_portable_banded_vecs`` discipline)."""
-    banded = _banded_portable(sig, num_hashes, bands)
+    audits, the ``_portable_banded_vecs`` discipline).
+
+    Emits the union of (a) signature-identical star edges
+    ``(rep, member, 1.0)``, (b) bucket-min star edges for band buckets
+    over ``max_bucket_size`` (when set), and (c) the band self-join
+    over representatives in small-enough buckets. See
+    :func:`minhash_lsh_pairs` for the scale rationale."""
+    sigr = _sig_rep_portable(sig, num_hashes)
+    hcols = [f"h{i}" for i in range(num_hashes)]
+    star = sigr.filter(F.col("doc") != F.col("__rep")).select(
+        F.col("__rep").alias("doc_a"),
+        F.col("doc").alias("doc_b"),
+        F.lit(1.0).alias("est_jaccard"),
+    )
+    reps = sigr.filter(F.col("doc") == F.col("__rep")).drop("__rep")
+    banded = _banded_portable(reps, num_hashes, bands)
+    if max_bucket_size is not None:
+        if max_bucket_size < 1:
+            raise ValueError("max_bucket_size must be >= 1")
+        wb = Window.partitionBy("band", "bucket")
+        sized = banded.withColumn("__n", F.count(F.lit(1)).over(wb)).withColumn(
+            "__m", F.min(F.struct("doc", *hcols)).over(wb)
+        )
+        m_matches = sum(
+            F.when(F.col(f"__m.h{i}") == F.col(f"h{i}"), 1).otherwise(0)
+            for i in range(num_hashes)
+        )
+        bucket_star = sized.filter(
+            (F.col("__n") > max_bucket_size) & (F.col("doc") != F.col("__m.doc"))
+        ).select(
+            F.col("__m.doc").alias("doc_a"),
+            F.col("doc").alias("doc_b"),
+            (m_matches.cast("double") / num_hashes).alias("est_jaccard"),
+        )
+        banded = sized.filter(F.col("__n") <= max_bucket_size).drop("__n", "__m")
+        star = star.unionByName(bucket_star)
     a, b = banded.alias("a"), banded.alias("b")
     matches = sum(
         F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
         for i in range(num_hashes)
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            (matches.cast("double") / num_hashes).alias("est_jaccard"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc") < F.col("b.doc")),
+    ).select(
+        F.col("a.doc").alias("doc_a"),
+        F.col("b.doc").alias("doc_b"),
+        (matches.cast("double") / num_hashes).alias("est_jaccard"),
     )
+    return cand.unionByName(star).dropDuplicates(["doc_a", "doc_b"])
 
 
 def dedup_against_corpus(
@@ -1497,8 +1598,9 @@ def dedup_audit(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     collision_sample_mod: int = 1,
-    random_buckets: int = 256,
+    random_buckets: int | None = None,
     round_to: int = 6,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Sampled precision/recall audit of the MinHash-LSH screen against
     EXACT Jaccard — the report a user needs to TUNE bands/threshold
@@ -1508,20 +1610,27 @@ def dedup_audit(
     Two deterministic strata, both scored against exact shingle-set
     Jaccard (truth = ``exact_jaccard >= threshold``):
 
-    * ``collision`` — band-collision candidate pairs (what the screen
-      actually compares), decision = estimated Jaccard (matching
-      signature fraction) >= threshold.  Sampled by
+    * ``collision`` — the screen's own candidate pairs (band collisions
+      over signature representatives plus the signature-identical and
+      oversized-bucket star edges — exactly what the shipped,
+      collapse-enabled screen compares), decision = estimated Jaccard
+      (matching signature fraction) >= threshold.  Sampled by
       ``sha256(doc_a||'_'||doc_b) % collision_sample_mod == 0`` — a
       content-independent deterministic thinning for big corpora
       (``1`` = audit every candidate).
     * ``random_nocollision`` — hash-bucket neighbor pairs that the
-      banding NEVER compares (decision = keep, always): docs bucket by
-      ``sha256(id) % random_buckets`` and pair all-vs-all within a
-      bucket, minus any pair that also band-collides.  Bucket sizes
-      are Poisson(n/``random_buckets``) — size ``random_buckets``
-      ~n/2 at scale so buckets stay tiny and fully parallel (there is
-      no scalable uniform sample over n^2 pairs; hash-neighbor pairing
-      is the standard stand-in).  Every true near-dup found here is a
+      banding NEVER compares (decision = keep, always): signature
+      REPRESENTATIVES (members of signature-identical clusters are
+      screened through their representative, so auditing them as
+      "missed" would be false) bucket by ``sha256(id) %
+      random_buckets`` and pair all-vs-all within a bucket, minus any
+      pair that also band-collides.  Bucket sizes are
+      Poisson(n/``random_buckets``); ``random_buckets=None`` auto-sizes
+      to ``max(est_rows // 2, 16)`` from a file-stat row estimate so
+      buckets stay tiny and fully parallel at ANY corpus size (a fixed
+      count at large n gives n/count-sized buckets and a quadratic
+      within-bucket join — the blow-up class SCALE.md measured for
+      8-bit band buckets).  Every true near-dup found here is a
       BANDING false negative (est_jaccard may agree, the screen just
       never looked).
 
@@ -1530,7 +1639,13 @@ def dedup_audit(
     recall)`` where tp = screen drops that exact Jaccard confirms,
     fp = drops it refutes, fn = true near-dups the screen kept.
     Precision/recall are per-stratum (``try_divide`` null when a
-    stratum has no positives).
+    stratum has no positives).  When ``max_bucket_size`` is set (the
+    screen's oversized-bucket star-reduction), a third accounting row
+    ``bucket_star_dropped`` reports in ``n_pairs`` the number of
+    within-bucket pairs the star-reduction did NOT emit
+    (sum over oversized (band, bucket) groups of c(c-1)/2 - (c-1),
+    pre-dedup across bands; metric columns are null — these pairs were
+    never scored, that is the point of the guard).
 
     Scale shape: the collision stratum is the LSH band self-join the
     screen itself runs; the random stratum is a bounded within-bucket
@@ -1540,10 +1655,19 @@ def dedup_audit(
     is replayable in any engine."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    if collision_sample_mod < 1 or random_buckets < 1:
+    if collision_sample_mod < 1 or (
+        random_buckets is not None and random_buckets < 1
+    ):
         raise ValueError(
             "collision_sample_mod and random_buckets must be >= 1"
         )
+    if random_buckets is None:
+        from multi_sensor_data_pipeline_for_robotics__spark.cache import (
+            estimated_source_rows,
+        )
+
+        est_n = estimated_source_rows(df, bytes_per_row=512) or 0
+        random_buckets = max(est_n // 2, 16)
     sig = maybe_persist(
         minhash_signatures_portable(
             df, num_hashes, text_col, id_col, shingle_n
@@ -1552,7 +1676,8 @@ def dedup_audit(
     # the screen's own candidate stage, shared verbatim (see
     # _portable_candidates) — the audit measures THE shipped screen
     cand = maybe_persist(
-        _portable_candidates(sig, num_hashes, bands), min_bytes=0
+        _portable_candidates(sig, num_hashes, bands, max_bucket_size),
+        min_bytes=0,
     )
 
     def _h7(col):
@@ -1570,7 +1695,10 @@ def dedup_audit(
         F.lit("collision").alias("stratum"),
         (F.col("est_jaccard") >= threshold).alias("screen_drop"),
     )
-    docs_b = sig.select(
+    reps = _sig_rep_portable(sig, num_hashes).filter(
+        F.col("doc") == F.col("__rep")
+    )
+    docs_b = reps.select(
         F.col("doc"),
         (_h7(F.col("doc").cast("string")) % random_buckets).alias("__bk"),
     )
@@ -1645,7 +1773,7 @@ def dedup_audit(
     tn = F.sum(
         F.when(~F.col("screen_drop") & ~F.col("is_dup"), 1).otherwise(0)
     ).cast("long")
-    return (
+    out = (
         scored.groupBy("stratum")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
@@ -1674,3 +1802,33 @@ def dedup_audit(
             ),
         )
     )
+    if max_bucket_size is not None:
+        # dropped-pair accounting for the star-reduction: per oversized
+        # (band, bucket) group of c representatives, the join would have
+        # emitted c(c-1)/2 pairs and the star emits c-1 — surface the
+        # difference so a user can see what the guard declined to score
+        c = F.col("c")
+        dropped = (
+            _banded_portable(reps.drop("__rep"), num_hashes, bands)
+            .groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(c > max_bucket_size)
+            .agg(
+                F.coalesce(
+                    F.sum(c * (c - 1) / 2 - (c - 1)).cast("long"), F.lit(0)
+                ).alias("n_pairs")
+            )
+            .select(
+                F.lit("bucket_star_dropped").alias("stratum"),
+                F.col("n_pairs"),
+                F.lit(None).cast("long").alias("n_screen_drop"),
+                F.lit(None).cast("long").alias("tp"),
+                F.lit(None).cast("long").alias("fp"),
+                F.lit(None).cast("long").alias("fn"),
+                F.lit(None).cast("long").alias("tn"),
+                F.lit(None).cast("double").alias("precision"),
+                F.lit(None).cast("double").alias("recall"),
+            )
+        )
+        out = out.unionByName(dropped)
+    return out

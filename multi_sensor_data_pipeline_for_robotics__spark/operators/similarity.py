@@ -134,6 +134,7 @@ def lsh_neardup_pairs(
     dim: int = 64,
     seed: int = 7,
     round_to: int = 6,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate near-dup pairs: random-hyperplane LSH candidates
     verified with exact cosine.
@@ -156,6 +157,24 @@ def lsh_neardup_pairs(
     low-threshold similarity search use ``cosine_topk``/``ivf_topk``,
     or pass narrow bands explicitly on corpora small enough to afford
     the candidate volume.
+
+    Scale guards against O(c²) candidates per TRUE near-dup cluster
+    (wide bands only fix unrelated-vector saturation — a c-member
+    cluster of near-identical vectors still lands whole in one bucket
+    of every band):
+
+    * **Signature-identical collapse (always on).** Vectors whose
+      ENTIRE bucket array matches collapse to their min-id
+      representative before the band join; member edges
+      (rep, member) go straight to the exact-cosine verifier — they
+      were candidates under the old clique form too (they collide in
+      every band), so this strictly prunes, never adds. Member–member
+      and member–external pairs are dropped; connectivity through the
+      representative survives, so components are unchanged.
+    * **``max_bucket_size`` (opt-in).** Band buckets of representatives
+      larger than this emit doc → bucket-min star edges into the
+      verifier instead of the within-bucket clique. Accounting:
+      ``lsh_banding_audit(..., max_bucket_size=...)``.
     """
     if band_bits is None:
         import math
@@ -174,16 +193,40 @@ def lsh_neardup_pairs(
     # Candidate generation moves only (id, band, bucket) triples — the
     # vectors are re-attached by id AFTER pair dedup, so the wide shuffle
     # of the band join never carries embedding payloads.
+    # signature-identical collapse: one window shuffle on the full
+    # bucket array (native array grouping), then only representatives
+    # enter the banding; members become direct star-edge candidates
+    sigr = (
+        ensure_parallelism(embeddings)
+        .select(
+            F.col(id_col).alias("doc"), buckets(F.col(vec_col)).alias("__bks")
+        )
+        .withColumn("__rep", F.min("doc").over(W.partitionBy("__bks")))
+    )
+    star = sigr.filter(F.col("doc") != F.col("__rep")).select(
+        F.col("__rep").alias("id_a"), F.col("doc").alias("id_b")
+    )
     # size-gated persist of the (doc, band, bucket) triples: at scale
     # the self-join would otherwise run the hyperplane pandas UDF twice
     # over the corpus; below the gate the identical join sides share one
     # shuffle via ReusedExchange and a persist only adds a barrier
     banded = maybe_persist(
-        ensure_parallelism(embeddings).select(
-            F.col(id_col).alias("doc"),
-            F.posexplode(buckets(F.col(vec_col))).alias("band", "bucket"),
+        sigr.filter(F.col("doc") == F.col("__rep")).select(
+            "doc", F.posexplode("__bks").alias("band", "bucket")
         )
     )
+    if max_bucket_size is not None:
+        if max_bucket_size < 1:
+            raise ValueError("max_bucket_size must be >= 1")
+        wb = W.partitionBy("band", "bucket")
+        sized = banded.withColumn("__n", F.count(F.lit(1)).over(wb)).withColumn(
+            "__m", F.min("doc").over(wb)
+        )
+        bucket_star = sized.filter(
+            (F.col("__n") > max_bucket_size) & (F.col("doc") != F.col("__m"))
+        ).select(F.col("__m").alias("id_a"), F.col("doc").alias("id_b"))
+        banded = sized.filter(F.col("__n") <= max_bucket_size).drop("__n", "__m")
+        star = star.unionByName(bucket_star)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -193,6 +236,7 @@ def lsh_neardup_pairs(
             & (F.col("a.doc") < F.col("b.doc")),
         )
         .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .unionByName(star)
         .dropDuplicates(["id_a", "id_b"])
     )
     ea = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
@@ -935,12 +979,21 @@ def _portable_banded_vecs(
     id_col: str,
     vec_col: str,
     dim: int,
-) -> DataFrame:
-    """One row per (vector, band) with the md5-plane sign bucket —
-    the shared candidate-generation stage of
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Signature-collapsed banding with md5-plane sign buckets — the
+    shared candidate-generation stage of
     :func:`lsh_neardup_pairs_portable` and :func:`lsh_banding_audit`
     (kept in one place so the audit can never drift from the screen it
-    audits). Columns: (id, vec, band, bucket)."""
+    audits).
+
+    Returns ``(banded, star, rep_ids)``: ``banded`` = one (id, band,
+    bucket) row per REPRESENTATIVE (min id per identical full bucket
+    array) — vectors are re-attached by id downstream so the band join
+    never shuffles embedding payloads; ``star`` = (id_a, id_b) member
+    edges of signature-identical groups (candidates by construction:
+    they collide in every band); ``rep_ids`` = one (id,) row per
+    representative (the audit's sampling universe — members are
+    screened through their representative)."""
     planes = _portable_planes(dim, bands * band_bits)
     v = to_double(F.col(vec_col))
     bucket_cols = []
@@ -954,11 +1007,20 @@ def _portable_banded_vecs(
                 lambda acc2, x: acc2 + x,
             )
             acc = acc * 2 + (d >= 0).cast("long")
-        bucket_cols.append(F.struct(F.lit(b).alias("band"), acc.alias("bucket")))
-    return ensure_parallelism(embeddings).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
-        F.explode(F.array(*bucket_cols)).alias("bb"),
-    ).select("id", "vec", "bb.band", "bb.bucket")
+        bucket_cols.append(acc)
+    sigr = (
+        ensure_parallelism(embeddings)
+        .select(
+            F.col(id_col).alias("id"), F.array(*bucket_cols).alias("__bks")
+        )
+        .withColumn("__rep", F.min("id").over(W.partitionBy("__bks")))
+    )
+    star = sigr.filter(F.col("id") != F.col("__rep")).select(
+        F.col("__rep").alias("id_a"), F.col("id").alias("id_b")
+    )
+    reps = sigr.filter(F.col("id") == F.col("__rep"))
+    banded = reps.select("id", F.posexplode("__bks").alias("band", "bucket"))
+    return banded, star, reps.select("id")
 
 
 def lsh_banding_audit(
@@ -969,8 +1031,9 @@ def lsh_banding_audit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    random_buckets: int = 256,
+    random_buckets: int | None = None,
     round_to: int = 6,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """RECALL audit of the sign-LSH near-dup screen — the embedding
     sibling of ``operators.dedup.dedup_audit``, answering the question
@@ -987,15 +1050,26 @@ def lsh_banding_audit(
       ``n_true_pairs`` is what the screen finds.
     * ``random_nocollision`` — sha256-bucket neighbor pairs
       (``sha256(id) % random_buckets``, all-vs-all within bucket)
-      minus any band-colliding pair: every true pair here is a
-      banding MISS.  Size ``random_buckets`` ~n/2 at scale so buckets
-      stay tiny (the ``dedup_audit`` sampling design).
+      over signature REPRESENTATIVES (members of bucket-array-identical
+      groups are screened through their representative), minus any
+      band-colliding pair: every true pair here is a banding MISS.
+      ``random_buckets=None`` auto-sizes to ``max(est_rows // 2, 16)``
+      from a file-stat row estimate so buckets stay tiny at ANY corpus
+      size — a fixed count at large n gives n/count-sized buckets and
+      a quadratic within-bucket join (the ``dedup_audit`` sampling
+      design).
 
     Output: ``(stratum, n_pairs, n_true_pairs, true_pair_rate)``.
     A healthy configuration shows ``random_nocollision.true_pair_rate``
     orders of magnitude below ``collision``'s; rising values say "add
     bands or shrink band_bits".  Everything (md5 planes, sha256
     buckets, fold-order dot products) is cross-engine deterministic.
+    When ``max_bucket_size`` is set (the screen's oversized-bucket
+    star-reduction), an extra ``bucket_star_dropped`` accounting row
+    reports in ``n_pairs`` the within-bucket pairs the star-reduction
+    declined to emit (c(c-1)/2 - (c-1) per oversized (band, bucket),
+    pre-dedup across bands; other columns null — the guard's point is
+    that these were never scored).
 
     Sizing rule (for the audit AND the screen it audits):
     ``band_bits`` must grow with ``log2(n)`` — a band's key space is
@@ -1003,11 +1077,48 @@ def lsh_banding_audit(
     vectors EACH and the candidate join goes quadratic regardless of
     the data (measured in SCALE.md r11); 16 bits keeps candidates
     linear at that size."""
-    if random_buckets < 1:
+    if random_buckets is not None and random_buckets < 1:
         raise ValueError("random_buckets must be >= 1")
-    e = _portable_banded_vecs(
+    if random_buckets is None:
+        from multi_sensor_data_pipeline_for_robotics__spark.cache import (
+            estimated_source_rows,
+        )
+
+        est_n = estimated_source_rows(embeddings, bytes_per_row=4 * dim + 16) or 0
+        random_buckets = max(est_n // 2, 16)
+    e, star, rep_ids = _portable_banded_vecs(
         embeddings, bands, band_bits, id_col, vec_col, dim
     )
+    dropped = None
+    if max_bucket_size is not None:
+        if max_bucket_size < 1:
+            raise ValueError("max_bucket_size must be >= 1")
+        wb = W.partitionBy("band", "bucket")
+        sized = e.withColumn("__n", F.count(F.lit(1)).over(wb)).withColumn(
+            "__m", F.min("id").over(wb)
+        )
+        bucket_star = sized.filter(
+            (F.col("__n") > max_bucket_size) & (F.col("id") != F.col("__m"))
+        ).select(F.col("__m").alias("id_a"), F.col("id").alias("id_b"))
+        e = sized.filter(F.col("__n") <= max_bucket_size).drop("__n", "__m")
+        star = star.unionByName(bucket_star)
+        c = F.col("c")
+        dropped = (
+            sized.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(c > max_bucket_size)
+            .agg(
+                F.coalesce(
+                    F.sum(c * (c - 1) / 2 - (c - 1)).cast("long"), F.lit(0)
+                ).alias("n_pairs")
+            )
+            .select(
+                F.lit("bucket_star_dropped").alias("stratum"),
+                F.col("n_pairs"),
+                F.lit(None).cast("long").alias("n_true_pairs"),
+                F.lit(None).cast("double").alias("true_pair_rate"),
+            )
+        )
     a, b = e.alias("a"), e.alias("b")
     cand = maybe_persist(
         a.join(
@@ -1017,13 +1128,14 @@ def lsh_banding_audit(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .unionByName(star)
         .dropDuplicates(["id_a", "id_b"]),
         min_bytes=0,
     )
     vecs = ensure_parallelism(embeddings).select(
         F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("vec")
     )
-    rb = vecs.select(
+    rb = rep_ids.select(
         "id",
         (
             F.conv(
@@ -1063,7 +1175,7 @@ def lsh_banding_audit(
             >= threshold,
         )
     )
-    return (
+    out = (
         scored.groupBy("stratum")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
@@ -1077,6 +1189,9 @@ def lsh_banding_audit(
             ),
         )
     )
+    if dropped is not None:
+        out = out.unionByName(dropped)
+    return out
 
 
 def lsh_neardup_pairs_portable(
@@ -1088,6 +1203,7 @@ def lsh_neardup_pairs_portable(
     vec_col: str = "embedding",
     dim: int = 64,
     round_to: int = 6,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Sign-LSH near-duplicate pairs with a CROSS-ENGINE-DETERMINISTIC
     plane family — the oracle-checkable twin of the numpy-seeded
@@ -1100,10 +1216,28 @@ def lsh_neardup_pairs_portable(
     uses), not the Arrow matmul of the fast path: ~10x slower per row
     and meant for verification corpora; at scale use the seeded fast
     path whose recall is property-tested against this family's exact
-    base (`tests/test_llmops.py`)."""
-    e = _portable_banded_vecs(
+    base (`tests/test_llmops.py`).
+
+    Shares the fast path's scale guards: signature-identical collapse
+    (always on — a strict candidate pruning, see
+    :func:`lsh_neardup_pairs`) and the opt-in ``max_bucket_size``
+    star-reduction; vectors are re-attached by id after candidate
+    dedup, so the band join shuffles no embedding payloads."""
+    e, star, _ = _portable_banded_vecs(
         embeddings, bands, band_bits, id_col, vec_col, dim
     )
+    if max_bucket_size is not None:
+        if max_bucket_size < 1:
+            raise ValueError("max_bucket_size must be >= 1")
+        wb = W.partitionBy("band", "bucket")
+        sized = e.withColumn("__n", F.count(F.lit(1)).over(wb)).withColumn(
+            "__m", F.min("id").over(wb)
+        )
+        bucket_star = sized.filter(
+            (F.col("__n") > max_bucket_size) & (F.col("id") != F.col("__m"))
+        ).select(F.col("__m").alias("id_a"), F.col("id").alias("id_b"))
+        e = sized.filter(F.col("__n") <= max_bucket_size).drop("__n", "__m")
+        star = star.unionByName(bucket_star)
     a, b = e.alias("a"), e.alias("b")
     cand = (
         a.join(
@@ -1112,15 +1246,24 @@ def lsh_neardup_pairs_portable(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.col("a.vec").alias("va"), F.col("b.vec").alias("vb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .unionByName(star)
         .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = ensure_parallelism(embeddings).select(
+        F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("vec")
     )
     sim = F.round(cosine(F.col("va"), F.col("vb")), round_to)
     return (
-        cand.withColumn("cosine", sim)
+        cand.join(
+            vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("va")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb")),
+            "id_b",
+        )
+        .withColumn("cosine", sim)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

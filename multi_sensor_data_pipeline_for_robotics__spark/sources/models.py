@@ -53,19 +53,23 @@ def save_model_tables(
     """Write each named model table to ``<path>/<name>.parquet``
     (coalesced to one file — the tables are model-sized by contract)
     and the ``meta`` dict to the manifest. Overwrites.  Crash safety:
-    any EXISTING manifest is deleted FIRST and the new one is written
-    LAST, so a save that dies mid-way leaves the directory unloadable
-    (:func:`load_model_tables` requires the manifest) rather than a
-    torn mix of old and new tables that would load silently."""
+    all arguments are validated BEFORE anything touches the target (a
+    caller error must leave a previously valid artifact loadable);
+    then any EXISTING manifest is deleted FIRST and the new one is
+    written LAST, so a save that dies mid-way leaves the directory
+    unloadable (:func:`load_model_tables` requires the manifest)
+    rather than a torn mix of old and new tables that would load
+    silently."""
     if not tables:
         raise ValueError("save_model_tables: no tables given")
+    for name in tables:
+        if not name or "/" in name or name.startswith("_"):
+            raise ValueError(f"bad model table name: {name!r}")
     spark = next(iter(tables.values())).sparkSession
     fs, hpath = _hadoop_fs(spark, _join(path, _META))
     if fs.exists(hpath):
         fs.delete(hpath, False)
     for name, df in tables.items():
-        if not name or "/" in name or name.startswith("_"):
-            raise ValueError(f"bad model table name: {name!r}")
         df.coalesce(1).write.mode("overwrite").parquet(
             _join(path, f"{name}.parquet")
         )

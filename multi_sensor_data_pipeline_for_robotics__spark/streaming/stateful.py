@@ -1248,6 +1248,16 @@ def token_budget_stream(
     ``(key, doc_id, n_tokens, cum_tokens)`` with ``cum_tokens`` the
     inclusive running total of ADMITTED tokens, matching the batch
     selector's observability column.
+
+    Null contract: rows with a NULL ``id_col`` or ``tokens_col`` are
+    DROPPED before admission (a doc without a token count cannot be
+    budgeted; nullable longs surface in the Arrow kernel as float NaN
+    and would otherwise kill the query on the int64 cast). The batch
+    oracle comparison assumes micro-batch arrival order equals
+    ``id_col`` order ACROSS batches too — within a batch the kernel
+    sorts, across batches admission is arrival order, which is what
+    "admit until full" means online; replaying out of id order is a
+    semantically different (still valid) admission sequence.
     """
     from pyspark.sql import functions as F
 
@@ -1261,7 +1271,7 @@ def token_budget_stream(
         ).alias("key"),
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(tokens_col).cast("long").alias("n_tokens"),
-    )
+    ).filter(F.col("doc_id").isNotNull() & F.col("n_tokens").isNotNull())
     return keyed.groupBy("key").applyInPandasWithState(
         _make_token_budget_fn(budget_tokens),
         outputStructType=TOKEN_BUDGET_OUTPUT_SCHEMA,

@@ -420,3 +420,46 @@ def test_lsh_banding_audit_collision_matches_screen(spark, sf_dir):
 
     with _pytest.raises(ValueError, match=">= 1"):
         lsh_banding_audit(emb, random_buckets=0)
+
+
+def test_lsh_collapse_star_and_bucket_guard(spark):
+    """Sign-identical vectors collapse to min-id star edges (a strict
+    candidate pruning — members collide in every band anyway); the
+    max_bucket_size guard preserves the exact-cosine survivor set's
+    connectivity while the audit surfaces the dropped-pair row."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.similarity import (
+        lsh_banding_audit,
+        lsh_neardup_pairs,
+        lsh_neardup_pairs_portable,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=64)
+    rows = [(i, [float(x) for x in base]) for i in range(6)]  # exact dupes
+    rows += [
+        (100 + i, [float(x) for x in rng.normal(size=64)]) for i in range(10)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    for fn in (lsh_neardup_pairs, lsh_neardup_pairs_portable):
+        pairs = {
+            (r.id_a, r.id_b): r.cosine
+            for r in fn(emb, threshold=0.9, bands=4, band_bits=4).collect()
+        }
+        star = {p for p in pairs if p[1] < 100}
+        assert star == {(0, i) for i in range(1, 6)}
+        assert all(abs(pairs[p] - 1.0) < 1e-9 for p in star)
+    bounded = {
+        (r.id_a, r.id_b)
+        for r in lsh_neardup_pairs_portable(
+            emb, threshold=0.9, bands=4, band_bits=4, max_bucket_size=1
+        ).collect()
+    }
+    assert {(0, i) for i in range(1, 6)} <= bounded
+    audit = {
+        r.stratum: r
+        for r in lsh_banding_audit(
+            emb, bands=4, band_bits=4, random_buckets=None, max_bucket_size=1
+        ).collect()
+    }
+    assert audit["bucket_star_dropped"].n_pairs >= 0
+    assert audit["bucket_star_dropped"].n_true_pairs is None

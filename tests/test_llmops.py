@@ -258,6 +258,99 @@ def test_minhash_portable_agrees_with_fast_path(spark, sf_dir):
     assert len(inter) >= 0.5 * min(len(fast), len(portable))
 
 
+def _clustered_docs(spark, cluster_size=8):
+    """A signature-identical cluster (ids 0..c-1), one near-dup (100),
+    and token-disjoint singletons (200+)."""
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [(i, base) for i in range(cluster_size)]
+    rows.append((100, base.replace("upsilon", "psi")))
+    rows += [
+        (200 + i, " ".join(f"q{i}z{j}" for j in range(9))) for i in range(6)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_collapse_emits_star_not_clique(spark):
+    """Signature-identical docs collapse to min-id star edges with
+    est_jaccard exactly 1.0 — c-1 edges instead of the c(c-1)/2 clique
+    (both hash families), and near-dup links route via the rep."""
+    c = 8
+    docs = _clustered_docs(spark, c)
+    for fn, kw in (
+        (D.minhash_lsh_pairs, dict(num_hashes=32, bands=8, shingle_n=3)),
+        (D.minhash_lsh_pairs_portable, dict(num_hashes=16, bands=4, shingle_n=3)),
+    ):
+        pairs = {
+            (r.doc_a, r.doc_b): r.est_jaccard
+            for r in fn(docs, threshold=0.3, **kw).collect()
+        }
+        star = {p for p in pairs if p[1] < c}
+        assert star == {(0, i) for i in range(1, c)}
+        assert all(pairs[p] == 1.0 for p in star)
+        # member-member and member-external pairs are gone; the
+        # near-dup attaches through the representative only
+        cluster_links = {p for p in pairs if p[1] == 100 or p[0] == 100}
+        assert cluster_links <= {(0, 100)}
+
+
+def test_minhash_collapse_components_unchanged(spark):
+    """The star form carries the same connectivity as the clique form:
+    connected components over the collapsed pairs equal components over
+    the clique-expanded pairs (the verdict's done-criterion)."""
+    c = 8
+    docs = _clustered_docs(spark, c)
+    pairs = D.minhash_lsh_pairs_portable(
+        docs, num_hashes=16, bands=4, threshold=0.3, shingle_n=3
+    ).select("doc_a", "doc_b")
+    # clique expansion: every within-cluster pair, plus near-dup x all
+    # members — what the pre-collapse join emitted
+    expanded = spark.createDataFrame(
+        [(i, j) for i in range(c) for j in range(i + 1, c)]
+        + [(i, 100) for i in range(c)],
+        "doc_a long, doc_b long",
+    )
+    a = {
+        (r.doc_id, r.component)
+        for r in D.connected_components_star(pairs, nodes=docs).collect()
+    }
+    b = {
+        (r.doc_id, r.component)
+        for r in D.connected_components_star(expanded, nodes=docs).collect()
+    }
+    assert a == b
+
+
+def test_minhash_max_bucket_size_guard(spark):
+    """The opt-in oversized-bucket star-reduction keeps components
+    identical while never emitting more pairs, and the audit surfaces
+    the dropped-pair accounting row."""
+    docs = _clustered_docs(spark, 8)
+    kw = dict(num_hashes=16, bands=4, threshold=0.3, shingle_n=3)
+    free = D.minhash_lsh_pairs_portable(docs, **kw)
+    bounded = D.minhash_lsh_pairs_portable(docs, max_bucket_size=1, **kw)
+    assert bounded.count() <= free.count()
+    comp = lambda p: {
+        (r.doc_id, r.component)
+        for r in D.connected_components_star(
+            p.select("doc_a", "doc_b"), nodes=docs
+        ).collect()
+    }
+    assert comp(free) == comp(bounded)
+    out = {
+        r.stratum: r
+        for r in D.dedup_audit(
+            docs, random_buckets=4, max_bucket_size=1
+        ).collect()
+    }
+    acc = out["bucket_star_dropped"]
+    assert acc.n_pairs >= 0 and acc.tp is None
+    with pytest.raises(ValueError, match=">= 1"):
+        D.minhash_lsh_pairs_portable(docs, max_bucket_size=0, **kw)
+
+
 def test_sample_frames_matches_python(spark, docs):
     media = MM.attach_fake_media(docs)
     got = {
@@ -1522,7 +1615,9 @@ def test_dedup_audit_strata_and_confusion(spark):
         "alpha beta gamma delta epsilon zeta eta theta iota kappa "
         "lambda mu nu xi omicron pi rho sigma tau upsilon"
     )
-    rows = [(i, base) for i in range(4)]  # 4 exact copies -> 6 dup pairs
+    # 4 exact copies -> the signature-identical collapse emits 3
+    # (rep, member, 1.0) star edges, not the 6-pair clique
+    rows = [(i, base) for i in range(4)]
     rows += [
         # token-disjoint docs: no shared shingles, so no cross-doc
         # similarity of any kind among them
@@ -1535,8 +1630,8 @@ def test_dedup_audit_strata_and_confusion(spark):
         for r in D.dedup_audit(docs, random_buckets=4).collect()
     }
     coll = out["collision"]
-    # the 6 exact-copy pairs are candidates, estimated 1.0, truth 1.0
-    assert coll["tp"] >= 6 and coll["fp"] == 0 and coll["fn"] == 0
+    # the 3 star edges are candidates, estimated 1.0, truth 1.0
+    assert coll["tp"] >= 3 and coll["fp"] == 0 and coll["fn"] == 0
     assert coll["precision"] == 1.0 and coll["recall"] == 1.0
     assert coll["tp"] + coll["fp"] + coll["fn"] + coll["tn"] == coll["n_pairs"]
     assert coll["n_screen_drop"] == coll["tp"] + coll["fp"]

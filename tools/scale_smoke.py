@@ -65,6 +65,7 @@ def main() -> None:
         "topk_hot", "snm", "salted", "gsample_hot", "rank_norm",
         "selection", "diag", "lpa", "hardneg",
         "mixture_hot", "stream_screen", "audits", "stream_budget",
+        "hot_cluster",
     ]
     spark = get_session(app_name="scale_smoke")
     scratch = tempfile.mkdtemp(prefix="spark_graft_scale_")
@@ -142,6 +143,11 @@ def main() -> None:
             release_storage(spark)
         if "stream_budget" in fams:
             smoke_stream_budget(spark, scratch, n=20_000_000 // div)
+            release_storage(spark)
+        if "hot_cluster" in fams:
+            smoke_hot_cluster(
+                spark, scratch, n_docs=500_000 // div, cluster=50_000 // div
+            )
             release_storage(spark)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
@@ -1551,6 +1557,151 @@ def smoke_label_prop(spark, scratch, n_edges):
             F.count(F.lit(1)).alias("nodes"),
             F.count_distinct("label").alias("communities"),
         )
+        .first(),
+    )
+
+
+def _hot_cluster_docs(spark, scratch, n_docs, cluster, name):
+    """n_docs synthetic docs where the first ``cluster`` ids form ONE
+    near-identical cluster (each member = the shared 24-token base with
+    one hash-perturbed token; ~1 in 8 members keeps the base verbatim,
+    so the cluster mixes exact copies and near-copies — exercising BOTH
+    guards: signature-identical collapse and max_bucket_size). The rest
+    are token-unique background docs."""
+    word = lambda s, i: F.conv(
+        (F.abs(F.hash(s.cast("string"), i.cast("string"))) % 1_000_000)
+        .cast("string"),
+        10,
+        16,
+    )
+    in_cluster = F.col("id") < cluster
+    seed = F.when(in_cluster, F.lit(0)).otherwise(F.col("id") + 1_000_000_000)
+    toks = F.transform(F.sequence(F.lit(0), F.lit(23)), lambda i: word(seed, i))
+    keep_exact = F.abs(F.hash(F.col("id").cast("string"), F.lit("x"))) % 8 == 0
+    perturbed = F.concat(
+        F.slice(toks, 1, 23), F.array(word(F.col("id"), F.lit(99)))
+    )
+    toks = F.when(in_cluster & ~keep_exact, perturbed).otherwise(toks)
+    spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), F.array_join(toks, " ").alias("text")
+    ).write.mode("overwrite").parquet(f"{scratch}/{name}")
+    return spark.read.parquet(f"{scratch}/{name}")
+
+
+def _legacy_minhash_pairs(sig, num_hashes, bands, threshold):
+    """The pre-r12 clique-emitting band join (no signature collapse, no
+    bucket cap) — kept here ONLY as the measurement baseline for the
+    hot-cluster smoke; the shipped operator is minhash_lsh_pairs."""
+    r = num_hashes // bands
+    banded = sig.select(
+        "doc",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[F.col("signature")[bi * r + j] for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "signature", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda m: m,
+            )
+        ).cast("double")
+        / num_hashes
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def smoke_hot_cluster(spark, scratch, n_docs, cluster):
+    """The r11 weak-flag scenario: a corpus whose near-dup mass sits in
+    ONE c-member near-identical cluster (templated boilerplate after
+    exact dedup — the common shape of web corpora). The legacy clique
+    join emits ~c^2/2 pairs for that cluster; measured here at two
+    small c to show the quadratic, then the shipped form (signature
+    collapse + max_bucket_size star-reduction) at the FULL size the
+    legacy form cannot touch. Components over the star pairs equal
+    components over the legacy clique pairs (checked at the small c)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.dedup import (
+        connected_components_star,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    print(f"\n## hot-cluster dedup @ {n_docs:,} docs, one {cluster:,}-member near-identical cluster")
+    # quadratic baseline at two small cluster sizes (pairs ~ c^2/2)
+    legacy_small = None
+    for c_small in (1_000, 4_000):
+        d = _hot_cluster_docs(
+            spark, scratch, 20_000 + c_small, c_small, f"hot_{c_small}"
+        )
+        sig = minhash_signatures(d, 32, "text", "doc_id", 3)
+        dt, out = timed(
+            f"legacy clique join (c={c_small:,})",
+            lambda: _legacy_minhash_pairs(sig, 32, 8, 0.5)
+            .agg(F.count(F.lit(1)).alias("pairs"))
+            .first(),
+        )
+        if c_small == 1_000:
+            legacy_small = d
+        release_storage(spark)
+
+    # connectivity parity at the smallest size: components over the
+    # shipped star pairs == components over the legacy clique pairs
+    sig = minhash_signatures(legacy_small, 32, "text", "doc_id", 3)
+    legacy_pairs = _legacy_minhash_pairs(sig, 32, 8, 0.5).select(
+        "doc_a", "doc_b"
+    )
+    new_pairs = minhash_lsh_pairs(
+        legacy_small, 32, 8, 0.5, shingle_n=3, max_bucket_size=64
+    ).select("doc_a", "doc_b")
+    comp = lambda p: connected_components_star(p, nodes=legacy_small).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.count_distinct("component").alias("components"),
+        F.sum(F.col("component")).alias("label_sum"),
+    ).first()
+    ca, cb = comp(legacy_pairs), comp(new_pairs)
+    print(f"  components legacy={ca} shipped={cb} equal={ca == cb}")
+    assert ca == cb, "star-reduced pairs changed connectivity"
+    release_storage(spark)
+
+    # the shipped form at the size the legacy join cannot touch
+    d = _hot_cluster_docs(spark, scratch, n_docs, cluster, "hot_full")
+    timed(
+        f"shipped form (collapse + max_bucket_size=64, c={cluster:,})",
+        lambda: minhash_lsh_pairs(
+            d, 32, 8, 0.5, shingle_n=3, max_bucket_size=64
+        )
+        .agg(F.count(F.lit(1)).alias("pairs"))
         .first(),
     )
 
