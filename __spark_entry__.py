@@ -932,6 +932,23 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def _q_dedup_incremental_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental screen on the FAST portable family (new in
+    r12): sha256 runs once per token, shingle bases are the integer
+    rolling fold (acc*1000003 + token_base) % 2147483629, and the
+    signature computation is shuffle-free per-row array math
+    (operators/dedup.py minhash_signatures_tokenfold). Same fixture as
+    dedup_incremental; the oracle replays the fold in DuckDB list
+    arithmetic — bit-identical across engines AND across the numpy
+    stream kernel (stream_neardup_screen with a tokenfold model)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_against_corpus(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        hash_family="tokenfold",
+    ).select("doc_id", "lang", "source")
+
+
 def _q_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     # path analysis: top first-5-event journeys; array_sort over
     # (ts, type) structs makes collect order irrelevant
@@ -4588,6 +4605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_lsh_audit": _q_embed_lsh_audit,
         "select_mixture_redistribute": _q_select_mixture_redistribute,
         "dedup_minhash_bounded": _q_dedup_minhash_bounded,
+        "dedup_incremental_fast": _q_dedup_incremental_fast,
     }
 
 
@@ -5246,6 +5264,46 @@ s AS (
 hb AS (
     SELECT doc, CAST(('0x' || substr(sha256(shingle), 1, 7)) AS BIGINT) AS b
     FROM s
+),
+sig AS (
+    SELECT doc,
+           {_min_exprs}
+    FROM hb GROUP BY doc
+),
+banded AS (
+    {_bands_sql}
+),
+matched AS (
+    SELECT DISTINCT a.doc
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc % 2 = 1 AND b.doc % 2 = 0
+    WHERE ({_match_sum}) / {float(_NH)} >= 0.5
+)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc FROM matched)
+"""
+
+    # fast-family incremental screen: sha256 per TOKEN, shingle base =
+    # integer rolling fold (acc*A + tb) % P replayed in DuckDB list
+    # arithmetic, then the same CW mins / banding / two-sided join
+    _A = 1_000_003  # operators.dedup.TOKENFOLD_A
+    o["dedup_incremental_fast"] = f"""
+WITH t AS (SELECT doc_id AS doc, string_split(text, ' ') AS toks FROM documents),
+tbl AS (
+    SELECT doc,
+           list_transform(
+               toks, tk -> CAST(('0x' || substr(sha256(tk), 1, 7)) AS BIGINT)
+           ) AS tb
+    FROM t
+),
+hb AS (
+    SELECT doc,
+           unnest(list_transform(
+               range(1, len(tb) - 1),
+               i -> ((((tb[i] * {_A} + tb[i+1]) % {_P}) * {_A}) + tb[i+2]) % {_P}
+           )) AS b
+    FROM tbl WHERE len(tb) >= 3
 ),
 sig AS (
     SELECT doc,

@@ -515,6 +515,80 @@ def minhash_lsh_pairs_portable(
     return cand.filter(F.col("est_jaccard") >= threshold)
 
 
+TOKENFOLD_A = 1_000_003  # odd rolling-hash multiplier (tokenfold family)
+
+
+def minhash_signatures_tokenfold(
+    df: DataFrame,
+    num_hashes: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-engine-deterministic MinHash signatures with the FAST
+    portable base: sha256 hashes run once per TOKEN (28-bit prefix,
+    same rule as :func:`minhash_signatures_portable`'s shingle base)
+    and each shingle's base is the integer rolling fold
+    ``acc = (acc * 1_000_003 + token_base) mod 2147483629`` over its
+    ``shingle_n`` token bases — all 63-bit-safe BIGINT math, so any
+    engine (and the numpy stream kernel) reproduces it bit-for-bit.
+
+    Why it's the fast family: the sha256 count drops from one per
+    DISTINCT SHINGLE (~n per doc, nearly all distinct corpus-wide) to
+    one per DISTINCT TOKEN (the vocabulary — orders of magnitude
+    smaller), and the shingle combination becomes pure vectorizable
+    integer math; no shingle strings are ever materialized. The trade:
+    base collisions now come from a 31-bit rolling fold instead of a
+    sha256 prefix — same collision class (the 28-bit prefix already
+    truncates), harmless under the min-aggregation.
+
+    Plan shape: the token hashing and the fold are ONE higher-order
+    ``transform`` pass per row (Catalyst HOFs are interpreted, so the
+    plan keeps exactly one; a first draft computed the 16 permutation
+    minima as 16 more ``array_min(transform(...))`` passes and measured
+    6.7x SLOWER than the sha pipeline at 2M docs), then the bases
+    explode into the same codegen'd 16-way min groupBy the sha family
+    uses. Docs with fewer than ``shingle_n`` tokens have no shingles
+    and emit no row (same contract as the sha family)."""
+    tks = tokens(F.col(text_col))
+    tb = F.transform(
+        tks,
+        lambda t: F.conv(F.substring(F.sha2(t, 256), 1, 7), 16, 10).cast(
+            "long"
+        ),
+    )
+
+    def fold(i):
+        acc = F.lit(0).cast("long")
+        for j in range(shingle_n):
+            acc = (
+                acc * TOKENFOLD_A + F.element_at(F.col("__tb"), i + j + 1)
+            ) % MINHASH_PRIME
+        return acc
+
+    # sequence(0, size-n) is DESCENDING for size < n (ANSI trap) —
+    # guard short docs to an empty base array explicitly
+    bases = F.when(
+        F.size(F.col("__tb")) >= shingle_n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("__tb")) - shingle_n), fold
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    sh = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("doc"), tb.alias("__tb"))
+        .select("doc", F.explode(bases).alias("b"))
+    )
+    base = F.col("b")
+    mins = [
+        F.min((F.lit(2 * i + 1) * base + F.lit(7919 * i)) % MINHASH_PRIME).alias(
+            f"h{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc").agg(*mins)
+
+
 def _sig_rep_portable(sig: DataFrame, num_hashes: int) -> DataFrame:
     """Attach ``__rep`` = min doc among identical portable signatures —
     the signature-identical collapse key shared by
@@ -604,10 +678,18 @@ def dedup_against_corpus(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     corpus_signatures: DataFrame | None = None,
+    hash_family: str = "sha256",
 ) -> DataFrame:
     """Incremental ingestion screen: drop NEW documents that near-match
     ANY existing corpus document (LSH candidate + estimated Jaccard >=
     threshold). Returns the surviving ``new_docs`` rows, all columns.
+
+    ``hash_family`` selects the portable signature base — ``"sha256"``
+    (per-shingle sha256 prefix, :func:`minhash_signatures_portable`) or
+    ``"tokenfold"`` (per-token sha256 + integer rolling fold,
+    :func:`minhash_signatures_tokenfold` — the fast family; both sides
+    of a screen MUST use the same family, so pass the family that
+    built ``corpus_signatures``).
 
     This is the shape continuous training-data ingestion actually
     needs: the corpus is screened ONCE into a signature table
@@ -624,16 +706,20 @@ def dedup_against_corpus(
     pair operators on the batch first if that matters.
     """
     assert num_hashes % bands == 0
+    if hash_family == "sha256":
+        sig_fn = minhash_signatures_portable
+    elif hash_family == "tokenfold":
+        sig_fn = minhash_signatures_tokenfold
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     if corpus_signatures is None:
         if corpus is None:
             raise ValueError("pass either corpus or corpus_signatures")
-        corpus_signatures = minhash_signatures_portable(
+        corpus_signatures = sig_fn(
             corpus, num_hashes, text_col, id_col, shingle_n
         )
     nsig = maybe_persist(
-        minhash_signatures_portable(
-            new_docs, num_hashes, text_col, id_col, shingle_n
-        )
+        sig_fn(new_docs, num_hashes, text_col, id_col, shingle_n)
     )
     nb = _banded_portable(nsig, num_hashes, bands).alias("a")
     cb = _banded_portable(corpus_signatures, num_hashes, bands).alias("b")

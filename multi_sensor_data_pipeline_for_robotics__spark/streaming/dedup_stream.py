@@ -140,6 +140,7 @@ def collect_lsh_screen_model(
     num_hashes: int = 16,
     bands: int = 4,
     max_model_rows: int = 2_000_000,
+    hash_family: str = "sha256",
 ) -> dict:
     """Freeze a portable-minhash corpus signature table
     (``operators.dedup.minhash_signatures_portable`` output: one row
@@ -173,9 +174,18 @@ def collect_lsh_screen_model(
                 " against the stored signature table) or raise"
                 " max_model_rows."
             )
+    if hash_family not in ("sha256", "tokenfold"):
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     r = num_hashes // bands
     mask = 0x7FFFFFFF
-    model: dict = {"_nh": num_hashes, "_bands": bands}
+    # _family records which portable base built the signatures so the
+    # stream kernel hashes arriving docs the SAME way — a model built
+    # from minhash_signatures_tokenfold must be stamped "tokenfold"
+    model: dict = {
+        "_nh": num_hashes,
+        "_bands": bands,
+        "_family": hash_family,
+    }
     for row in corpus_signatures.collect():
         sig = tuple(int(row[f"h{i}"]) for i in range(num_hashes))
         for bi in range(bands):
@@ -202,12 +212,15 @@ def stream_neardup_screen(
     mode on a ``readStream`` or on a batch frame identically.
 
     Semantics match ``operators.dedup.dedup_against_corpus`` exactly:
-    the same portable hash family (28-bit sha256-prefix base,
-    Carter-Wegman ``(2i+1)*base + 7919*i mod 2147483629``
-    permutations, ``(acc*31+h) & 2^31-1`` band fold — all exact
-    integer math, bit-identical in Python), the same
-    any-band-collision candidacy, the same matching-signature-fraction
-    score.  Emits the SURVIVING rows with the input schema unchanged.
+    the same portable hash family as the model was built with
+    (``model["_family"]`` — ``"sha256"``: 28-bit sha256 prefix per
+    shingle; ``"tokenfold"``: 28-bit sha256 prefix per TOKEN + integer
+    rolling fold per shingle, the fast family), the same Carter-Wegman
+    ``(2i+1)*base + 7919*i mod 2147483629`` permutations, the same
+    ``(acc*31+h) & 2^31-1`` band fold — all exact integer math,
+    bit-identical in Python — the same any-band-collision candidacy,
+    the same matching-signature-fraction score.  Emits the SURVIVING
+    rows with the input schema unchanged.
 
     Per-batch cost: numpy-VECTORIZED signatures: each ~2k-doc chunk's
     shingles dedupe via ``pd.factorize`` (O(n) hashtable) so sha256
@@ -226,12 +239,19 @@ def stream_neardup_screen(
     pass, same caveat as the batch screen."""
     import hashlib
 
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.dedup import (
+        MINHASH_PRIME,
+        TOKENFOLD_A,
+    )
+
     spark = stream.sparkSession
     nh = int(model["_nh"])
     bands = int(model["_bands"])
+    family = str(model.get("_family", "sha256"))
     r = nh // bands
     bmodel = spark.sparkContext.broadcast(model)
-    prime = 2147483629  # operators.dedup.MINHASH_PRIME
+    prime = MINHASH_PRIME
+    fold_a = TOKENFOLD_A
     mask = 0x7FFFFFFF
 
     def _screen(pdfs):
@@ -267,41 +287,85 @@ def stream_neardup_screen(
                 # positions (within pdf) of docs that HAVE shingles;
                 # None / too-short docs have no signature and survive
                 pos_l: list = []
-                shingles: list = []
                 ns_l: list = []
-                for off, txt in enumerate(chunk):
-                    if txt is None:
+                if family == "tokenfold":
+                    # fast family: sha256 once per DISTINCT TOKEN, the
+                    # shingle base is the vectorized integer rolling
+                    # fold acc = (acc*A + token_base) % prime over the
+                    # flat token sequence, doc-crossing windows masked
+                    # out — no shingle strings are ever built
+                    toks_flat: list = []
+                    tc_l: list = []
+                    for off, txt in enumerate(chunk):
+                        if txt is None:
+                            continue
+                        toks = txt.split(" ")
+                        k = len(toks) - shingle_n + 1
+                        if k <= 0:
+                            continue
+                        toks_flat.extend(toks)
+                        tc_l.append(len(toks))
+                        pos_l.append(lo + off)
+                        ns_l.append(k)
+                    if not pos_l:
                         continue
-                    toks = txt.split(" ")
-                    k = len(toks) - shingle_n + 1
-                    if k <= 0:
-                        continue
-                    shingles.extend(
-                        " ".join(toks[i : i + shingle_n]) for i in range(k)
+                    codes, uniq = pd.factorize(
+                        np.asarray(toks_flat, dtype=object), sort=False
                     )
-                    pos_l.append(lo + off)
-                    ns_l.append(k)
-                if not pos_l:
-                    continue
-                ns = np.asarray(ns_l, dtype="int64")
-                codes, uniq = pd.factorize(
-                    np.asarray(shingles, dtype=object), sort=False
-                )
-                bases = np.fromiter(
-                    (_base(s) for s in uniq),
-                    dtype="int64",
-                    count=len(uniq),
-                )
-                # (distinct, nh) row-major so the per-occurrence gather
-                # below is a contiguous row copy
-                perms = (
-                    bases[:, None] * a[None, :] + b[None, :]
-                ) % prime
-                starts = np.zeros(len(ns), dtype="int64")
-                np.cumsum(ns[:-1], out=starts[1:])
-                sigs = np.minimum.reduceat(
-                    perms[codes], starts, axis=0
-                ).T  # (nh, docs-with-shingles)
+                    tbases = np.fromiter(
+                        (_base(t) for t in uniq),
+                        dtype="int64",
+                        count=len(uniq),
+                    )
+                    fb = tbases[codes]
+                    L = len(fb) - (shingle_n - 1)
+                    acc = fb[:L].copy()
+                    for j in range(1, shingle_n):
+                        acc = (acc * fold_a + fb[j : j + L]) % prime
+                    tc = np.asarray(tc_l, dtype="int64")
+                    doc_flat = np.repeat(np.arange(len(tc)), tc)
+                    sb = acc[doc_flat[:L] == doc_flat[shingle_n - 1 :]]
+                    ns = np.asarray(ns_l, dtype="int64")
+                    perms = (sb[:, None] * a[None, :] + b[None, :]) % prime
+                    starts = np.zeros(len(ns), dtype="int64")
+                    np.cumsum(ns[:-1], out=starts[1:])
+                    sigs = np.minimum.reduceat(perms, starts, axis=0).T
+                else:
+                    shingles: list = []
+                    for off, txt in enumerate(chunk):
+                        if txt is None:
+                            continue
+                        toks = txt.split(" ")
+                        k = len(toks) - shingle_n + 1
+                        if k <= 0:
+                            continue
+                        shingles.extend(
+                            " ".join(toks[i : i + shingle_n])
+                            for i in range(k)
+                        )
+                        pos_l.append(lo + off)
+                        ns_l.append(k)
+                    if not pos_l:
+                        continue
+                    ns = np.asarray(ns_l, dtype="int64")
+                    codes, uniq = pd.factorize(
+                        np.asarray(shingles, dtype=object), sort=False
+                    )
+                    bases = np.fromiter(
+                        (_base(s) for s in uniq),
+                        dtype="int64",
+                        count=len(uniq),
+                    )
+                    # (distinct, nh) row-major so the per-occurrence
+                    # gather below is a contiguous row copy
+                    perms = (
+                        bases[:, None] * a[None, :] + b[None, :]
+                    ) % prime
+                    starts = np.zeros(len(ns), dtype="int64")
+                    np.cumsum(ns[:-1], out=starts[1:])
+                    sigs = np.minimum.reduceat(
+                        perms[codes], starts, axis=0
+                    ).T  # (nh, docs-with-shingles)
                 accs = np.zeros((bands, sigs.shape[1]), dtype="int64")
                 for bi in range(bands):
                     for j in range(r):

@@ -323,6 +323,82 @@ def test_minhash_collapse_components_unchanged(spark):
     assert a == b
 
 
+def test_tokenfold_signatures_match_python_reference(spark):
+    """minhash_signatures_tokenfold (Catalyst, no shuffle) reproduces
+    the family spec bit-for-bit: token base = first 28 bits of
+    sha256(token), shingle base = rolling fold
+    (acc*1_000_003 + tb) % 2147483629, Carter-Wegman mins — checked
+    against a direct Python replay, including the too-short-doc and
+    descending-sequence guards."""
+    import hashlib
+
+    P, A = D.MINHASH_PRIME, D.TOKENFOLD_A
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox"),
+        (2, "a b"),          # < 3 tokens: no signature row
+        (3, "x y z"),        # exactly one shingle
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc"]: [r[f"h{i}"] for i in range(16)]
+        for r in D.minhash_signatures_tokenfold(docs, 16).collect()
+    }
+
+    def ref_sig(text):
+        toks = text.split(" ")
+        tb = [
+            int(hashlib.sha256(t.encode()).hexdigest()[:7], 16)
+            for t in toks
+        ]
+        bases = []
+        for i in range(len(tb) - 2):
+            acc = 0
+            for j in range(3):
+                acc = (acc * A + tb[i + j]) % P
+            bases.append(acc)
+        if not bases:
+            return None
+        return [
+            min(((2 * k + 1) * b + 7919 * k) % P for b in bases)
+            for k in range(16)
+        ]
+
+    want = {i: ref_sig(t) for i, t in rows if ref_sig(t) is not None}
+    assert got == want
+    assert 2 not in got
+
+
+def test_dedup_against_corpus_tokenfold_family(spark):
+    """The fast family screens the same planted near-dups as the sha
+    family on the canonical fixture, and mixing families raises."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the calm cat "
+        "naps beside the warm stone wall in the quiet afternoon sun"
+    )
+    corpus = spark.createDataFrame(
+        [(0, base), (2, "distributed query engines shuffle partition and aggregate data")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base.replace("jumps", "leaps")),
+            (3, "entirely unrelated sentences about music theory and harmony"),
+            (5, "distributed query engines shuffle partition and aggregate data"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in D.dedup_against_corpus(
+            new, corpus, threshold=0.5, hash_family="tokenfold"
+        ).collect()
+    )
+    assert kept == [3]
+    with pytest.raises(ValueError, match="hash_family"):
+        D.dedup_against_corpus(new, corpus, hash_family="md5")
+
+
 def test_minhash_max_bucket_size_guard(spark):
     """The opt-in oversized-bucket star-reduction keeps components
     identical while never emitting more pairs, and the audit surfaces

@@ -464,6 +464,72 @@ def test_stream_neardup_screen_matches_batch(spark, tmp_path):
     assert got_batch == want
 
 
+def test_stream_neardup_screen_tokenfold_matches_batch(spark, tmp_path):
+    """The FAST portable family (per-token sha256 + integer rolling
+    fold) through both implementations: numpy stream kernel survivors
+    == Catalyst batch screen survivors, across micro-batch boundaries
+    — the bit-parity contract that lets a 100 TB corpus swap families
+    without re-verifying semantics."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.dedup import (
+        dedup_against_corpus,
+        minhash_signatures_tokenfold,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.dedup_stream import (
+        collect_lsh_screen_model,
+        stream_neardup_screen,
+    )
+
+    base_txt = (
+        "the quick brown fox jumps over the lazy dog while the calm cat "
+        "naps beside the warm stone wall in the quiet afternoon sun"
+    )
+    corpus = spark.createDataFrame(
+        [(100, base_txt), (101, "spark shuffles hash partitions across executors today")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures_tokenfold(corpus)
+    model = collect_lsh_screen_model(sigs, hash_family="tokenfold")
+    assert model["_family"] == "tokenfold"
+
+    arriving = spark.createDataFrame(
+        [
+            (1, base_txt.replace("jumps", "leaps")),     # near-dup -> drop
+            (2, "completely novel text about harmony"),  # keep
+            (3, "spark shuffles hash partitions across executors today"),  # exact -> drop
+            (4, "another novel doc with fresh content entirely"),  # keep
+            (5, "xy"),                                   # < shingle_n tokens -> keep
+            (6, None),                                   # null text -> keep
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "nd_tf_arriving")
+    arriving.filter("doc_id <= 3").coalesce(1).write.mode("append").parquet(src)
+    arriving.filter("doc_id > 3").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    kept = stream_neardup_screen(stream, model)
+    SS.run_to_memory(kept, "neardup_tf_tbl", output_mode="append")
+    got = sorted(
+        r.doc_id
+        for r in spark.sql("SELECT doc_id FROM neardup_tf_tbl").collect()
+    )
+    want = sorted(
+        r.doc_id
+        for r in dedup_against_corpus(
+            arriving, corpus_signatures=sigs, hash_family="tokenfold"
+        ).collect()
+    )
+    assert got == want == [2, 4, 5, 6]
+    got_batch = sorted(
+        r.doc_id for r in stream_neardup_screen(arriving, model).collect()
+    )
+    assert got_batch == want
+
+
 def test_collect_lsh_screen_model_size_guard(spark):
     """The frozen-model collect must fail fast past max_model_rows,
     naming the foreachBatch join screen as the remediation."""

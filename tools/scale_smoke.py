@@ -1260,6 +1260,74 @@ def smoke_stream_screen(spark, scratch, n_docs):
         .agg(F.count(F.lit(1)).alias("survivors"))
         .first(),
     )
+
+    # --- r12 fast family: tokenfold vs sha256 stream kernel A/B ------
+    # same corpus, same incoming docs; the family swap moves the sha256
+    # cost from one-per-distinct-shingle to one-per-distinct-token and
+    # replaces shingle string builds with vectorized int64 folds
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.dedup import (
+        minhash_signatures_tokenfold,
+    )
+
+    tf_sigs = minhash_signatures_tokenfold(corpus)
+    tf_model = collect_lsh_screen_model(tf_sigs, hash_family="tokenfold")
+
+    def tf_form():
+        return (
+            stream_neardup_screen(incoming, tf_model)
+            .agg(F.count(F.lit(1)).alias("survivors"))
+            .first(),
+        )[0]
+
+    tf_form()  # warm
+    tsha, ttf = [], []
+    tf_sv = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        shipped_form()
+        tsha.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        tf_sv = tf_form()["survivors"]
+        ttf.append(time.perf_counter() - t0)
+    print(
+        f"screen, sha256 family (shipped r11)         "
+        f"median {statistics.median(tsha):6.2f}s  "
+        f"{[round(t, 2) for t in tsha]}"
+    )
+    print(
+        f"screen, tokenfold family (r12)              "
+        f"median {statistics.median(ttf):6.2f}s  "
+        f"{[round(t, 2) for t in ttf]}"
+    )
+    # full-size bit-parity: the numpy stream kernel and the Catalyst
+    # batch join must keep the IDENTICAL survivor set on the new family
+    dt, batch_tf = timed(
+        "batch join screen (tokenfold family)",
+        lambda: dedup_against_corpus(
+            incoming, corpus_signatures=tf_sigs, hash_family="tokenfold"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("survivors"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .first(),
+    )
+    stream_tf = (
+        stream_neardup_screen(incoming, tf_model)
+        .agg(
+            F.count(F.lit(1)).alias("survivors"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .first()
+    )
+    assert (batch_tf["survivors"], batch_tf["id_sum"]) == (
+        stream_tf["survivors"],
+        stream_tf["id_sum"],
+    ), (batch_tf, stream_tf)
+    print(
+        f"  tokenfold parity: batch == stream survivors "
+        f"({stream_tf['survivors']:,} docs, id_sum match)"
+    )
     print(
         f"  parity: both broadcast forms keep {res[0]:,} of {n_docs:,}"
     )
