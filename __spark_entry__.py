@@ -1106,6 +1106,34 @@ def _q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components_star(pairs, nodes=docs)
 
 
+def _q_dedup_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental component maintenance (new in r12): 75% of the
+    corpus (doc_id % 4 != 0) plays the saved nightly state — its label
+    table is computed batch — then the remaining 25% arrives and
+    components_merge folds ONLY the affected subgraph in
+    (operators/dedup.py components_merge). Because saved labels are
+    component min-ids, the merge equals the batch recompute exactly,
+    so the oracle is dedup_components' full-graph recursive-CTE SQL
+    verbatim."""
+    from multi_sensor_data_pipeline_for_robotics__spark.cache import maybe_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = maybe_persist(
+        D.ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=None),
+        min_bytes=0,
+    )
+    is_old = lambda c: F.col(c) % 4 != 0
+    saved = D.connected_components_star(
+        pairs.filter(is_old("doc_a") & is_old("doc_b")),
+        nodes=docs.filter(is_old("doc_id")),
+    )
+    return D.components_merge(
+        saved,
+        pairs.filter(~is_old("doc_a") | ~is_old("doc_b")),
+        new_nodes=docs.filter(~is_old("doc_id")),
+    )
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELIBERATELY UN-ORACLED (driver shows err=no_oracle): the fast
     path's 64-bit simhash uses engine-seeded xxhash64 token hashes.
@@ -4606,6 +4634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_mixture_redistribute": _q_select_mixture_redistribute,
         "dedup_minhash_bounded": _q_dedup_minhash_bounded,
         "dedup_incremental_fast": _q_dedup_incremental_fast,
+        "dedup_components_incremental": _q_dedup_components_incremental,
     }
 
 
@@ -6475,6 +6504,9 @@ SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
 """
     # same graph, same answer, different engine-side algorithm
     o["dedup_components_star"] = o["dedup_components"]
+    # the incremental merge equals the batch recompute exactly (saved
+    # labels are component min-ids), so it shares the full-graph oracle
+    o["dedup_components_incremental"] = o["dedup_components"]
     # r8: same component law + the hash_split bucket arithmetic on the
     # component id (cumulative edges 8000/9000/10000 of 10000)
     _cc_body = o["dedup_components"].rsplit("SELECT id AS doc_id", 1)[0]

@@ -1320,6 +1320,100 @@ def connected_components_star(
     return labels.select(F.col("id").alias(node_id), "component")
 
 
+def components_merge(
+    saved_labels: DataFrame,
+    new_pairs: DataFrame,
+    new_nodes: DataFrame | None = None,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    node_id: str = "doc_id",
+    comp_col: str = "component",
+    max_iter: int = 50,
+) -> DataFrame:
+    """INCREMENTAL connected-components maintenance: fold a batch of
+    new near-dup pairs (and optionally new documents) into a SAVED
+    label table without recomputing components from scratch — the
+    companion of :func:`dedup_against_corpus` /
+    ``streaming.dedup_stream.stream_neardup_screen`` +
+    ``sources.models.save_model_tables`` for the "corpus grows
+    nightly" loop, the same retrain-free pattern as
+    ``plans.selection.merge_char_lm_tables``.
+
+    EXACTLY equals the batch recompute: because every saved component
+    label is the component's min doc id (the
+    :func:`connected_components` / :func:`connected_components_star`
+    contract), contracting each old component to its label node and
+    running components over (contracted new edges) yields the same
+    min-id per merged component as a full rerun over all pairs old and
+    new — asserted in tests against N chunked merges.
+
+    Plan shape — work scales with the CHANGE, not the corpus:
+    two hash joins map new-pair endpoints to their saved labels
+    (unlabeled endpoints are new docs and stand for themselves); the
+    star-contraction CC then runs on the CONTRACTED subgraph only
+    (<= |new_pairs| edges over affected component reps + new docs —
+    the |changed-components| subgraph, not the corpus graph); one
+    final join applies the (affected reps)-sized relabel map back to
+    the saved table, broadcastable in the common case. Untouched
+    components pass through byte-identical.
+
+    ``new_nodes`` labels isolated arriving docs (no pair) with
+    themselves, matching the batch operators' ``nodes=`` behavior.
+    Output: the updated ``(doc_id, component)`` table — feed it back
+    to ``save_model_tables`` for the next increment.
+    """
+    lab = saved_labels.select(
+        F.col(node_id).alias("id"), F.col(comp_col).alias("label")
+    )
+    e = (
+        new_pairs.select(F.col(id_a).alias("__a"), F.col(id_b).alias("__b"))
+        .join(
+            lab.select(F.col("id").alias("__a"), F.col("label").alias("__la")),
+            "__a",
+            "left",
+        )
+        .join(
+            lab.select(F.col("id").alias("__b"), F.col("label").alias("__lb")),
+            "__b",
+            "left",
+        )
+        .select(
+            F.coalesce("__la", F.col("__a")).alias("u"),
+            F.coalesce("__lb", F.col("__b")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+    )
+    # components over the contracted (affected-only) subgraph; reps are
+    # old labels and new doc ids, so the resulting min IS the merged
+    # component's global min id
+    sub = connected_components_star(
+        e, nodes=None, id_a="u", id_b="v", node_id="rep", max_iter=max_iter
+    ).localCheckpoint(eager=False)
+    relabel = sub.select(
+        F.col("rep").alias("label"), F.col("component").alias("__new")
+    )
+    old = lab.join(relabel, "label", "left").select(
+        F.col("id").alias(node_id),
+        F.coalesce("__new", F.col("label")).alias(comp_col),
+    )
+    # reps of the contracted graph that are NOT saved doc ids are new
+    # docs — their sub row is their label (old labels are themselves
+    # saved doc ids, so the anti-join removes exactly them)
+    fresh = sub.join(
+        lab.select(F.col("id").alias("rep")), "rep", "left_anti"
+    ).select(F.col("rep").alias(node_id), F.col("component").alias(comp_col))
+    out = old.unionByName(fresh)
+    if new_nodes is not None:
+        iso = (
+            new_nodes.select(F.col(node_id))
+            .distinct()
+            .join(out.select(node_id), node_id, "left_anti")
+            .select(F.col(node_id), F.col(node_id).alias(comp_col))
+        )
+        out = out.unionByName(iso)
+    return out
+
+
 def duplicated_spans(
     docs: DataFrame,
     k: int = 40,

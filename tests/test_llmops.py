@@ -323,6 +323,39 @@ def test_minhash_collapse_components_unchanged(spark):
     assert a == b
 
 
+def test_components_merge_equals_batch_after_chunked_growth(spark):
+    """Three growth increments folded into a saved label table with
+    components_merge equal the batch star CC over the full graph —
+    including an increment whose new doc BRIDGES two old components
+    and an isolated new doc labeling itself."""
+    all_nodes = list(range(30))
+    e1 = [(0, 1), (1, 2), (5, 6), (7, 8)]          # docs 0..9
+    e2 = [(10, 11), (11, 12), (3, 12), (15, 16)]   # +docs 10..19 (3-12 bridges)
+    e3 = [(25, 5), (25, 17), (20, 21)]             # +docs 20..29 (25 bridges 5,17)
+    mk_nodes = lambda lo, hi: spark.createDataFrame(
+        [(i,) for i in all_nodes if lo <= i < hi], "doc_id long"
+    )
+    mk_edges = lambda es: spark.createDataFrame(es, "doc_a long, doc_b long")
+    saved = D.connected_components_star(mk_edges(e1), nodes=mk_nodes(0, 10))
+    saved = D.components_merge(saved, mk_edges(e2), new_nodes=mk_nodes(10, 20))
+    saved = D.components_merge(saved, mk_edges(e3), new_nodes=mk_nodes(20, 30))
+    got = {(r.doc_id, r.component) for r in saved.collect()}
+    want = {
+        (r.doc_id, r.component)
+        for r in D.connected_components_star(
+            mk_edges(e1 + e2 + e3), nodes=mk_nodes(0, 30)
+        ).collect()
+    }
+    assert got == want
+    # untouched components pass through; the e2 bridge merged the old
+    # singleton 3 with the new 10-11-12 chain under min id 3
+    comp = dict(got)
+    assert {comp[i] for i in (0, 1, 2)} == {0}
+    assert {comp[i] for i in (3, 10, 11, 12)} == {3}
+    assert {comp[i] for i in (5, 6, 17, 25)} == {5}
+    assert comp[29] == 29  # isolated new doc labels itself
+
+
 def test_tokenfold_signatures_match_python_reference(spark):
     """minhash_signatures_tokenfold (Catalyst, no shuffle) reproduces
     the family spec bit-for-bit: token base = first 28 bits of
