@@ -1279,3 +1279,90 @@ def token_budget_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def token_budget_stream_to_parquet(
+    stream: DataFrame,
+    budget_tokens: int,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+):
+    """TWO-LEVEL strict-global token-budget admission — the multi-task
+    form of ``token_budget_stream(key_col=None)``, which honestly
+    funnels every row through ONE state task (strict global admission
+    is a sequential decision). This variant keeps the strict semantics
+    and the identical admitted set at the same micro-batch boundaries,
+    but each batch's admission runs as the batch engine's range-shuffle
+    prefix scan (``operators.pack.global_running_sum``): per-partition
+    provisional sums in parallel + a <= num_partitions-row reconcile —
+    no data-sized single task anywhere.
+
+    Carried state is the single global token counter, and it is never
+    trusted from driver memory: each batch recovers ``used`` exactly by
+    aggregating the sink's PRIOR epochs. That recovery is cheap BY
+    CONSTRUCTION — admitted rows are budget-bounded, so the sink never
+    exceeds ~``budget_tokens`` worth of documents no matter how much
+    stream flows past it.
+
+    Exactly-once landing: foreachBatch is at-least-once, so survivors
+    land PARTITIONED BY epoch id with dynamic partition overwrite (the
+    ``stream_corpus_screen_to_parquet`` recipe) — a retry of epoch N
+    rewrites only ``epoch_id=N`` from the same recovered ``used``,
+    reproducing the identical admitted rows.
+
+    Same row contract as :func:`token_budget_stream`: crossing doc
+    included, NULL ``id_col``/``tokens_col`` rows dropped, output
+    columns ``(key, doc_id, n_tokens, cum_tokens)`` plus the sink's
+    ``epoch_id`` partition column. Returns the StreamingQuery.
+    """
+    from pyspark.sql import functions as F
+
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.pack import (
+        global_running_sum,
+    )
+
+    if int(budget_tokens) <= 0:
+        raise ValueError("budget_tokens must be positive")
+    B = int(budget_tokens)
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        rows = batch_df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(tokens_col).cast("long").alias("n_tokens"),
+        ).filter(F.col("doc_id").isNotNull() & F.col("n_tokens").isNotNull())
+        try:
+            prior = spark.read.parquet(out_path).filter(
+                F.col("epoch_id") < int(epoch_id)
+            )
+            used = prior.agg(F.sum("n_tokens")).first()[0] or 0
+        except Exception:  # first epoch: sink does not exist yet
+            used = 0
+        if used >= B:
+            return
+        cum = global_running_sum(rows, "doc_id", F.col("n_tokens"), "__cum")
+        admitted = (
+            cum.withColumn("cum_tokens", F.col("__cum") + F.lit(int(used)))
+            .filter((F.col("cum_tokens") - F.col("n_tokens")) < B)
+            .select(
+                F.lit("_global").alias("key"),
+                "doc_id",
+                "n_tokens",
+                "cum_tokens",
+                F.lit(int(epoch_id)).alias("epoch_id"),
+            )
+        )
+        (
+            admitted.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(out_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -620,6 +620,64 @@ def test_token_budget_stream_global_key_and_validation(spark, tmp_path):
         token_budget_stream(stream, 0)
 
 
+def test_token_budget_two_level_matches_strict_form(spark, tmp_path):
+    """token_budget_stream_to_parquet (multi-task range-shuffle
+    admission per batch, sink-recovered counter) admits the IDENTICAL
+    set as the single-state-task strict form at the same micro-batch
+    boundaries — crossing doc included, null rows dropped, nothing
+    admitted once the budget is crossed."""
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.stateful import (
+        token_budget_stream,
+        token_budget_stream_to_parquet,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.sync_stream import (
+        run_to_memory,
+    )
+
+    rows = spark.createDataFrame(
+        [(1, 30), (2, 30), (3, None), (4, 25), (5, 30), (6, 10), (7, 10)],
+        "doc_id long, n_tokens long",
+    )
+    src = str(tmp_path / "tl_docs")
+    # batch 1 = docs 1,2,3; batch 2 = 4,5; batch 3 = 6,7
+    rows.filter("doc_id <= 3").coalesce(1).write.mode("append").parquet(src)
+    rows.filter("doc_id in (4,5)").coalesce(1).write.mode("append").parquet(src)
+    rows.filter("doc_id >= 6").coalesce(1).write.mode("append").parquet(src)
+
+    def reader():
+        return (
+            spark.readStream.schema("doc_id long, n_tokens long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    # budget 100: admit 30+30 (b1), then 25+30 crossing at 115 (b2),
+    # nothing in b3
+    sm = token_budget_stream(reader(), 100, key_col=None)
+    run_to_memory(sm, "tb_strict_tbl", output_mode="append")
+    strict = {
+        (r.key, r.doc_id, r.n_tokens, r.cum_tokens)
+        for r in spark.table("tb_strict_tbl").collect()
+    }
+
+    out = str(tmp_path / "tl_out")
+    q = token_budget_stream_to_parquet(
+        reader(), 100, out, str(tmp_path / "tl_ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+    two_level = {
+        (r.key, r.doc_id, r.n_tokens, r.cum_tokens)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert two_level == strict
+    assert {d for _, d, _, _ in two_level} == {1, 2, 4, 5}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="budget_tokens"):
+        token_budget_stream_to_parquet(reader(), 0, out, str(tmp_path / "x"))
+
+
 def test_token_budget_stream_sorts_across_arrow_chunks(spark, tmp_path):
     """A key whose micro-batch spans multiple Arrow record batches is
     still admitted in global doc_id order (the kernel buffers and

@@ -1477,6 +1477,56 @@ def smoke_stream_budget(spark, scratch, n):
         .first(),
     )
 
+    # --- r12: strict-GLOBAL admission, single-state-task funnel vs the
+    # two-level range-shuffle form — same budget, same batch
+    # boundaries, must admit the IDENTICAL set
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.stateful import (
+        token_budget_stream_to_parquet,
+    )
+
+    B_GLOBAL = 64_000_000
+
+    def strict_global():
+        stream = spark.readStream.schema(
+            "doc_id long, source string, n_tokens long, log_weight double"
+        ).parquet(f"{scratch}/budget_rows")
+        sm = token_budget_stream(stream, B_GLOBAL, key_col=None)
+        run_to_memory(sm, "budget_glb_tbl", output_mode="append")
+        return (
+            spark.table("budget_glb_tbl")
+            .agg(
+                F.count(F.lit(1)).alias("admitted"),
+                F.sum("doc_id").alias("id_sum"),
+            )
+            .first()
+        )
+
+    def two_level():
+        stream = spark.readStream.schema(
+            "doc_id long, source string, n_tokens long, log_weight double"
+        ).parquet(f"{scratch}/budget_rows")
+        q = token_budget_stream_to_parquet(
+            stream,
+            B_GLOBAL,
+            f"{scratch}/budget_tl_out",
+            f"{scratch}/budget_tl_ckpt",
+        )
+        q.processAllAvailable()
+        q.stop()
+        return (
+            spark.read.parquet(f"{scratch}/budget_tl_out")
+            .agg(
+                F.count(F.lit(1)).alias("admitted"),
+                F.sum("doc_id").alias("id_sum"),
+            )
+            .first()
+        )
+
+    _, a = timed("strict global (one state task)", strict_global)
+    _, b = timed("two-level global (range-shuffle/batch)", two_level)
+    assert (a["admitted"], a["id_sum"]) == (b["admitted"], b["id_sum"]), (a, b)
+    print(f"  identical admitted set: {a['admitted']:,} docs (id_sum match)")
+
 
 def smoke_selection(spark, scratch, n_docs):
     """Char-LM scoring + DSIR weights at n_docs x 40 tokens: the model
