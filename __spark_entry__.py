@@ -2156,6 +2156,33 @@ def _q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mm_ppm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (new in r12): attach_ppm_media encodes genuine
+    binary-PPM (P6) images whose raster byte i is (doc_id*31 + i) % 256,
+    extract_image_features decodes them with the pure-numpy
+    spec-complete parser and emits per-channel means + an exact pixel
+    checksum — the oracle replays the encoder arithmetic, so a parser
+    that mis-reads any pixel hash-fails (operators/multimodal.py
+    attach_ppm_media/_parse_p6/extract_image_features)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.extract_image_features(
+        MM.attach_ppm_media(docs, width=8, height=8), decoder="ppm"
+    )
+
+
+def _q_mm_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real nearest-neighbor resize on decoded pixels (new in r12):
+    8x8 P6 -> 4x4 P6 (output pixel (y,x) samples source
+    (y*8//4, x*8//4)) -> re-decode and feature — the oracle recomputes
+    the sampled indices arithmetically (operators/multimodal.py
+    resize_image_ppm)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_ppm_media(docs, width=8, height=8)
+    return MM.extract_image_features(
+        MM.resize_image_ppm(media, out_w=4, out_h=4), decoder="ppm"
+    )
+
+
 def _q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return MM.sample_frames(
@@ -4635,6 +4662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_bounded": _q_dedup_minhash_bounded,
         "dedup_incremental_fast": _q_dedup_incremental_fast,
         "dedup_components_incremental": _q_dedup_components_incremental,
+        "mm_ppm_features": _q_mm_ppm_features,
+        "mm_ppm_resize": _q_mm_ppm_resize,
     }
 
 
@@ -7181,6 +7210,40 @@ SELECT doc_id,
                k -> ascii(substr(text, CAST((k * n) // 64 + 1 AS INT), 1))),
            'sum') % 2147483647 AS BIGINT) AS checksum
 FROM d
+"""
+
+    # real P6 decode: the oracle replays the ENCODER's arithmetic
+    # (raster byte i of doc d is (d*31 + i) % 256; channel = i % 3),
+    # never parsing bytes — so any parser pixel error hash-fails
+    o["mm_ppm_features"] = """
+WITH px AS (
+    SELECT d.doc_id, t.i, (d.doc_id * 31 + t.i) % 256 AS v
+    FROM documents d, range(0, 192) t(i)
+)
+SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+       round(avg(CASE WHEN i % 3 = 0 THEN v END), 6) AS mean_r,
+       round(avg(CASE WHEN i % 3 = 1 THEN v END), 6) AS mean_g,
+       round(avg(CASE WHEN i % 3 = 2 THEN v END), 6) AS mean_b,
+       CAST(sum(v) % 2147483647 AS BIGINT) AS pixel_checksum
+FROM px GROUP BY doc_id
+"""
+
+    # resized pixel (y, x, c) samples source raster byte
+    # ((y*8//4)*8 + (x*8//4))*3 + c of the same deterministic encoding
+    o["mm_ppm_resize"] = """
+WITH px AS (
+    SELECT d.doc_id,
+           (d.doc_id * 31
+            + (((y.y * 8) // 4) * 8 + ((x.x * 8) // 4)) * 3 + c.c) % 256 AS v,
+           c.c
+    FROM documents d, range(0, 4) y(y), range(0, 4) x(x), range(0, 3) c(c)
+)
+SELECT doc_id, CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+       round(avg(CASE WHEN c = 0 THEN v END), 6) AS mean_r,
+       round(avg(CASE WHEN c = 1 THEN v END), 6) AS mean_g,
+       round(avg(CASE WHEN c = 2 THEN v END), 6) AS mean_b,
+       CAST(sum(v) % 2147483647 AS BIGINT) AS pixel_checksum
+FROM px GROUP BY doc_id
 """
 
     o["mm_frame_sample"] = """

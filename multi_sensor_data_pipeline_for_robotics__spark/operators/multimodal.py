@@ -2,13 +2,18 @@
 opaque ``binary`` columns with typed metadata, processed by
 Arrow-batched ``mapInPandas`` stages.
 
-The container has no image/audio codecs, so the actual decode is
-STUBBED: ``decoder="fake"`` is a deterministic byte-level feature
-extractor (real Spark plumbing — schema, batching, partitioning — with
-fake pixels), and ``decoder="pil"``/``"ffmpeg"`` raise
-``NotImplementedError`` at the point the real library would be called.
-Everything around the decode — the batch iterator, the output schema,
-the partition-parallel execution — is production-shaped.
+The container has no image/audio codec LIBRARIES, so the ffmpeg/PIL
+class of decodes is stubbed: ``decoder="fake"`` is a deterministic
+byte-level feature extractor (real Spark plumbing — schema, batching,
+partitioning — with fake pixels), and ``decoder="pil"``/``"ffmpeg"``
+raise ``NotImplementedError`` at the point the real library would be
+called. One REAL codec needs no library and is fully implemented:
+binary PPM (P6) — ``attach_ppm_media`` encodes genuine images,
+``extract_image_features`` decodes pixels (pure-numpy spec-complete
+parser: comments, whitespace, truncation errors), and
+``resize_image_ppm`` is a real nearest-neighbor resample re-encoded as
+P6. Everything around every decode — the batch iterator, the output
+schema, the partition-parallel execution — is production-shaped.
 
 Scale notes: payloads never pass through the driver; ``mapInPandas``
 streams Arrow record batches per partition, so memory is bounded by
@@ -175,3 +180,179 @@ def extract_features(
                 yield decode(pdf)
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL codec: binary PPM (P6) — pure numpy, no external library, so
+# decoder='fake' is no longer the only working path. The ffmpeg/PIL
+# class of codecs stays honestly stubbed; PPM needs none of them.
+# ---------------------------------------------------------------------------
+
+IMAGE_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, mean_r double, mean_g double,"
+    " mean_b double, pixel_checksum long"
+)
+
+PPM_MOD = 2_147_483_647
+
+
+def _encode_p6(w: int, h: int, raster: "bytes") -> bytes:
+    return b"P6\n%d %d\n255\n" % (w, h) + raster
+
+
+def _parse_p6(b: bytes):
+    """Parse a binary PPM (P6, maxval <= 255): returns
+    ``(width, height, uint8 ndarray of shape (h, w, 3))``. Full spec
+    header handling — arbitrary whitespace between tokens and ``#``
+    comments through end-of-line — then exactly one whitespace byte
+    before the raster. Raises ValueError on malformed or truncated
+    payloads (the per-row contract callers turn into a decode_error)."""
+    import numpy as np
+
+    if not b.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    pos, toks = 2, []
+    while len(toks) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(b) and b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        toks.append(b[start:pos])
+    w, h, maxval = (int(t) for t in toks)
+    if w <= 0 or h <= 0 or not (0 < maxval < 256):
+        raise ValueError(f"bad PPM dimensions/maxval: {w}x{h}/{maxval}")
+    pos += 1  # exactly one whitespace byte separates header and raster
+    n = w * h * 3
+    raster = b[pos : pos + n]
+    if len(raster) != n:
+        raise ValueError(f"truncated PPM raster: {len(raster)} of {n} bytes")
+    return w, h, np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def attach_ppm_media(
+    df: DataFrame, id_col: str = "doc_id", width: int = 8, height: int = 8
+) -> DataFrame:
+    """Build a media table of REAL P6 PPM images whose pixels are a
+    deterministic function of the doc id — byte i of the raster is
+    ``(doc_id * 31 + i) % 256`` — so every downstream decode result is
+    replayable from pure arithmetic in any engine (the oracle never
+    parses bytes; it recomputes what the encoder wrote). Encoding is
+    one vectorized numpy matrix per Arrow batch; payloads never touch
+    the driver."""
+    import json
+
+    n = width * height * 3
+    meta = json.dumps({"w": width, "h": height})
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        idx = np.arange(n, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["doc_id"].to_numpy(dtype="int64")
+            px = ((ids[:, None] * 31 + idx[None, :]) % 256).astype(np.uint8)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media": [
+                        _encode_p6(width, height, row.tobytes()) for row in px
+                    ],
+                    "media_kind": "image/x-portable-pixmap",
+                    "media_meta": meta,
+                }
+            )
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, schema=MEDIA_SCHEMA
+    )
+
+
+def extract_image_features(media: DataFrame, decoder: str = "ppm") -> DataFrame:
+    """REAL pixel-level feature extraction: decode each payload and
+    emit per-channel means (rounded to 6, the cross-engine float rule),
+    dimensions, and an exact integer pixel checksum
+    (``sum(raster) mod 2^31-1``). ``decoder='ppm'`` is a working
+    pure-numpy P6 parser; ``'pil'``/``'ffmpeg'`` raise until those
+    codecs exist (same plumbing)."""
+    if decoder == "ppm":
+        def decode(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+                "pixel_checksum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                w, h, img = _parse_p6(bytes(payload))
+                means = img.reshape(-1, 3).mean(axis=0, dtype=np.float64)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_r"].append(round(float(means[0]), 6))
+                out["mean_g"].append(round(float(means[1]), 6))
+                out["mean_b"].append(round(float(means[2]), 6))
+                out["pixel_checksum"].append(
+                    int(img.sum(dtype=np.int64)) % PPM_MOD
+                )
+            return pd.DataFrame(out)
+    elif decoder in ("pil", "ffmpeg"):
+        def decode(pdf: pd.DataFrame) -> pd.DataFrame:
+            raise NotImplementedError(
+                f"decoder={decoder!r}: real codec not present; the 'ppm'"
+                " decoder is the working no-dependency path"
+            )
+    else:
+        raise ValueError(f"unknown decoder: {decoder}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield decode(pdf)
+
+    return media.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
+
+
+def resize_image_ppm(
+    media: DataFrame, out_w: int = 4, out_h: int = 4
+) -> DataFrame:
+    """REAL nearest-neighbor image resize on decoded P6 pixels —
+    output pixel (y, x) samples source pixel
+    ``(y*src_h // out_h, x*src_w // out_w)`` — re-encoded as P6, so the
+    result chains back into any consumer of PPM media.
+    (``resize_media`` remains the byte-level stub for non-decodable
+    payloads.) One numpy fancy-index per image, Arrow-batched,
+    driver-free."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("out_w and out_h must be positive")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"doc_id": [], "media": [], "media_kind": [], "media_meta": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                w, h, img = _parse_p6(bytes(payload))
+                yi = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                xi = (np.arange(out_w, dtype=np.int64) * w) // out_w
+                small = img[yi][:, xi]
+                out["doc_id"].append(doc_id)
+                out["media"].append(
+                    _encode_p6(out_w, out_h, small.tobytes())
+                )
+                out["media_kind"].append("image/x-portable-pixmap")
+                out["media_meta"].append('{"w": %d, "h": %d}' % (out_w, out_h))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)

@@ -196,6 +196,56 @@ def test_multimodal_real_decoder_stubbed(spark, docs):
         MM.extract_features(media, decoder="pil").collect()
 
 
+def test_ppm_roundtrip_and_features(spark):
+    """Real P6 codec: encode -> decode recovers exact pixels; features
+    match a numpy replay; spec corners (comments, whitespace) parse;
+    truncation and bad magic raise ValueError."""
+    import numpy as np
+
+    ids = spark.createDataFrame([(7,), (20,)], "doc_id long")
+    media = MM.attach_ppm_media(ids, width=8, height=8)
+    rows = {r.doc_id: bytes(r.media) for r in media.collect()}
+    for d, payload in rows.items():
+        w, h, img = MM._parse_p6(payload)
+        assert (w, h, img.shape) == (8, 8, (8, 8, 3))
+        want = ((d * 31 + np.arange(192)) % 256).reshape(8, 8, 3)
+        assert (img == want).all()
+    feats = {
+        r.doc_id: r
+        for r in MM.extract_image_features(media, decoder="ppm").collect()
+    }
+    for d in rows:
+        v = (d * 31 + np.arange(192)) % 256
+        assert feats[d].pixel_checksum == int(v.sum()) % 2_147_483_647
+        assert feats[d].mean_r == round(float(v[0::3].mean()), 6)
+    # header corners: comment + multi-whitespace still parse
+    img = ((np.arange(12)) % 256).astype(np.uint8).tobytes()
+    w, h, px = MM._parse_p6(b"P6 # a comment\n# more\n 2\t2\n255\n" + img)
+    assert (w, h) == (2, 2) and px.tobytes() == img
+    with pytest.raises(ValueError, match="truncated"):
+        MM._parse_p6(b"P6\n2 2\n255\n" + img[:-1])
+    with pytest.raises(ValueError, match="P6"):
+        MM._parse_p6(b"P5\n2 2\n255\n" + img)
+
+
+def test_ppm_resize_nearest_neighbor(spark):
+    """resize_image_ppm samples (y*h//out_h, x*w//out_w) exactly and
+    re-encodes valid P6 that chains into the decoder."""
+    import numpy as np
+
+    ids = spark.createDataFrame([(3,)], "doc_id long")
+    media = MM.attach_ppm_media(ids, width=8, height=8)
+    small = MM.resize_image_ppm(media, out_w=4, out_h=4)
+    payload = bytes(small.first().media)
+    w, h, img = MM._parse_p6(payload)
+    assert (w, h) == (4, 4)
+    src = ((3 * 31 + np.arange(192)) % 256).reshape(8, 8, 3)
+    yi = (np.arange(4) * 8) // 4
+    assert (img == src[yi][:, yi]).all()
+    with pytest.raises(ValueError, match="positive"):
+        MM.resize_image_ppm(media, out_w=0)
+
+
 def test_datagen_shapes(spark):
     cam = DG.generate_camera(spark, n=200).toPandas()
     assert len(cam) == 200
