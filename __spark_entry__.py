@@ -880,6 +880,22 @@ def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_jaccard_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact Jaccard join with the opt-in exact-text collapse (new
+    in r12): byte-identical documents fold to min-id star edges with
+    jaccard 1.0 BEFORE the shingle join, so a c-copy cluster costs c-1
+    edges instead of c(c-1)/2 AND every shingle's df counts distinct
+    texts instead of copies (operators/dedup.py ngram_jaccard_pairs
+    collapse_identical). The oracle replays the same collapse."""
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        n=3,
+        threshold=0.5,
+        max_shingle_df=None,
+        collapse_identical=True,
+    )
+
+
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELIBERATELY UN-ORACLED (driver shows err=no_oracle): the scale
     path hashes with engine-seeded xxhash64, which no other engine
@@ -4664,6 +4680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_incremental": _q_dedup_components_incremental,
         "mm_ppm_features": _q_mm_ppm_features,
         "mm_ppm_resize": _q_mm_ppm_resize,
+        "dedup_jaccard_collapsed": _q_dedup_jaccard_collapsed,
     }
 
 
@@ -5495,9 +5512,11 @@ FROM agg
         for j in range(_SW)
     )
     _blk_sql = "\n    UNION ALL\n    ".join(
-        f"SELECT doc, sig, {bi} AS block, (sig >> {bi * _BW}) & {(1 << _BW) - 1} AS key FROM sig"
+        f"SELECT doc, sig, {bi} AS block, (sig >> {bi * _BW}) & {(1 << _BW) - 1} AS key FROM reps"
         for bi in range(_K + 1)
     )
+    # signature-identical collapse mirrors the engine: min-doc rep per
+    # full signature, members emitted as hamming-0 star edges
     o["dedup_simhash_portable"] = f"""
 WITH tok AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS t FROM documents),
 h AS (
@@ -5509,6 +5528,12 @@ v AS (
     FROM h GROUP BY doc
 ),
 sig AS (SELECT doc, {_sig_expr} AS sig FROM v),
+g AS (SELECT sig AS gsig, min(doc) AS rep FROM sig GROUP BY sig),
+star AS (
+    SELECT g.rep AS doc_a, s.doc AS doc_b, CAST(0 AS INT) AS hamming
+    FROM sig s JOIN g ON s.sig = g.gsig WHERE s.doc <> g.rep
+),
+reps AS (SELECT s.* FROM sig s JOIN g ON s.sig = g.gsig AND s.doc = g.rep),
 blocks AS (
     {_blk_sql}
 )
@@ -5517,6 +5542,8 @@ SELECT doc_a, doc_b, hamming FROM (
            bit_count(xor(a.sig, b.sig)) AS hamming
     FROM blocks a
     JOIN blocks b ON a.block = b.block AND a.key = b.key AND a.doc < b.doc
+    UNION ALL
+    SELECT doc_a, doc_b, hamming FROM star
 )
 WHERE hamming <= {_K}
 """
@@ -6494,6 +6521,40 @@ SELECT doc_a, doc_b,
        round(inter / (x.sz + y.sz - inter), 6) AS jaccard
 FROM i JOIN sz x ON x.doc = i.doc_a JOIN sz y ON y.doc = i.doc_b
 WHERE round(inter / (x.sz + y.sz - inter), 6) >= 0.5
+"""
+
+    # exact-text collapse variant: reps = min doc per sha256(text),
+    # members become (rep, member, 1.0) star edges, the shingle join
+    # runs over representatives only
+    o["dedup_jaccard_collapsed"] = """
+WITH t AS (SELECT doc_id AS doc, text, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT sha256(text) AS h, min(doc_id) AS rep FROM documents GROUP BY sha256(text)),
+star AS (
+    SELECT g.rep AS doc_a, t.doc AS doc_b, CAST(1.0 AS DOUBLE) AS jaccard
+    FROM t JOIN g ON sha256(t.text) = g.h WHERE t.doc <> g.rep
+),
+r AS (SELECT t.doc, t.toks FROM t JOIN g ON sha256(t.text) = g.h AND t.doc = g.rep),
+s AS (
+    SELECT doc, unnest(list_distinct(
+        list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    )) AS shingle
+    FROM r
+),
+sz AS (SELECT doc, count(*) AS sz FROM s GROUP BY doc),
+i AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+    FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, jaccard FROM (
+    SELECT doc_a, doc_b,
+           round(inter / (x.sz + y.sz - inter), 6) AS jaccard
+    FROM i JOIN sz x ON x.doc = i.doc_a JOIN sz y ON y.doc = i.doc_b
+    UNION ALL
+    SELECT doc_a, doc_b, jaccard FROM star
+)
+WHERE jaccard >= 0.5
 """
 
     # transitive-closure CC oracle over the same trigram-Jaccard edges;

@@ -171,6 +171,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
     round_to: int | None = 6,
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """All document pairs with n-gram-shingle Jaccard >= threshold.
 
@@ -184,14 +185,48 @@ def ngram_jaccard_pairs(
     by >10k docs carries no near-dup signal). Pass
     ``max_shingle_df=None`` explicitly for the exact small-corpus
     variant.
+
+    ``collapse_identical=True`` (opt-in; changes output semantics the
+    same way the LSH screens' always-on collapse does): byte-identical
+    documents collapse to their min-id representative BEFORE the
+    shingle join, and members are emitted as ``(rep, member, 1.0)``
+    star edges instead of the c(c-1)/2 clique. Every shingle's df then
+    counts distinct TEXTS, not copies, so a c-copy boilerplate cluster
+    stops multiplying the Σ df² join cost by c². Connectivity through
+    the representative is preserved (components unchanged); run it
+    when the corpus has NOT already been through ``dedup_exact``.
     """
+    star = None
+    if collapse_identical:
+        df, star = _collapse_exact_texts(df, text_col, id_col)
     inter = _ngram_pair_intersections(df, n, text_col, id_col, max_shingle_df)
     jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
-    return (
+    out = (
         inter.withColumn("jaccard", F.round(jac, round_to) if round_to else jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    if star is not None:
+        out = out.unionByName(
+            star.select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
+        )
+    return out
+
+
+def _collapse_exact_texts(
+    df: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse byte-identical texts to their min-id representative:
+    returns ``(reps, star)`` where reps keeps one full row per distinct
+    sha256(text) and star is the ``(doc_a=rep, doc_b=member)`` edge
+    list for the collapsed members. One window shuffle on the content
+    hash; texts never move twice."""
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256))
+    marked = df.withColumn("__rep", F.min(id_col).over(w))
+    star = marked.filter(F.col(id_col) != F.col("__rep")).select(
+        F.col("__rep").alias("doc_a"), F.col(id_col).alias("doc_b")
+    )
+    return marked.filter(F.col(id_col) == F.col("__rep")).drop("__rep"), star
 
 
 def _ngram_pair_intersections(
@@ -1080,12 +1115,26 @@ def simhash_pairs(
     signature width (simhash with 128-bit hashes) or lower max_hamming
     so block width grows — a fixed block width eventually sends the
     block join quadratic exactly like a fixed LSH band width.
+
+    Signature-identical collapse (always on, the
+    :func:`minhash_lsh_pairs` discipline): docs sharing the entire
+    64-bit signature — distance 0, colliding in EVERY block — collapse
+    to their min-id representative before the block join and emit
+    ``(rep, member, hamming=0)`` star edges, bounding a c-member
+    signature-identical cluster at c-1 edges instead of c(c-1)/2.
     """
     nblocks = max_hamming + 1
     # size-gated persist, same two-consumer reason as minhash_lsh_pairs:
     # the block self-join reads the (doc, sig) table twice
     sig, sigwidth = simhash_signatures(df, text_col, id_col, hash_family)
     sig = maybe_persist(sig)
+    sigr = sig.withColumn("__rep", F.min("doc").over(Window.partitionBy("sig")))
+    star = sigr.filter(F.col("doc") != F.col("__rep")).select(
+        F.col("__rep").alias("doc_a"),
+        F.col("doc").alias("doc_b"),
+        F.lit(0).cast("integer").alias("hamming"),
+    )
+    sig = sigr.filter(F.col("doc") == F.col("__rep")).drop("__rep")
     width = sigwidth // nblocks
     blocks = sig.select(
         "doc",
@@ -1125,6 +1174,7 @@ def simhash_pairs(
         cand.withColumn("hamming", dist)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .unionByName(star)
     )
 
 

@@ -373,6 +373,34 @@ def test_minhash_collapse_components_unchanged(spark):
     assert a == b
 
 
+def test_jaccard_and_simhash_collapse_star_edges(spark):
+    """ngram_jaccard_pairs(collapse_identical=True) and simhash_pairs
+    (collapse always on) emit min-id star edges for identical docs —
+    c-1 edges with jaccard 1.0 / hamming 0 — and still link the
+    near-dup through the representative."""
+    c = 6
+    docs = _clustered_docs(spark, c)
+    jp = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.5, max_shingle_df=None,
+            collapse_identical=True,
+        ).collect()
+    }
+    star = {p for p in jp if p[1] < c}
+    assert star == {(0, i) for i in range(1, c)}
+    assert all(jp[p] == 1.0 for p in star)
+    assert (0, 100) in jp  # near-dup links via the rep
+    assert not any(p[0] != 0 and p[1] < c for p in jp)
+    sp = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in D.simhash_pairs(docs, max_hamming=3).collect()
+    }
+    sstar = {p for p in sp if p[1] < c}
+    assert sstar == {(0, i) for i in range(1, c)}
+    assert all(sp[p] == 0 for p in sstar)
+
+
 def test_components_merge_equals_batch_after_chunked_growth(spark):
     """Three growth increments folded into a saved label table with
     components_merge equal the batch star CC over the full graph —
