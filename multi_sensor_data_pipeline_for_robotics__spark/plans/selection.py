@@ -268,9 +268,16 @@ def char_lm_score(
         .join(F.broadcast(ctx), "ctx", "left")
         .crossJoin(F.broadcast(vocab))
     )
+    # degenerate-reference rule: a reference with NO characters trains
+    # v=0, which would zero the add-alpha denominator (ANSI
+    # DIVIDE_BY_ZERO); clamp to 1 so the empty model scores every gram
+    # log((0+a)/(0+a)) = 0 bits — identical in the map twin
     logp = F.log(
         (F.coalesce(F.col("cnt3"), F.lit(0)) + F.lit(alpha))
-        / (F.coalesce(F.col("cnt2"), F.lit(0)) + F.lit(alpha) * F.col("v"))
+        / (
+            F.coalesce(F.col("cnt2"), F.lit(0))
+            + F.lit(alpha) * F.greatest(F.col("v"), F.lit(1))
+        )
     )
     per_doc = joined.groupBy("__id").agg(
         F.sum("n").alias("n_grams"),
@@ -474,6 +481,7 @@ def char_lm_score_map(
 
     spark = df.sparkSession
     tri_d, ctx_d, v = model
+    v = max(int(v), 1)  # degenerate-reference rule, see char_lm_score
     btri = spark.sparkContext.broadcast(tri_d)
     bctx = spark.sparkContext.broadcast(ctx_d)
     ln2 = math.log(2.0)
