@@ -196,12 +196,18 @@ def lsh_neardup_pairs(
     # signature-identical collapse: one window shuffle on the full
     # bucket array (native array grouping), then only representatives
     # enter the banding; members become direct star-edge candidates
+    # 8-byte window partition key (xxhash64 of the bucket array) — the
+    # minhash_lsh_pairs sort-key trade; a key collision only demotes a
+    # vector to a star candidate, which the exact-cosine verifier
+    # scores anyway (bounded recall loss, never a wrong score)
     sigr = (
         ensure_parallelism(embeddings)
         .select(
             F.col(id_col).alias("doc"), buckets(F.col(vec_col)).alias("__bks")
         )
-        .withColumn("__rep", F.min("doc").over(W.partitionBy("__bks")))
+        .withColumn(
+            "__rep", F.min("doc").over(W.partitionBy(F.xxhash64("__bks")))
+        )
     )
     star = sigr.filter(F.col("doc") != F.col("__rep")).select(
         F.col("__rep").alias("id_a"), F.col("doc").alias("id_b")
