@@ -765,8 +765,17 @@ def dedup_against_corpus(
     nsig = maybe_persist(
         sig_fn(new_docs, num_hashes, text_col, id_col, shingle_n)
     )
+    # screen against DISTINCT corpus signatures: est_jaccard is a pure
+    # function of the two signatures, so duplicate corpus sigs cannot
+    # change whether a new doc matches — but they DO multiply the band
+    # join's matched rows by the copy count (a c-copy boilerplate
+    # cluster makes every colliding arrival pay c rows). Exact
+    # equivalence, strictly smaller join.
+    corpus_distinct = corpus_signatures.dropDuplicates(
+        [f"h{i}" for i in range(num_hashes)]
+    )
     nb = _banded_portable(nsig, num_hashes, bands).alias("a")
-    cb = _banded_portable(corpus_signatures, num_hashes, bands).alias("b")
+    cb = _banded_portable(corpus_distinct, num_hashes, bands).alias("b")
     matches = sum(
         F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
         for i in range(num_hashes)

@@ -186,8 +186,15 @@ def collect_lsh_screen_model(
         "_bands": bands,
         "_family": hash_family,
     }
+    # DISTINCT signatures only: est_jaccard is a pure function of the
+    # signature, so duplicate corpus sigs can't change a screen verdict
+    # — they only bloat the broadcast and the per-probe matmul
+    seen: set = set()
     for row in corpus_signatures.collect():
         sig = tuple(int(row[f"h{i}"]) for i in range(num_hashes))
+        if sig in seen:
+            continue
+        seen.add(sig)
         for bi in range(bands):
             acc = 0
             for j in range(r):
