@@ -4174,6 +4174,47 @@ def _q_model_roundtrip_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_model_roundtrip_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly dedup-state loop end-to-end (new in r12): compute
+    component labels for the 75% "existing" corpus, SAVE the label
+    table as a model artifact, RELOAD it, and fold the arriving 25%'s
+    near-dup pairs in with components_merge — save_model_tables +
+    load_model_tables + incremental CC composed, the retrain-free
+    growth cycle for dedup state. Because the merge equals a full
+    recompute exactly, the oracle is dedup_components' full-graph SQL
+    verbatim (a lossy roundtrip or a wrong merge both hash-fail)."""
+    import shutil
+
+    from multi_sensor_data_pipeline_for_robotics__spark.cache import maybe_persist
+    from multi_sensor_data_pipeline_for_robotics__spark.sources.models import (
+        load_model_tables,
+        save_model_tables,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = maybe_persist(
+        D.ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=None),
+        min_bytes=0,
+    )
+    is_old = lambda c: F.col(c) % 4 != 0
+    saved = D.connected_components_star(
+        pairs.filter(is_old("doc_a") & is_old("doc_b")),
+        nodes=docs.filter(is_old("doc_id")),
+    )
+    base = _csv_scratch() + "/cc_labels_model"
+    shutil.rmtree(base, ignore_errors=True)
+    save_model_tables(
+        base, {"labels": saved}, meta={"family": "dedup_components"}
+    )
+    loaded, meta = load_model_tables(spark, base)
+    assert meta["family"] == "dedup_components"
+    return D.components_merge(
+        loaded["labels"],
+        pairs.filter(~is_old("doc_a") | ~is_old("doc_b")),
+        new_nodes=docs.filter(~is_old("doc_id")),
+    )
+
+
 def _q_stream_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed STREAMING ingest pipeline (new in r10): quality gate ->
     frozen-corpus near-dup screen -> char-LM scoring, all three stages
@@ -4681,6 +4722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_ppm_features": _q_mm_ppm_features,
         "mm_ppm_resize": _q_mm_ppm_resize,
         "dedup_jaccard_collapsed": _q_dedup_jaccard_collapsed,
+        "model_roundtrip_components": _q_model_roundtrip_components,
     }
 
 
@@ -6597,6 +6639,7 @@ SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
     # the incremental merge equals the batch recompute exactly (saved
     # labels are component min-ids), so it shares the full-graph oracle
     o["dedup_components_incremental"] = o["dedup_components"]
+    o["model_roundtrip_components"] = o["dedup_components"]
     # r8: same component law + the hash_split bucket arithmetic on the
     # component id (cumulative edges 8000/9000/10000 of 10000)
     _cc_body = o["dedup_components"].rsplit("SELECT id AS doc_id", 1)[0]
