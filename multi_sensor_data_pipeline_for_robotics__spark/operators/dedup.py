@@ -1849,11 +1849,19 @@ def dedup_audit(
     random_buckets: int | None = None,
     round_to: int = 6,
     max_bucket_size: int | None = None,
+    hash_family: str = "sha256",
 ) -> DataFrame:
     """Sampled precision/recall audit of the MinHash-LSH screen against
     EXACT Jaccard — the report a user needs to TUNE bands/threshold
     before a 100 TB dedup run ("are my bands letting false positives
     through? how much is the banding missing?").
+
+    ``hash_family`` audits the matching screen variant — ``"sha256"``
+    (:func:`minhash_signatures_portable`) or ``"tokenfold"``
+    (:func:`minhash_signatures_tokenfold`, the fast family); the exact
+    shingle-Jaccard truth side is family-independent, so the two
+    audits are directly comparable ("does the fast family cost
+    recall?").
 
     Two deterministic strata, both scored against exact shingle-set
     Jaccard (truth = ``exact_jaccard >= threshold``):
@@ -1916,10 +1924,14 @@ def dedup_audit(
 
         est_n = estimated_source_rows(df, bytes_per_row=512) or 0
         random_buckets = max(est_n // 2, 16)
+    if hash_family == "sha256":
+        sig_fn = minhash_signatures_portable
+    elif hash_family == "tokenfold":
+        sig_fn = minhash_signatures_tokenfold
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     sig = maybe_persist(
-        minhash_signatures_portable(
-            df, num_hashes, text_col, id_col, shingle_n
-        )
+        sig_fn(df, num_hashes, text_col, id_col, shingle_n)
     )
     # the screen's own candidate stage, shared verbatim (see
     # _portable_candidates) — the audit measures THE shipped screen

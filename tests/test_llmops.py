@@ -1836,3 +1836,20 @@ def test_dedup_audit_validation(spark):
         D.dedup_audit(docs, num_hashes=16, bands=5)
     with pytest.raises(ValueError, match=">= 1"):
         D.dedup_audit(docs, collision_sample_mod=0)
+    with pytest.raises(ValueError, match="hash_family"):
+        D.dedup_audit(docs, hash_family="md5")
+
+
+def test_dedup_audit_tokenfold_family(spark):
+    """The audit audits the FAST family too: planted exact copies are
+    tokenfold-collision TPs exactly as in the sha family (the truth
+    side is family-independent exact shingle Jaccard)."""
+    docs = _clustered_docs(spark, 4)
+    out = {
+        r.stratum: r
+        for r in D.dedup_audit(
+            docs, random_buckets=4, hash_family="tokenfold"
+        ).collect()
+    }
+    coll = out["collision"]
+    assert coll.tp >= 3 and coll.fp == 0 and coll.fn == 0

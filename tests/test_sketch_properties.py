@@ -321,3 +321,35 @@ def test_dsir_map_twin_matches_catalyst_on_random_tokens(spark, doc_texts):
         docs, collect_dsir_model(docs, tgt, buckets=64)
     ).collect()))
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    dims=st.tuples(st.integers(1, 9), st.integers(1, 9)),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_ppm_parser_roundtrip_random(spark, dims, seed):
+    """P6 encode -> parse recovers exact pixels for random dimensions
+    and pixel content, including header comment/whitespace variants;
+    any truncation of the raster raises ValueError."""
+    import numpy as np
+
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.multimodal import (
+        _encode_p6,
+        _parse_p6,
+    )
+
+    w, h = dims
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    payload = _encode_p6(w, h, px.tobytes())
+    gw, gh, got = _parse_p6(payload)
+    assert (gw, gh) == (w, h) and (got == px).all()
+    # spec-corner header: comments and mixed whitespace
+    fancy = b"P6\n# c1\n  %d\t# c2\n%d\n# c3\n255\n" % (w, h) + px.tobytes()
+    gw, gh, got = _parse_p6(fancy)
+    assert (gw, gh) == (w, h) and (got == px).all()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _parse_p6(payload[:-1])

@@ -1823,6 +1823,44 @@ def smoke_hot_cluster(spark, scratch, n_docs, cluster):
         .first(),
     )
 
+    # embedding twin: one hot near-identical vector cluster (base +
+    # tiny per-member perturbation -> near-identical sign patterns, the
+    # corpus shape that saturates a bucket in EVERY band); the shipped
+    # collapse + max_bucket_size keeps candidates ~c, not c^2
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.similarity import (
+        lsh_neardup_pairs,
+    )
+
+    n_vecs, vc = n_docs // 5, cluster // 5
+    comp = lambda s, i: (
+        (F.abs(F.hash(s.cast("string"), i.cast("string"))) % 2001).cast(
+            "double"
+        )
+        - 1000.0
+    ) / 1000.0
+    in_c = F.col("id") < vc
+    seed = F.when(in_c, F.lit(0)).otherwise(F.col("id") + 5_000_000_000)
+    base_vec = F.transform(F.sequence(F.lit(0), F.lit(63)), lambda i: comp(seed, i))
+    jitter = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: comp(F.col("id") + 7_000_000_000, i) / 200.0,
+    )
+    vec = F.when(
+        in_c, F.zip_with(base_vec, jitter, lambda a, b: a + b)
+    ).otherwise(base_vec)
+    spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    ).write.mode("overwrite").parquet(f"{scratch}/hot_vecs")
+    ev = spark.read.parquet(f"{scratch}/hot_vecs")
+    timed(
+        f"embed shipped form (collapse + cap=64, c={vc:,}/{n_vecs:,})",
+        lambda: lsh_neardup_pairs(
+            ev, threshold=0.9, max_bucket_size=64
+        )
+        .agg(F.count(F.lit(1)).alias("pairs"))
+        .first(),
+    )
+
 
 if __name__ == "__main__":
     main()
