@@ -1333,12 +1333,20 @@ def token_budget_stream_to_parquet(
             F.col(id_col).cast("long").alias("doc_id"),
             F.col(tokens_col).cast("long").alias("n_tokens"),
         ).filter(F.col("doc_id").isNotNull() & F.col("n_tokens").isNotNull())
-        try:
+        # explicit existence probe (the sources.models Hadoop-FS
+        # pattern), NOT a broad try/except around the read: a transient
+        # sink read error must FAIL the batch (foreachBatch retries it)
+        # — swallowing it as used=0 would silently re-open a spent
+        # budget and over-admit
+        jvm = spark.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(out_path)
+        fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
             prior = spark.read.parquet(out_path).filter(
                 F.col("epoch_id") < int(epoch_id)
             )
             used = prior.agg(F.sum("n_tokens")).first()[0] or 0
-        except Exception:  # first epoch: sink does not exist yet
+        else:  # first epoch: sink does not exist yet
             used = 0
         if used >= B:
             return
