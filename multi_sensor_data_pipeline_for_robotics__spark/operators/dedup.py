@@ -1882,11 +1882,13 @@ def dedup_audit(
       random_buckets`` and pair all-vs-all within a bucket, minus any
       pair that also band-collides.  Bucket sizes are
       Poisson(n/``random_buckets``); ``random_buckets=None`` auto-sizes
-      to ``max(est_rows // 2, 16)`` from a file-stat row estimate so
-      buckets stay tiny and fully parallel at ANY corpus size (a fixed
-      count at large n gives n/count-sized buckets and a quadratic
-      within-bucket join — the blow-up class SCALE.md measured for
-      8-bit band buckets).  Every true near-dup found here is a
+      to ``max(est_rows // 2, 16)`` from a file-stat row estimate —
+      falling back to an exact ``count()`` when the source isn't
+      stat-able (in-memory frames, non-local schemes) — so buckets stay
+      tiny and fully parallel at ANY corpus size (a fixed count at
+      large n gives n/count-sized buckets and a quadratic within-bucket
+      join — the blow-up class SCALE.md measured for 8-bit band
+      buckets).  Every true near-dup found here is a
       BANDING false negative (est_jaccard may agree, the screen just
       never looked).
 
@@ -1922,7 +1924,14 @@ def dedup_audit(
             estimated_source_rows,
         )
 
-        est_n = estimated_source_rows(df, bytes_per_row=512) or 0
+        # file-stat estimate when available; otherwise an exact count()
+        # — an `or 16` fallback here would give n/16-sized buckets and a
+        # quadratic within-bucket join on in-memory / non-stat-able
+        # sources, exactly the blow-up class the auto-sizing prevents
+        # (one extra scan is cheap next to the audit's shingle joins)
+        est_n = estimated_source_rows(df, bytes_per_row=512)
+        if not est_n:
+            est_n = df.count()
         random_buckets = max(est_n // 2, 16)
     if hash_family == "sha256":
         sig_fn = minhash_signatures_portable

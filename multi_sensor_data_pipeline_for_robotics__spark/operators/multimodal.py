@@ -196,17 +196,19 @@ IMAGE_FEATURE_SCHEMA = (
 PPM_MOD = 2_147_483_647
 
 
-def _encode_p6(w: int, h: int, raster: "bytes") -> bytes:
-    return b"P6\n%d %d\n255\n" % (w, h) + raster
+def _encode_p6(w: int, h: int, raster: "bytes", maxval: int = 255) -> bytes:
+    return b"P6\n%d %d\n%d\n" % (w, h, maxval) + raster
 
 
 def _parse_p6(b: bytes):
-    """Parse a binary PPM (P6, maxval <= 255): returns
-    ``(width, height, uint8 ndarray of shape (h, w, 3))``. Full spec
-    header handling — arbitrary whitespace between tokens and ``#``
-    comments through end-of-line — then exactly one whitespace byte
-    before the raster. Raises ValueError on malformed or truncated
-    payloads (the per-row contract callers turn into a decode_error)."""
+    """Parse a binary PPM (P6): returns ``(width, height, ndarray of
+    shape (h, w, 3), maxval)`` — ``uint8`` samples for maxval <= 255,
+    ``uint16`` (big-endian 2-byte samples per the spec) for
+    256 <= maxval <= 65535. Full spec header handling — arbitrary
+    whitespace between tokens and ``#`` comments through end-of-line —
+    then exactly one whitespace byte before the raster. Raises
+    ValueError on malformed or truncated payloads (the per-row contract
+    callers turn into a decode_error)."""
     import numpy as np
 
     if not b.startswith(b"P6"):
@@ -226,14 +228,15 @@ def _parse_p6(b: bytes):
             raise ValueError("truncated PPM header")
         toks.append(b[start:pos])
     w, h, maxval = (int(t) for t in toks)
-    if w <= 0 or h <= 0 or not (0 < maxval < 256):
+    if w <= 0 or h <= 0 or not (0 < maxval < 65536):
         raise ValueError(f"bad PPM dimensions/maxval: {w}x{h}/{maxval}")
     pos += 1  # exactly one whitespace byte separates header and raster
-    n = w * h * 3
+    dt = np.dtype(">u2") if maxval > 255 else np.dtype(np.uint8)
+    n = w * h * 3 * dt.itemsize
     raster = b[pos : pos + n]
     if len(raster) != n:
         raise ValueError(f"truncated PPM raster: {len(raster)} of {n} bytes")
-    return w, h, np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+    return w, h, np.frombuffer(raster, dtype=dt).reshape(h, w, 3), maxval
 
 
 def attach_ppm_media(
@@ -293,7 +296,7 @@ def extract_image_features(media: DataFrame, decoder: str = "ppm") -> DataFrame:
                 "pixel_checksum": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
-                w, h, img = _parse_p6(bytes(payload))
+                w, h, img, _maxval = _parse_p6(bytes(payload))
                 means = img.reshape(-1, 3).mean(axis=0, dtype=np.float64)
                 out["doc_id"].append(doc_id)
                 out["width"].append(w)
@@ -343,13 +346,13 @@ def resize_image_ppm(
                 continue
             out = {"doc_id": [], "media": [], "media_kind": [], "media_meta": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
-                w, h, img = _parse_p6(bytes(payload))
+                w, h, img, maxval = _parse_p6(bytes(payload))
                 yi = (np.arange(out_h, dtype=np.int64) * h) // out_h
                 xi = (np.arange(out_w, dtype=np.int64) * w) // out_w
                 small = img[yi][:, xi]
                 out["doc_id"].append(doc_id)
                 out["media"].append(
-                    _encode_p6(out_w, out_h, small.tobytes())
+                    _encode_p6(out_w, out_h, small.tobytes(), maxval)
                 )
                 out["media_kind"].append("image/x-portable-pixmap")
                 out["media_meta"].append('{"w": %d, "h": %d}' % (out_w, out_h))

@@ -1060,7 +1060,8 @@ def lsh_banding_audit(
       groups are screened through their representative), minus any
       band-colliding pair: every true pair here is a banding MISS.
       ``random_buckets=None`` auto-sizes to ``max(est_rows // 2, 16)``
-      from a file-stat row estimate so buckets stay tiny at ANY corpus
+      from a file-stat row estimate (exact ``count()`` fallback when
+      the source isn't stat-able) so buckets stay tiny at ANY corpus
       size — a fixed count at large n gives n/count-sized buckets and
       a quadratic within-bucket join (the ``dedup_audit`` sampling
       design).
@@ -1090,7 +1091,13 @@ def lsh_banding_audit(
             estimated_source_rows,
         )
 
-        est_n = estimated_source_rows(embeddings, bytes_per_row=4 * dim + 16) or 0
+        # file-stat estimate when available; otherwise an exact count()
+        # — the dedup_audit rule: a fixed small fallback would give
+        # n/16-sized buckets and a quadratic within-bucket join on
+        # in-memory / non-stat-able sources
+        est_n = estimated_source_rows(embeddings, bytes_per_row=4 * dim + 16)
+        if not est_n:
+            est_n = embeddings.count()
         random_buckets = max(est_n // 2, 16)
     e, star, rep_ids = _portable_banded_vecs(
         embeddings, bands, band_bits, id_col, vec_col, dim

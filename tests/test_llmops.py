@@ -206,8 +206,8 @@ def test_ppm_roundtrip_and_features(spark):
     media = MM.attach_ppm_media(ids, width=8, height=8)
     rows = {r.doc_id: bytes(r.media) for r in media.collect()}
     for d, payload in rows.items():
-        w, h, img = MM._parse_p6(payload)
-        assert (w, h, img.shape) == (8, 8, (8, 8, 3))
+        w, h, img, maxval = MM._parse_p6(payload)
+        assert (w, h, maxval, img.shape) == (8, 8, 255, (8, 8, 3))
         want = ((d * 31 + np.arange(192)) % 256).reshape(8, 8, 3)
         assert (img == want).all()
     feats = {
@@ -220,7 +220,7 @@ def test_ppm_roundtrip_and_features(spark):
         assert feats[d].mean_r == round(float(v[0::3].mean()), 6)
     # header corners: comment + multi-whitespace still parse
     img = ((np.arange(12)) % 256).astype(np.uint8).tobytes()
-    w, h, px = MM._parse_p6(b"P6 # a comment\n# more\n 2\t2\n255\n" + img)
+    w, h, px, _mv = MM._parse_p6(b"P6 # a comment\n# more\n 2\t2\n255\n" + img)
     assert (w, h) == (2, 2) and px.tobytes() == img
     with pytest.raises(ValueError, match="truncated"):
         MM._parse_p6(b"P6\n2 2\n255\n" + img[:-1])
@@ -237,7 +237,7 @@ def test_ppm_resize_nearest_neighbor(spark):
     media = MM.attach_ppm_media(ids, width=8, height=8)
     small = MM.resize_image_ppm(media, out_w=4, out_h=4)
     payload = bytes(small.first().media)
-    w, h, img = MM._parse_p6(payload)
+    w, h, img, _mv = MM._parse_p6(payload)
     assert (w, h) == (4, 4)
     src = ((3 * 31 + np.arange(192)) % 256).reshape(8, 8, 3)
     yi = (np.arange(4) * 8) // 4

@@ -343,13 +343,20 @@ def test_ppm_parser_roundtrip_random(spark, dims, seed):
     rng = np.random.default_rng(seed)
     px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     payload = _encode_p6(w, h, px.tobytes())
-    gw, gh, got = _parse_p6(payload)
-    assert (gw, gh) == (w, h) and (got == px).all()
+    gw, gh, got, gmv = _parse_p6(payload)
+    assert (gw, gh, gmv) == (w, h, 255) and (got == px).all()
     # spec-corner header: comments and mixed whitespace
     fancy = b"P6\n# c1\n  %d\t# c2\n%d\n# c3\n255\n" % (w, h) + px.tobytes()
-    gw, gh, got = _parse_p6(fancy)
+    gw, gh, got, _mv = _parse_p6(fancy)
     assert (gw, gh) == (w, h) and (got == px).all()
+    # 16-bit samples: maxval > 255 -> big-endian 2-byte samples, exact
+    px16 = rng.integers(0, 65536, size=(h, w, 3), dtype=np.uint16).astype('>u2')
+    p16 = _encode_p6(w, h, px16.tobytes(), maxval=65535)
+    gw, gh, got16, mv16 = _parse_p6(p16)
+    assert (gw, gh, mv16) == (w, h, 65535) and (got16 == px16).all()
     import pytest as _pytest
 
+    with _pytest.raises(ValueError):
+        _parse_p6(p16[:-1])
     with _pytest.raises(ValueError):
         _parse_p6(payload[:-1])
