@@ -1300,17 +1300,29 @@ def token_budget_stream_to_parquet(
     no data-sized single task anywhere.
 
     Carried state is the single global token counter, and it is never
-    trusted from driver memory: each batch recovers ``used`` exactly by
-    aggregating the sink's PRIOR epochs. That recovery is cheap BY
-    CONSTRUCTION — admitted rows are budget-bounded, so the sink never
-    exceeds ~``budget_tokens`` worth of documents no matter how much
-    stream flows past it.
+    trusted from driver memory: each admitting epoch also lands ONE
+    totals row ``(batch_tokens, used_after)`` in a sidecar table at
+    ``out_path + "_totals"`` (epoch-partitioned, dynamic overwrite —
+    the same idempotent recipe as the data sink), and each batch
+    recovers ``used`` by reading the sidecar's latest prior epoch.
+    Recovery cost is therefore FLAT in both stream length and sink
+    size: one tiny-table read per batch, never a scan of the admitted
+    documents (the r12 form re-read the whole data sink every epoch —
+    bounded by the budget, but O(admitted) I/O per micro-batch on a
+    long-lived stream where this is O(admitting-epochs) rows).
 
     Exactly-once landing: foreachBatch is at-least-once, so survivors
     land PARTITIONED BY epoch id with dynamic partition overwrite (the
     ``stream_corpus_screen_to_parquet`` recipe) — a retry of epoch N
-    rewrites only ``epoch_id=N`` from the same recovered ``used``,
-    reproducing the identical admitted rows.
+    rewrites only ``epoch_id=N`` from the same recovered ``used``
+    (sidecar rows < N are untouched by N's failed attempt),
+    reproducing the identical admitted rows. Epochs that admit nothing
+    (empty batch, all-null rows, exhausted budget) write NEITHER sink
+    — an empty partitioned write would leave a _SUCCESS-only directory
+    that breaks schema inference on every later read and kill the
+    stream permanently; skipping it is also what keeps the sidecar
+    bounded by the number of ADMITTING epochs (<= budget / min doc
+    tokens), not stream lifetime.
 
     Same row contract as :func:`token_budget_stream`: crossing doc
     included, NULL ``id_col``/``tokens_col`` rows dropped, output
@@ -1326,6 +1338,8 @@ def token_budget_stream_to_parquet(
     if int(budget_tokens) <= 0:
         raise ValueError("budget_tokens must be positive")
     B = int(budget_tokens)
+    totals_path = out_path.rstrip("/") + "_totals"
+    TOTALS_SCHEMA = "batch_tokens long, used_after long, epoch_id int"
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -1335,18 +1349,25 @@ def token_budget_stream_to_parquet(
         ).filter(F.col("doc_id").isNotNull() & F.col("n_tokens").isNotNull())
         # explicit existence probe (the sources.models Hadoop-FS
         # pattern), NOT a broad try/except around the read: a transient
-        # sink read error must FAIL the batch (foreachBatch retries it)
-        # — swallowing it as used=0 would silently re-open a spent
-        # budget and over-admit
+        # sidecar read error must FAIL the batch (foreachBatch retries
+        # it) — swallowing it as used=0 would silently re-open a spent
+        # budget and over-admit. The read itself carries an EXPLICIT
+        # schema so a directory with no matching rows yields used=0
+        # instead of failing schema inference.
         jvm = spark.sparkContext._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(out_path)
+        hpath = jvm.org.apache.hadoop.fs.Path(totals_path)
         fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
         if fs.exists(hpath):
-            prior = spark.read.parquet(out_path).filter(
-                F.col("epoch_id") < int(epoch_id)
+            last = (
+                spark.read.schema(TOTALS_SCHEMA)
+                .parquet(totals_path)
+                .filter(F.col("epoch_id") < int(epoch_id))
+                .orderBy(F.col("epoch_id").desc())
+                .limit(1)
+                .collect()
             )
-            used = prior.agg(F.sum("n_tokens")).first()[0] or 0
-        else:  # first epoch: sink does not exist yet
+            used = int(last[0]["used_after"]) if last else 0
+        else:  # first epoch: no admitting epoch has landed yet
             used = 0
         if used >= B:
             return
@@ -1362,11 +1383,30 @@ def token_budget_stream_to_parquet(
                 F.lit(int(epoch_id)).alias("epoch_id"),
             )
         )
+        admitted = admitted.localCheckpoint(eager=True)
+        stats = admitted.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("t")
+        ).first()
+        if not stats["n"]:
+            return  # nothing admitted: skip both writes (see docstring)
         (
             admitted.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("epoch_id")
             .parquet(out_path)
+        )
+        # data sink first, totals second: a crash between them replays
+        # epoch N from the UNCHANGED prior totals and dynamically
+        # overwrites the same epoch_id=N rows — idempotent either way
+        (
+            spark.createDataFrame(
+                [(int(stats["t"]), int(used + stats["t"]), int(epoch_id))],
+                TOTALS_SCHEMA,
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(totals_path)
         )
 
     return (

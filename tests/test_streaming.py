@@ -672,10 +672,51 @@ def test_token_budget_two_level_matches_strict_form(spark, tmp_path):
     }
     assert two_level == strict
     assert {d for _, d, _, _ in two_level} == {1, 2, 4, 5}
+    # recovery sidecar: one totals row per ADMITTING epoch, used_after
+    # carried exactly (b1: 60, b2: 115; b3 admitted nothing -> no row)
+    totals = {
+        (r.epoch_id, r.batch_tokens, r.used_after)
+        for r in spark.read.parquet(out + "_totals").collect()
+    }
+    assert totals == {(0, 60, 60), (1, 55, 115)}
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="budget_tokens"):
         token_budget_stream_to_parquet(reader(), 0, out, str(tmp_path / "x"))
+
+
+def test_token_budget_two_level_survives_empty_first_batch(spark, tmp_path):
+    """A first micro-batch that admits nothing (all-null token counts)
+    must not poison the sink: no _SUCCESS-only directory is written, so
+    later epochs recover used=0 and admit normally (the r12 form died
+    permanently here — the empty partitioned write broke schema
+    inference for every subsequent recovery read)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.stateful import (
+        token_budget_stream_to_parquet,
+    )
+
+    rows = spark.createDataFrame(
+        [(1, None), (2, None), (3, 40), (4, 40), (5, 40)],
+        "doc_id long, n_tokens long",
+    )
+    src = str(tmp_path / "eb_docs")
+    # batch 1 = all-null rows (admits nothing), batch 2 = 3,4, batch 3 = 5
+    rows.filter("doc_id <= 2").coalesce(1).write.mode("append").parquet(src)
+    rows.filter("doc_id in (3, 4)").coalesce(1).write.mode("append").parquet(src)
+    rows.filter("doc_id = 5").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, n_tokens long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "eb_out")
+    q = token_budget_stream_to_parquet(stream, 100, out, str(tmp_path / "eb_ckpt"))
+    q.processAllAvailable()
+    assert q.exception() is None
+    q.stop()
+    got = {(r.doc_id, r.cum_tokens) for r in spark.read.parquet(out).collect()}
+    # budget 100: 40 + 40 admitted in b2, doc 5 crosses at 120 in b3
+    assert got == {(3, 40), (4, 80), (5, 120)}
 
 
 def test_token_budget_stream_sorts_across_arrow_chunks(spark, tmp_path):

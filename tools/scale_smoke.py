@@ -65,7 +65,7 @@ def main() -> None:
         "topk_hot", "snm", "salted", "gsample_hot", "rank_norm",
         "selection", "diag", "lpa", "hardneg",
         "mixture_hot", "stream_screen", "audits", "stream_budget",
-        "hot_cluster",
+        "hot_cluster", "budget_epochs",
     ]
     spark = get_session(app_name="scale_smoke")
     scratch = tempfile.mkdtemp(prefix="spark_graft_scale_")
@@ -148,6 +148,9 @@ def main() -> None:
             smoke_hot_cluster(
                 spark, scratch, n_docs=500_000 // div, cluster=50_000 // div
             )
+            release_storage(spark)
+        if "budget_epochs" in fams:
+            smoke_budget_epochs(spark, scratch, epochs=200 // div)
             release_storage(spark)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
@@ -1526,6 +1529,64 @@ def smoke_stream_budget(spark, scratch, n):
     _, b = timed("two-level global (range-shuffle/batch)", two_level)
     assert (a["admitted"], a["id_sum"]) == (b["admitted"], b["id_sum"]), (a, b)
     print(f"  identical admitted set: {a['admitted']:,} docs (id_sum match)")
+
+
+def smoke_budget_epochs(spark, scratch, epochs):
+    """Recovery-cost shape of token_budget_stream_to_parquet over MANY
+    micro-batches: the r13 sidecar recovers the carried counter from
+    one totals row per admitting epoch (latest-prior-epoch lookup), so
+    per-epoch cost must stay FLAT in epoch count — the r12 form
+    re-scanned the whole admitted sink every epoch (O(admitted) I/O
+    per micro-batch). Measured as wall of the first half of the epochs
+    vs the second half under one warmed query; a growing recovery
+    shows up as second_half >> first_half."""
+    import time as _t
+
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.stateful import (
+        token_budget_stream_to_parquet,
+    )
+
+    print(f"\n## budget sidecar recovery @ {epochs} single-file epochs")
+    rows_per = 2_000
+    base = f"{scratch}/be_rows"
+    half = epochs // 2
+
+    def _add_wave(lo, hi):
+        for e in range(lo, hi):
+            spark.range(e * rows_per, (e + 1) * rows_per).select(
+                F.col("id").alias("doc_id"), F.lit(10).alias("n_tokens")
+            ).coalesce(1).write.mode("append").parquet(base)
+
+    _add_wave(0, half)
+    stream = (
+        spark.readStream.schema("doc_id long, n_tokens long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    q = token_budget_stream_to_parquet(
+        stream,
+        budget_tokens=10 * rows_per * epochs + 1,  # never exhausts
+        out_path=f"{scratch}/be_out",
+        checkpoint=f"{scratch}/be_ckpt",
+    )
+    t0 = _t.monotonic()
+    q.processAllAvailable()
+    first = _t.monotonic() - t0
+    _add_wave(half, epochs)
+    t0 = _t.monotonic()
+    q.processAllAvailable()
+    second = _t.monotonic() - t0
+    q.stop()
+    totals = spark.read.parquet(f"{scratch}/be_out_totals")
+    n, last = totals.agg(
+        F.count(F.lit(1)), F.max_by("used_after", "epoch_id")
+    ).first()
+    assert (n, last) == (epochs, 10 * rows_per * epochs), (n, last)
+    print(
+        f"  first {half} epochs: {first:.1f}s, last {epochs - half}:"
+        f" {second:.1f}s (ratio {second / first:.2f}; flat ⇒ ~1.0,"
+        f" sink-rescan recovery grows with admitted volume)"
+    )
 
 
 def smoke_selection(spark, scratch, n_docs):
