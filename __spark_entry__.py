@@ -4351,9 +4351,13 @@ def _q_embed_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares, both scored by exact cosine — every true pair in the
     random stratum is a banding miss; precision is 1.0 by construction
     since the screen verifies candidates exactly
-    (operators/similarity.py lsh_banding_audit)."""
+    (operators/similarity.py lsh_banding_audit). Knobs pinned (not
+    auto-sized) so the DuckDB twin replays the identical sampling
+    universe and star-reduction at every sf."""
     return SIM.lsh_banding_audit(
-        load_table(spark, sf_dir, "embeddings"), random_buckets=64
+        load_table(spark, sf_dir, "embeddings"),
+        random_buckets=64,
+        max_bucket_size=64,
     )
 
 
@@ -4409,7 +4413,10 @@ def _q_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return dedup_audit(docs, random_buckets=200)
+    # knobs pinned (not auto-sized) so the DuckDB twin replays the
+    # identical sampling universe and star-reduction at every sf; the
+    # default path auto-sizes both from file-stat row estimates
+    return dedup_audit(docs, random_buckets=200, max_bucket_size=64)
 
 
 def _q_stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5539,6 +5546,15 @@ SELECT stratum, n_pairs, n_screen_drop, tp, fp, fn, tn,
        round(tp / CAST(nullif(tp + fp, 0) AS DOUBLE), 6) AS precision,
        round(tp / CAST(nullif(tp + fn, 0) AS DOUBLE), 6) AS recall
 FROM agg
+UNION ALL
+SELECT 'bucket_star_dropped' AS stratum,
+       (SELECT COALESCE(CAST(sum(c * (c - 1) // 2 - (c - 1)) AS BIGINT), 0)
+        FROM (SELECT count(*) AS c FROM banded GROUP BY band, bucket)
+        WHERE c > 64) AS n_pairs,
+       CAST(NULL AS BIGINT) AS n_screen_drop,
+       CAST(NULL AS BIGINT) AS tp, CAST(NULL AS BIGINT) AS fp,
+       CAST(NULL AS BIGINT) AS fn, CAST(NULL AS BIGINT) AS tn,
+       CAST(NULL AS DOUBLE) AS precision, CAST(NULL AS DOUBLE) AS recall
 """
 
     # portable SimHash oracle: 60-bit sha256-prefix token hash, per-bit
@@ -7396,13 +7412,10 @@ buckets AS (
            sum(CASE WHEN dp >= 0 THEN (1 << (7 - (p % 8))) ELSE 0 END) AS bucket
     FROM dots GROUP BY vec_id, p // 8
 ),
-sigl AS (
-    SELECT vec_id, list(bucket ORDER BY band) AS sig FROM buckets GROUP BY vec_id
-),
-g AS (SELECT sig, min(vec_id) AS rep FROM sigl GROUP BY sig),
+g AS (SELECT v, min(vec_id) AS rep FROM e GROUP BY v),
 star AS (
     SELECT g.rep AS id_a, s.vec_id AS id_b
-    FROM sigl s JOIN g ON s.sig = g.sig WHERE s.vec_id <> g.rep
+    FROM e s JOIN g ON s.v = g.v WHERE s.vec_id <> g.rep
 ),
 rbanded AS (
     SELECT b.* FROM buckets b JOIN g ON b.vec_id = g.rep
@@ -7438,13 +7451,10 @@ buckets AS (
            sum(CASE WHEN dp >= 0 THEN (1 << (7 - (p % 8))) ELSE 0 END) AS bucket
     FROM dots GROUP BY vec_id, p // 8
 ),
-sigl AS (
-    SELECT vec_id, list(bucket ORDER BY band) AS sig FROM buckets GROUP BY vec_id
-),
-g AS (SELECT sig, min(vec_id) AS rep FROM sigl GROUP BY sig),
+g AS (SELECT v, min(vec_id) AS rep FROM e GROUP BY v),
 star AS (
     SELECT g.rep AS id_a, s.vec_id AS id_b
-    FROM sigl s JOIN g ON s.sig = g.sig WHERE s.vec_id <> g.rep
+    FROM e s JOIN g ON s.v = g.v WHERE s.vec_id <> g.rep
 ),
 rbanded AS (
     SELECT b.* FROM buckets b JOIN g ON b.vec_id = g.rep
@@ -7484,6 +7494,13 @@ SELECT stratum, count(*) AS n_pairs,
        round(sum(CASE WHEN is_true THEN 1 ELSE 0 END)
              / CAST(count(*) AS DOUBLE), 6) AS true_pair_rate
 FROM scored GROUP BY stratum
+UNION ALL
+SELECT 'bucket_star_dropped' AS stratum,
+       (SELECT COALESCE(CAST(sum(c * (c - 1) // 2 - (c - 1)) AS BIGINT), 0)
+        FROM (SELECT count(*) AS c FROM rbanded GROUP BY band, bucket)
+        WHERE c > 64) AS n_pairs,
+       CAST(NULL AS BIGINT) AS n_true_pairs,
+       CAST(NULL AS DOUBLE) AS true_pair_rate
 """
 
     o["embed_neardup_pairs"] = """

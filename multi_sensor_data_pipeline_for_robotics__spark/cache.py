@@ -92,6 +92,28 @@ def estimated_source_rows(
     return total // bytes_per_row
 
 
+def auto_bucket_cap(df: DataFrame, bytes_per_row: int = 512) -> int:
+    """Default ``max_bucket_size`` for the LSH-banding screens:
+    ``max(64, 8 * ceil(log2(est_rows + 2)))`` from the file-stat row
+    estimate (64 when the source isn't stat-able — the floor keeps the
+    guard ACTIVE, bounded-recall-trade, rather than silently off).
+
+    Rationale: band buckets of unrelated documents stay O(1) once band
+    width scales with log2(n) (the ``lsh_neardup_pairs`` band_bits
+    rule), so any bucket past a few dozen members is a true
+    near-identical cluster — exactly the shape whose within-bucket
+    clique join emits O(c²) candidate pairs and dominated the r12
+    hot-cluster smoke (legacy form killed at 600 s; star-reduced form
+    8.4 s). The log-scaled headroom above the 64 floor keeps mid-size
+    true clusters fully enumerated on bigger corpora where the audit
+    has more room to spend; callers opt out with ``max_bucket_size=0``
+    and see dropped-pair accounting via the banding audits."""
+    import math
+
+    est = estimated_source_rows(df, bytes_per_row=bytes_per_row) or 0
+    return max(64, 8 * math.ceil(math.log2(est + 2)))
+
+
 def maybe_persist(df: DataFrame, min_bytes: int | None = None) -> DataFrame:
     """Persist ``df`` (MEMORY_AND_DISK — keeps lineage, executor loss
     degrades to recompute) iff its upstream looks big enough to be worth

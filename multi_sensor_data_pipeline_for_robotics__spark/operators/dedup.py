@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from multi_sensor_data_pipeline_for_robotics__spark.cache import maybe_persist
+from multi_sensor_data_pipeline_for_robotics__spark.cache import auto_bucket_cap, maybe_persist
 from multi_sensor_data_pipeline_for_robotics__spark.functions.text import tokens
 from multi_sensor_data_pipeline_for_robotics__spark.sources.tables import ensure_parallelism
 
@@ -362,14 +362,22 @@ def minhash_lsh_pairs(
       representative is preserved, so downstream connected components
       are unchanged; only the redundant clique expansion (derivable
       from the star) is dropped.
-    * **``max_bucket_size`` (opt-in).** Any (band, bucket) group of
-      representatives larger than this emits doc → bucket-min star
-      edges (est scored from the signatures as usual, threshold still
-      applies) instead of joining all pairs, bounding the worst bucket
-      at c-1 edges. Dropped-pair accounting is surfaced by
+    * **``max_bucket_size`` (DEFAULT ON, auto-sized).** Any (band,
+      bucket) group of representatives larger than this emits doc →
+      bucket-min star edges (est scored from the signatures as usual,
+      threshold still applies) instead of joining all pairs, bounding
+      the worst bucket at c-1 edges. ``None`` auto-sizes via
+      ``cache.auto_bucket_cap`` (``max(64, 8·ceil(log2(est_rows)))``
+      from the file-stat row estimate) so a factory-default call gets
+      the hot-cluster protection; pass ``0`` to opt out (full cliques).
+      Dropped-pair accounting is surfaced by
       ``dedup_audit(..., max_bucket_size=...)``.
     """
     assert num_hashes % bands == 0
+    if max_bucket_size is None:
+        max_bucket_size = auto_bucket_cap(df)
+    elif max_bucket_size < 0:
+        raise ValueError("max_bucket_size must be >= 0 (0 = uncapped)")
     r = num_hashes // bands
     # the banded self-join consumes the signatures twice; size-gated
     # persist of the 1-row-per-doc signature table (shingle UDF +
@@ -424,9 +432,10 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc", "signature", "bb.band", "bb.bucket")
-    if max_bucket_size is not None:
-        if max_bucket_size < 1:
-            raise ValueError("max_bucket_size must be >= 1")
+    if max_bucket_size:
+        # the cap window partitions on the band-join key, so its
+        # exchange+sort IS the join's required distribution — plan cost
+        # of the default-on guard is the window evaluation only
         wb = Window.partitionBy("band", "bucket")
         sized = banded.withColumn("__n", F.count(F.lit(1)).over(wb)).withColumn(
             "__m", F.min(F.struct("doc", "signature")).over(wb)
@@ -547,10 +556,15 @@ def minhash_lsh_pairs_portable(
     Shares :func:`minhash_lsh_pairs`' scale guards: signature-identical
     collapse (always on — members of a signature-identical cluster are
     emitted as min-id-representative star edges with ``est_jaccard``
-    1.0, the exact score the join would compute) and the opt-in
-    ``max_bucket_size`` star-reduction of oversized band buckets.
+    1.0, the exact score the join would compute) and the DEFAULT-ON
+    ``max_bucket_size`` star-reduction of oversized band buckets
+    (``None`` → ``cache.auto_bucket_cap``; ``0`` opts out).
     """
     assert num_hashes % bands == 0
+    if max_bucket_size is None:
+        max_bucket_size = auto_bucket_cap(df)
+    elif max_bucket_size < 0:
+        raise ValueError("max_bucket_size must be >= 0 (0 = uncapped)")
     # size-gated persist, same two-consumer reason as minhash_lsh_pairs
     sig = maybe_persist(
         minhash_signatures_portable(df, num_hashes, text_col, id_col, shingle_n)
@@ -662,8 +676,9 @@ def _portable_candidates(
 
     Emits the union of (a) signature-identical star edges
     ``(rep, member, 1.0)``, (b) bucket-min star edges for band buckets
-    over ``max_bucket_size`` (when set), and (c) the band self-join
-    over representatives in small-enough buckets. See
+    over ``max_bucket_size`` (``0``/``None`` here = uncapped — PUBLIC
+    callers resolve the auto default before calling), and (c) the band
+    self-join over representatives in small-enough buckets. See
     :func:`minhash_lsh_pairs` for the scale rationale."""
     sigr = _sig_rep_portable(sig, num_hashes)
     hcols = [f"h{i}" for i in range(num_hashes)]
@@ -674,9 +689,7 @@ def _portable_candidates(
     )
     reps = sigr.filter(F.col("doc") == F.col("__rep")).drop("__rep")
     banded = _banded_portable(reps, num_hashes, bands)
-    if max_bucket_size is not None:
-        if max_bucket_size < 1:
-            raise ValueError("max_bucket_size must be >= 1")
+    if max_bucket_size:
         wb = Window.partitionBy("band", "bucket")
         sized = banded.withColumn("__n", F.count(F.lit(1)).over(wb)).withColumn(
             "__m", F.min(F.struct("doc", *hcols)).over(wb)
@@ -1897,13 +1910,15 @@ def dedup_audit(
     recall)`` where tp = screen drops that exact Jaccard confirms,
     fp = drops it refutes, fn = true near-dups the screen kept.
     Precision/recall are per-stratum (``try_divide`` null when a
-    stratum has no positives).  When ``max_bucket_size`` is set (the
-    screen's oversized-bucket star-reduction), a third accounting row
-    ``bucket_star_dropped`` reports in ``n_pairs`` the number of
-    within-bucket pairs the star-reduction did NOT emit
-    (sum over oversized (band, bucket) groups of c(c-1)/2 - (c-1),
-    pre-dedup across bands; metric columns are null — these pairs were
-    never scored, that is the point of the guard).
+    stratum has no positives).  ``max_bucket_size`` mirrors the
+    screen's oversized-bucket star-reduction, which is DEFAULT ON
+    (``None`` → the same ``cache.auto_bucket_cap`` the screen
+    resolves; ``0`` audits the uncapped form): whenever the cap is
+    active, a third accounting row ``bucket_star_dropped`` reports in
+    ``n_pairs`` the number of within-bucket pairs the star-reduction
+    did NOT emit (sum over oversized (band, bucket) groups of
+    c(c-1)/2 - (c-1), pre-dedup across bands; metric columns are null
+    — these pairs were never scored, that is the point of the guard).
 
     Scale shape: the collision stratum is the LSH band self-join the
     screen itself runs; the random stratum is a bounded within-bucket
@@ -1933,6 +1948,10 @@ def dedup_audit(
         if not est_n:
             est_n = df.count()
         random_buckets = max(est_n // 2, 16)
+    if max_bucket_size is None:
+        max_bucket_size = auto_bucket_cap(df)
+    elif max_bucket_size < 0:
+        raise ValueError("max_bucket_size must be >= 0 (0 = uncapped)")
     if hash_family == "sha256":
         sig_fn = minhash_signatures_portable
     elif hash_family == "tokenfold":
@@ -2071,7 +2090,7 @@ def dedup_audit(
             ),
         )
     )
-    if max_bucket_size is not None:
+    if max_bucket_size:
         # dropped-pair accounting for the star-reduction: per oversized
         # (band, bucket) group of c representatives, the join would have
         # emitted c(c-1)/2 pairs and the star emits c-1 — surface the

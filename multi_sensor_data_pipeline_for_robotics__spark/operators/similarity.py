@@ -163,50 +163,63 @@ def lsh_neardup_pairs(
     cluster of near-identical vectors still lands whole in one bucket
     of every band):
 
-    * **Signature-identical collapse (always on).** Vectors whose
-      ENTIRE bucket array matches collapse to their min-id
-      representative before the band join; member edges
-      (rep, member) go straight to the exact-cosine verifier — they
-      were candidates under the old clique form too (they collide in
-      every band), so this strictly prunes, never adds. Member–member
-      and member–external pairs are dropped; connectivity through the
-      representative survives, so components are unchanged.
-    * **``max_bucket_size`` (opt-in).** Band buckets of representatives
-      larger than this emit doc → bucket-min star edges into the
-      verifier instead of the within-bucket clique. Accounting:
+    * **Byte-identical collapse (always on).** Vectors that are
+      BYTE-IDENTICAL collapse to their min-id representative before the
+      projections (members skip the hyperplane UDF entirely); member
+      edges (rep, member) go straight to the exact-cosine verifier.
+      Components are provably unchanged: cosine is a function of the
+      float values, so ``cosine(member, x) == cosine(rep, x)``
+      bit-for-bit for every external x — any member–external edge the
+      clique form would keep is mirrored by the kept rep–external edge
+      — and (rep, member) scores exactly 1.0 ≥ threshold, so members
+      stay connected through their representative. (Collapsing on
+      bucket-array identity — the r12 form — was NOT sound here:
+      unlike MinHash, the verification score is not a function of the
+      buckets, so a member whose only passing edge was member–external
+      could lose it when the rep's cosine fell below threshold.)
+    * **``max_bucket_size`` (DEFAULT ON, auto-sized).** Band buckets of
+      representatives larger than this emit doc → bucket-min star
+      edges into the verifier instead of the within-bucket clique —
+      the guard that bounds near-identical-but-not-byte-identical
+      clusters, an EXPLICIT recall trade (star edges that fail the
+      rep's cosine drop member connectivity the clique would have
+      kept). ``None`` auto-sizes via ``cache.auto_bucket_cap``; ``0``
+      opts out. Dropped-pair accounting:
       ``lsh_banding_audit(..., max_bucket_size=...)``.
     """
+    from multi_sensor_data_pipeline_for_robotics__spark.cache import (
+        auto_bucket_cap,
+        estimated_source_rows,
+    )
+
     if band_bits is None:
         import math
-
-        from multi_sensor_data_pipeline_for_robotics__spark.cache import (
-            estimated_source_rows,
-        )
 
         # bytes/row ≈ 4*dim payload + id/overhead, so the estimate is
         # row-scaled, not byte-scaled (a 32 B/row default would
         # over-count 64-dim float rows ~8x and overshoot the width)
         est = estimated_source_rows(embeddings, bytes_per_row=4 * dim + 16) or 0
         band_bits = min(max(math.ceil(math.log2(max(est, 2))) + 1, 8), 24)
+    if max_bucket_size is None:
+        max_bucket_size = auto_bucket_cap(embeddings, bytes_per_row=4 * dim + 16)
+    elif max_bucket_size < 0:
+        raise ValueError("max_bucket_size must be >= 0 (0 = uncapped)")
     planes = _hyperplanes(dim, bands * band_bits, seed)
     buckets = _band_buckets_udf(planes, bands, band_bits)
     # Candidate generation moves only (id, band, bucket) triples — the
     # vectors are re-attached by id AFTER pair dedup, so the wide shuffle
     # of the band join never carries embedding payloads.
-    # signature-identical collapse: one window shuffle on the full
-    # bucket array (native array grouping), then only representatives
-    # enter the banding; members become direct star-edge candidates
-    # 8-byte window partition key (xxhash64 of the bucket array) — the
-    # minhash_lsh_pairs sort-key trade; a key collision only demotes a
-    # vector to a star candidate, which the exact-cosine verifier
-    # scores anyway (bounded recall loss, never a wrong score)
+    # byte-identical collapse: one window shuffle keyed on
+    # (xxhash64(vec), vec) — the 8-byte hash resolves almost every sort
+    # comparison, the raw array breaks hash-collision ties so ONLY
+    # truly identical vectors group; representatives alone pay the
+    # hyperplane UDF and enter the banding
     sigr = (
         ensure_parallelism(embeddings)
-        .select(
-            F.col(id_col).alias("doc"), buckets(F.col(vec_col)).alias("__bks")
-        )
+        .select(F.col(id_col).alias("doc"), F.col(vec_col).alias("__v"))
         .withColumn(
-            "__rep", F.min("doc").over(W.partitionBy(F.xxhash64("__bks")))
+            "__rep",
+            F.min("doc").over(W.partitionBy(F.xxhash64("__v"), "__v")),
         )
     )
     star = sigr.filter(F.col("doc") != F.col("__rep")).select(
@@ -218,12 +231,10 @@ def lsh_neardup_pairs(
     # shuffle via ReusedExchange and a persist only adds a barrier
     banded = maybe_persist(
         sigr.filter(F.col("doc") == F.col("__rep")).select(
-            "doc", F.posexplode("__bks").alias("band", "bucket")
+            "doc", F.posexplode(buckets(F.col("__v"))).alias("band", "bucket")
         )
     )
-    if max_bucket_size is not None:
-        if max_bucket_size < 1:
-            raise ValueError("max_bucket_size must be >= 1")
+    if max_bucket_size:
         wb = W.partitionBy("band", "bucket")
         sized = banded.withColumn("__n", F.count(F.lit(1)).over(wb)).withColumn(
             "__m", F.min("doc").over(wb)
@@ -986,22 +997,27 @@ def _portable_banded_vecs(
     vec_col: str,
     dim: int,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Signature-collapsed banding with md5-plane sign buckets — the
-    shared candidate-generation stage of
+    """Byte-identical-collapsed banding with md5-plane sign buckets —
+    the shared candidate-generation stage of
     :func:`lsh_neardup_pairs_portable` and :func:`lsh_banding_audit`
     (kept in one place so the audit can never drift from the screen it
     audits).
 
     Returns ``(banded, star, rep_ids)``: ``banded`` = one (id, band,
-    bucket) row per REPRESENTATIVE (min id per identical full bucket
-    array) — vectors are re-attached by id downstream so the band join
-    never shuffles embedding payloads; ``star`` = (id_a, id_b) member
-    edges of signature-identical groups (candidates by construction:
-    they collide in every band); ``rep_ids`` = one (id,) row per
-    representative (the audit's sampling universe — members are
-    screened through their representative)."""
+    bucket) row per REPRESENTATIVE (min id per BYTE-IDENTICAL vector —
+    the collapse key sound for cosine-verified screens, see
+    :func:`lsh_neardup_pairs`; the r12 bucket-array key silently
+    changed components because the verifier's score is not a function
+    of the buckets) — vectors are re-attached by id downstream so the
+    band join never shuffles embedding payloads; ``star`` = (id_a,
+    id_b) member edges of identical-vector groups (candidates by
+    construction: identical vectors collide in every band, and the
+    rep–member cosine is exactly 1.0); ``rep_ids`` = one (id,) row per
+    representative (the audit's sampling universe — every cosine of a
+    member equals its representative's bit-for-bit, so members are
+    exactly covered by rep rows)."""
     planes = _portable_planes(dim, bands * band_bits)
-    v = to_double(F.col(vec_col))
+    v = to_double(F.col("__v"))
     bucket_cols = []
     for b in range(bands):
         acc = F.lit(0).cast("long")
@@ -1016,16 +1032,18 @@ def _portable_banded_vecs(
         bucket_cols.append(acc)
     sigr = (
         ensure_parallelism(embeddings)
-        .select(
-            F.col(id_col).alias("id"), F.array(*bucket_cols).alias("__bks")
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+        .withColumn(
+            "__rep", F.min("id").over(W.partitionBy(F.xxhash64("__v"), "__v"))
         )
-        .withColumn("__rep", F.min("id").over(W.partitionBy("__bks")))
     )
     star = sigr.filter(F.col("id") != F.col("__rep")).select(
         F.col("__rep").alias("id_a"), F.col("id").alias("id_b")
     )
     reps = sigr.filter(F.col("id") == F.col("__rep"))
-    banded = reps.select("id", F.posexplode("__bks").alias("band", "bucket"))
+    banded = reps.select(
+        "id", F.posexplode(F.array(*bucket_cols)).alias("band", "bucket")
+    )
     return banded, star, reps.select("id")
 
 
@@ -1071,12 +1089,14 @@ def lsh_banding_audit(
     orders of magnitude below ``collision``'s; rising values say "add
     bands or shrink band_bits".  Everything (md5 planes, sha256
     buckets, fold-order dot products) is cross-engine deterministic.
-    When ``max_bucket_size`` is set (the screen's oversized-bucket
-    star-reduction), an extra ``bucket_star_dropped`` accounting row
-    reports in ``n_pairs`` the within-bucket pairs the star-reduction
-    declined to emit (c(c-1)/2 - (c-1) per oversized (band, bucket),
-    pre-dedup across bands; other columns null — the guard's point is
-    that these were never scored).
+    ``max_bucket_size`` mirrors the screen's oversized-bucket
+    star-reduction, DEFAULT ON (``None`` → ``cache.auto_bucket_cap``,
+    the screen's rule; ``0`` audits the uncapped form): while the cap
+    is active an extra ``bucket_star_dropped`` accounting row reports
+    in ``n_pairs`` the within-bucket pairs the star-reduction declined
+    to emit (c(c-1)/2 - (c-1) per oversized (band, bucket), pre-dedup
+    across bands; other columns null — the guard's point is that these
+    were never scored).
 
     Sizing rule (for the audit AND the screen it audits):
     ``band_bits`` must grow with ``log2(n)`` — a band's key space is
@@ -1099,13 +1119,19 @@ def lsh_banding_audit(
         if not est_n:
             est_n = embeddings.count()
         random_buckets = max(est_n // 2, 16)
+    if max_bucket_size is None:
+        from multi_sensor_data_pipeline_for_robotics__spark.cache import (
+            auto_bucket_cap,
+        )
+
+        max_bucket_size = auto_bucket_cap(embeddings, bytes_per_row=4 * dim + 16)
+    elif max_bucket_size < 0:
+        raise ValueError("max_bucket_size must be >= 0 (0 = uncapped)")
     e, star, rep_ids = _portable_banded_vecs(
         embeddings, bands, band_bits, id_col, vec_col, dim
     )
     dropped = None
-    if max_bucket_size is not None:
-        if max_bucket_size < 1:
-            raise ValueError("max_bucket_size must be >= 1")
+    if max_bucket_size:
         wb = W.partitionBy("band", "bucket")
         sized = e.withColumn("__n", F.count(F.lit(1)).over(wb)).withColumn(
             "__m", F.min("id").over(wb)
@@ -1231,17 +1257,24 @@ def lsh_neardup_pairs_portable(
     path whose recall is property-tested against this family's exact
     base (`tests/test_llmops.py`).
 
-    Shares the fast path's scale guards: signature-identical collapse
-    (always on — a strict candidate pruning, see
-    :func:`lsh_neardup_pairs`) and the opt-in ``max_bucket_size``
-    star-reduction; vectors are re-attached by id after candidate
-    dedup, so the band join shuffles no embedding payloads."""
+    Shares the fast path's scale guards: byte-identical-vector collapse
+    (always on — provably component-preserving, see
+    :func:`lsh_neardup_pairs`) and the DEFAULT-ON ``max_bucket_size``
+    star-reduction (``None`` → ``cache.auto_bucket_cap``; ``0`` opts
+    out); vectors are re-attached by id after candidate dedup, so the
+    band join shuffles no embedding payloads."""
+    if max_bucket_size is None:
+        from multi_sensor_data_pipeline_for_robotics__spark.cache import (
+            auto_bucket_cap,
+        )
+
+        max_bucket_size = auto_bucket_cap(embeddings, bytes_per_row=4 * dim + 16)
+    elif max_bucket_size < 0:
+        raise ValueError("max_bucket_size must be >= 0 (0 = uncapped)")
     e, star, _ = _portable_banded_vecs(
         embeddings, bands, band_bits, id_col, vec_col, dim
     )
-    if max_bucket_size is not None:
-        if max_bucket_size < 1:
-            raise ValueError("max_bucket_size must be >= 1")
+    if max_bucket_size:
         wb = W.partitionBy("band", "bucket")
         sized = e.withColumn("__n", F.count(F.lit(1)).over(wb)).withColumn(
             "__m", F.min("id").over(wb)

@@ -463,3 +463,58 @@ def test_lsh_collapse_star_and_bucket_guard(spark):
     }
     assert audit["bucket_star_dropped"].n_pairs >= 0
     assert audit["bucket_star_dropped"].n_true_pairs is None
+
+
+def test_lsh_collapse_is_byte_identical_only(spark):
+    """The always-on collapse must key on BYTE-IDENTICAL vectors, not
+    bucket-array identity: cosine is not a function of the buckets, so
+    a member sharing all sign buckets with a lower-id representative
+    can still pass the threshold against an external vector the
+    representative fails — collapsing it away silently changed
+    components (the r12 regression). Construction: m = normalize(r +
+    0.05u) shares r's entire bucket array under the portable planes;
+    x sits 26.5 deg from r in the (r, u) plane, so cos(m, x) = 0.9161
+    >= 0.9 > 0.894934 = cos(r, x)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.similarity import (
+        _portable_planes,
+        lsh_neardup_pairs_portable,
+    )
+
+    P = np.asarray(_portable_planes(64, 16))
+
+    def buckets(v):
+        signs = (P @ v >= 0).astype(int)
+        return tuple(
+            int("".join(map(str, signs[b * 4 : (b + 1) * 4])), 2)
+            for b in range(4)
+        )
+
+    rng = np.random.default_rng(3)
+    r = rng.normal(size=64)
+    r /= np.linalg.norm(r)
+    u = rng.normal(size=64)
+    u -= (u @ r) * r
+    u /= np.linalg.norm(u)
+    m = r + 0.05 * u
+    m /= np.linalg.norm(m)
+    th = np.deg2rad(26.5)
+    x = np.cos(th) * r + np.sin(th) * u
+    # preconditions: the old bucket-array key WOULD have collapsed m
+    # into r, and the banding does compare (m, x)
+    assert buckets(r) == buckets(m)
+    assert any(a == b for a, b in zip(buckets(m), buckets(x)))
+    emb = spark.createDataFrame(
+        [(0, [float(v) for v in r]), (1, [float(v) for v in m]),
+         (2, [float(v) for v in x])],
+        ["vec_id", "embedding"],
+    )
+    got = {
+        (p.id_a, p.id_b): p.cosine
+        for p in lsh_neardup_pairs_portable(
+            emb, threshold=0.9, bands=4, band_bits=4
+        ).collect()
+    }
+    # the member's edge survives; the representative's rightly fails
+    assert (1, 2) in got and abs(got[(1, 2)] - 0.9161) < 1e-9
+    assert (0, 2) not in got
+    assert (0, 1) in got  # rep-member edge keeps the cluster connected

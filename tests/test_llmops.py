@@ -511,7 +511,8 @@ def test_dedup_against_corpus_tokenfold_family(spark):
 
 
 def test_minhash_max_bucket_size_guard(spark):
-    """The opt-in oversized-bucket star-reduction keeps components
+    """The oversized-bucket star-reduction (default on, auto-sized;
+    pinned small here so it provably engages) keeps components
     identical while never emitting more pairs, and the audit surfaces
     the dropped-pair accounting row."""
     docs = _clustered_docs(spark, 8)
@@ -534,8 +535,11 @@ def test_minhash_max_bucket_size_guard(spark):
     }
     acc = out["bucket_star_dropped"]
     assert acc.n_pairs >= 0 and acc.tp is None
-    with pytest.raises(ValueError, match=">= 1"):
-        D.minhash_lsh_pairs_portable(docs, max_bucket_size=0, **kw)
+    # 0 opts OUT of the default-on cap (uncapped = the pre-guard form)
+    uncapped = D.minhash_lsh_pairs_portable(docs, max_bucket_size=0, **kw)
+    assert uncapped.count() >= free.count()
+    with pytest.raises(ValueError, match=">= 0"):
+        D.minhash_lsh_pairs_portable(docs, max_bucket_size=-1, **kw)
 
 
 def test_sample_frames_matches_python(spark, docs):

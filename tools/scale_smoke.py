@@ -1860,8 +1860,10 @@ def smoke_hot_cluster(spark, scratch, n_docs, cluster):
     legacy_pairs = _legacy_minhash_pairs(sig, 32, 8, 0.5).select(
         "doc_a", "doc_b"
     )
+    # FACTORY DEFAULTS: max_bucket_size auto-sizes (r13) — the guard
+    # must engage without the caller knowing the knob exists
     new_pairs = minhash_lsh_pairs(
-        legacy_small, 32, 8, 0.5, shingle_n=3, max_bucket_size=64
+        legacy_small, 32, 8, 0.5, shingle_n=3
     ).select("doc_a", "doc_b")
     comp = lambda p: connected_components_star(p, nodes=legacy_small).agg(
         F.count(F.lit(1)).alias("docs"),
@@ -1876,10 +1878,8 @@ def smoke_hot_cluster(spark, scratch, n_docs, cluster):
     # the shipped form at the size the legacy join cannot touch
     d = _hot_cluster_docs(spark, scratch, n_docs, cluster, "hot_full")
     timed(
-        f"shipped form (collapse + max_bucket_size=64, c={cluster:,})",
-        lambda: minhash_lsh_pairs(
-            d, 32, 8, 0.5, shingle_n=3, max_bucket_size=64
-        )
+        f"shipped form (FACTORY DEFAULTS: collapse + auto cap, c={cluster:,})",
+        lambda: minhash_lsh_pairs(d, 32, 8, 0.5, shingle_n=3)
         .agg(F.count(F.lit(1)).alias("pairs"))
         .first(),
     )
@@ -1914,10 +1914,8 @@ def smoke_hot_cluster(spark, scratch, n_docs, cluster):
     ).write.mode("overwrite").parquet(f"{scratch}/hot_vecs")
     ev = spark.read.parquet(f"{scratch}/hot_vecs")
     timed(
-        f"embed shipped form (collapse + cap=64, c={vc:,}/{n_vecs:,})",
-        lambda: lsh_neardup_pairs(
-            ev, threshold=0.9, max_bucket_size=64
-        )
+        f"embed shipped form (FACTORY DEFAULTS: auto cap, c={vc:,}/{n_vecs:,})",
+        lambda: lsh_neardup_pairs(ev, threshold=0.9)
         .agg(F.count(F.lit(1)).alias("pairs"))
         .first(),
     )
