@@ -2199,6 +2199,33 @@ def _q_mm_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit average-hash over the REAL PPM decode path (new in r13):
+    attach_ppm_classes builds genuine P6 images with a near-duplicate
+    class structure (byte i = (i*(2*(doc_id%16)+3))%256 — per-class
+    sawtooth periods, classes >= 21 aHash bits apart — with one per-doc
+    jitter byte), image_phash decodes, grid-resamples, integer-grays
+    and thresholds against the mean — the oracle replays the encoder
+    arithmetic end-to-end, so any pixel/threshold/packing error
+    hash-fails (operators/multimodal.py attach_ppm_classes/
+    image_phash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.image_phash(MM.attach_ppm_classes(docs), decoder="ppm")
+
+
+def _q_mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE pairs (new in r13): the aHash table fed
+    through the SimHash block-banding machinery (dedup.hamming_pairs:
+    k+1-block equi-joins, exact bit_count(xor) filter,
+    identical-signature collapse) — the multimodal column joined into
+    the dedup family with zero new join machinery
+    (operators/multimodal.py phash_neardup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.phash_neardup(
+        MM.attach_ppm_classes(docs), max_hamming=3, decoder="ppm"
+    )
+
+
 def _q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return MM.sample_frames(
@@ -4730,6 +4757,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_ppm_resize": _q_mm_ppm_resize,
         "dedup_jaccard_collapsed": _q_dedup_jaccard_collapsed,
         "model_roundtrip_components": _q_model_roundtrip_components,
+        # --- r13 additions ------------------------------------------------
+        "mm_phash": _q_mm_phash,
+        "mm_phash_neardup": _q_mm_phash_neardup,
     }
 
 
@@ -7364,6 +7394,75 @@ SELECT doc_id, CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
        round(avg(CASE WHEN c = 2 THEN v END), 6) AS mean_b,
        CAST(sum(v) % 2147483647 AS BIGINT) AS pixel_checksum
 FROM px GROUP BY doc_id
+"""
+
+    # aHash replay from the attach_ppm_classes encoder arithmetic:
+    # pixel -> integer gray -> above-mean bit (all-integer g*64 > total)
+    # -> LSB-first packing with bit 63 as the sign bit (min-long term)
+    _PHASH_CTES = """
+px AS (
+    SELECT d.doc_id, t.i,
+           CASE WHEN t.i = d.doc_id % 192
+                THEN ((t.i * (2 * (d.doc_id % 16) + 3)) % 256
+                      + 1 + (d.doc_id // 16) % 7) % 256
+                ELSE (t.i * (2 * (d.doc_id % 16) + 3)) % 256 END AS v
+    FROM documents d, range(0, 192) t(i)
+),
+gray AS (
+    SELECT doc_id, i // 3 AS p, CAST(sum(v) // 3 AS BIGINT) AS g
+    FROM px GROUP BY doc_id, i // 3
+),
+tot AS (SELECT doc_id, sum(g) AS total FROM gray GROUP BY doc_id),
+bits AS (
+    SELECT g.doc_id, g.p,
+           CASE WHEN g.g * 64 > t.total THEN 1 ELSE 0 END AS b
+    FROM gray g JOIN tot t USING (doc_id)
+),
+ph AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN p < 63 AND b = 1
+                         THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
+                         ELSE 0 END) AS BIGINT)
+           + CAST(sum(CASE WHEN p = 63 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             * CAST(-9223372036854775808 AS BIGINT) AS phash
+    FROM bits GROUP BY doc_id
+)"""
+
+    o["mm_phash"] = f"""
+WITH {_PHASH_CTES}
+SELECT doc_id, phash FROM ph
+"""
+
+    # block-banding replay (the dedup.hamming_pairs machinery): min-id
+    # collapse of identical hashes, 4x16-bit block equi-join over
+    # representatives, exact bit_count(xor) <= 3 filter
+    _PH_BLOCKS = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, phash, {bi} AS block,"
+        f" (phash >> {bi * 16}) & 65535 AS key FROM reps"
+        for bi in range(4)
+    )
+    o["mm_phash_neardup"] = f"""
+WITH {_PHASH_CTES},
+g AS (SELECT phash, min(doc_id) AS rep FROM ph GROUP BY phash),
+star AS (
+    SELECT g.rep AS doc_a, p.doc_id AS doc_b, CAST(0 AS INT) AS hamming
+    FROM ph p JOIN g ON p.phash = g.phash WHERE p.doc_id <> g.rep
+),
+reps AS (SELECT p.* FROM ph p JOIN g ON p.doc_id = g.rep),
+blocks AS (
+    {_PH_BLOCKS}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.phash AS pa, b.phash AS pb
+    FROM blocks a
+    JOIN blocks b ON a.block = b.block AND a.key = b.key
+                 AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(pa, pb)) <= 3
+UNION ALL
+SELECT doc_a, doc_b, hamming FROM star
 """
 
     o["mm_frame_sample"] = """

@@ -1154,11 +1154,40 @@ def simhash_pairs(
     ``(rep, member, hamming=0)`` star edges, bounding a c-member
     signature-identical cluster at c-1 edges instead of c(c-1)/2.
     """
-    nblocks = max_hamming + 1
     # size-gated persist, same two-consumer reason as minhash_lsh_pairs:
     # the block self-join reads the (doc, sig) table twice
     sig, sigwidth = simhash_signatures(df, text_col, id_col, hash_family)
-    sig = maybe_persist(sig)
+    return hamming_pairs(
+        maybe_persist(sig), max_hamming=max_hamming, width=sigwidth
+    )
+
+
+def hamming_pairs(
+    sig: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc",
+    sig_col: str = "sig",
+    width: int = 64,
+) -> DataFrame:
+    """Pairs within Hamming distance ``max_hamming`` over an ARBITRARY
+    packed-bit signature table ``(id, sig)`` via the block trick —
+    the banding stage shared by :func:`simhash_pairs` (text SimHash)
+    and ``operators.multimodal.phash_neardup`` (image average-hash):
+    any pair within distance k matches exactly on >= 1 of the k+1
+    signature blocks, so candidates come from one equi-join per block
+    and the exact ``bit_count(xor)`` filter runs only on candidates.
+
+    Signature-identical collapse (always on, sound here because
+    Hamming distance IS a pure function of the two signatures —
+    identical sigs are distance 0 from each other and equidistant from
+    everything else): identical-signature docs collapse to min-id star
+    edges ``(rep, member, 0)`` and only representatives enter the
+    block join. Output: ``(doc_a, doc_b, hamming)``.
+    """
+    nblocks = max_hamming + 1
+    sig = sig.select(
+        F.col(id_col).alias("doc"), F.col(sig_col).alias("sig")
+    )
     sigr = sig.withColumn("__rep", F.min("doc").over(Window.partitionBy("sig")))
     star = sigr.filter(F.col("doc") != F.col("__rep")).select(
         F.col("__rep").alias("doc_a"),
@@ -1166,7 +1195,7 @@ def simhash_pairs(
         F.lit(0).cast("integer").alias("hamming"),
     )
     sig = sigr.filter(F.col("doc") == F.col("__rep")).drop("__rep")
-    width = sigwidth // nblocks
+    bwidth = width // nblocks
     blocks = sig.select(
         "doc",
         "sig",
@@ -1175,8 +1204,8 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(bi).alias("block"),
-                        F.shiftright(F.col("sig"), bi * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
+                        F.shiftright(F.col("sig"), bi * bwidth)
+                        .bitwiseAND(F.lit((1 << bwidth) - 1))
                         .alias("key"),
                     )
                     for bi in range(nblocks)

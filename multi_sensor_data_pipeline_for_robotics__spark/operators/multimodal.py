@@ -279,6 +279,147 @@ def attach_ppm_media(
     )
 
 
+def attach_ppm_classes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_classes: int = 16,
+    width: int = 8,
+    height: int = 8,
+    jitter_levels: int = 7,
+) -> DataFrame:
+    """Build a media table of REAL P6 images with a NEAR-DUPLICATE
+    structure: raster byte i of doc d is the CLASS pattern
+    ``(i * (2*(d % n_classes) + 3)) % 256`` — a per-class sawtooth whose
+    period differs by class, so class aHashes sit >= 21 bits apart —
+    except at one per-doc jitter position ``i = d % (w*h*3)``, where
+    ``(pattern + 1 + (d // n_classes) % jitter_levels) % 256`` replaces
+    it: every doc is a one-byte perturbation of its class image
+    (aHash moves <= 1 bit), the "jittered copies" fixture for
+    :func:`phash_neardup`. All pixels are pure arithmetic in (d, i),
+    so downstream hashes replay exactly in any engine (the
+    :func:`attach_ppm_media` oracle discipline). (A smooth ramp like
+    attach_ppm_media's ``(d*31+i) % 256`` is useless here: average-hash
+    of a near-linear gradient is shift-invariant enough that every
+    class hashes IDENTICALLY.)"""
+    import json
+
+    n = width * height * 3
+    meta = json.dumps({"w": width, "h": height})
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        idx = np.arange(n, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["doc_id"].to_numpy(dtype="int64")
+            px = (idx[None, :] * (2 * (ids[:, None] % n_classes) + 3)) % 256
+            jpos = ids % n
+            jval = (
+                px[np.arange(len(ids)), jpos]
+                + 1
+                + (ids // n_classes) % jitter_levels
+            ) % 256
+            px[np.arange(len(ids)), jpos] = jval
+            px = px.astype(np.uint8)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media": [
+                        _encode_p6(width, height, row.tobytes()) for row in px
+                    ],
+                    "media_kind": "image/x-portable-pixmap",
+                    "media_meta": meta,
+                }
+            )
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, schema=MEDIA_SCHEMA
+    )
+
+
+PHASH_SCHEMA = "doc_id long, phash long"
+
+
+def image_phash(
+    media: DataFrame, decoder: str = "ppm", grid: int = 8
+) -> DataFrame:
+    """64-bit average-hash (aHash) per image over the REAL decode path:
+    decode → nearest-neighbor resample to ``grid``x``grid`` (the
+    :func:`resize_image_ppm` index rule) → integer grayscale
+    ``(r+g+b)//3`` → bit p set iff ``gray_p * grid² > sum(gray)``
+    (the all-integer form of "above the mean", exact in any engine) →
+    bits packed LSB-first by pixel index ``p = y*grid + x`` into one
+    signed long (bit 63 lands in the sign bit, the
+    ``dedup.simhash64`` packing rule). Output: ``(doc_id, phash)``.
+
+    This is the image face of the dedup family: feed the table to
+    ``operators.dedup.hamming_pairs`` (or use :func:`phash_neardup`)
+    for near-duplicate image pairs. ``decoder='pil'``/``'ffmpeg'``
+    raise until those codecs exist; the aHash arithmetic itself is
+    codec-independent."""
+    if grid * grid != 64:
+        raise ValueError("grid must be 8 (64-bit aHash)")
+    if decoder in ("pil", "ffmpeg"):
+        def hash_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+            raise NotImplementedError(
+                f"decoder={decoder!r}: real codec not present; 'ppm' is"
+                " the working no-dependency path"
+            )
+    elif decoder == "ppm":
+        def hash_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            shifts = np.arange(64, dtype=np.uint64)
+            out = {"doc_id": [], "phash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                w, h, img, _maxval = _parse_p6(bytes(payload))
+                yi = (np.arange(grid, dtype=np.int64) * h) // grid
+                xi = (np.arange(grid, dtype=np.int64) * w) // grid
+                small = img[yi][:, xi].astype(np.int64)
+                gray = small.sum(axis=2) // 3
+                bits = (gray.ravel() * 64 > gray.sum()).astype(np.uint64)
+                acc = int(np.bitwise_or.reduce(bits << shifts))
+                if acc >= 1 << 63:  # wrap to the signed-long lattice
+                    acc -= 1 << 64
+                out["doc_id"].append(doc_id)
+                out["phash"].append(acc)
+            return pd.DataFrame(out)
+    else:
+        raise ValueError(f"unknown decoder: {decoder}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield hash_batch(pdf)
+
+    return media.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def phash_neardup(
+    media: DataFrame,
+    max_hamming: int = 3,
+    decoder: str = "ppm",
+    grid: int = 8,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs: :func:`image_phash` signatures fed
+    through the SimHash block-banding machinery
+    (``operators.dedup.hamming_pairs`` — k+1 blocks, equi-join per
+    block, exact ``bit_count(xor)`` filter, identical-signature
+    collapse) — zero new join machinery, the multimodal column joined
+    into the dedup family. Output: ``(doc_a, doc_b, hamming)``."""
+    from multi_sensor_data_pipeline_for_robotics__spark.cache import maybe_persist
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.dedup import (
+        hamming_pairs,
+    )
+
+    sig = maybe_persist(image_phash(media, decoder=decoder, grid=grid))
+    return hamming_pairs(
+        sig, max_hamming=max_hamming, id_col="doc_id", sig_col="phash", width=64
+    )
+
+
 def extract_image_features(media: DataFrame, decoder: str = "ppm") -> DataFrame:
     """REAL pixel-level feature extraction: decode each payload and
     emit per-channel means (rounded to 6, the cross-engine float rule),

@@ -542,6 +542,40 @@ def test_minhash_max_bucket_size_guard(spark):
         D.minhash_lsh_pairs_portable(docs, max_bucket_size=-1, **kw)
 
 
+def test_phash_neardup_recalls_jittered_copies(spark):
+    """Average-hash near-dup over REAL decoded pixels: one-byte-jittered
+    copies of a class image hash within Hamming <= 3 of each other (a
+    single gray pixel moves <= 1 bit), so every same-class pair is
+    recalled; distinct class patterns sit ~32 bits apart and never
+    pair. Exercises attach_ppm_classes -> image_phash ->
+    dedup.hamming_pairs end-to-end."""
+    ids = spark.createDataFrame([(i,) for i in range(64)], "doc_id long")
+    media = MM.attach_ppm_classes(ids, n_classes=4)
+    pairs_df = MM.phash_neardup(media, max_hamming=3)
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in pairs_df.collect()}
+    cross = {(a, b) for (a, b) in pairs if a % 4 != b % 4}
+    assert not cross and all(h <= 3 for h in pairs.values())
+    # identical-hash members collapse to star edges, so assert RECALL on
+    # connectivity: components == the 4 jittered-copy classes exactly
+    comp = {
+        r.doc_id: r.component
+        for r in D.connected_components_star(
+            pairs_df.select("doc_a", "doc_b"), nodes=ids
+        ).collect()
+    }
+    assert all(comp[i] == i % 4 for i in range(64))
+    # the hash itself is deterministic and class-clustered
+    ph = {r.doc_id: r.phash for r in MM.image_phash(media).collect()}
+    import numpy as np
+
+    for a in range(8):
+        for b in range(a + 1, 8):
+            d = bin((ph[a] ^ ph[b]) & (2**64 - 1)).count("1")
+            assert (d <= 3) == (a % 4 == b % 4), (a, b, d)
+    with pytest.raises(ValueError, match="grid"):
+        MM.image_phash(media, grid=4).collect()
+
+
 def test_sample_frames_matches_python(spark, docs):
     media = MM.attach_fake_media(docs)
     got = {
