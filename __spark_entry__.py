@@ -4242,6 +4242,50 @@ def _q_model_roundtrip_components(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _q_stream_components_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup-state maintenance end-to-end (new in r13): the
+    documents table arrives as THREE micro-batches (split by doc_id %
+    3); each epoch's near-dup pairs (portable-minhash band join vs the
+    stored signature table) fold into the saved label snapshot via
+    components_merge
+    (streaming/dedup_stream.py stream_components_maintain_to_parquet).
+    Final labels equal the batch recompute over the union — per-epoch
+    pair discovery unions to the full screen's pair set and chained
+    merges preserve the min-id law — so the oracle is the portable
+    pair SQL + the recursive-CTE component law. Batch ORDER doesn't
+    matter for that equality, so the file source's mtime ordering is
+    irrelevant."""
+    import shutil
+
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.dedup_stream import (
+        stream_components_maintain_to_parquet,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = _csv_scratch() + "/cc_stream_maintain"
+    shutil.rmtree(base, ignore_errors=True)
+    src = base + "/src"
+    for k in range(3):
+        docs.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_components_maintain_to_parquet(
+        stream, base + "/out", base + "/ckpt", threshold=0.5
+    )
+    q.processAllAvailable()
+    q.stop()
+    snaps = spark.read.parquet(base + "/out/labels")
+    last = snaps.agg(F.max("epoch_id")).first()[0]
+    return snaps.filter(F.col("epoch_id") == last).select(
+        "doc_id", "component"
+    )
+
+
 def _q_stream_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed STREAMING ingest pipeline (new in r10): quality gate ->
     frozen-corpus near-dup screen -> char-LM scoring, all three stages
@@ -4760,6 +4804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r13 additions ------------------------------------------------
         "mm_phash": _q_mm_phash,
         "mm_phash_neardup": _q_mm_phash_neardup,
+        "stream_components_maintain": _q_stream_components_maintain,
     }
 
 
@@ -5401,6 +5446,37 @@ SELECT doc_a, doc_b, est_jaccard FROM (
     SELECT doc_a, doc_b, est_jaccard FROM star
 )
 WHERE est_jaccard >= 0.5
+"""
+
+    # streaming component maintenance: the per-epoch band joins union to
+    # exactly the full-corpus portable screen's pair set (each pair is
+    # discovered in the epoch its later endpoint arrives), and chained
+    # components_merge equals the batch recompute (saved labels are
+    # component min-ids) — so the oracle is the portable-minhash pair
+    # SQL composed with the recursive-CTE component law. Collapse/cap
+    # change the pair LIST, never its connectivity, so sharing the
+    # collapsed pair CTE is exact for components.
+    _mp = o["dedup_minhash_portable"]
+    _cut = _mp.rindex("SELECT doc_a, doc_b, est_jaccard FROM (")
+    _mp_head = _mp[: _cut].strip()
+    assert _mp_head.startswith("WITH ")
+    _mp_tail = _mp[_cut:].strip()
+    o["stream_components_maintain"] = f"""
+WITH RECURSIVE {_mp_head[5:]},
+mpairs AS (
+    {_mp_tail}
+),
+sym AS (
+    SELECT doc_a AS src, doc_b AS dst FROM mpairs
+    UNION
+    SELECT doc_b, doc_a FROM mpairs
+),
+reach(id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT sym.src, reach.r FROM sym JOIN reach ON reach.id = sym.dst
+)
+SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
 """
 
     # incremental screen: same portable signatures, two-sided band join

@@ -135,6 +135,175 @@ def stream_corpus_screen_to_parquet(
     )
 
 
+def stream_components_maintain_to_parquet(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    hash_family: str = "sha256",
+    init_labels: DataFrame | None = None,
+    init_signatures: DataFrame | None = None,
+):
+    """STREAMING dedup-state maintenance — the online face of the
+    ``model_roundtrip_components`` nightly loop: every arriving
+    micro-batch's near-dup pairs fold into the saved component-label
+    table via ``operators.dedup.components_merge``, so the corpus can
+    grow CONTINUOUSLY while its dedup state stays exact.
+
+    Per epoch N inside ``foreachBatch`` (all batch-planner work — no
+    streaming join/aggregation state ever accrues):
+
+    1. portable MinHash signatures of the batch (``hash_family`` —
+       ``"sha256"`` or the fast ``"tokenfold"``);
+    2. candidate pairs: band equi-join of batch signatures against the
+       STORED signature table (epochs < N, plus ``init_signatures``)
+       and the batch itself, scored by matching-signature fraction,
+       kept at ``est_jaccard >= threshold`` — each cross-corpus pair is
+       discovered exactly once, in the epoch its later endpoint
+       arrives, so the union of per-epoch pair sets equals the
+       full-corpus band join's;
+    3. ``components_merge`` folds those pairs (and the batch's isolated
+       docs) into the latest prior label snapshot — work scales with
+       the CHANGE, and because saved labels are component min-ids the
+       chained merges EQUAL the batch recompute over everything seen;
+    4. idempotent landing: the new label SNAPSHOT to
+       ``<out_dir>/labels/epoch_id=N`` and the batch's signatures to
+       ``<out_dir>/sigs/epoch_id=N``, both dynamic-partition-overwrite
+       (a retry of epoch N re-reads only epochs < N, recomputes the
+       identical merge — ``components_merge`` is also idempotent under
+       re-applied pairs — and rewrites only its own partitions).
+
+    ``init_labels`` / ``init_signatures`` seed epoch 0 with saved
+    nightly state (``sources.models`` artifacts), matching
+    ``components_merge``'s ``saved_labels`` contract (labels are
+    component min-ids). Empty batches skip all writes (the
+    ``token_budget_stream_to_parquet`` _SUCCESS-only-directory rule).
+
+    Scale note: one label snapshot lands per epoch — recovery reads
+    only the latest, but a long-lived stream should garbage-collect old
+    ``labels/epoch_id=*`` partitions (sigs partitions are per-batch
+    increments, not snapshots, and all stay live). Returns the
+    StreamingQuery; read ``<out_dir>/labels`` at its max epoch_id for
+    the current state.
+    """
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.dedup import (
+        _banded_portable,
+        components_merge,
+        minhash_signatures_portable,
+        minhash_signatures_tokenfold,
+    )
+
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    if hash_family == "sha256":
+        sig_fn = minhash_signatures_portable
+    elif hash_family == "tokenfold":
+        sig_fn = minhash_signatures_tokenfold
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    labels_path = out_dir.rstrip("/") + "/labels"
+    sigs_path = out_dir.rstrip("/") + "/sigs"
+    hcols = [f"h{i}" for i in range(num_hashes)]
+    sig_schema = ", ".join(["doc long"] + [f"{h} long" for h in hcols])
+    labels_schema = "doc_id long, component long"
+
+    def _exists(spark: SparkSession, path: str) -> bool:
+        jvm = spark.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        return fs.exists(hpath)
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        nsig = sig_fn(
+            batch_df, num_hashes, text_col, id_col, shingle_n
+        ).localCheckpoint(eager=True)
+        new_ids = batch_df.select(F.col(id_col).alias("doc_id")).distinct()
+        if not new_ids.limit(1).count():
+            return
+        stored = None
+        if _exists(spark, sigs_path):
+            stored = (
+                spark.read.schema(sig_schema + ", epoch_id int")
+                .parquet(sigs_path)
+                .filter(F.col("epoch_id") < int(epoch_id))
+                .drop("epoch_id")
+            )
+        if init_signatures is not None:
+            init_s = init_signatures.select("doc", *hcols)
+            stored = init_s if stored is None else stored.unionByName(init_s)
+        side = nsig if stored is None else stored.unionByName(nsig)
+        nb = _banded_portable(nsig, num_hashes, bands).alias("a")
+        sb = _banded_portable(side, num_hashes, bands).alias("b")
+        matches = sum(
+            F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
+            for i in range(num_hashes)
+        )
+        pairs = (
+            nb.join(
+                sb,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc") != F.col("b.doc")),
+            )
+            .select(
+                F.least(F.col("a.doc"), F.col("b.doc")).alias("doc_a"),
+                F.greatest(F.col("a.doc"), F.col("b.doc")).alias("doc_b"),
+                (matches.cast("double") / num_hashes).alias("est_jaccard"),
+            )
+            .filter(F.col("est_jaccard") >= threshold)
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        prior = None
+        if _exists(spark, labels_path):
+            snap = spark.read.schema(labels_schema + ", epoch_id int").parquet(
+                labels_path
+            )
+            last = (
+                snap.filter(F.col("epoch_id") < int(epoch_id))
+                .agg(F.max("epoch_id"))
+                .first()[0]
+            )
+            if last is not None:
+                prior = snap.filter(F.col("epoch_id") == last).drop("epoch_id")
+        if prior is None:
+            prior = (
+                init_labels.select("doc_id", "component")
+                if init_labels is not None
+                else spark.createDataFrame([], labels_schema)
+            )
+        labels = components_merge(
+            prior, pairs.select("doc_a", "doc_b"), new_nodes=new_ids
+        )
+        (
+            labels.withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(labels_path)
+        )
+        (
+            nsig.withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(sigs_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def collect_lsh_screen_model(
     corpus_signatures: DataFrame,
     num_hashes: int = 16,

@@ -685,6 +685,114 @@ def test_token_budget_two_level_matches_strict_form(spark, tmp_path):
         token_budget_stream_to_parquet(reader(), 0, out, str(tmp_path / "x"))
 
 
+def test_stream_components_maintain_matches_batch(spark, tmp_path):
+    """N micro-batches of streamed ingest through
+    stream_components_maintain_to_parquet produce labels byte-identical
+    to the batch recompute over the union: per-epoch pair discovery
+    (batch signatures vs stored + batch) finds every pair exactly once,
+    and chained components_merge equals full star-CC because saved
+    labels are component min-ids. Also covers the seeded form (saved
+    nightly state as init_labels/init_signatures)."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.dedup import (
+        connected_components_star,
+        minhash_lsh_pairs_portable,
+        minhash_signatures_portable,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.dedup_stream import (
+        stream_components_maintain_to_parquet,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    # three near-dup families spread ACROSS batches + singletons:
+    # ids 0,10,20 share base; 1,11 share base2; 21 joins 1's family in
+    # the last batch; 5,15,25 are token-disjoint singletons
+    rows = [
+        (0, base), (1, base.replace("alpha", "psi")), (5, "a1 b1 c1 d1 e1"),
+        (10, base), (11, base.replace("alpha", "psi").replace("beta", "chi")),
+        (15, "a2 b2 c2 d2 e2"),
+        (20, base.replace("upsilon", "omega")),
+        (21, base.replace("alpha", "psi").replace("gamma", "chi")),
+        (25, "a3 b3 c3 d3 e3"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "cm_docs")
+    for lo in (0, 10, 20):  # one file per id-decade = one micro-batch
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 10)
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "cm_out")
+    q = stream_components_maintain_to_parquet(
+        stream, out, str(tmp_path / "cm_ckpt"), threshold=0.5
+    )
+    q.processAllAvailable()
+    assert q.exception() is None
+    q.stop()
+    snaps = spark.read.parquet(out + "/labels")
+    last = snaps.agg(F.max("epoch_id")).first()[0]
+    got = {
+        (r.doc_id, r.component)
+        for r in snaps.filter(F.col("epoch_id") == last).collect()
+    }
+    # batch recompute over the union (collapse/cap change pair LISTS,
+    # never connectivity, so the portable screen is the right twin)
+    want = {
+        (r.doc_id, r.component)
+        for r in connected_components_star(
+            minhash_lsh_pairs_portable(docs, threshold=0.5), nodes=docs
+        ).collect()
+    }
+    assert got == want
+    # streamed state actually merged across batches: every base variant
+    # (one-token perturbations chain near-dup) labels to min-id 0, and
+    # that family SPANS all three micro-batches
+    comp = dict(got)
+    assert all(comp[i] == 0 for i in (0, 1, 10, 11, 20))
+    assert all(comp[i] == i for i in (5, 15, 21, 25))
+
+    # seeded form: first two batches play the saved nightly state, the
+    # third arrives as a stream — same final labels
+    old = docs.filter(F.col("doc_id") < 20)
+    saved_labels = connected_components_star(
+        minhash_lsh_pairs_portable(old, threshold=0.5), nodes=old
+    )
+    src2 = str(tmp_path / "cm2_docs")
+    docs.filter(F.col("doc_id") >= 20).coalesce(1).write.mode(
+        "append"
+    ).parquet(src2)
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src2)
+    )
+    out2 = str(tmp_path / "cm2_out")
+    q2 = stream_components_maintain_to_parquet(
+        stream2,
+        out2,
+        str(tmp_path / "cm2_ckpt"),
+        threshold=0.5,
+        init_labels=saved_labels,
+        init_signatures=minhash_signatures_portable(old),
+    )
+    q2.processAllAvailable()
+    assert q2.exception() is None
+    q2.stop()
+    snaps2 = spark.read.parquet(out2 + "/labels")
+    last2 = snaps2.agg(F.max("epoch_id")).first()[0]
+    got2 = {
+        (r.doc_id, r.component)
+        for r in snaps2.filter(F.col("epoch_id") == last2).collect()
+    }
+    assert got2 == want
+
+
 def test_token_budget_two_level_survives_empty_first_batch(spark, tmp_path):
     """A first micro-batch that admits nothing (all-null token counts)
     must not poison the sink: no _SUCCESS-only directory is written, so
