@@ -4242,6 +4242,38 @@ def _q_model_roundtrip_components(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary induction (new in r13): 8 rounds of
+    distributed BPE merge training over the documents corpus —
+    vocabulary-sized pair-count aggregations, deterministic
+    (count desc, left asc, right asc) greedy selection, one-pass
+    left-to-right merge folds (operators/bpe.py bpe_train_merges).
+    The oracle replays all 8 rounds as chained CTEs with the
+    positional-window form of the same greedy rule, so a wrong count,
+    tie-break, or overlap behavior in ANY round hash-fails."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.bpe import (
+        bpe_train_merges,
+    )
+
+    return bpe_train_merges(load_table(spark, sf_dir, "documents"), k=8)
+
+
+def _q_text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-merge tokenization (new in r13): apply the 8 trained
+    merges back to the corpus — segmentation runs on the DISTINCT-WORD
+    table only, documents re-assemble by position join
+    (operators/bpe.py bpe_apply). Train + apply composed end-to-end;
+    the oracle extends the training CTE stack with the vocabulary
+    segmentation and per-doc assembly."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.bpe import (
+        bpe_apply,
+        bpe_train_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_apply(docs, bpe_train_merges(docs, k=8))
+
+
 def _q_stream_components_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup-state maintenance end-to-end (new in r13): the
     documents table arrives as THREE micro-batches (split by doc_id %
@@ -4805,6 +4837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_phash": _q_mm_phash,
         "mm_phash_neardup": _q_mm_phash_neardup,
         "stream_components_maintain": _q_stream_components_maintain,
+        "text_bpe_train": _q_text_bpe_train,
+        "text_bpe_segment": _q_text_bpe_segment,
     }
 
 
@@ -5302,6 +5336,106 @@ SELECT event_id,
        len(list_distinct(regexp_extract_all(lower(props), '[a-z0-9]+|[^a-z0-9\s]')))
            AS n_distinct_tokens
 FROM events
+"""
+
+    # BPE merge training replay: 8 chained rounds, each = pair counts
+    # over the current vocabulary segmentation, the (count desc, left,
+    # right) argmax, and the greedy left-to-right merge in its
+    # positional-window (gaps-and-islands) form — provably the same
+    # function as the engine's one-pass fold: within a run of
+    # consecutive match positions merges land at alternating offsets,
+    # and for left != right every run has length 1.
+    _BPE_K = 8
+    _bpe_rounds = []
+    for _r in range(1, _BPE_K + 1):
+        _p = f"seg{_r - 1}"
+        _bpe_rounds.append(f"""
+pairpos{_r} AS MATERIALIZED (
+    SELECT word, freq, syms,
+           unnest(range(1, len(syms) + 1)) AS i
+    FROM {_p}
+),
+pairs{_r} AS MATERIALIZED (
+    SELECT syms[i] AS l, syms[i + 1] AS r2, sum(freq) AS cnt
+    FROM pairpos{_r} WHERE i < len(syms)
+    GROUP BY 1, 2
+),
+best{_r} AS MATERIALIZED (
+    SELECT l, r2, cnt FROM pairs{_r} ORDER BY cnt DESC, l, r2 LIMIT 1
+),
+pos{_r} AS MATERIALIZED (
+    SELECT p.word, p.freq, p.i, p.syms[p.i] AS sym, b.r2 AS br,
+           (p.syms[p.i] = b.l AND p.i < len(p.syms)
+            AND p.syms[p.i + 1] = b.r2) AS m
+    FROM pairpos{_r} p CROSS JOIN best{_r} b
+),
+mk{_r} AS MATERIALIZED (
+    SELECT word, i FROM (
+        SELECT word, i,
+               row_number() OVER (PARTITION BY word, i - rn ORDER BY i) AS rr
+        FROM (SELECT word, i,
+                     row_number() OVER (PARTITION BY word ORDER BY i) AS rn
+              FROM pos{_r} WHERE m)
+    ) WHERE rr % 2 = 1
+),
+seg{_r} AS MATERIALIZED (
+    SELECT p.word, any_value(p.freq) AS freq,
+           list(CASE WHEN ki.i IS NOT NULL THEN p.sym || p.br
+                     ELSE p.sym END ORDER BY p.i) AS syms
+    FROM pos{_r} p
+    LEFT JOIN mk{_r} ki ON ki.word = p.word AND ki.i = p.i
+    LEFT JOIN mk{_r} kp ON kp.word = p.word AND kp.i = p.i - 1
+    WHERE kp.i IS NULL
+    GROUP BY p.word
+)""")
+    _BPE_CTES = (
+        r"""w0 AS MATERIALIZED (
+    SELECT word, count(*) AS freq FROM (
+        SELECT unnest(regexp_extract_all(lower(text),
+                      '[a-z0-9]+|[^a-z0-9\s]')) AS word
+        FROM documents
+    ) GROUP BY word
+),
+seg0 AS MATERIALIZED (
+    SELECT word, freq,
+           list_transform(range(1, length(word) + 1),
+                          i -> substr(word, CAST(i AS INT), 1)) AS syms
+    FROM w0
+),"""
+        + ",".join(_bpe_rounds)
+    )
+    _bpe_union = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({_r} AS INT) AS round, l AS \"left\", r2 AS \"right\","
+        f" CAST(cnt AS BIGINT) AS pair_count FROM best{_r}"
+        for _r in range(1, _BPE_K + 1)
+    )
+    o["text_bpe_train"] = f"""
+WITH {_BPE_CTES}
+SELECT * FROM (
+    {_bpe_union}
+)
+"""
+
+    o["text_bpe_segment"] = f"""
+WITH {_BPE_CTES},
+dt0 AS (
+    SELECT doc_id,
+           regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]') AS ws
+    FROM documents
+),
+dtok AS (
+    SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS wi FROM dt0
+),
+dwords AS (SELECT doc_id, wi, ws[wi] AS word FROM dtok),
+dj AS (
+    SELECT d.doc_id, d.wi, s.syms
+    FROM dwords d JOIN seg{_BPE_K} s ON s.word = d.word
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(syms)) AS BIGINT) AS n_pieces,
+       string_agg(array_to_string(syms, '|'), '|' ORDER BY wi) AS pieces
+FROM dj GROUP BY doc_id
 """
 
     o["join_enrich_events"] = """
