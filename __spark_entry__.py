@@ -4274,6 +4274,40 @@ def _q_text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply(docs, bpe_train_merges(docs, k=8))
 
 
+def _q_model_roundtrip_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained-tokenizer deployment loop end-to-end (new in r13):
+    train 8 BPE merges, SAVE the merges table as a model artifact
+    (sources/models.py), RELOAD it, and tokenize the corpus with the
+    loaded merges — train-once / apply-many composed through
+    persistence, the same retrain-free pattern as
+    model_roundtrip_components. Apply is a pure function of (corpus,
+    merges), so the oracle is text_bpe_segment's train+apply SQL
+    verbatim — a lossy roundtrip or a wrong application both
+    hash-fail."""
+    import shutil
+
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.bpe import (
+        bpe_apply,
+        bpe_train_merges,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.sources.models import (
+        load_model_tables,
+        save_model_tables,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = _csv_scratch() + "/bpe_model"
+    shutil.rmtree(base, ignore_errors=True)
+    save_model_tables(
+        base,
+        {"merges": bpe_train_merges(docs, k=8)},
+        meta={"family": "bpe", "k": 8},
+    )
+    loaded, meta = load_model_tables(spark, base)
+    assert meta["family"] == "bpe" and meta["k"] == 8
+    return bpe_apply(docs, loaded["merges"])
+
+
 def _q_stream_components_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup-state maintenance end-to-end (new in r13): the
     documents table arrives as THREE micro-batches (split by doc_id %
@@ -4839,6 +4873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_components_maintain": _q_stream_components_maintain,
         "text_bpe_train": _q_text_bpe_train,
         "text_bpe_segment": _q_text_bpe_segment,
+        "model_roundtrip_bpe": _q_model_roundtrip_bpe,
     }
 
 
@@ -5437,6 +5472,10 @@ SELECT doc_id,
        string_agg(array_to_string(syms, '|'), '|' ORDER BY wi) AS pieces
 FROM dj GROUP BY doc_id
 """
+
+    # persistence roundtrip: apply is a pure function of (corpus,
+    # merges), so save->reload->apply shares the train+apply SQL
+    o["model_roundtrip_bpe"] = o["text_bpe_segment"]
 
     o["join_enrich_events"] = """
 SELECT c_mktsegment, event_type, count(*) AS n,
