@@ -4274,6 +4274,36 @@ def _q_text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply(docs, bpe_train_merges(docs, k=8))
 
 
+def _q_stream_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming learned-merge tokenization (new in r13): the trained
+    merges ride in the task closure and each arriving document segments
+    statelessly inside one Arrow batch (operators/bpe.py
+    bpe_segment_map — the char_lm_score_map pattern: no shuffle, no
+    streaming state, append mode). Per-doc output is batch-boundary-
+    independent, so the oracle is text_bpe_segment's train+apply SQL
+    verbatim; the bit-parity with bpe_apply is also asserted in
+    pytest."""
+    from multi_sensor_data_pipeline_for_robotics__spark.operators.bpe import (
+        bpe_segment_map,
+        bpe_train_merges,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.dedup_stream import (
+        read_documents_stream,
+    )
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.sync_stream import (
+        run_to_memory,
+    )
+
+    merges = bpe_train_merges(load_table(spark, sf_dir, "documents"), k=8)
+    stream = read_documents_stream(spark, sf_dir)
+    run_to_memory(
+        bpe_segment_map(stream, merges),
+        "stream_bpe_segment_tbl",
+        output_mode="append",
+    )
+    return spark.table("stream_bpe_segment_tbl")
+
+
 def _q_model_roundtrip_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained-tokenizer deployment loop end-to-end (new in r13):
     train 8 BPE merges, SAVE the merges table as a model artifact
@@ -4874,6 +4904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_train": _q_text_bpe_train,
         "text_bpe_segment": _q_text_bpe_segment,
         "model_roundtrip_bpe": _q_model_roundtrip_bpe,
+        "stream_bpe_segment": _q_stream_bpe_segment,
     }
 
 
@@ -5476,6 +5507,10 @@ FROM dj GROUP BY doc_id
     # persistence roundtrip: apply is a pure function of (corpus,
     # merges), so save->reload->apply shares the train+apply SQL
     o["model_roundtrip_bpe"] = o["text_bpe_segment"]
+
+    # stateless streaming twin: per-doc output is batch-boundary-
+    # independent, so it shares the same SQL
+    o["stream_bpe_segment"] = o["text_bpe_segment"]
 
     o["join_enrich_events"] = """
 SELECT c_mktsegment, event_type, count(*) AS n,

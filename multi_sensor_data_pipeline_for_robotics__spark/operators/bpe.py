@@ -54,6 +54,7 @@ __all__ = [
     "bpe_train_merges",
     "bpe_segment_words",
     "bpe_apply",
+    "bpe_segment_map",
 ]
 
 
@@ -243,4 +244,91 @@ def bpe_apply(
             F.sum(F.size("pieces")).alias("n_pieces"),
             F.array_join(F.flatten(ordered), "|").alias("pieces"),
         )
+    )
+
+
+def bpe_segment_map(
+    df: DataFrame,
+    merges: DataFrame | list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """STREAMING-SAFE learned-merge tokenization: the merges table
+    (k rows) rides in the task closure and each document segments
+    inside one Arrow batch — a stateless ``mapInPandas`` with NO
+    shuffle and NO streaming state (the ``char_lm_score_map`` pattern),
+    so the same call works on a batch frame or a ``readStream`` in
+    append mode. :func:`bpe_apply` needs a posexplode + vocabulary join
+    + groupBy re-assembly that a stream cannot run without aggregation
+    state; this is its online twin, emitting IDENTICAL rows
+    ``(doc_id, n_words, n_pieces, pieces)`` (asserted bit-for-bit in
+    pytest — same regex pre-split, same greedy left-to-right merge
+    order, same '|' assembly; zero-token docs dropped on both paths).
+
+    Per-partition cost: a word→pieces memo makes segmentation
+    vocabulary-amortized across every batch the task processes (each
+    DISTINCT word pays k greedy scans once, exactly the work
+    ``bpe_apply`` does on the distinct-word table); per row only the
+    memo lookups and the join/format remain. The regex pre-split runs
+    in Python ``re`` — for the ASCII ``tokens_regex`` pattern this is
+    semantics-identical to Spark's Java regex (documented caveat:
+    non-ASCII whitespace classes differ between the engines)."""
+    import re as _re
+
+    from multi_sensor_data_pipeline_for_robotics__spark.functions.text import (
+        BPE_ISH_PATTERN,
+    )
+
+    rows = (
+        merges.orderBy("round").collect()
+        if isinstance(merges, DataFrame)
+        else sorted(merges, key=lambda r: r["round"])
+    )
+    merge_list = [(r["left"], r["right"]) for r in rows]
+    pat = _re.compile(BPE_ISH_PATTERN)
+
+    def _segment(word: str) -> list[str]:
+        s = list(word)
+        for left, right in merge_list:
+            out, i, merged = [], 0, left + right
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return s
+
+    def _run(pdfs):
+        import pandas as pd
+
+        memo: dict = {}
+        for pdf in pdfs:
+            out = {"doc_id": [], "n_words": [], "n_pieces": [], "pieces": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                words = pat.findall(text.lower())
+                if not words:
+                    continue  # bpe_apply's inner join drops these too
+                pieces: list[str] = []
+                for w in words:
+                    p = memo.get(w)
+                    if p is None:
+                        p = _segment(w)
+                        memo[w] = p
+                    pieces.extend(p)
+                out["doc_id"].append(doc_id)
+                out["n_words"].append(len(words))
+                out["n_pieces"].append(len(pieces))
+                out["pieces"].append("|".join(pieces))
+            yield pd.DataFrame(out)
+
+    keyed = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return keyed.mapInPandas(
+        _run, schema="doc_id long, n_words long, n_pieces long, pieces string"
     )

@@ -1183,6 +1183,12 @@ def hamming_pairs(
     everything else): identical-signature docs collapse to min-id star
     edges ``(rep, member, 0)`` and only representatives enter the
     block join. Output: ``(doc_a, doc_b, hamming)``.
+
+    When ``width`` doesn't divide evenly, the ``width mod (k+1)`` top
+    bits are not banded — recall is still guaranteed (differing bits
+    among the BANDED region are <= the total <= k, so some block is
+    clean by pigeonhole); the unbanded bits just don't help separate
+    buckets, marginally raising candidate volume.
     """
     nblocks = max_hamming + 1
     sig = sig.select(

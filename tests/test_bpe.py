@@ -116,6 +116,33 @@ def test_bpe_apply_assembles_docs_in_order(spark):
         assert got[i]["pieces"] == "|".join(pieces)
 
 
+def test_bpe_segment_map_matches_apply_and_streams(spark, tmp_path):
+    """The stateless mapInPandas twin emits rows bit-identical to
+    bpe_apply (same pre-split, merge order, assembly, zero-token drop)
+    and runs unchanged on a readStream in append mode."""
+    texts = TEXTS + ["", "   "]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = B.bpe_train_merges(docs, k=6)
+    want = {tuple(r) for r in B.bpe_apply(docs, merges).collect()}
+    got = {tuple(r) for r in B.bpe_segment_map(docs, merges).collect()}
+    assert got == want and len(got) == len(TEXTS)  # blank docs dropped
+
+    src = str(tmp_path / "bpe_docs")
+    docs.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    from multi_sensor_data_pipeline_for_robotics__spark.streaming.sync_stream import (
+        run_to_memory,
+    )
+
+    run_to_memory(
+        B.bpe_segment_map(stream, merges), "bpe_stream_tbl", output_mode="append"
+    )
+    streamed = {tuple(r) for r in spark.table("bpe_stream_tbl").collect()}
+    assert streamed == want
+
+
 def test_bpe_overlap_rule_is_greedy_left_to_right(spark):
     # "aaaa" with merge (a, a): greedy -> [aa, aa]; "aaa" -> [aa, a]
     docs = spark.createDataFrame(
