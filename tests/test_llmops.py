@@ -510,6 +510,26 @@ def test_dedup_against_corpus_tokenfold_family(spark):
         D.dedup_against_corpus(new, corpus, hash_family="md5")
 
 
+def test_auto_bucket_cap_formula(spark, sf_dir):
+    """cache.auto_bucket_cap: max(64, 8*ceil(log2(est+2))) from the
+    file-stat estimate; the 64 floor keeps the guard ACTIVE (never
+    silently off) on in-memory frames where no estimate exists."""
+    import math
+
+    from multi_sensor_data_pipeline_for_robotics__spark.cache import (
+        auto_bucket_cap,
+        estimated_source_rows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    est = estimated_source_rows(docs, bytes_per_row=512)
+    assert est and auto_bucket_cap(docs) == max(
+        64, 8 * math.ceil(math.log2(est + 2))
+    )
+    mem = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert auto_bucket_cap(mem) == 64  # un-stat-able -> active floor
+
+
 def test_minhash_max_bucket_size_guard(spark):
     """The oversized-bucket star-reduction (default on, auto-sized;
     pinned small here so it provably engages) keeps components
