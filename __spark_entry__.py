@@ -295,7 +295,10 @@ def _asof_query(method: str):
         cam = _series(spark, sf_dir, CAMERA_TYPE, "x")
         lo, hi = _grid_bounds(cam)
         grid = S.time_grid(spark, lo, hi, GRID_STEP_MS)
-        out = S.asof_align(grid, cam, method=method)
+        # bounds already known from _grid_bounds — skips asof_align's
+        # bounds-discovery job (same output by the bucket-clamp
+        # contract; r13 optimization, see OPTIMIZATION_r13.md)
+        out = S.asof_align(grid, cam, method=method, bounds=(lo, hi))
         return out.select(
             "timestamp", "x", F.col("__matched_ts").alias("matched_ts")
         )
@@ -310,7 +313,7 @@ def _q_o14_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     cam = _series(spark, sf_dir, CAMERA_TYPE, "x")
     lo, hi = _grid_bounds(cam)
     grid = S.time_grid(spark, lo, hi, GRID_STEP_MS)
-    out = S.asof_align(grid, cam, method="interp")
+    out = S.asof_align(grid, cam, method="interp", bounds=(lo, hi))
     return out.select("timestamp", F.round("x", 6).alias("x"))
 
 

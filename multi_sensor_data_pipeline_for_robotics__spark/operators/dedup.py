@@ -249,10 +249,16 @@ def _ngram_pair_intersections(
     sh = arr.select(
         "doc", F.size("__arr").alias("sz"), F.explode("__arr").alias("sh")
     )
-    # the self-join consumes postings twice; materialize them once so the
-    # Arrow shingle stage runs once (and AQE sees real sizes). At cluster
-    # scale this is a persisted/checkpointed intermediate table.
-    sh = sh.localCheckpoint(eager=False)
+    # The self-join consumes postings twice. r13 measurement: the
+    # previous `localCheckpoint(eager=False)` here cost 0.78s of EAGER
+    # driver-side physical planning at query-BUILD time (before any
+    # action) — the dominant cost of the bench row. Replaced with the
+    # size-gated persist the LSH screens use: below the gate the
+    # recompute is one extra cheap Arrow pass (broadcast-join regime);
+    # above it (cluster scale) the postings are materialized once and
+    # the sort-merge self-join's identical sides share one exchange via
+    # AQE stage reuse anyway.
+    sh = maybe_persist(sh)
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("sh")
@@ -319,14 +325,13 @@ def minhash_signatures(
         F.col(id_col).alias("doc"),
         F.explode(shingle_hashes(F.col(text_col), shingle_n)).alias("shingle"),
     )
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    agg = sh.groupBy("doc").agg(*mins)
-    return agg.select(
-        "doc", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
-    )
+    # one parsed-SQL expression instead of num_hashes Column builds:
+    # identical plan (verified result-equal), ~5x cheaper to CONSTRUCT —
+    # py4j round-trips per Column object dominated the driver-side
+    # query-build time of the LSH screens (guide §7.3 class; measured
+    # 0.33s -> 0.07s for this builder at num_hashes=32)
+    arr = ", ".join(f"min(xxhash64(shingle, {i}))" for i in range(num_hashes))
+    return sh.groupBy("doc").agg(F.expr(f"array({arr})").alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -387,11 +392,13 @@ def minhash_lsh_pairs(
     # adds a barrier (measured slower at bench scale).
     sig = maybe_persist(minhash_signatures(df, num_hashes, text_col, id_col, shingle_n))
 
-    def est(sa, sb):
-        return (
-            F.size(F.filter(F.zip_with(sa, sb, lambda x, y: x == y), lambda m: m))
-            .cast("double")
-            / num_hashes
+    def est(sa: str, sb: str):
+        # parsed-SQL form of size(filter(zip_with(sa, sb, =), id))/N —
+        # one py4j call per use instead of a lambda-Column tree (driver
+        # build-time optimization, plan and values identical)
+        return F.expr(
+            f"cast(size(filter(zip_with({sa}, {sb}, (x, y) -> x = y),"
+            f" m -> m)) as double) / {num_hashes}"
         )
 
     # signature-identical collapse: one shuffle keyed on
@@ -412,25 +419,21 @@ def minhash_lsh_pairs(
     star = sigr.filter(F.col("doc") != F.col("__m.doc")).select(
         F.col("__m.doc").alias("doc_a"),
         F.col("doc").alias("doc_b"),
-        est(F.col("__m.signature"), F.col("signature")).alias("est_jaccard"),
+        est("__m.signature", "signature").alias("est_jaccard"),
     )
     reps = sigr.filter(F.col("doc") == F.col("__m.doc")).drop("__m")
+    # banding explode as ONE parsed expression (bands x r xxhash64 slice
+    # structs) — same plan as the Column-built form, far fewer py4j
+    # round-trips at query-build time
+    bb = ", ".join(
+        "struct({bi} as band, xxhash64({slots}) as bucket)".format(
+            bi=bi,
+            slots=", ".join(f"signature[{bi * r + j}]" for j in range(r)),
+        )
+        for bi in range(bands)
+    )
     banded = reps.select(
-        "doc",
-        "signature",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[F.col("signature")[bi * r + j] for j in range(r)]
-                        ).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        "doc", "signature", F.expr(f"explode(array({bb}))").alias("bb")
     ).select("doc", "signature", "bb.band", "bb.bucket")
     if max_bucket_size:
         # the cap window partitions on the band-join key, so its
@@ -445,7 +448,7 @@ def minhash_lsh_pairs(
         ).select(
             F.col("__m.doc").alias("doc_a"),
             F.col("doc").alias("doc_b"),
-            est(F.col("__m.signature"), F.col("signature")).alias("est_jaccard"),
+            est("__m.signature", "signature").alias("est_jaccard"),
         )
         banded = sized.filter(F.col("__n") <= max_bucket_size).drop("__n", "__m")
         star = star.unionByName(bucket_star)
@@ -458,7 +461,7 @@ def minhash_lsh_pairs(
     ).select(
         F.col("a.doc").alias("doc_a"),
         F.col("b.doc").alias("doc_b"),
-        est(F.col("a.signature"), F.col("b.signature")).alias("est_jaccard"),
+        est("a.signature", "b.signature").alias("est_jaccard"),
     )
     return (
         cand.unionByName(star)

@@ -63,42 +63,38 @@ def corr_matrix(
     # complete rows only (pandas .corr() semantics). Double sums — the
     # builtin corr is equally order-dependent, and decimal moment sums
     # cost ~15x (BigDecimal per row); round_to absorbs the ulps.
+    # one parsed-SQL struct per pair instead of 6 Column builds per pair
+    # (and one explode expr instead of a struct-array Column tree):
+    # identical expressions/values, ~3x cheaper query construction —
+    # driver-side py4j chatter was most of this operator's bench wall
+    # (r13 optimization; guide §7.3 driver-work class)
     aggs = []
     for a, b in pairs:
-        both = F.col(a).isNotNull() & F.col(b).isNotNull()
-        xa = F.when(both, F.col(a)).cast("double")
-        yb = F.when(both, F.col(b)).cast("double")
-        k = f"{a}__{b}"
-        aggs += [
-            F.count(F.when(both, 1)).alias(f"{k}__n"),
-            F.sum(xa).alias(f"{k}__sx"),
-            F.sum(yb).alias(f"{k}__sy"),
-            F.sum(xa * xa).alias(f"{k}__sxx"),
-            F.sum(yb * yb).alias(f"{k}__syy"),
-            F.sum(xa * yb).alias(f"{k}__sxy"),
-        ]
+        both = f"{a} IS NOT NULL AND {b} IS NOT NULL"
+        xa = f"CAST(CASE WHEN {both} THEN {a} END AS DOUBLE)"
+        yb = f"CAST(CASE WHEN {both} THEN {b} END AS DOUBLE)"
+        aggs.append(
+            F.expr(
+                f"struct(count(CASE WHEN {both} THEN 1 END) AS n,"
+                f" sum({xa}) AS sx, sum({yb}) AS sy,"
+                f" sum({xa} * {xa}) AS sxx, sum({yb} * {yb}) AS syy,"
+                f" sum({xa} * {yb}) AS sxy)"
+            ).alias(f"{a}__{b}")
+        )
     row = df.agg(*aggs)
     structs = []
     for a, b in pairs:
         k = f"{a}__{b}"
-        n = F.col(f"{k}__n").cast("double")
-        sx = F.col(f"{k}__sx")
-        sy = F.col(f"{k}__sy")
-        sxx = F.col(f"{k}__sxx")
-        syy = F.col(f"{k}__syy")
-        sxy = F.col(f"{k}__sxy")
-        corr = F.try_divide(
-            n * sxy - sx * sy,
-            F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy),
+        n = f"CAST({k}.n AS DOUBLE)"
+        corr = (
+            f"try_divide({n} * {k}.sxy - {k}.sx * {k}.sy,"
+            f" sqrt({n} * {k}.sxx - {k}.sx * {k}.sx)"
+            f" * sqrt({n} * {k}.syy - {k}.sy * {k}.sy))"
         )
-        structs.append(
-            F.struct(
-                F.lit(a).alias("col_a"), F.lit(b).alias("col_b"), corr.alias("corr")
-            )
-        )
-    stacked = row.select(F.explode(F.array(*structs)).alias("r")).select(
-        "r.col_a", "r.col_b", "r.corr"
-    )
+        structs.append(f"struct('{a}' AS col_a, '{b}' AS col_b, {corr} AS corr)")
+    stacked = row.select(
+        F.expr(f"explode(array({', '.join(structs)}))").alias("r")
+    ).select("r.col_a", "r.col_b", "r.corr")
     if round_to is not None:
         stacked = stacked.withColumn("corr", F.round("corr", round_to))
     return stacked
@@ -121,39 +117,39 @@ def summary_stats(
     """
     cols = cols or numeric_columns(df)
     dec = "decimal(38,12)"
-    aggs = []
-    for c in cols:
-        x = F.col(c)
-        aggs += [
-            F.count(c).alias(f"{c}__count"),
-            F.sum(x.cast(dec)).alias(f"{c}__sum"),
-            F.sum((x * x).cast(dec)).alias(f"{c}__sumsq"),
-            F.min(c).alias(f"{c}__min"),
-            F.percentile(x, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias(
-                f"{c}__q"
-            ),
-            F.max(c).alias(f"{c}__max"),
-        ]
+    # parsed-SQL struct per column instead of 6 Column builds per column
+    # (same expressions — double literals spelled 0.25D etc. so they
+    # parse as DOUBLE, not DECIMAL): r13 driver-build-time optimization,
+    # values bit-identical (oracle-checked)
+    aggs = [
+        F.expr(
+            f"struct(count({c}) AS cnt, sum(CAST({c} AS {dec})) AS s,"
+            f" sum(CAST(({c} * {c}) AS {dec})) AS ss, min({c}) AS mn,"
+            f" percentile({c}, array(0.25D, 0.5D, 0.75D)) AS q,"
+            f" max({c}) AS mx)"
+        ).alias(f"{c}__")
+        for c in cols
+    ]
     row = df.agg(*aggs)
     structs = []
     for c in cols:
-        n = F.col(f"{c}__count").cast("double")
-        s = F.col(f"{c}__sum").cast("double")
-        ss = F.col(f"{c}__sumsq").cast("double")
+        k = f"{c}__"
+        n = f"CAST({k}.cnt AS DOUBLE)"
+        s = f"CAST({k}.s AS DOUBLE)"
+        ss = f"CAST({k}.ss AS DOUBLE)"
         structs.append(
-            F.struct(
-                F.lit(c).alias("column"),
-                F.col(f"{c}__count").cast("long").alias("count"),
-                (s / n).alias("mean"),
-                F.sqrt((ss - s * s / n) / (n - 1)).alias("stddev"),
-                F.col(f"{c}__min").cast("double").alias("min"),
-                F.col(f"{c}__q")[0].cast("double").alias("p25"),
-                F.col(f"{c}__q")[1].cast("double").alias("p50"),
-                F.col(f"{c}__q")[2].cast("double").alias("p75"),
-                F.col(f"{c}__max").cast("double").alias("max"),
-            )
+            f"struct('{c}' AS column, CAST({k}.cnt AS LONG) AS count,"
+            f" {s} / {n} AS mean,"
+            f" sqrt(({ss} - {s} * {s} / {n}) / ({n} - 1)) AS stddev,"
+            f" CAST({k}.mn AS DOUBLE) AS min,"
+            f" CAST({k}.q[0] AS DOUBLE) AS p25,"
+            f" CAST({k}.q[1] AS DOUBLE) AS p50,"
+            f" CAST({k}.q[2] AS DOUBLE) AS p75,"
+            f" CAST({k}.mx AS DOUBLE) AS max)"
         )
-    out = row.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+    out = row.select(
+        F.expr(f"explode(array({', '.join(structs)}))").alias("r")
+    ).select("r.*")
     if round_to is not None:
         for c in ["mean", "stddev", "min", "p25", "p50", "p75", "max"]:
             out = out.withColumn(c, F.round(c, round_to))
