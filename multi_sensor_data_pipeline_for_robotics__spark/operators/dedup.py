@@ -27,7 +27,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from multi_sensor_data_pipeline_for_robotics__spark.cache import auto_bucket_cap, maybe_persist
+import os
+
+from multi_sensor_data_pipeline_for_robotics__spark.cache import (
+    DEFAULT_PERSIST_MIN_BYTES,
+    auto_bucket_cap,
+    estimated_source_bytes,
+    maybe_persist,
+)
 from multi_sensor_data_pipeline_for_robotics__spark.functions.text import tokens
 from multi_sensor_data_pipeline_for_robotics__spark.sources.tables import ensure_parallelism
 
@@ -246,19 +253,40 @@ def _ngram_pair_intersections(
         F.col(id_col).alias("doc"),
         shingle_hashes(F.col(text_col), n).alias("__arr"),
     )
+    # explode_OUTER, deliberately: plain explode makes the optimizer
+    # infer a `size(__arr) > 0` filter and push it below the widening
+    # repartition — which re-evaluates the Arrow shingle UDF BELOW the
+    # exchange (single scan task!) and again above it (guide §4.4
+    # duplicated-UDF pushdown; measured as a 0.45s one-task stage at
+    # sf0.1 with the whole corpus' shingles hashed on one core).
+    # explode_outer infers no such filter, so the UDF runs once, wide.
+    # Output is identical: an empty/null shingle set yields one null-sh
+    # row, which the sh equi-join drops.
     sh = arr.select(
-        "doc", F.size("__arr").alias("sz"), F.explode("__arr").alias("sh")
+        "doc", F.size("__arr").alias("sz"), F.explode_outer("__arr").alias("sh")
     )
-    # The self-join consumes postings twice. r13 measurement: the
-    # previous `localCheckpoint(eager=False)` here cost 0.78s of EAGER
-    # driver-side physical planning at query-BUILD time (before any
-    # action) — the dominant cost of the bench row. Replaced with the
-    # size-gated persist the LSH screens use: below the gate the
-    # recompute is one extra cheap Arrow pass (broadcast-join regime);
-    # above it (cluster scale) the postings are materialized once and
-    # the sort-merge self-join's identical sides share one exchange via
-    # AQE stage reuse anyway.
-    sh = maybe_persist(sh)
+    # The self-join consumes the postings twice, and the two regimes
+    # want opposite treatments (r13 measurements):
+    # * SMALL corpus → the planner broadcasts one side, so WITHOUT a
+    #   persist the Arrow shingle UDF runs once per side (two ~0.4s
+    #   Python passes at sf0.1); a persist of the tiny postings makes
+    #   it run once (A/B: 1.65s -> 1.46s best-of-3).
+    # * LARGE corpus → the join is sort-merge, both sides exchange on
+    #   `sh` with identical canonical plans, and AQE stage reuse
+    #   already computes the UDF once; persisting the exploded postings
+    #   (~shingles-per-doc x corpus) would only add block-store churn.
+    # The previous unconditional localCheckpoint(eager=False) got the
+    # once-only property everywhere but cost 0.78s of EAGER driver-side
+    # physical planning at query-BUILD time — the dominant cost of the
+    # bench row.
+    if os.environ.get("SPARK_GRAFT_NO_PERSIST") != "1":
+        est = estimated_source_bytes(sh)
+        if os.environ.get("SPARK_GRAFT_FORCE_PERSIST") == "1" or (
+            est is not None and est < DEFAULT_PERSIST_MIN_BYTES
+        ):
+            from pyspark.storagelevel import StorageLevel
+
+            sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("sh")

@@ -214,13 +214,17 @@ def lsh_neardup_pairs(
     # comparison, the raw array breaks hash-collision ties so ONLY
     # truly identical vectors group; representatives alone pay the
     # hyperplane UDF and enter the banding
-    sigr = (
-        ensure_parallelism(embeddings)
-        .select(F.col(id_col).alias("doc"), F.col(vec_col).alias("__v"))
-        .withColumn(
-            "__rep",
-            F.min("doc").over(W.partitionBy(F.xxhash64("__v"), "__v")),
-        )
+    # No widening repartition here (r13): everything BELOW the collapse
+    # window is a scan + 8-byte-hash projection, and the window's own
+    # shuffle re-establishes full parallelism for the hyperplane UDF
+    # and the banding that run above it — the previous
+    # ensure_parallelism exchange was a pure extra stage (one job +
+    # one shuffle of the raw vectors) with nothing expensive under it.
+    sigr = embeddings.select(
+        F.col(id_col).alias("doc"), F.col(vec_col).alias("__v")
+    ).withColumn(
+        "__rep",
+        F.min("doc").over(W.partitionBy(F.xxhash64("__v"), "__v")),
     )
     star = sigr.filter(F.col("doc") != F.col("__rep")).select(
         F.col("__rep").alias("id_a"), F.col("doc").alias("id_b")

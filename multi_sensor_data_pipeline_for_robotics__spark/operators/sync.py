@@ -412,23 +412,35 @@ def asof_align_multi(
     #     matches — distance 0 always wins the pad-vs-backfill race);
     #   forward for pure backfill (t desc, tag asc): sensor row first,
     #     so backfill alone DOES take the exact-timestamp match.
-    w_pad = (
-        W.partitionBy("__b")
-        .orderBy(F.col("__t").asc(), F.col("__tag").asc())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    # Window specs spelled as SQL OVER clauses: the fill/carry columns
+    # are built as ONE parsed expression each instead of a Window +
+    # Column object pair (the py4j chatter of constructing them was a
+    # measurable slice of the flagship's query-build wall; plans and
+    # values identical — ASC/DESC null ordering defaults match the
+    # Column API's asc()/desc()). Same frame semantics as before:
+    # backward (UNBOUNDED PRECEDING) frames only — Spark evaluates them
+    # incrementally, O(n) per partition, while unbounded-FOLLOWING
+    # frames recompute per row, O(n^2); the forward fill therefore runs
+    # over DESCENDING time and the two sorts share one __b shuffle.
+    # Tie rules at equal t, encoded in the tag sort:
+    #   backward/pad (t asc, tag asc): sensor row (0) precedes the grid
+    #     row, so the backward frame OWNS exact-timestamp matches;
+    #   forward for nearest/interp (t desc, tag desc): grid row (1)
+    #     precedes the equal-ts sensor row, so the forward frame sees
+    #     only strictly-later observations (no double-count of exact
+    #     matches — distance 0 always wins the pad-vs-backfill race);
+    #   forward for pure backfill (t desc, tag asc): sensor row first,
+    #     so backfill alone DOES take the exact-timestamp match.
+    frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    over_pad = f"OVER (PARTITION BY __b ORDER BY __t ASC, __tag ASC {frame})"
+    over_bf_strict = f"OVER (PARTITION BY __b ORDER BY __t DESC, __tag DESC {frame})"
+    over_bf_incl = f"OVER (PARTITION BY __b ORDER BY __t DESC, __tag ASC {frame})"
+    over_carry_pad = (
+        "OVER (ORDER BY __b ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
     )
-    w_bf_strict = (
-        W.partitionBy("__b")
-        .orderBy(F.col("__t").desc(), F.col("__tag").desc())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    over_carry_bf = (
+        "OVER (ORDER BY __b ASC ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)"
     )
-    w_bf_incl = (
-        W.partitionBy("__b")
-        .orderBy(F.col("__t").desc(), F.col("__tag").asc())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    w_carry_pad = W.orderBy("__b").rowsBetween(W.unboundedPreceding, -1)
-    w_carry_bf = W.orderBy("__b").rowsBetween(1, W.unboundedFollowing)
 
     # per-bucket edge observations (tiny: <= num_buckets+1 rows after a
     # map-side-combinable agg), windowed into cross-bucket carries and
@@ -437,25 +449,32 @@ def asof_align_multi(
     need_bf = method in ("backfill", "nearest", "interp")
     edge_aggs, carry_cols, fill_cols = [], [], []
     for j in range(len(prefixes)):
-        pj = F.col(f"__p{j}")
-        ts_if_obs = F.when(pj.isNotNull(), F.col("__t"))
         if need_pad:
-            edge_aggs.append(F.max_by(pj, ts_if_obs).alias(f"__emax{j}"))
+            edge_aggs.append(
+                F.expr(
+                    f"max_by(__p{j}, CASE WHEN __p{j} IS NOT NULL THEN __t END)"
+                ).alias(f"__emax{j}")
+            )
             carry_cols.append(
-                F.last(f"__emax{j}", ignorenulls=True).over(w_carry_pad).alias(f"__cp{j}")
+                F.expr(f"last(__emax{j}, true) {over_carry_pad}").alias(f"__cp{j}")
             )
             fill_cols.append(
-                F.last(f"__p{j}", ignorenulls=True).over(w_pad).alias(f"__fp{j}")
+                F.expr(f"last(__p{j}, true) {over_pad}").alias(f"__fp{j}")
             )
         if need_bf:
-            edge_aggs.append(F.min_by(pj, ts_if_obs).alias(f"__emin{j}"))
+            edge_aggs.append(
+                F.expr(
+                    f"min_by(__p{j}, CASE WHEN __p{j} IS NOT NULL THEN __t END)"
+                ).alias(f"__emin{j}")
+            )
             carry_cols.append(
-                F.first(f"__emin{j}", ignorenulls=True).over(w_carry_bf).alias(f"__cb{j}")
+                F.expr(f"first(__emin{j}, true) {over_carry_bf}").alias(f"__cb{j}")
             )
             fill_cols.append(
-                F.last(f"__p{j}", ignorenulls=True)
-                .over(w_bf_incl if method == "backfill" else w_bf_strict)
-                .alias(f"__fb{j}")
+                F.expr(
+                    f"last(__p{j}, true) "
+                    + (over_bf_incl if method == "backfill" else over_bf_strict)
+                ).alias(f"__fb{j}")
             )
     # The union stream has TWO consumers (the fill window and the
     # per-bucket edge aggregation that feeds the carry table). Without
@@ -759,8 +778,16 @@ def map_events(
                 f" cannot scale past a bounded type domain)"
             )
         event_types = [r[0] for r in rows]
+    def _sq(s: str) -> str:
+        # SQL single-quoted string literal escape for the type values
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
+    # one parsed expression per pivot column (vs 6 Column builds each) —
+    # r13 driver-build-time optimization, identical plan/values
     aggs = [
-        F.max(F.when(F.col(type_col) == t, 1).otherwise(0)).alias(f"event_{t}")
+        F.expr(
+            f"max(CASE WHEN {type_col} = '{_sq(t)}' THEN 1 ELSE 0 END)"
+        ).alias(f"event_{t}")
         for t in event_types
     ]
     return matched.groupBy(on).agg(*aggs)
