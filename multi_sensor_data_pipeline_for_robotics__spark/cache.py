@@ -20,8 +20,19 @@ Lifecycle note: persisted blocks are NOT unpersisted by the operator —
 the returned DataFrame is lazy and the operator cannot know when its
 consumer is done. Long-lived sessions issuing MANY large persisted
 operator calls should call ``spark.catalog.clearCache()`` between
-logical jobs (bench.py does); below the size gate (the common
-interactive case) nothing is ever persisted, so nothing leaks.
+logical jobs (bench.py does); below ``maybe_persist``'s size gate (the
+common interactive case) nothing is persisted by that helper.
+
+``maybe_persist_small`` is the INVERTED gate: it persists only when the
+source is SMALL. It exists for the broadcast-join regime, where the
+planner broadcasts one side of a self-join and an expensive opaque
+projection (an Arrow UDF) would otherwise re-run once per consumer —
+while at scale the identical sort-merge exchange subtrees are deduped
+by AQE stage reuse and persisting would only add block-store churn.
+Small persisted blocks are bounded by the gate itself (< the gate bytes
+of SOURCE data each), so accumulation in a long-lived session is capped
+per call at the gate size; clearCache() between logical jobs still
+applies.
 """
 
 from __future__ import annotations
@@ -114,6 +125,33 @@ def auto_bucket_cap(df: DataFrame, bytes_per_row: int = 512) -> int:
     return max(64, 8 * math.ceil(math.log2(est + 2)))
 
 
+def persist_gate_bytes() -> int:
+    """The size gate, honoring the SPARK_GRAFT_PERSIST_MIN_BYTES
+    override — shared by ``maybe_persist`` and ``maybe_persist_small``
+    so one env knob moves both gates in A/B runs."""
+    return int(
+        os.environ.get("SPARK_GRAFT_PERSIST_MIN_BYTES", DEFAULT_PERSIST_MIN_BYTES)
+    )
+
+
+def maybe_persist_small(df: DataFrame, max_bytes: int | None = None) -> DataFrame:
+    """Persist ``df`` iff its upstream is SMALL (see module docstring:
+    the broadcast-join regime where AQE stage reuse cannot dedupe an
+    expensive opaque projection). Env overrides as ``maybe_persist``."""
+    if os.environ.get("SPARK_GRAFT_NO_PERSIST") == "1":
+        return df
+    from pyspark.storagelevel import StorageLevel
+
+    if os.environ.get("SPARK_GRAFT_FORCE_PERSIST") == "1":
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+    if max_bytes is None:
+        max_bytes = persist_gate_bytes()
+    est = estimated_source_bytes(df)
+    if est is not None and est < max_bytes:
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+    return df
+
+
 def maybe_persist(df: DataFrame, min_bytes: int | None = None) -> DataFrame:
     """Persist ``df`` (MEMORY_AND_DISK — keeps lineage, executor loss
     degrades to recompute) iff its upstream looks big enough to be worth
@@ -131,9 +169,7 @@ def maybe_persist(df: DataFrame, min_bytes: int | None = None) -> DataFrame:
     if os.environ.get("SPARK_GRAFT_FORCE_PERSIST") == "1":
         return df.persist(StorageLevel.MEMORY_AND_DISK)
     if min_bytes is None:
-        min_bytes = int(
-            os.environ.get("SPARK_GRAFT_PERSIST_MIN_BYTES", DEFAULT_PERSIST_MIN_BYTES)
-        )
+        min_bytes = persist_gate_bytes()
     est = estimated_source_bytes(df)
     if est is None or est >= min_bytes:
         return df.persist(StorageLevel.MEMORY_AND_DISK)

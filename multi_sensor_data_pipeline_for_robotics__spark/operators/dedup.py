@@ -34,6 +34,7 @@ from multi_sensor_data_pipeline_for_robotics__spark.cache import (
     auto_bucket_cap,
     estimated_source_bytes,
     maybe_persist,
+    maybe_persist_small,
 )
 from multi_sensor_data_pipeline_for_robotics__spark.functions.text import tokens
 from multi_sensor_data_pipeline_for_robotics__spark.sources.tables import ensure_parallelism
@@ -279,14 +280,7 @@ def _ngram_pair_intersections(
     # once-only property everywhere but cost 0.78s of EAGER driver-side
     # physical planning at query-BUILD time — the dominant cost of the
     # bench row.
-    if os.environ.get("SPARK_GRAFT_NO_PERSIST") != "1":
-        est = estimated_source_bytes(sh)
-        if os.environ.get("SPARK_GRAFT_FORCE_PERSIST") == "1" or (
-            est is not None and est < DEFAULT_PERSIST_MIN_BYTES
-        ):
-            from pyspark.storagelevel import StorageLevel
-
-            sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sh = maybe_persist_small(sh)
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("sh")

@@ -186,6 +186,18 @@ def asof_align(
     spark = grid.sparkSession
     spine = spark.range(num_buckets + 1).select(F.col("id").alias("__b"))
 
+    # The per-bucket edge aggregates read the WINDOW OUTPUT column __f,
+    # not the raw payload __p: at a sensor row (tag 0, non-null payload)
+    # the backward fill's frame ends at the current row, so
+    # last(__p, ignorenulls) there is the row's OWN payload — __f == __p
+    # for every row the edge agg consumes, and the selected row (the
+    # max_by/min_by key is unchanged) is identical, so the edge values
+    # are bit-identical to aggregating __p directly. The point of the
+    # indirection: referencing __f stops column pruning from dropping
+    # the window out of the edge branch, so BOTH consumers (fill +
+    # edges) plan the same Exchange(__b)+Sort+Window subtree and
+    # ReusedExchange computes the whole union prep ONCE instead of once
+    # per consumer (the r13 verdict's two-consumer duplication).
     if method == "pad":
         # In-bucket fill: at equal ts the sensor row (tag 0) sorts before
         # the grid row, so an exact-timestamp observation is picked up.
@@ -194,7 +206,7 @@ def asof_align(
             .orderBy(F.col("__t").asc(), F.col("__tag").asc())
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
-        edge_agg = F.max_by("__p", F.col("__t")).alias("__edge")
+        edge_agg = F.max_by("__f", F.col("__t")).alias("__edge")
         w_carry = W.orderBy("__b").rowsBetween(W.unboundedPreceding, -1)
     else:  # backfill
         # Forward fill expressed as a BACKWARD frame over DESCENDING
@@ -209,7 +221,7 @@ def asof_align(
             .orderBy(F.col("__t").desc(), F.col("__tag").asc())
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
-        edge_agg = F.min_by("__p", F.col("__t")).alias("__edge")
+        edge_agg = F.min_by("__f", F.col("__t")).alias("__edge")
         w_carry = W.orderBy("__b").rowsBetween(1, W.unboundedFollowing)
     fill = F.last("__p", ignorenulls=True)
 
@@ -444,7 +456,19 @@ def asof_align_multi(
 
     # per-bucket edge observations (tiny: <= num_buckets+1 rows after a
     # map-side-combinable agg), windowed into cross-bucket carries and
-    # broadcast back onto the grid rows
+    # broadcast back onto the grid rows.
+    #
+    # The edge aggregates read the WINDOW OUTPUT columns __fp{j}/__fb{j}
+    # rather than the raw payloads: at a row whose __p{j} is non-null
+    # (the only rows the max_by/min_by key selects) the fill frame ends
+    # at the current row, so last(__p{j}, ignorenulls) there is that
+    # row's OWN payload — the selected row (unchanged key) and its value
+    # are bit-identical to aggregating __p{j}. The indirection stops
+    # column pruning from dropping the Window out of the edge branch:
+    # both consumers (fill + edges) then plan the same
+    # Exchange(__b)+Sort+Window subtree and ReusedExchange computes the
+    # whole union prep (sensor scans, per-ts aggs, cell reduction,
+    # union) ONCE instead of once per consumer.
     need_pad = method in ("pad", "nearest", "interp")
     need_bf = method in ("backfill", "nearest", "interp")
     edge_aggs, carry_cols, fill_cols = [], [], []
@@ -452,7 +476,7 @@ def asof_align_multi(
         if need_pad:
             edge_aggs.append(
                 F.expr(
-                    f"max_by(__p{j}, CASE WHEN __p{j} IS NOT NULL THEN __t END)"
+                    f"max_by(__fp{j}, CASE WHEN __p{j} IS NOT NULL THEN __t END)"
                 ).alias(f"__emax{j}")
             )
             carry_cols.append(
@@ -464,7 +488,7 @@ def asof_align_multi(
         if need_bf:
             edge_aggs.append(
                 F.expr(
-                    f"min_by(__p{j}, CASE WHEN __p{j} IS NOT NULL THEN __t END)"
+                    f"min_by(__fb{j}, CASE WHEN __p{j} IS NOT NULL THEN __t END)"
                 ).alias(f"__emin{j}")
             )
             carry_cols.append(
@@ -782,11 +806,15 @@ def map_events(
         # SQL single-quoted string literal escape for the type values
         return s.replace("\\", "\\\\").replace("'", "\\'")
 
+    # backtick-quoted identifier: a non-identifier column name (space,
+    # hyphen, reserved word) must parse as a reference, like the old
+    # F.col(type_col) form did
+    qtype = "`" + type_col.replace("`", "``") + "`"
     # one parsed expression per pivot column (vs 6 Column builds each) —
     # r13 driver-build-time optimization, identical plan/values
     aggs = [
         F.expr(
-            f"max(CASE WHEN {type_col} = '{_sq(t)}' THEN 1 ELSE 0 END)"
+            f"max(CASE WHEN {qtype} = '{_sq(t)}' THEN 1 ELSE 0 END)"
         ).alias(f"event_{t}")
         for t in event_types
     ]

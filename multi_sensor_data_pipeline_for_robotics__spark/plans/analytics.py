@@ -43,6 +43,18 @@ def minmax(df: DataFrame, col: str) -> DataFrame:
     return df.agg(F.min(col).alias("min_" + col), F.max(col).alias("max_" + col))
 
 
+def _bq(name: str) -> str:
+    """Backtick-quote a column name for interpolation into SQL text —
+    non-identifier names (spaces, hyphens, dots, reserved words) parse
+    as references instead of expressions; embedded backticks double."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _sq(s: str) -> str:
+    """Single-quoted SQL string literal escape."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
 def corr_matrix(
     df: DataFrame, cols: list[str] | None = None, round_to: int | None = 6
 ) -> DataFrame:
@@ -70,9 +82,10 @@ def corr_matrix(
     # (r13 optimization; guide §7.3 driver-work class)
     aggs = []
     for a, b in pairs:
-        both = f"{a} IS NOT NULL AND {b} IS NOT NULL"
-        xa = f"CAST(CASE WHEN {both} THEN {a} END AS DOUBLE)"
-        yb = f"CAST(CASE WHEN {both} THEN {b} END AS DOUBLE)"
+        qa, qb = _bq(a), _bq(b)
+        both = f"{qa} IS NOT NULL AND {qb} IS NOT NULL"
+        xa = f"CAST(CASE WHEN {both} THEN {qa} END AS DOUBLE)"
+        yb = f"CAST(CASE WHEN {both} THEN {qb} END AS DOUBLE)"
         aggs.append(
             F.expr(
                 f"struct(count(CASE WHEN {both} THEN 1 END) AS n,"
@@ -84,14 +97,16 @@ def corr_matrix(
     row = df.agg(*aggs)
     structs = []
     for a, b in pairs:
-        k = f"{a}__{b}"
+        k = _bq(f"{a}__{b}")
         n = f"CAST({k}.n AS DOUBLE)"
         corr = (
             f"try_divide({n} * {k}.sxy - {k}.sx * {k}.sy,"
             f" sqrt({n} * {k}.sxx - {k}.sx * {k}.sx)"
             f" * sqrt({n} * {k}.syy - {k}.sy * {k}.sy))"
         )
-        structs.append(f"struct('{a}' AS col_a, '{b}' AS col_b, {corr} AS corr)")
+        structs.append(
+            f"struct('{_sq(a)}' AS col_a, '{_sq(b)}' AS col_b, {corr} AS corr)"
+        )
     stacked = row.select(
         F.expr(f"explode(array({', '.join(structs)}))").alias("r")
     ).select("r.col_a", "r.col_b", "r.corr")
@@ -123,22 +138,22 @@ def summary_stats(
     # values bit-identical (oracle-checked)
     aggs = [
         F.expr(
-            f"struct(count({c}) AS cnt, sum(CAST({c} AS {dec})) AS s,"
-            f" sum(CAST(({c} * {c}) AS {dec})) AS ss, min({c}) AS mn,"
-            f" percentile({c}, array(0.25D, 0.5D, 0.75D)) AS q,"
-            f" max({c}) AS mx)"
+            f"struct(count({_bq(c)}) AS cnt, sum(CAST({_bq(c)} AS {dec})) AS s,"
+            f" sum(CAST(({_bq(c)} * {_bq(c)}) AS {dec})) AS ss, min({_bq(c)}) AS mn,"
+            f" percentile({_bq(c)}, array(0.25D, 0.5D, 0.75D)) AS q,"
+            f" max({_bq(c)}) AS mx)"
         ).alias(f"{c}__")
         for c in cols
     ]
     row = df.agg(*aggs)
     structs = []
     for c in cols:
-        k = f"{c}__"
+        k = _bq(f"{c}__")
         n = f"CAST({k}.cnt AS DOUBLE)"
         s = f"CAST({k}.s AS DOUBLE)"
         ss = f"CAST({k}.ss AS DOUBLE)"
         structs.append(
-            f"struct('{c}' AS column, CAST({k}.cnt AS LONG) AS count,"
+            f"struct('{_sq(c)}' AS column, CAST({k}.cnt AS LONG) AS count,"
             f" {s} / {n} AS mean,"
             f" sqrt(({ss} - {s} * {s} / {n}) / ({n} - 1)) AS stddev,"
             f" CAST({k}.mn AS DOUBLE) AS min,"
