@@ -207,7 +207,16 @@ def ngram_jaccard_pairs(
     star = None
     if collapse_identical:
         df, star = _collapse_exact_texts(df, text_col, id_col)
-    inter = _ngram_pair_intersections(df, n, text_col, id_col, max_shingle_df)
+    if max_shingle_df is None and threshold > 0 and _prefix_filter_auto(df):
+        # scale regime of the EXACT (uncapped) variant: the Σ df² join
+        # output is the corpus²-shaped cost, and prefix filtering
+        # (AllPairs) cuts the candidate pairs exactly — only pairs that
+        # can still reach the threshold are generated and verified.
+        inter = _ngram_pair_intersections_prefix(
+            df, n, text_col, id_col, threshold, round_to
+        )
+    else:
+        inter = _ngram_pair_intersections(df, n, text_col, id_col, max_shingle_df)
     jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     out = (
         inter.withColumn("jaccard", F.round(jac, round_to) if round_to else jac)
@@ -302,6 +311,114 @@ def _ngram_pair_intersections(
     )
 
 
+# Auto-enable gate for the prefix-filtered exact Jaccard plan. Below
+# this source size the shipped groupBy-count plan's fewer stages win:
+# measured at sf0.1 (5k docs, 0.6 MB, 31-token vocabulary) the prefix
+# plan is 1.23 s -> 2.87 s SLOWER — candidate generation + verify adds
+# three shuffles while the full join output (1.27M rows) is still small,
+# and the tiny vocabulary makes every shingle mid-frequency so prefixes
+# only cut candidates ~3.6x. Above the gate the Σ df² join output is
+# the corpus²-shaped scale-killer and the df-ordered prefix cut
+# dominates: 23.96 s -> 8.46 s (2.8x, outputs exceptAll-equal) on a
+# 60k-doc smoke where 20% of documents share a 14-token boilerplate
+# header — the storm shape the uncapped variant hits in the wild (see
+# OPTIMIZATION_r14.md).
+NGRAM_PREFIX_MIN_BYTES = 256 << 20
+
+
+def _prefix_filter_auto(df: DataFrame) -> bool:
+    env = os.environ.get("SPARK_GRAFT_NGRAM_PREFIX")
+    if env in ("0", "1"):
+        return env == "1"
+    est = estimated_source_bytes(df)
+    return est is None or est >= NGRAM_PREFIX_MIN_BYTES
+
+
+def _ngram_pair_intersections_prefix(
+    df: DataFrame,
+    n: int,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    round_to: int | None,
+) -> DataFrame:
+    """Prefix-filtered (AllPairs) exact intersections for the uncapped
+    Jaccard join: same ``(doc_a, doc_b, sz_a, sz_b, inter)`` schema as
+    :func:`_ngram_pair_intersections`, RESTRICTED to pairs that can
+    still reach ``threshold`` (a superset of the pairs surviving the
+    caller's score filter, so the filtered output is identical).
+
+    Plan (guide §3 join-input reduction): sort each document's distinct
+    shingle-hash set by ASCENDING global document frequency (rarest
+    first, ties by hash — a total order consistent across documents); a
+    pair with Jaccard ≥ t must share a hash within the first
+    ``sz - ⌈te·sz⌉ + 1`` elements of BOTH sets (prefix-filter lemma with
+    the per-record overlap lower bound o ≥ ⌈te·sz⌉, valid because
+    jac ≥ t implies the partner is no smaller than te·sz), and its sizes
+    must satisfy te·sz_a ≤ sz_b ≤ sz_a/te. Candidates come from a
+    self-join of the PREFIX postings only — with df-ordering the
+    ubiquitous shingles (the Σ df² storm the cap exists for) fall
+    OUTSIDE every prefix, so the join cost collapses to the rare-shingle
+    postings. The exact intersection is then one ``array_intersect``
+    against the full arrays. ``te`` is ``threshold`` minus the caller's
+    rounding quantum so round-half-up at the boundary can never lose a
+    pair.
+
+    Both the raw shingle arrays and the df-sorted arrays are persisted
+    (the REDUCED corpus form — 8-byte hashes, no text): the raw arrays
+    feed the df count and the sort join, the sorted arrays feed the
+    prefix join and both verify sides; re-running the Arrow shingle UDF
+    or the sort shuffle per consumer costs more than materializing
+    either. Env A/B knobs from cache.py apply.
+    """
+    te = threshold - (10.0 ** -round_to if round_to else 0.0)
+    raw = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        shingle_hashes(F.col(text_col), n).alias("__arr"),
+    )
+    raw = maybe_persist(raw, min_bytes=0)
+    post = raw.select("doc", F.explode("__arr").alias("sh"))
+    dfc = post.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    arr = (
+        post.join(dfc, "sh")
+        .groupBy("doc")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(__df, sh))), p -> p.sh)"
+            ).alias("__arr")
+        )
+    )
+    arr = maybe_persist(arr, min_bytes=0)
+    sz = F.size("__arr")
+    plen = (sz - F.ceil(F.lit(te) * sz - F.lit(1e-9)) + 1).cast("int")
+    pref = arr.select(
+        "doc",
+        sz.alias("sz"),
+        F.explode(F.slice(F.col("__arr"), F.lit(1), plen)).alias("sh"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            & (F.col("b.sz") >= F.lit(te) * F.col("a.sz"))
+            & (F.col("a.sz") >= F.lit(te) * F.col("b.sz")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    va = arr.select(F.col("doc").alias("doc_a"), F.col("__arr").alias("__aa"))
+    vb = arr.select(F.col("doc").alias("doc_b"), F.col("__arr").alias("__ab"))
+    return cand.join(va, "doc_a").join(vb, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        F.size("__aa").alias("sz_a"),
+        F.size("__ab").alias("sz_b"),
+        F.size(F.array_intersect("__aa", "__ab")).alias("inter"),
+    )
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     n: int = 3,
@@ -320,6 +437,11 @@ def ngram_containment_pairs(
     df-cap, and cost shape as :func:`ngram_jaccard_pairs` — only the
     score differs. Output: (doc_a, doc_b, containment) with doc_a the
     smaller id.
+
+    No prefix-filter regime here: containment's overlap bound is
+    o ≥ ⌈t·min(|A|,|B|)⌉ and the partner may be arbitrarily small, so
+    the larger side's sound prefix is its FULL set — prefix filtering
+    degenerates. The df-cap is the scale control for this operator.
     """
     inter = _ngram_pair_intersections(df, n, text_col, id_col, max_shingle_df)
     cont = F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b"))
@@ -330,6 +452,23 @@ def ngram_containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "containment")
     )
+
+
+# Auto-enable gate for the ids-only (narrow) LSH band join: below it the
+# wide form's single exchange wins (r13 prototype + r14 re-measure: the
+# two signature re-attach joins cost more than the ~280 B/row payload
+# the banding shuffle saves when the whole table is a few MB); above it
+# the banding exchange is bands× the corpus and payload width is the
+# §2.3 shuffle-bytes lever. Env A/B: SPARK_GRAFT_MINHASH_NARROW=0/1.
+MINHASH_NARROW_MIN_BYTES = 256 << 20
+
+
+def _narrow_band_auto(df: DataFrame) -> bool:
+    env = os.environ.get("SPARK_GRAFT_MINHASH_NARROW")
+    if env in ("0", "1"):
+        return env == "1"
+    est = estimated_source_bytes(df)
+    return est is None or est >= MINHASH_NARROW_MIN_BYTES
 
 
 def minhash_signatures(
@@ -457,34 +596,77 @@ def minhash_lsh_pairs(
     banded = reps.select(
         "doc", "signature", F.expr(f"explode(array({bb}))").alias("bb")
     ).select("doc", "signature", "bb.band", "bb.bucket")
-    if max_bucket_size:
-        # the cap window partitions on the band-join key, so its
-        # exchange+sort IS the join's required distribution — plan cost
-        # of the default-on guard is the window evaluation only
-        wb = Window.partitionBy("band", "bucket")
-        sized = banded.withColumn("__n", F.count(F.lit(1)).over(wb)).withColumn(
-            "__m", F.min(F.struct("doc", "signature")).over(wb)
+    if _narrow_band_auto(df):
+        # NARROW banding shuffle for the scale regime (guide §2.3
+        # "shuffle keys and metadata instead of payloads"): the banding
+        # exchange ships (doc, band, bucket) ≈ 24 B/row instead of
+        # carrying the num_hashes-long signature array (≈ 280 B/row at
+        # 32 hashes) through bands× the corpus; candidate ids are
+        # deduped FIRST and the signatures re-attached once, by doc,
+        # for scoring. Every pair's est is computed from the same two
+        # signatures as the wide form, so the output is identical
+        # (dropDuplicates keeps one of several equal-est copies either
+        # way). Off below the gate: at bench scale the two extra
+        # attach joins cost more than the payload the shuffle saves.
+        bn = banded.select("doc", "band", "bucket")
+        ids = None
+        if max_bucket_size:
+            wb = Window.partitionBy("band", "bucket")
+            sized = bn.withColumn("__n", F.count(F.lit(1)).over(wb)).withColumn(
+                "__mdoc", F.min("doc").over(wb)
+            )
+            bucket_star_ids = sized.filter(
+                (F.col("__n") > max_bucket_size) & (F.col("doc") != F.col("__mdoc"))
+            ).select(
+                F.col("__mdoc").alias("doc_a"), F.col("doc").alias("doc_b")
+            )
+            bn = sized.filter(F.col("__n") <= max_bucket_size).drop("__n", "__mdoc")
+            ids = bucket_star_ids
+        a, b = bn.alias("a"), bn.alias("b")
+        cand_ids = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        ).select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        ids = cand_ids if ids is None else cand_ids.unionByName(ids)
+        sa = sig.select(F.col("doc").alias("doc_a"), F.col("signature").alias("__sa"))
+        sb = sig.select(F.col("doc").alias("doc_b"), F.col("signature").alias("__sb"))
+        cand = (
+            ids.distinct()
+            .join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select("doc_a", "doc_b", est("__sa", "__sb").alias("est_jaccard"))
         )
-        bucket_star = sized.filter(
-            (F.col("__n") > max_bucket_size) & (F.col("doc") != F.col("__m.doc"))
+    else:
+        if max_bucket_size:
+            # the cap window partitions on the band-join key, so its
+            # exchange+sort IS the join's required distribution — plan
+            # cost of the default-on guard is the window evaluation only
+            wb = Window.partitionBy("band", "bucket")
+            sized = banded.withColumn("__n", F.count(F.lit(1)).over(wb)).withColumn(
+                "__m", F.min(F.struct("doc", "signature")).over(wb)
+            )
+            bucket_star = sized.filter(
+                (F.col("__n") > max_bucket_size) & (F.col("doc") != F.col("__m.doc"))
+            ).select(
+                F.col("__m.doc").alias("doc_a"),
+                F.col("doc").alias("doc_b"),
+                est("__m.signature", "signature").alias("est_jaccard"),
+            )
+            banded = sized.filter(F.col("__n") <= max_bucket_size).drop("__n", "__m")
+            star = star.unionByName(bucket_star)
+        a, b = banded.alias("a"), banded.alias("b")
+        cand = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
         ).select(
-            F.col("__m.doc").alias("doc_a"),
-            F.col("doc").alias("doc_b"),
-            est("__m.signature", "signature").alias("est_jaccard"),
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            est("a.signature", "b.signature").alias("est_jaccard"),
         )
-        banded = sized.filter(F.col("__n") <= max_bucket_size).drop("__n", "__m")
-        star = star.unionByName(bucket_star)
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.doc") < F.col("b.doc")),
-    ).select(
-        F.col("a.doc").alias("doc_a"),
-        F.col("b.doc").alias("doc_b"),
-        est("a.signature", "b.signature").alias("est_jaccard"),
-    )
     return (
         cand.unionByName(star)
         .filter(F.col("est_jaccard") >= threshold)
