@@ -47,7 +47,6 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
-from multi_sensor_data_pipeline_for_robotics__spark.cache import maybe_persist
 from multi_sensor_data_pipeline_for_robotics__spark.functions.timeutil import ts_us
 
 GRID_STEP_MS = 33  # app.py:160-161
@@ -225,11 +224,10 @@ def asof_align(
         w_carry = W.orderBy("__b").rowsBetween(1, W.unboundedFollowing)
     fill = F.last("__p", ignorenulls=True)
 
-    # Two consumers (fill window + per-bucket edges) — size-gated
-    # persist so a big upstream runs once (see the matching note in
-    # asof_align_multi; measured: an unconditional persist is a net
-    # LOSS at bench scale, the barrier costs more than the recompute).
-    u = maybe_persist(u)
+    # Two consumers (fill window + per-bucket edges) share the identical
+    # Exchange(__b)+Sort+Window subtree (the edge agg reads the window
+    # output, see above), so exchange reuse runs the prep once — no
+    # persist needed (see the measured A/B note in asof_align_multi).
     wind = u.withColumn("__f", fill.over(w_fill))
     per_bucket = wind.filter(F.col("__tag") == 0).groupBy("__b").agg(edge_agg)
 
@@ -501,27 +499,22 @@ def asof_align_multi(
                 ).alias(f"__fb{j}")
             )
     # The union stream has TWO consumers (the fill window and the
-    # per-bucket edge aggregation that feeds the carry table). Without
-    # intervention Spark recomputes the whole upstream prep (sensor
-    # scans, per-ts aggs, cell reduction, union) once per consumer —
-    # a 2x on the dominant cost of the flagship plan — and AQE's
-    # exchange reuse can't deduplicate because column pruning gives
-    # the two branches different subtrees. Persisting `u` (post-prep,
-    # so the cached rows are the SMALL reduced stream, not the raw
-    # scan) materializes the prep once — but ONLY when recomputing the
-    # prep costs more than the barrier. `persist_union=True` is the
-    # caller's hint that the prep contains an expensive reduction whose
-    # OUTPUT is small (synchronize sets it when reduce_cells ran:
-    # measured at 2M rows/sensor, persisting the reduced stream is
-    # 5.7s -> 3.9s; not persisting the RAW 4M-row stream is
-    # 4.7s -> 3.8s — the hint discriminates where a source-size gate
-    # cannot). None falls back to the size gate; False never persists.
+    # per-bucket edge aggregation that feeds the carry table). Since the
+    # edge aggregates reference the window OUTPUT columns (see above),
+    # both consumers plan the identical Exchange(__b)+Sort+Window
+    # subtree and AQE's exchange reuse computes the whole prep (sensor
+    # scans, per-ts aggs, cell reduction, union) exactly ONCE — so the
+    # default is to NOT persist: materialization is a strictly worse way
+    # to get the same once-only property (r14 A/B on the 2M-row
+    # reduce_cells fixture: never-persist 3.34 s, size-gated 3.90 s,
+    # forced persist 4.05 s — and in r13, before the shared subtree,
+    # recompute-without-persist was 5.7 s). ``persist_union=True``
+    # remains as a caller override for plans where exchange reuse is
+    # known not to fire (e.g. consumers added OUTSIDE this function).
     if persist_union is True:
         from pyspark.storagelevel import StorageLevel
 
         u = u.persist(StorageLevel.MEMORY_AND_DISK)
-    elif persist_union is None:
-        u = maybe_persist(u)
     pcols = [F.col(f"__p{j}") for j in range(len(prefixes))]
     wind = u.select("__t", "__tag", "__b", *pcols, *fill_cols)
     per_bucket = wind.filter(F.col("__tag") == 0).groupBy("__b").agg(*edge_aggs)
@@ -877,35 +870,6 @@ def _auto_reduce(
     return est >= density * max(n_grid, 1)
 
 
-# When a per-cell reduction ran, the union prep embeds a full sensor
-# shuffle (expensive to recompute for the window's second consumer)
-# while its OUTPUT is grid-sized (cheap to materialize) — so the persist
-# pays for itself at a much smaller source size than the generic 1 GiB
-# gate. 32 MB ≈ where the reduction shuffle (~seconds) starts to beat
-# the persist barrier (~sub-second fixed cost); measured at 2M
-# rows/sensor (~200 MB): persist 3.9s vs recompute 5.7s, while at sf0.1
-# (~2 MB) persist 2.9s vs recompute 2.1s.
-_PERSIST_REDUCED_MIN_BYTES = 32 << 20
-
-
-def _persist_reduced_union(
-    camera: DataFrame, motion: DataFrame, reduce_cam: bool, reduce_mot: bool
-) -> bool | None:
-    if not (reduce_cam or reduce_mot):
-        return None  # unreduced prep is scan-cheap; generic size gate
-    from multi_sensor_data_pipeline_for_robotics__spark.cache import (
-        estimated_source_bytes,
-    )
-
-    tot = 0
-    for s in (camera, motion):
-        b = estimated_source_bytes(s)
-        if b is None:  # unknown source: assume big (the 100 TB posture)
-            return True
-        tot += b
-    return tot >= _PERSIST_REDUCED_MIN_BYTES
-
-
 @dataclass
 class SyncResult:
     """``(synchronized | None, report)`` shape of app.py:198."""
@@ -988,7 +952,6 @@ def synchronize(
         method,
         num_buckets=num_buckets,
         bounds=(start, end),
-        persist_union=_persist_reduced_union(camera, motion, reduce_cam, reduce_mot),
     ).drop("camera___matched_ts", "motion___matched_ts")
 
     if log is not None:
