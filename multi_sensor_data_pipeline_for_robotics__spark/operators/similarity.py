@@ -1333,31 +1333,31 @@ def _fp_quantize(vd, scale: int):
     return F.transform(vd, lambda x: F.floor(x / g * scale).cast("long"))
 
 
-def _fp_argmin_expr(qv, cents: list) -> "F.Column":
+def _fp_argmin_expr(qv_sql: str, cents: list) -> "F.Column":
     """Nearest centroid by INTEGER squared L2 — a narrow projection
     (array_min over per-centroid fold structs), no join; ties break to
     the lowest cent_id by exact integer comparison, so there is no
-    float-argmax flip for a replica to disagree on."""
-    pairs = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        qv,
-                        F.array(*[F.lit(int(c)).cast("long") for c in vec]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ),
-                F.lit(cid),
-                # lambda-built columns shed their aliases inside
-                # struct(); the cast pins the field names instead
-            ).cast("struct<dist:bigint,cid:int>")
-            for cid, vec in cents
-        ]
+    float-argmax flip for a replica to disagree on.
+
+    ``qv_sql`` is the query vector as a SQL fragment (a column name or
+    e.g. a slice(...) call): the whole argmin is built as ONE parsed
+    expression. The previous Column-object form paid one py4j round
+    trip per centroid component — nlist x dim F.lit calls = a measured
+    9.9 s of the semantic-dedup query BUILD at nlist=16, dim=64 —
+    while the parse of the identical SQL text is a single call
+    (guide §7.3 driver-work class; expressions and values unchanged:
+    bigint literals, same fold lambdas, same cast-pinned struct)."""
+    structs = ", ".join(
+        "cast(struct(aggregate(zip_with({qv}, array({lits}),"
+        " (a, b) -> (a - b) * (a - b)), cast(0 as bigint),"
+        " (acc, x) -> acc + x), {cid}) as struct<dist:bigint,cid:int>)".format(
+            qv=qv_sql,
+            lits=", ".join(f"{int(c)}L" for c in vec),
+            cid=int(cid),
+        )
+        for cid, vec in cents
     )
-    return F.array_min(pairs)["cid"]
+    return F.expr(f"array_min(array({structs})).cid")
 
 
 def _fp_assign(qd, cents: list, qv_col: str = "__qv", out_col: str = "__list"):
@@ -1372,7 +1372,8 @@ def _fp_assign(qd, cents: list, qv_col: str = "__qv", out_col: str = "__list"):
     and folds over it at runtime — no literal explosion, no shuffle,
     still a single narrow projection."""
     if len(cents) <= 32:
-        return qd.withColumn(out_col, _fp_argmin_expr(F.col(qv_col), cents))
+        q = "`" + qv_col.replace("`", "``") + "`"
+        return qd.withColumn(out_col, _fp_argmin_expr(q, cents))
     spark = qd.sparkSession
     cdf = spark.createDataFrame(
         [([(int(cid), [int(x) for x in vec]) for cid, vec in cents],)],
@@ -1423,10 +1424,20 @@ def kmeans_centroids_fixedpoint(
     """
     import math
 
-    qd = embeddings.select(
+    # widen a one-file scan before the per-row argmin + posexplode
+    # training stage: at nlist=16 x dim=64 the assignment is ~1 ms/row
+    # of integer fold work, which serialized on a single scan task
+    # (measured 1.7 s/iter at 2k rows); round-robin repartition spreads
+    # it across every core and is a no-op on wide cluster scans
+    qd = ensure_parallelism(embeddings).select(
         F.col(id_col).alias("__id"), to_double(F.col(vec_col)).alias("__vd")
     ).select("__id", _fp_quantize(F.col("__vd"), scale).alias("__qv"))
-    qd = maybe_persist(qd)
+    # iterative training re-reads qd once per Lloyd round (+ the init
+    # job): persist regardless of size — the classic iterative-ML cache
+    # case, NOT a multi-consumer plan exchange reuse could dedupe
+    # (min_bytes=0 keeps the SPARK_GRAFT_NO_PERSIST A/B knob honored;
+    # at 100 TB the intended training input is a sample, per docstring)
+    qd = maybe_persist(qd, min_bytes=0)
     init = qd.orderBy("__id").limit(nlist).select("__qv").collect()
     cents = [(i, [int(x) for x in r["__qv"]]) for i, r in enumerate(init)]
     for _ in range(iters):
@@ -1475,11 +1486,10 @@ def ivf_topk_fixedpoint(
     e = embeddings.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec")
     )
-    assigned = e.withColumn(
-        "list_id",
-        _fp_argmin_expr(
-            _fp_quantize(to_double(F.col("cand_vec")), scale), cents
-        ),
+    assigned = (
+        e.withColumn("__qv", _fp_quantize(to_double(F.col("cand_vec")), scale))
+        .withColumn("list_id", _fp_argmin_expr("__qv", cents))
+        .drop("__qv")
     )
     cents_df = spark.createDataFrame(
         [(cid, [int(x) for x in vec]) for cid, vec in cents],
@@ -1539,7 +1549,7 @@ def pq_codebooks_fixedpoint(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
-    qd = embeddings.select(
+    qd = ensure_parallelism(embeddings).select(
         F.col(id_col).alias("__id"), to_double(F.col(vec_col)).alias("__vd")
     ).select("__id", _fp_quantize(F.col("__vd"), scale).alias("__qv"))
     qd = maybe_persist(qd)
@@ -1552,6 +1562,9 @@ def _pq_train_fp(qd: DataFrame, m: int, ksub: int, iters: int, dsub: int) -> lis
     IVFPQ, whose training input is integer residual vectors."""
     import math
 
+    # iterative reuse: one read per training round — persist regardless
+    # of size (see the matching note in kmeans_centroids_fixedpoint)
+    qd = maybe_persist(qd, min_bytes=0)
     init = qd.orderBy("__id").limit(ksub).select("__qv").collect()
     books = [
         [
@@ -1564,7 +1577,7 @@ def _pq_train_fp(qd: DataFrame, m: int, ksub: int, iters: int, dsub: int) -> lis
         codes = F.array(
             *[
                 _fp_argmin_expr(
-                    F.slice(F.col("__qv"), j * dsub + 1, dsub),
+                    f"slice(__qv, {j * dsub + 1}, {dsub})",
                     list(enumerate(books[j])),
                 )
                 for j in range(m)
@@ -1626,7 +1639,7 @@ def pq_topk_fixedpoint(
     codes_expr = F.array(
         *[
             _fp_argmin_expr(
-                F.slice(F.col("__qv"), j * dsub + 1, dsub),
+                f"slice(__qv, {j * dsub + 1}, {dsub})",
                 list(enumerate(books[j])),
             )
             for j in range(m)
@@ -1726,7 +1739,7 @@ def ivfpq_topk_fixedpoint(
     qd = embeddings.select(
         F.col(id_col).alias("__id"), to_double(F.col(vec_col)).alias("__vd")
     ).select("__id", _fp_quantize(F.col("__vd"), scale).alias("__qv"))
-    assigned = qd.withColumn("__list", _fp_argmin_expr(F.col("__qv"), cents))
+    assigned = qd.withColumn("__list", _fp_argmin_expr("__qv", cents))
     resid = maybe_persist(
         assigned.join(
             F.broadcast(cents_df), assigned["__list"] == cents_df["cent_id"]
@@ -1740,7 +1753,7 @@ def ivfpq_topk_fixedpoint(
     codes_expr = F.array(
         *[
             _fp_argmin_expr(
-                F.slice(F.col("__qv"), j * dsub + 1, dsub),
+                f"slice(__qv, {j * dsub + 1}, {dsub})",
                 list(enumerate(books[j])),
             )
             for j in range(m)
@@ -1874,7 +1887,7 @@ def semantic_dedup_fixedpoint(
     cents = kmeans_centroids_fixedpoint(
         embeddings, nlist, iters, scale, id_col, vec_col
     )
-    qd = embeddings.select(
+    qd = ensure_parallelism(embeddings).select(
         F.col(id_col).alias("__id"), to_double(F.col(vec_col)).alias("__vd")
     ).select("__id", _fp_quantize(F.col("__vd"), scale).alias("__qv"))
     asg = maybe_persist(_fp_assign(qd, cents, out_col="cluster_id"))
