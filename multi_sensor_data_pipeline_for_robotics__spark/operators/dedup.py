@@ -1826,7 +1826,13 @@ def _gram_windows(
             )
         return kmv_hash(g)
 
-    wins = docs.select(
+    # widen a one-file scan first: the per-position substring+md5
+    # projection is the operator's dominant CPU (measured 2 x ~3 s
+    # single-task stages at sf0.1 — the window stream has two
+    # consumers) and parallelizes embarrassingly; the round-robin
+    # exchange below the projection is also the subtree both consumers
+    # share, so at any scale the doc text moves once
+    wins = ensure_parallelism(docs.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(
             F.transform(

@@ -95,13 +95,19 @@ def train_char_lm(
     grams = ensure_parallelism(ref).select(
         F.explode(char_trigrams(text_col)).alias("gram")
     )
-    # checkpoint the vocabulary-sized count: tri has two consumers
-    # (its own broadcast + the derived ctx broadcast) and each would
-    # otherwise replay the data-sized reference explode
-    tri = (
-        grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("cnt3"))
-        .localCheckpoint(eager=False)
+    # persist the vocabulary-sized count: tri has two consumers (its
+    # own broadcast + the derived ctx broadcast) and each would
+    # otherwise replay the data-sized reference explode. A LAZY persist,
+    # not localCheckpoint(eager=False): localCheckpoint runs FULL
+    # physical planning at call time (measured ~5 s of the composed
+    # corpus_select_pipeline's build — the subtree below includes the
+    # gated+deduped survivor frame), while persist defers everything to
+    # the first action and still computes the explode once.
+    from ..cache import maybe_persist
+
+    tri = maybe_persist(
+        grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt3")),
+        min_bytes=0,
     )
     ctx = (
         tri.groupBy(F.substring("gram", 1, 2).alias("ctx"))
@@ -743,6 +749,25 @@ def _gate_and_dedup(
     from ..functions.text import quality_flags, repetition_flags
     from ..functions.text import tokens as _tokens
 
+    from ..sources.tables import ensure_parallelism
+
+    # widen a one-file scan BEFORE the gate: the quality/repetition
+    # expressions cost ~0.4 ms/doc and the persisted survivor frame
+    # inherits the scan's partitioning — left single-partition, its
+    # first consumer computes the whole 2.2 s gate on one task while
+    # every other consumer's task BLOCKS on the cache lock (measured:
+    # two extra 2.2 s zero-CPU stages at sf0.1)
+    docs_w = ensure_parallelism(docs)
+    if docs_w is not docs:
+        # pushdown barrier, only when a widening exchange was inserted:
+        # Catalyst pushes the (deterministic, expensive) gate predicate
+        # below the round-robin repartition back onto the single scan
+        # task — the r13 duplicated-UDF-pushdown class. A
+        # non-deterministic no-op predicate blocks the reorder (filters
+        # do not move past non-deterministic ones); the gate is not a
+        # parquet-pushable predicate, so nothing is lost at the scan.
+        docs_w = docs_w.filter(F.spark_partition_id() >= 0)
+    docs = docs_w
     toks = _tokens(F.col(text_col))
     q = quality_flags(toks, F.col(text_col))
     r = repetition_flags(toks)

@@ -129,10 +129,27 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     target = min_partitions or spark.sparkContext.defaultParallelism
     n = _estimated_scan_partitions(df)
     if n is None:
-        # non-file / remote-FS source: fall back to the precise probe.
-        # (df.rdd forces full physical planning — the file-stat estimate
-        # above avoids that cost for the common local-parquet case.)
-        n = df.rdd.getNumPartitions()
+        # Non-file / derived input. The old precise probe
+        # (df.rdd.getNumPartitions) forces FULL physical planning —
+        # measured ~0.4 s per call on composed pipelines, pure build
+        # overhead for a hint. Decide from the (unanalyzed) logical
+        # tree instead, one cheap py4j call: a distribution-establishing
+        # operator (aggregate/join/window/sort/repartition/dedup) or a
+        # born-parallel Range means the data is already spread and the
+        # round-robin would be a pure extra exchange; anything else
+        # (LocalRelation, python-RDD-backed, narrow unknown source) gets
+        # the widening repartition — a redundant one is cheap and
+        # narrow, a missing one serializes the downstream stage.
+        import re
+
+        plan = df._jdf.queryExecution().logical().toString()
+        if re.search(
+            r"\b(Aggregate|Join|Window|Sort|Repartition|RepartitionByExpression"
+            r"|Deduplicate|Range)\b",
+            plan,
+        ):
+            return df
+        return df.repartition(target)
     if n < target:
         return df.repartition(target)
     return df
