@@ -94,7 +94,9 @@ def bloom_might_contain(
     for j in range(k):
         p = _position(key, j, m_bits, hash_fn)
         w = F.element_at(words, F.shiftright(p, 5).cast("int") + 1)
-        c = F.getbit(w, p % 32) == 1
+        # coalesce to FALSE so no isnotnull(md5...) constraint is
+        # inferred and duplicated below exchanges (see bloom_semi_filter)
+        c = F.coalesce(F.getbit(w, p % 32) == 1, F.lit(False))
         cond = c if cond is None else cond & c
     return cond
 
@@ -141,7 +143,14 @@ def bloom_semi_filter(
     while broadcast-hash probes stay in whole-stage codegen and the
     bitmap never visits the driver at all."""
     words = bloom_words(small, small_key or big_key, k, m_bits, hash_fn)
-    cur = big
+    # widen a narrow scan first: the k md5 probes are the operator's
+    # dominant CPU (~7 µs/row; measured 4.3 s on 3 tasks at sf0.1) and
+    # run above this exchange; no-op on wide cluster scans
+    from multi_sensor_data_pipeline_for_robotics__spark.sources.tables import (
+        ensure_parallelism,
+    )
+
+    cur = ensure_parallelism(big)
     cond = None
     for j in range(k):
         p = _position(F.col(big_key), j, m_bits, hash_fn)
@@ -154,7 +163,18 @@ def bloom_semi_filter(
         cur = cur.join(
             F.broadcast(wj), F.col(f"__bw{j}") == F.col(f"__bww{j}"), "left"
         )
-        c = F.getbit(F.coalesce(F.col(f"__bbits{j}"), F.lit(0)), F.col(f"__bp{j}")) == 1
+        # coalesce the probe to FALSE, deliberately: a bare
+        # `getbit(...) == 1` is null-intolerant, so the optimizer INFERS
+        # `isnotnull(__bp{j})` and pushes it below the widening
+        # exchange — re-evaluating all k md5 positions on the narrow
+        # scan for a predicate that can never be false (measured: a
+        # 2.9 s few-task stage at sf0.1). The positions are never NULL,
+        # so the value is unchanged.
+        c = F.coalesce(
+            F.getbit(F.coalesce(F.col(f"__bbits{j}"), F.lit(0)), F.col(f"__bp{j}"))
+            == 1,
+            F.lit(False),
+        )
         cond = c if cond is None else cond & c
     aux = [f"__b{s}{j}" for j in range(k) for s in ("w", "p", "ww", "bits")]
     return cur.filter(cond).drop(*aux)
