@@ -136,19 +136,41 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
         # tree instead, one cheap py4j call: a distribution-establishing
         # operator (aggregate/join/window/sort/repartition/dedup) or a
         # born-parallel Range means the data is already spread and the
-        # round-robin would be a pure extra exchange; anything else
-        # (LocalRelation, python-RDD-backed, narrow unknown source) gets
-        # the widening repartition — a redundant one is cheap and
-        # narrow, a missing one serializes the downstream stage.
+        # round-robin would be a pure extra exchange. An RDD-backed
+        # leaf (localCheckpoint output, python-parallelized data)
+        # carries an ALREADY-EXISTING RDD whose partition count is
+        # readable off the leaf with no planning at all — checkpointed
+        # frames are usually post-shuffle wide, createDataFrame test
+        # frames narrow, and this tells them apart exactly. Anything
+        # else (LocalRelation, narrow unknown source) gets the widening
+        # repartition — a redundant one is cheap and narrow, a missing
+        # one serializes the downstream stage.
         import re
 
-        plan = df._jdf.queryExecution().logical().toString()
+        jlog = df._jdf.queryExecution().logical()
+        plan = jlog.toString()
         if re.search(
             r"\b(Aggregate|Join|Window|Sort|Repartition|RepartitionByExpression"
             r"|Deduplicate|Range)\b",
             plan,
         ):
             return df
+        if "LogicalRDD" in plan:
+            try:
+                leaves = jlog.collectLeaves()
+                counts = [
+                    leaves.apply(i).rdd().getNumPartitions()
+                    for i in range(leaves.size())
+                    if leaves.apply(i)
+                    .getClass()
+                    .getSimpleName()
+                    .startswith("LogicalRDD")
+                ]
+                n = min(counts) if counts else None
+            except Exception:  # noqa: BLE001 — hint only, fall through
+                n = None
+            if n is not None:
+                return df.repartition(target) if n < target else df
         return df.repartition(target)
     if n < target:
         return df.repartition(target)

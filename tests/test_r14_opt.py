@@ -152,10 +152,16 @@ def test_ensure_parallelism_derived_frames(spark):
     rng = spark.range(100)
     assert ensure_parallelism(rng) is rng  # Range: born parallel
 
-    local = spark.createDataFrame([(i,) for i in range(10)], "id long")
-    wide = ensure_parallelism(local)
-    assert wide is not local
-    assert "Repartition" in wide._jdf.queryExecution().logical().toString()
+    # RDD-backed leaves expose their existing partitioning with no
+    # physical planning: a narrow checkpointed frame is widened, a
+    # wide one passes through unchanged
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(50).coalesce(1).localCheckpoint(eager=True)
+    wide_in = spark.range(50).repartition(target).localCheckpoint(eager=True)
+    w1 = ensure_parallelism(narrow)
+    assert w1 is not narrow
+    assert "Repartition" in w1._jdf.queryExecution().logical().toString()
+    assert ensure_parallelism(wide_in) is wide_in
 
 
 def test_gate_and_dedup_barrier_values(spark, sf_dir):
