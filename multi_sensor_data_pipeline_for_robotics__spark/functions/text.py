@@ -186,15 +186,33 @@ def dup_ngram_ratio(toks: Column, n: int) -> Column:
 
 def top_token_ratio(toks: Column) -> Column:
     """Frequency of the most common token over the token count —
-    the max-word-frequency repetition signal. O(distinct x n) per doc
-    via array expressions: fine for natural documents (distinct ~ n),
-    stays entirely JVM-side.
+    the max-word-frequency repetition signal.
+
+    O(n log n) per doc: sort the tokens, then one fold tracking the
+    current equal-run length and the best run — the max multiplicity of
+    a sorted array is its longest equal-run. Replaces the previous
+    O(distinct x n) nested filter (one size(filter(...)) per distinct
+    token: ~10k string compares per 100-token doc, the dominant term of
+    the Gopher gate's per-doc cost). Same exact integer max count, so
+    the ratio is bit-identical.
     """
-    counts = F.transform(
-        F.array_distinct(toks), lambda t: F.size(F.filter(toks, lambda x: x == t))
+    run = lambda acc, t: F.when(  # noqa: E731 — current equal-run length
+        t.eqNullSafe(acc["prev"]), acc["run"] + 1
+    ).otherwise(F.lit(1).cast("long"))
+    best = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, t: F.struct(t, run(acc, t), F.greatest(acc["best"], run(acc, t))).cast(
+            "struct<prev:string,run:bigint,best:bigint>"
+        ),
+        lambda acc: acc["best"],
     )
     return F.when(F.size(toks) <= 0, F.lit(0.0)).otherwise(
-        F.array_max(counts).cast("double") / F.size(toks)
+        best.cast("double") / F.size(toks)
     )
 
 
