@@ -23,16 +23,12 @@ operator calls should call ``spark.catalog.clearCache()`` between
 logical jobs (bench.py does); below ``maybe_persist``'s size gate (the
 common interactive case) nothing is persisted by that helper.
 
-``maybe_persist_small`` is the INVERTED gate: it persists only when the
-source is SMALL. It exists for the broadcast-join regime, where the
-planner broadcasts one side of a self-join and an expensive opaque
-projection (an Arrow UDF) would otherwise re-run once per consumer —
-while at scale the identical sort-merge exchange subtrees are deduped
-by AQE stage reuse and persisting would only add block-store churn.
-Small persisted blocks are bounded by the gate itself (< the gate bytes
-of SOURCE data each), so accumulation in a long-lived session is capped
-per call at the gate size; clearCache() between logical jobs still
-applies.
+(r14 note: the r13-era INVERTED small-source gate — persist only when
+SMALL, for broadcast-join regimes that re-ran an Arrow UDF once per
+self-join side — was retired along with its last call site when the
+ngram shingle hashing moved to pure JVM expressions; re-running cheap
+expressions per side costs less than the materialization barrier, and
+at scale identical sort-merge sides share one exchange via AQE reuse.)
 """
 
 from __future__ import annotations
@@ -127,29 +123,10 @@ def auto_bucket_cap(df: DataFrame, bytes_per_row: int = 512) -> int:
 
 def persist_gate_bytes() -> int:
     """The size gate, honoring the SPARK_GRAFT_PERSIST_MIN_BYTES
-    override — shared by ``maybe_persist`` and ``maybe_persist_small``
-    so one env knob moves both gates in A/B runs."""
+    override."""
     return int(
         os.environ.get("SPARK_GRAFT_PERSIST_MIN_BYTES", DEFAULT_PERSIST_MIN_BYTES)
     )
-
-
-def maybe_persist_small(df: DataFrame, max_bytes: int | None = None) -> DataFrame:
-    """Persist ``df`` iff its upstream is SMALL (see module docstring:
-    the broadcast-join regime where AQE stage reuse cannot dedupe an
-    expensive opaque projection). Env overrides as ``maybe_persist``."""
-    if os.environ.get("SPARK_GRAFT_NO_PERSIST") == "1":
-        return df
-    from pyspark.storagelevel import StorageLevel
-
-    if os.environ.get("SPARK_GRAFT_FORCE_PERSIST") == "1":
-        return df.persist(StorageLevel.MEMORY_AND_DISK)
-    if max_bytes is None:
-        max_bytes = persist_gate_bytes()
-    est = estimated_source_bytes(df)
-    if est is not None and est < max_bytes:
-        return df.persist(StorageLevel.MEMORY_AND_DISK)
-    return df
 
 
 def maybe_persist(df: DataFrame, min_bytes: int | None = None) -> DataFrame:

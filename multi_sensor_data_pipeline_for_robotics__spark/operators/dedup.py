@@ -34,7 +34,6 @@ from multi_sensor_data_pipeline_for_robotics__spark.cache import (
     auto_bucket_cap,
     estimated_source_bytes,
     maybe_persist,
-    maybe_persist_small,
 )
 from multi_sensor_data_pipeline_for_robotics__spark.functions.text import tokens
 from multi_sensor_data_pipeline_for_robotics__spark.sources.tables import ensure_parallelism
@@ -115,9 +114,11 @@ def shingles(toks, n: int = 3):
     (``functions.text.ngrams``'s shape) — the previous per-position
     ``element_at`` transform was O(len·n) interpreted lookups per doc
     and dominated the portable-minhash signature pass.
-    ``shingle_hashes`` (Arrow-batched) remains the similarity
-    operators' hot path; short docs (< n tokens) get an empty shingle
-    set.
+    ``shingle_hashes`` (Arrow-batched blake2b) remains the MinHash base
+    hash (its outputs depend on the hash values);
+    ``shingle_hashes_jvm`` is the pure-JVM form for consumers where the
+    hash is only an equality proxy. Short docs (< n tokens) get an
+    empty shingle set.
     """
     if n == 1:
         return F.array_distinct(toks)
@@ -166,6 +167,26 @@ def shingle_hashes(text_col, n: int = 3):
         return pd.Series(out)
 
     return _hashes(text_col)
+
+
+def shingle_hashes_jvm(text_col, n: int = 3):
+    """Distinct n-token-shingle 64-bit hashes, PURE JVM: space split →
+    :func:`shingles` (zip_with n-gram strings, distinct) → one xxhash64
+    per shingle. For consumers where the hash is only an equality proxy
+    and its 64-bit identity never reaches the output (the ngram
+    Jaccard/containment pair core, the contamination screen), this
+    replaces the Arrow-batched :func:`shingle_hashes`: the Python
+    kernel's compute was trivial but every task paid an Arrow
+    round-trip wait (~97% idle time in the 32-task hashing stage at
+    sf0.1; whole row 1.49 → 1.26 s, pair sets collect-identical), and
+    removing the BatchEval/ArrowEvalPython node also removes the
+    duplicated-UDF-pushdown hazards around it. :func:`minhash_signatures`
+    MUST keep the Arrow blake2b form — its output VALUES depend on the
+    base hash. Same null/short-doc behavior: NULL text and < n tokens
+    yield an empty set (``shingles``' guard); collision bound identical
+    (both are 64-bit)."""
+    toks = F.split(text_col, " ")
+    return F.transform(shingles(toks, n), lambda s: F.xxhash64(s))
 
 
 DEFAULT_MAX_SHINGLE_DF = 10_000
@@ -255,41 +276,34 @@ def _ngram_pair_intersections(
 ) -> DataFrame:
     """The shared candidate core of the set-similarity family:
     (doc_a, doc_b, sz_a, sz_b, inter) for every document pair sharing
-    ≥1 surviving shingle. One Arrow-batched projection builds the
-    distinct shingle-hash array; postings carry (doc, |set|, hash) so
-    set sizes travel with the rows and the equi-join compares 8-byte
-    keys instead of strings."""
+    ≥1 surviving shingle. One pure-JVM projection builds the distinct
+    shingle-hash array (:func:`shingle_hashes_jvm` — r14, replacing the
+    Arrow blake2b kernel whose round-trip waits dominated the hashing
+    stage); postings carry (doc, |set|, hash) so set sizes travel with
+    the rows and the equi-join compares 8-byte keys instead of
+    strings."""
     arr = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"),
-        shingle_hashes(F.col(text_col), n).alias("__arr"),
+        shingle_hashes_jvm(F.col(text_col), n).alias("__arr"),
     )
     # explode_OUTER, deliberately: plain explode makes the optimizer
     # infer a `size(__arr) > 0` filter and push it below the widening
-    # repartition — which re-evaluates the Arrow shingle UDF BELOW the
-    # exchange (single scan task!) and again above it (guide §4.4
-    # duplicated-UDF pushdown; measured as a 0.45s one-task stage at
-    # sf0.1 with the whole corpus' shingles hashed on one core).
-    # explode_outer infers no such filter, so the UDF runs once, wide.
-    # Output is identical: an empty/null shingle set yields one null-sh
-    # row, which the sh equi-join drops.
+    # repartition — re-evaluating the shingle projection on the
+    # single-task scan (the r13 duplicated-pushdown finding; cheaper
+    # now that hashing is JVM-side, but still a wasted narrow pass).
+    # explode_outer infers no such filter, so the projection runs once,
+    # wide. Output is identical: an empty/null shingle set yields one
+    # null-sh row, which the sh equi-join drops.
+    #
+    # No materialization of the postings (r14): the r13 small-regime
+    # persist existed because the broadcast-join regime re-ran the
+    # Arrow UDF once per join side; with JVM hashing the re-run is
+    # cheap expressions (A/B at sf0.1: persist 1.13 s vs none 1.10 s)
+    # and at scale the identical sort-merge sides share one exchange
+    # via AQE stage reuse.
     sh = arr.select(
         "doc", F.size("__arr").alias("sz"), F.explode_outer("__arr").alias("sh")
     )
-    # The self-join consumes the postings twice, and the two regimes
-    # want opposite treatments (r13 measurements):
-    # * SMALL corpus → the planner broadcasts one side, so WITHOUT a
-    #   persist the Arrow shingle UDF runs once per side (two ~0.4s
-    #   Python passes at sf0.1); a persist of the tiny postings makes
-    #   it run once (A/B: 1.65s -> 1.46s best-of-3).
-    # * LARGE corpus → the join is sort-merge, both sides exchange on
-    #   `sh` with identical canonical plans, and AQE stage reuse
-    #   already computes the UDF once; persisting the exploded postings
-    #   (~shingles-per-doc x corpus) would only add block-store churn.
-    # The previous unconditional localCheckpoint(eager=False) got the
-    # once-only property everywhere but cost 0.78s of EAGER driver-side
-    # physical planning at query-BUILD time — the dominant cost of the
-    # bench row.
-    sh = maybe_persist_small(sh)
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("sh")
@@ -319,7 +333,7 @@ def _ngram_pair_intersections(
 # and the tiny vocabulary makes every shingle mid-frequency so prefixes
 # only cut candidates ~3.6x. Above the gate the Σ df² join output is
 # the corpus²-shaped scale-killer and the df-ordered prefix cut
-# dominates: 23.96 s -> 8.46 s (2.8x, outputs exceptAll-equal) on a
+# dominates: 27.66 s -> 6.78 s (4.1x, outputs exceptAll-equal) on a
 # 60k-doc smoke where 20% of documents share a 14-token boilerplate
 # header — the storm shape the uncapped variant hits in the wild (see
 # OPTIMIZATION_r14.md).
@@ -367,14 +381,14 @@ def _ngram_pair_intersections_prefix(
     Both the raw shingle arrays and the df-sorted arrays are persisted
     (the REDUCED corpus form — 8-byte hashes, no text): the raw arrays
     feed the df count and the sort join, the sorted arrays feed the
-    prefix join and both verify sides; re-running the Arrow shingle UDF
-    or the sort shuffle per consumer costs more than materializing
-    either. Env A/B knobs from cache.py apply.
+    prefix join and both verify sides; re-running the shingle
+    projection or the sort shuffle per consumer costs more than
+    materializing either. Env A/B knobs from cache.py apply.
     """
     te = threshold - (10.0 ** -round_to if round_to else 0.0)
     raw = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"),
-        shingle_hashes(F.col(text_col), n).alias("__arr"),
+        shingle_hashes_jvm(F.col(text_col), n).alias("__arr"),
     )
     raw = maybe_persist(raw, min_bytes=0)
     post = raw.select("doc", F.explode("__arr").alias("sh"))
@@ -1473,8 +1487,8 @@ def ngram_contamination(
     Output: ``(doc_id, n_ngrams, n_contaminated, contaminated_frac)``
     per eval doc, including 0-overlap docs.
 
-    Shingles travel as 8-byte blake2b hashes (the Arrow-batched
-    :func:`shingle_hashes` fast path, same as the Jaccard join) — the
+    Shingles travel as 8-byte xxhash64 hashes (the pure-JVM
+    :func:`shingle_hashes_jvm` path, same as the Jaccard join) — the
     semi-join keys and the per-doc distinct counts are identical to the
     string form up to 64-bit collisions (negligible at any corpus
     size). At 100 TB the semi-join shuffles those 8-byte keys only; for
@@ -1483,11 +1497,11 @@ def ngram_contamination(
     """
     ev = ensure_parallelism(eval_df).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(shingle_hashes(F.col(text_col), n)).alias("sh"),
+        F.explode(shingle_hashes_jvm(F.col(text_col), n)).alias("sh"),
     )
     tr = (
         ensure_parallelism(train)
-        .select(F.explode(shingle_hashes(F.col(text_col), n)).alias("sh"))
+        .select(F.explode(shingle_hashes_jvm(F.col(text_col), n)).alias("sh"))
         .distinct()
     )
     totals = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
